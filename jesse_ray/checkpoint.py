@@ -1,0 +1,183 @@
+"""Checkpointed, resumable validation runs.
+
+The reference has no checkpoint/resume (single-document engine,
+SURVEY §4.1); this is the corpus-scale design the north star requires:
+input files are grouped into deterministic partitions; each partition's
+validation writes its violations to its own output directory and appends
+one manifest record with lineage ``(partition_id, fragments,
+spec_version, stats digest, verdict, metrics)``.  A rerun skips
+partitions whose manifest record is complete and whose spec_version
+matches — so a failed 100 TB run resumes instead of restarting.
+
+Manifest writes are atomic (write temp + rename) and idempotent: a
+partition re-validated after a crash overwrites its own output directory
+and re-appends; the reader keeps the LAST record per partition id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import pyarrow as pa
+
+from jesse_ray.compiler import CompiledSpec, compile_spec, empty_violations
+from jesse_ray.engine import ValidationEngine
+from jesse_ray.spec import TableSpec
+
+
+def partition_id(fragments: Sequence[str]) -> str:
+    """Deterministic partition id from the input fragment paths — the
+    idempotence key for retries (SURVEY §4.2 'idempotent writes')."""
+    h = hashlib.sha256("\n".join(sorted(fragments)).encode()).hexdigest()[:12]
+    return f"part-{h}"
+
+
+@dataclass
+class ManifestRecord:
+    partition_id: str
+    fragments: list[str]
+    spec_version: str
+    verdict: str  # "pass" | "fail"
+    metrics: dict[str, Any] = field(default_factory=dict)
+    output_dir: Optional[str] = None
+    completed_at: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, line: str) -> "ManifestRecord":
+        return cls(**json.loads(line))
+
+
+class Manifest:
+    """Append-only JSONL manifest; last record per partition wins."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+
+    def load(self) -> dict[str, ManifestRecord]:
+        out: dict[str, ManifestRecord] = {}
+        if not self.path.exists():
+            return out
+        for line in self.path.read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = ManifestRecord.from_json(line)
+            except (json.JSONDecodeError, TypeError):
+                continue  # torn write from a crash — ignored, partition reruns
+            out[rec.partition_id] = rec
+        return out
+
+    def append(self, rec: ManifestRecord) -> None:
+        rec.completed_at = time.time()
+        tmp = self.path.with_suffix(".tmp")
+        existing = self.path.read_text() if self.path.exists() else ""
+        tmp.write_text(existing + rec.to_json() + "\n")
+        os.replace(tmp, self.path)
+
+
+def plan_partitions(input_paths: Sequence[str], files_per_partition: int = 8) -> list[list[str]]:
+    """Group input files into deterministic partitions (sorted, chunked).
+    One partition = one resumable unit of work."""
+    files = sorted(str(p) for p in input_paths)
+    return [files[i : i + files_per_partition] for i in range(0, len(files), files_per_partition)]
+
+
+def run_validation(
+    input_paths: Sequence[str],
+    spec: TableSpec | CompiledSpec,
+    out_dir: str | Path,
+    *,
+    files_per_partition: int = 8,
+    resume: bool = True,
+    columns: Optional[list[str]] = None,
+    sketch: bool = False,
+    engine: Optional[ValidationEngine] = None,
+) -> dict[str, Any]:
+    """Validate a corpus partition-by-partition with checkpointing.
+
+    Each partition is one Ray Data pipeline (read → checks → write);
+    partitions run sequentially on the driver but each is internally
+    block-parallel across the cluster, and the unit of resume is the
+    partition.  Returns the overall summary (exit-code semantics mirror
+    the reference CLI: nonzero/fail if any partition fails,
+    src/jesse_cli.erl:80-87 — but we process ALL partitions instead of
+    halting at the first failure, recording each verdict).
+    """
+    import ray.data
+
+    compiled = spec if isinstance(spec, CompiledSpec) else compile_spec(spec)
+    eng = engine or ValidationEngine()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = Manifest(out / "manifest.jsonl")
+    done = manifest.load() if resume else {}
+
+    parts = plan_partitions(input_paths, files_per_partition)
+    summary = {"partitions": len(parts), "skipped": 0, "failed": 0, "violations": 0}
+
+    for frag in parts:
+        pid = partition_id(frag)
+        prev = done.get(pid)
+        if prev is not None and prev.spec_version == compiled.version:
+            summary["skipped"] += 1
+            summary["violations"] += prev.metrics.get("violations", 0)
+            if prev.verdict == "fail":
+                summary["failed"] += 1
+            continue
+
+        ds = ray.data.read_parquet(frag, columns=columns)
+        res = eng.validate(ds, compiled)
+        vtbl = res.all_violations_table()
+        part_out = out / pid
+        part_out.mkdir(parents=True, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(vtbl if vtbl.num_rows else empty_violations(), part_out / "violations.parquet")
+
+        metrics = {
+            "rows": ds.count(),
+            "violations": int(vtbl.num_rows),
+            "by_error": _count_by_error(vtbl),
+        }
+        if sketch:
+            from jesse_ray.stages import sketch_dataset
+
+            bundle = sketch_dataset(ray.data.read_parquet(frag, columns=["n_tok", "tokens"]))
+            digest_path = part_out / "sketch.bin"
+            digest_path.write_bytes(bundle.to_bytes())
+            metrics["stats_digest"] = hashlib.sha256(bundle.to_bytes()).hexdigest()[:16]
+
+        verdict = "pass" if vtbl.num_rows == 0 else "fail"
+        manifest.append(
+            ManifestRecord(
+                partition_id=pid,
+                fragments=list(frag),
+                spec_version=compiled.version,
+                verdict=verdict,
+                metrics=metrics,
+                output_dir=str(part_out),
+            )
+        )
+        summary["violations"] += metrics["violations"]
+        if verdict == "fail":
+            summary["failed"] += 1
+
+    summary["passed"] = summary["failed"] == 0
+    return summary
+
+
+def _count_by_error(vtbl: pa.Table) -> dict[str, int]:
+    if vtbl.num_rows == 0:
+        return {}
+    g = vtbl.group_by("error").aggregate([([], "count_all")])
+    return dict(zip(g["error"].to_pylist(), g["count_all"].to_pylist()))

@@ -1,0 +1,777 @@
+"""Spec → vectorized batch checker compilation.
+
+The reference validates one document at a time with a recursive keyword
+walk (reference: src/jesse_validator_draft4.erl:84-260 ``check_value``).
+Here a :class:`~jesse_ray.spec.TableSpec` is compiled ONCE on the driver
+into a :class:`CompiledSpec` — a list of vectorized checks, each of which
+evaluates a whole Arrow batch with pyarrow.compute / numpy kernels and
+returns the indices of violating rows.  ``CompiledSpec.check_batch`` is
+the function handed to ``Dataset.map_batches(..., batch_format="pyarrow")``.
+
+Presence semantics: a NULL cell is the columnar analogue of an *absent*
+property — keyword checks skip it (reference behavior for absent
+properties: src/jesse_validator_draft4.erl:380-400) and only ``required``
+turns it into ``missing_required_property``
+(src/jesse_validator_draft4.erl:1044-1058).
+
+Violation rows mirror the reference's error 5-tuple
+``{data_invalid, Schema, ErrorType, Value, Path}``
+(src/jesse_error.erl:85-92): ``(doc_id, path, error, value_json,
+schema_fragment)``, with ``path`` = property names + stringified 0-based
+array indices, outermost first.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jesse_ray import errors as E
+from jesse_ray.spec import ColumnSpec, ConsistencyRule, TableSpec
+
+VIOLATION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("path", pa.list_(pa.string())),
+        ("error", pa.string()),
+        ("value_json", pa.string()),
+        ("schema_fragment", pa.string()),
+    ]
+)
+
+
+def empty_violations() -> pa.Table:
+    return VIOLATION_SCHEMA.empty_table()
+
+
+# ---------------------------------------------------------------------------
+# small kernels
+
+
+def _np_mask(arr, n: int) -> np.ndarray:
+    """pyarrow boolean -> numpy bool, nulls -> False."""
+    if arr is None:
+        return np.zeros(n, dtype=bool)
+    if isinstance(arr, np.ndarray):
+        return arr
+    return pc.fill_null(arr, False).to_numpy(zero_copy_only=False).astype(bool, copy=False)
+
+
+def _combine(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _is_numeric(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)
+
+
+def _to_f64(arr: pa.Array) -> np.ndarray:
+    return arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def _json_val(v: Any) -> str:
+    if isinstance(v, float) and v.is_integer():
+        # canonical: 3.0 prints as 3.0 (json default) — keep json default
+        return json.dumps(v)
+    return json.dumps(v, ensure_ascii=False, separators=(",", ":"))
+
+
+def _list_layout(col: pa.Array):
+    """Return (flat_values, parent_idx, item_idx, counts) for a list array.
+
+    ``parent_idx[i]`` is the row owning flat element i; ``item_idx[i]`` is
+    its 0-based position within the row's list (the path-index convention
+    of the reference, src/jesse_error.erl:85-92).  NULL lists contribute
+    no flat elements; the arithmetic below is robust to them because
+    counts come from per-parent bincount of the parent indices.
+    """
+    flat = pc.list_flatten(col)
+    parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    n_rows = len(col)
+    cnt = np.bincount(parent, minlength=n_rows) if len(parent) else np.zeros(n_rows, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+    item_idx = np.arange(len(parent)) - starts[parent] if len(parent) else parent
+    return flat, parent, item_idx, cnt
+
+
+# ---------------------------------------------------------------------------
+# per-keyword valid-mask kernels: (flat_or_col_array) -> np.bool mask,
+# True where the value PASSES; positions with NULL values are garbage and
+# must be masked by the caller with the presence mask.
+
+
+_ARROW_TYPE_OK: dict[str, Callable[[pa.DataType], bool]] = {
+    # draft-04 primitive membership (src/jesse_validator_draft4.erl:306-318);
+    # integer ⊂ number; draft-4 floats are NOT integers even with zero
+    # fraction (contrast draft-6, src/jesse_validator_draft6.erl:344-355)
+    "string": lambda t: pa.types.is_string(t) or pa.types.is_large_string(t),
+    "integer": lambda t: pa.types.is_integer(t),
+    "number": _is_numeric,
+    "boolean": pa.types.is_boolean,
+    "array": lambda t: pa.types.is_list(t) or pa.types.is_large_list(t)
+    or pa.types.is_fixed_size_list(t),
+    "object": pa.types.is_struct,
+    "null": pa.types.is_null,
+    "any": lambda t: True,
+}
+
+
+def _type_ok(spec_type: str | list[str], dtype: pa.DataType) -> bool:
+    types = [spec_type] if isinstance(spec_type, str) else spec_type
+    return any(_ARROW_TYPE_OK.get(t, lambda _t: False)(dtype) for t in types)
+
+
+def _enum_mask(arr: pa.Array, values: list[Any]) -> np.ndarray:
+    """Membership with the reference's cross-numeric deep equality:
+    1.0 == 1 (src/jesse_lib.erl:177-181, normalize numbers to float)."""
+    n = len(arr)
+    if _is_numeric(arr.type):
+        nums = [float(v) for v in values if isinstance(v, (int, float)) and not isinstance(v, bool)]
+        if not nums:
+            return np.zeros(n, dtype=bool)
+        v = _to_f64(arr)
+        return np.isin(v, np.asarray(nums, dtype=np.float64))
+    try:
+        vs = pa.array([v for v in values if v is not None], type=arr.type)
+        return _np_mask(pc.is_in(arr, value_set=vs), n)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        # mixed-type enum vs typed column: fall back per-distinct-value
+        pyvals = set()
+        for v in values:
+            try:
+                pyvals.add(v)
+            except TypeError:
+                pass
+        out = np.zeros(n, dtype=bool)
+        pl = arr.to_pylist()
+        for i, x in enumerate(pl):
+            out[i] = x in pyvals
+        return out
+
+
+def _range_mask(arr: pa.Array, lo, lo_ex, hi, hi_ex) -> np.ndarray:
+    v = _to_f64(arr)
+    ok = np.ones(len(v), dtype=bool)
+    with np.errstate(invalid="ignore"):
+        if lo is not None:
+            ok &= (v > lo) if lo_ex else (v >= lo)
+        if hi is not None:
+            ok &= (v < hi) if hi_ex else (v <= hi)
+    # NaN compares false -> treated as out of range; caller masks nulls
+    return ok
+
+
+def _multiple_of_mask(arr: pa.Array, m: float) -> np.ndarray:
+    # reference formula: (V/M - trunc(V/M)) * M == 0.0
+    # (src/jesse_validator_draft4.erl:1019-1025)
+    v = _to_f64(arr)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = v / m
+        return (q - np.trunc(q)) * m == 0.0
+
+
+def _pattern_mask(arr: pa.Array, pattern: str) -> np.ndarray:
+    """Unanchored regex match (reference: re:run unanchored,
+    src/jesse_validator_draft4.erl:888-893).  Arrow's RE2 dialect covers
+    the common cases; PCRE-only constructs (backrefs, lookaround) fall
+    back to Python ``re`` per present value — documented dialect delta."""
+    n = len(arr)
+    try:
+        return _np_mask(pc.match_substring_regex(arr, pattern), n)
+    except pa.ArrowInvalid:
+        rx = re.compile(pattern)
+        out = np.zeros(n, dtype=bool)
+        for i, s in enumerate(arr.to_pylist()):
+            if s is not None and rx.search(s):
+                out[i] = True
+        return out
+
+
+def _strlen_mask(arr: pa.Array, lo, hi) -> np.ndarray:
+    # unicode codepoint length (src/jesse_validator_draft4.erl:915-943)
+    ln = pc.fill_null(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False)
+    ok = np.ones(len(ln), dtype=bool)
+    if lo is not None:
+        ok &= ln >= lo
+    if hi is not None:
+        ok &= ln <= hi
+    return ok
+
+
+_EMAIL_RX = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
+_IPV4_RX = r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"
+_DATETIME_RX = (
+    r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})?$"
+)
+
+
+def _format_mask(arr: pa.Array, fmt: str) -> np.ndarray:
+    """Only the formats the reference actually checks
+    (src/jesse_validator_draft4.erl:975-1004): date-time, email,
+    ipv4, ipv6; hostname/uri/uri-reference are accept-all no-ops."""
+    n = len(arr)
+    if fmt == "email":
+        return _pattern_mask(arr, _EMAIL_RX)
+    if fmt == "ipv4":
+        return _pattern_mask(arr, _IPV4_RX)
+    if fmt == "date-time":
+        ok = _pattern_mask(arr, _DATETIME_RX)
+        # refine the regex hits with a real parse (RFC3339 per reference
+        # src/jesse_validator_draft4.erl:1340-1354)
+        from datetime import datetime
+
+        idx = np.flatnonzero(ok)
+        if len(idx):
+            vals = arr.take(pa.array(idx)).to_pylist()
+            for j, s in zip(idx, vals):
+                t = s.replace("z", "Z").replace("t", "T")
+                if t.endswith("Z"):
+                    t = t[:-1] + "+00:00"
+                try:
+                    datetime.fromisoformat(t)
+                except ValueError:
+                    ok[j] = False
+        return ok
+    if fmt == "ipv6":
+        import ipaddress
+
+        out = np.zeros(n, dtype=bool)
+        for i, s in enumerate(arr.to_pylist()):
+            if s is None:
+                continue
+            try:
+                ipaddress.IPv6Address(s)
+                out[i] = True
+            except ValueError:
+                pass
+        return out
+    return np.ones(n, dtype=bool)  # hostname / uri / unknown: no-op
+
+
+def _unique_items_dups(col: pa.Array):
+    """Rows whose list has duplicate elements.
+
+    Vectorized set-cardinality analogue of the reference's fast path
+    (src/jesse_validator_draft4.erl:837-859): lexsort flattened
+    (parent, value) pairs, adjacent-equal within a parent = duplicate.
+    Cross-numeric 1.0 == 1 equality is honored by casting numeric
+    element types to float64 (src/jesse_lib.erl:177-181).
+    Returns (dup_row_idx, first_dup_value_per_row).
+    """
+    flat, parent, _item_idx, _cnt = _list_layout(col)
+    if len(parent) == 0:
+        return np.array([], dtype=np.int64), []
+    if _is_numeric(flat.type):
+        v = _to_f64(flat)
+        order = np.lexsort((v, parent))
+        pv, vv = parent[order], v[order]
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+        rows, first = [], {}
+        for k in np.flatnonzero(dup):
+            r = int(pv[k + 1])
+            if r not in first:
+                first[r] = vv[k + 1]
+                rows.append(r)
+        vals = [first[r] if not float(first[r]).is_integer() else int(first[r]) for r in rows]
+        return np.asarray(sorted(rows), dtype=np.int64), [first[r] for r in sorted(rows)]
+    # generic (strings etc.): per-row python sets only over rows — still
+    # batch-local; acceptable for non-hot string-list columns
+    rows, vals = [], []
+    for i, lst in enumerate(col.to_pylist()):
+        if not lst:
+            continue
+        seen = set()
+        for x in lst:
+            k = float(x) if isinstance(x, (int, float)) and not isinstance(x, bool) else x
+            if k in seen:
+                rows.append(i)
+                vals.append(x)
+                break
+            seen.add(k)
+    return np.asarray(rows, dtype=np.int64), vals
+
+
+# ---------------------------------------------------------------------------
+# compiled check objects
+
+
+@dataclass
+class _Emit:
+    """One emission unit: evaluates a batch, returns violating rows."""
+
+    name: str
+    error: str
+    path: list[str]
+    fragment: str
+    #: (tbl) -> (row_idx ndarray, value_json list[str], path_override list|None)
+    fn: Callable[[pa.Table], tuple[np.ndarray, list[str], Optional[list[list[str]]]]]
+
+
+class CompiledSpec:
+    """Driver-compiled, worker-executed batch validator."""
+
+    def __init__(self, spec: TableSpec):
+        self.spec = spec
+        self.version = spec.version
+        self._emits: list[_Emit] = []
+        self._build()
+
+    # -- mask evaluation for one ColumnSpec on one (possibly flat) array --
+    def _spec_valid_mask(self, cs: ColumnSpec, arr: pa.Array) -> np.ndarray:
+        """True where the value passes ALL keywords of ``cs`` (presence
+        handled by caller).  Used for combinator sub-schemas."""
+        n = len(arr)
+        ok = np.ones(n, dtype=bool)
+        if cs.type is not None and not _type_ok(cs.type, arr.type):
+            return np.zeros(n, dtype=bool)
+        is_num = _is_numeric(arr.type)
+        is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+        is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+        if cs.enum is not None:
+            ok &= _enum_mask(arr, cs.enum)
+        if cs.has_const:
+            ok &= _enum_mask(arr, [cs.const])
+        if (cs.minimum is not None or cs.maximum is not None) and is_num:
+            ok &= _range_mask(arr, cs.minimum, cs.exclusive_minimum, cs.maximum, cs.exclusive_maximum)
+        if cs.multiple_of is not None and is_num:
+            ok &= _multiple_of_mask(arr, cs.multiple_of)
+        if cs.pattern is not None and is_str:
+            ok &= _pattern_mask(arr, cs.pattern)
+        if (cs.min_length is not None or cs.max_length is not None) and is_str:
+            ok &= _strlen_mask(arr, cs.min_length, cs.max_length)
+        if cs.format is not None and is_str:
+            ok &= _format_mask(arr, cs.format)
+        if is_list and (cs.min_items is not None or cs.max_items is not None):
+            ln = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False)
+            if cs.min_items is not None:
+                ok &= ln >= cs.min_items
+            if cs.max_items is not None:
+                ok &= ln <= cs.max_items
+        if is_list and cs.unique_items:
+            dup_rows, _ = _unique_items_dups(arr)
+            ok[dup_rows] = False
+        if is_list and cs.items is not None:
+            flat, parent, _ii, _cnt = _list_layout(arr)
+            if len(parent):
+                item_ok = self._spec_valid_mask(cs.items, flat)
+                item_ok |= ~_np_mask(pc.is_valid(flat), len(flat))  # null elements vacuous
+                bad_rows = np.unique(parent[~item_ok])
+                ok[bad_rows] = False
+        if cs.all_of:
+            for sub in cs.all_of:
+                ok &= self._spec_valid_mask(sub, arr)
+        if cs.any_of:
+            anyok = np.zeros(n, dtype=bool)
+            for sub in cs.any_of:
+                anyok |= self._spec_valid_mask(sub, arr)
+            ok &= anyok
+        if cs.one_of:
+            cnt = np.zeros(n, dtype=np.int32)
+            for sub in cs.one_of:
+                cnt += self._spec_valid_mask(sub, arr).astype(np.int32)
+            ok &= cnt == 1
+        if cs.not_ is not None:
+            ok &= ~self._spec_valid_mask(cs.not_, arr)
+        return ok
+
+    # -- build emission units --
+    def _build(self) -> None:
+        for col, cs in self.spec.columns.items():
+            self._build_column(col, cs)
+        for rule in self.spec.consistency:
+            self._build_consistency(rule)
+        for col, needs in self.spec.dependencies.items():
+            self._build_dependency(col, needs)
+
+    def _col_ctx(self, tbl: pa.Table, col: str):
+        if col not in tbl.column_names:
+            return None, None
+        arr = _combine(tbl[col])
+        present = _np_mask(pc.is_valid(arr), len(arr))
+        return arr, present
+
+    def _add(self, name, error, path, fragment_obj, fn):
+        self._emits.append(
+            _Emit(
+                name=name,
+                error=error,
+                path=path,
+                fragment=json.dumps(fragment_obj, sort_keys=True, separators=(",", ":")),
+                fn=fn,
+            )
+        )
+
+    def _values_json(self, arr: pa.Array, idx: np.ndarray) -> list[str]:
+        if len(idx) == 0:
+            return []
+        vals = arr.take(pa.array(idx, type=pa.int64())).to_pylist()
+        return [_json_val(v) for v in vals]
+
+    def _build_column(self, col: str, cs: ColumnSpec) -> None:
+        frag = cs.to_fragment()
+
+        if cs.required:
+            # missing_required_property (src/jesse_validator_draft4.erl:1044-1058);
+            # Value in the reference is the enclosing object — we record JSON null.
+            def req_fn(tbl, col=col):
+                n = tbl.num_rows
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    idx = np.arange(n, dtype=np.int64)
+                else:
+                    idx = np.flatnonzero(~present)
+                return idx, ["null"] * len(idx), None
+
+            self._add(f"required:{col}", E.MISSING_REQUIRED_PROPERTY, [col], {"required": [col]}, req_fn)
+
+        def simple(name, error, frag_obj, mask_fn, col=col):
+            def fn(tbl, col=col, mask_fn=mask_fn):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    return np.array([], dtype=np.int64), [], None
+                ok = mask_fn(arr)
+                idx = np.flatnonzero(present & ~ok)
+                return idx, self._values_json(arr, idx), None
+
+            self._add(f"{name}:{col}", error, [col], frag_obj, fn)
+
+        if cs.type is not None:
+            # wrong_type (src/jesse_validator_draft4.erl:288-318) — the
+            # column's Arrow dtype is static, so this either passes for
+            # every present value or fails for every present value.
+            def type_mask(arr, t=cs.type):
+                n = len(arr)
+                return np.full(n, _type_ok(t, arr.type), dtype=bool)
+
+            simple("type", E.WRONG_TYPE, {"type": cs.type}, type_mask)
+
+        if cs.enum is not None:
+            simple("enum", E.NOT_IN_ENUM, {"enum": cs.enum}, lambda a, v=cs.enum: _enum_mask(a, v))
+        if cs.has_const:
+            simple("const", E.NOT_IN_ENUM, {"const": cs.const}, lambda a, v=cs.const: _enum_mask(a, [v]))
+
+        if cs.minimum is not None or cs.maximum is not None:
+            rng_frag = {
+                k: v
+                for k, v in (
+                    ("minimum", cs.minimum),
+                    ("exclusiveMinimum", cs.exclusive_minimum or None),
+                    ("maximum", cs.maximum),
+                    ("exclusiveMaximum", cs.exclusive_maximum or None),
+                )
+                if v is not None
+            }
+            simple(
+                "range",
+                E.NOT_IN_RANGE,
+                rng_frag,
+                lambda a, lo=cs.minimum, le=cs.exclusive_minimum, hi=cs.maximum, he=cs.exclusive_maximum: _range_mask(a, lo, le, hi, he)
+                if _is_numeric(a.type)
+                else np.ones(len(a), dtype=bool),
+            )
+
+        if cs.multiple_of is not None:
+            simple(
+                "multipleOf",
+                E.NOT_MULTIPLE_OF,
+                {"multipleOf": cs.multiple_of},
+                lambda a, m=cs.multiple_of: _multiple_of_mask(a, m) if _is_numeric(a.type) else np.ones(len(a), dtype=bool),
+            )
+
+        if cs.pattern is not None:
+            simple(
+                "pattern",
+                E.NO_MATCH,
+                {"pattern": cs.pattern},
+                lambda a, p=cs.pattern: _pattern_mask(a, p)
+                if pa.types.is_string(a.type) or pa.types.is_large_string(a.type)
+                else np.ones(len(a), dtype=bool),
+            )
+
+        if cs.min_length is not None or cs.max_length is not None:
+            ln_frag = {
+                k: v for k, v in (("minLength", cs.min_length), ("maxLength", cs.max_length)) if v is not None
+            }
+            simple(
+                "length",
+                E.WRONG_LENGTH,
+                ln_frag,
+                lambda a, lo=cs.min_length, hi=cs.max_length: _strlen_mask(a, lo, hi)
+                if pa.types.is_string(a.type) or pa.types.is_large_string(a.type)
+                else np.ones(len(a), dtype=bool),
+            )
+
+        if cs.format is not None:
+            simple(
+                "format",
+                E.WRONG_FORMAT,
+                {"format": cs.format},
+                lambda a, f=cs.format: _format_mask(a, f)
+                if pa.types.is_string(a.type) or pa.types.is_large_string(a.type)
+                else np.ones(len(a), dtype=bool),
+            )
+
+        if cs.min_items is not None or cs.max_items is not None:
+            it_frag = {
+                k: v for k, v in (("minItems", cs.min_items), ("maxItems", cs.max_items)) if v is not None
+            }
+
+            def items_len_mask(a, lo=cs.min_items, hi=cs.max_items):
+                if not (pa.types.is_list(a.type) or pa.types.is_large_list(a.type)):
+                    return np.ones(len(a), dtype=bool)
+                ln = pc.fill_null(pc.list_value_length(a), 0).to_numpy(zero_copy_only=False)
+                ok = np.ones(len(a), dtype=bool)
+                if lo is not None:
+                    ok &= ln >= lo
+                if hi is not None:
+                    ok &= ln <= hi
+                return ok
+
+            def items_len_fn(tbl, col=col, mask_fn=items_len_mask):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    return np.array([], dtype=np.int64), [], None
+                ok = mask_fn(arr)
+                idx = np.flatnonzero(present & ~ok)
+                if len(idx) == 0:
+                    return idx, [], None
+                # Value = the offending array length context; the full token
+                # array can be huge — record its length, not the payload.
+                ln = pc.list_value_length(arr).take(pa.array(idx, type=pa.int64())).to_pylist()
+                return idx, [_json_val({"length": int(x)}) for x in ln], None
+
+            self._add(f"items_len:{col}", E.WRONG_SIZE, [col], it_frag, items_len_fn)
+
+        if cs.unique_items:
+            def uniq_fn(tbl, col=col):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None or not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+                    return np.array([], dtype=np.int64), [], None
+                rows, vals = _unique_items_dups(arr)
+                rows = rows[present[rows]] if len(rows) else rows
+                return rows, [_json_val(v) for v in vals[: len(rows)]], None
+
+            self._add(f"uniqueItems:{col}", E.NOT_UNIQUE, [col], {"uniqueItems": True}, uniq_fn)
+
+        if cs.items is not None:
+            # per-element validation: path gains the 0-based index
+            # (src/jesse_validator_draft4.erl:542-557; path convention
+            # src/jesse_error.erl:85-92)
+            sub = cs.items
+            sub_frag = sub.to_fragment()
+
+            def items_fn(tbl, col=col, sub=sub):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None or not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+                    return np.array([], dtype=np.int64), [], None
+                flat, parent, item_idx, _cnt = _list_layout(arr)
+                if len(parent) == 0:
+                    return np.array([], dtype=np.int64), [], None
+                ok = self._spec_valid_mask(sub, flat)
+                elem_present = _np_mask(pc.is_valid(flat), len(flat))
+                bad = np.flatnonzero(elem_present & ~ok & present[parent])
+                if len(bad) == 0:
+                    return np.array([], dtype=np.int64), [], None
+                rows = parent[bad]
+                vals = flat.take(pa.array(bad, type=pa.int64())).to_pylist()
+                paths = [[col, str(int(item_idx[b]))] for b in bad]
+                return rows.astype(np.int64), [_json_val(v) for v in vals], paths
+
+            self._add(f"items:{col}", E.NOT_IN_RANGE if (sub.minimum is not None or sub.maximum is not None) else E.NOT_SCHEMA_VALID, [col], {"items": sub_frag}, items_fn)
+
+        # combinators over the column value
+        if cs.all_of:
+            def allof_fn(tbl, col=col, subs=cs.all_of):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    return np.array([], dtype=np.int64), [], None
+                ok = np.ones(len(arr), dtype=bool)
+                for s in subs:
+                    ok &= self._spec_valid_mask(s, arr)
+                idx = np.flatnonzero(present & ~ok)
+                return idx, self._values_json(arr, idx), None
+
+            self._add(f"allOf:{col}", E.ALL_SCHEMAS_NOT_VALID, [col], {"allOf": [s.to_fragment() for s in cs.all_of]}, allof_fn)
+
+        if cs.any_of:
+            def anyof_fn(tbl, col=col, subs=cs.any_of):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    return np.array([], dtype=np.int64), [], None
+                ok = np.zeros(len(arr), dtype=bool)
+                for s in subs:
+                    ok |= self._spec_valid_mask(s, arr)
+                idx = np.flatnonzero(present & ~ok)
+                return idx, self._values_json(arr, idx), None
+
+            self._add(f"anyOf:{col}", E.ANY_SCHEMAS_NOT_VALID, [col], {"anyOf": [s.to_fragment() for s in cs.any_of]}, anyof_fn)
+
+        if cs.one_of:
+            def oneof_fn(tbl, col=col, subs=cs.one_of, error=None):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    return np.array([], dtype=np.int64), [], None
+                cnt = np.zeros(len(arr), dtype=np.int32)
+                for s in subs:
+                    cnt += self._spec_valid_mask(s, arr).astype(np.int32)
+                idx = np.flatnonzero(present & (cnt != 1) if error is None else present & (cnt > 1))
+                return idx, self._values_json(arr, idx), None
+
+            # two atoms: 0 valid -> not_one_schema_valid; >1 -> more_than_one
+            # (src/jesse_validator_draft4.erl:1197-1223)
+            def oneof_zero(tbl, col=col, subs=cs.one_of):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    return np.array([], dtype=np.int64), [], None
+                cnt = np.zeros(len(arr), dtype=np.int32)
+                for s in subs:
+                    cnt += self._spec_valid_mask(s, arr).astype(np.int32)
+                idx = np.flatnonzero(present & (cnt == 0))
+                return idx, self._values_json(arr, idx), None
+
+            def oneof_many(tbl, col=col, subs=cs.one_of):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    return np.array([], dtype=np.int64), [], None
+                cnt = np.zeros(len(arr), dtype=np.int32)
+                for s in subs:
+                    cnt += self._spec_valid_mask(s, arr).astype(np.int32)
+                idx = np.flatnonzero(present & (cnt > 1))
+                return idx, self._values_json(arr, idx), None
+
+            frag_obj = {"oneOf": [s.to_fragment() for s in cs.one_of]}
+            self._add(f"oneOf0:{col}", E.NOT_ONE_SCHEMA_VALID, [col], frag_obj, oneof_zero)
+            self._add(f"oneOfN:{col}", E.MORE_THAN_ONE_SCHEMA_VALID, [col], frag_obj, oneof_many)
+
+        if cs.not_ is not None:
+            def not_fn(tbl, col=col, sub=cs.not_):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    return np.array([], dtype=np.int64), [], None
+                ok = ~self._spec_valid_mask(sub, arr)
+                idx = np.flatnonzero(present & ~ok)
+                return idx, self._values_json(arr, idx), None
+
+            self._add(f"not:{col}", E.NOT_SCHEMA_VALID, [col], {"not": cs.not_.to_fragment()}, not_fn)
+
+    def _build_consistency(self, rule: ConsistencyRule) -> None:
+        name = rule.name or f"{rule.kind}:{rule.left}~{rule.right}"
+        frag_obj = {"consistency": {"kind": rule.kind, "left": rule.left, "right": rule.right}}
+
+        def fn(tbl, rule=rule):
+            left, lp = self._col_ctx(tbl, rule.left)
+            right, rp = self._col_ctx(tbl, rule.right)
+            if left is None or right is None:
+                return np.array([], dtype=np.int64), [], None
+            if rule.kind == "list_len_eq":
+                if not (pa.types.is_list(left.type) or pa.types.is_large_list(left.type)):
+                    return np.array([], dtype=np.int64), [], None
+                ln = pc.fill_null(pc.list_value_length(left), -1).to_numpy(zero_copy_only=False)
+            elif rule.kind == "str_len_eq":
+                ln = pc.fill_null(pc.utf8_length(left), -1).to_numpy(zero_copy_only=False)
+            else:
+                raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"unknown consistency kind {rule.kind}")
+            rv = _to_f64(right)
+            with np.errstate(invalid="ignore"):
+                bad = lp & rp & (ln.astype(np.float64) != rv)
+            idx = np.flatnonzero(bad)
+            if len(idx) == 0:
+                return idx, [], None
+            vals = [
+                _json_val({"len": int(ln[i]), rule.right: int(rv[i])}) for i in idx
+            ]
+            return idx, vals, None
+
+        self._add(name, rule.error_atom, [rule.left], frag_obj, fn)
+
+    def _build_dependency(self, col: str, needs: list[str]) -> None:
+        # property dependencies, array form: col present ⇒ needs present
+        # (src/jesse_validator_draft4.erl:637-694)
+        def fn(tbl, col=col, needs=needs):
+            arr, present = self._col_ctx(tbl, col)
+            if arr is None:
+                return np.array([], dtype=np.int64), [], None
+            bad = np.zeros(tbl.num_rows, dtype=bool)
+            for dep in needs:
+                darr, dpresent = self._col_ctx(tbl, dep)
+                miss = ~dpresent if darr is not None else np.ones(tbl.num_rows, dtype=bool)
+                bad |= present & miss
+            idx = np.flatnonzero(bad)
+            return idx, self._values_json(arr, idx), None
+
+        self._add(
+            f"dependencies:{col}",
+            E.MISSING_DEPENDENCY,
+            [col],
+            {"dependencies": {col: needs}},
+            fn,
+        )
+
+    # -- public API --
+
+    def check_schema(self, schema: pa.Schema) -> None:
+        """Launch-time schema gate: the additionalProperties:false
+        analogue — unexpected columns abort before the data plane starts
+        (SURVEY §2.3 mapping of src/jesse_validator_draft4.erl:431-507)."""
+        if not self.spec.additional_columns_allowed:
+            extra = set(schema.names) - set(self.spec.columns)
+            if extra:
+                raise E.SchemaInvalidError(
+                    E.NO_EXTRA_PROPERTIES_ALLOWED, f"unexpected columns {sorted(extra)}"
+                )
+
+    def check_batch(self, tbl: pa.Table) -> pa.Table:
+        """All row-level checks over one Arrow batch → violations table."""
+        key = self.spec.key_column
+        key_arr = _combine(tbl[key]) if key and key in tbl.column_names else None
+        out_doc, out_path, out_err, out_val, out_frag = [], [], [], [], []
+        for em in self._emits:
+            idx, vals, paths = em.fn(tbl)
+            if len(idx) == 0:
+                continue
+            if key_arr is not None:
+                docs = key_arr.take(pa.array(idx, type=pa.int64())).to_pylist()
+                docs = [d if d is None else str(d) for d in docs]
+            else:
+                docs = [None] * len(idx)
+            out_doc.extend(docs)
+            out_path.extend(paths if paths is not None else [em.path] * len(idx))
+            out_err.extend([em.error] * len(idx))
+            out_val.extend(vals)
+            out_frag.extend([em.fragment] * len(idx))
+        if not out_err:
+            return empty_violations()
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.string()),
+                "path": pa.array(out_path, type=pa.list_(pa.string())),
+                "error": pa.array(out_err, type=pa.string()),
+                "value_json": pa.array(out_val, type=pa.string()),
+                "schema_fragment": pa.array(out_frag, type=pa.string()),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
+
+    def invalid_row_mask(self, tbl: pa.Table) -> np.ndarray:
+        """Per-row boolean: True where the row has ≥1 row-level violation.
+        The vectorized analogue of jesse's default ``allowed_errors=0``
+        early-exit verdict (src/jesse_error.erl:71-78): we don't need the
+        error list, just pass/fail."""
+        bad = np.zeros(tbl.num_rows, dtype=bool)
+        for em in self._emits:
+            idx, _vals, _paths = em.fn(tbl)
+            if len(idx):
+                bad[np.asarray(idx, dtype=np.int64)] = True
+        return bad
+
+
+def compile_spec(spec: TableSpec) -> CompiledSpec:
+    return CompiledSpec(spec)

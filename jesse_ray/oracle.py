@@ -1,0 +1,208 @@
+"""Single-row reference oracle — a pure-Python draft-04 walk.
+
+Used ONLY in tests: validates one row dict at a time with the same
+keyword semantics, error atoms and path convention as the reference's
+recursive validator (src/jesse_validator_draft4.erl), so the vectorized
+engine's violation rows can be checked record-for-record against an
+independent implementation (SURVEY §5.2 "reference-pass parity").
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+from jesse_ray import errors as E
+from jesse_ray.compiler import _json_val
+from jesse_ray.spec import ColumnSpec, TableSpec
+
+
+def _norm_num(v: Any):
+    # cross-numeric deep equality: 1.0 == 1 (src/jesse_lib.erl:177-181)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (int, float)):
+        return ("n", float(v))
+    return ("o", v)
+
+
+def _type_of(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (list, tuple)):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    return "unknown"
+
+
+def _type_ok(spec_type, v) -> bool:
+    types = [spec_type] if isinstance(spec_type, str) else list(spec_type)
+    t = _type_of(v)
+    for want in types:
+        if want == "any" or want == t or (want == "number" and t == "integer"):
+            return True
+    return False
+
+
+def _spec_valid(cs: ColumnSpec, v: Any) -> bool:
+    """All keywords pass for value v (v is present/non-null)."""
+    if cs.type is not None and not _type_ok(cs.type, v):
+        return False
+    if cs.enum is not None and _norm_num(v) not in {_norm_num(e) for e in cs.enum}:
+        return False
+    if cs.has_const and _norm_num(v) != _norm_num(cs.const):
+        return False
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if cs.minimum is not None:
+            if v < cs.minimum or (cs.exclusive_minimum and v == cs.minimum):
+                return False
+        if cs.maximum is not None:
+            if v > cs.maximum or (cs.exclusive_maximum and v == cs.maximum):
+                return False
+        if cs.multiple_of is not None:
+            q = v / cs.multiple_of
+            if (q - int(q)) * cs.multiple_of != 0.0:
+                return False
+    if isinstance(v, str):
+        if cs.pattern is not None and not re.search(cs.pattern, v):
+            return False
+        if cs.min_length is not None and len(v) < cs.min_length:
+            return False
+        if cs.max_length is not None and len(v) > cs.max_length:
+            return False
+    if isinstance(v, (list, tuple)):
+        if cs.min_items is not None and len(v) < cs.min_items:
+            return False
+        if cs.max_items is not None and len(v) > cs.max_items:
+            return False
+        if cs.unique_items:
+            seen = [_norm_num(x) for x in v]
+            if len(set(seen)) != len(seen):
+                return False
+        if cs.items is not None and any(x is not None and not _spec_valid(cs.items, x) for x in v):
+            return False
+    if cs.all_of and not all(_spec_valid(s, v) for s in cs.all_of):
+        return False
+    if cs.any_of and not any(_spec_valid(s, v) for s in cs.any_of):
+        return False
+    if cs.one_of and sum(_spec_valid(s, v) for s in cs.one_of) != 1:
+        return False
+    if cs.not_ is not None and _spec_valid(cs.not_, v):
+        return False
+    return True
+
+
+def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
+    """Returns violation tuples (doc_id, path_tuple, error, value_json)
+    in the same convention as the engine's violation rows."""
+    out: list[tuple] = []
+    key = spec.key_column
+    doc = row.get(key) if key else None
+    doc = None if doc is None else str(doc)
+
+    def emit(path: list[str], error: str, value: Any):
+        out.append((doc, tuple(path), error, _json_val(value)))
+
+    for col, cs in spec.columns.items():
+        v = row.get(col)
+        if v is None:
+            if cs.required:
+                emit([col], E.MISSING_REQUIRED_PROPERTY, None)
+            continue
+        if cs.type is not None and not _type_ok(cs.type, v):
+            emit([col], E.WRONG_TYPE, v)
+        if cs.enum is not None and _norm_num(v) not in {_norm_num(e) for e in cs.enum}:
+            emit([col], E.NOT_IN_ENUM, v)
+        if cs.has_const and _norm_num(v) != _norm_num(cs.const):
+            emit([col], E.NOT_IN_ENUM, v)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            if cs.minimum is not None or cs.maximum is not None:
+                bad = False
+                if cs.minimum is not None and (v < cs.minimum or (cs.exclusive_minimum and v == cs.minimum)):
+                    bad = True
+                if cs.maximum is not None and (v > cs.maximum or (cs.exclusive_maximum and v == cs.maximum)):
+                    bad = True
+                if bad:
+                    emit([col], E.NOT_IN_RANGE, v)
+            if cs.multiple_of is not None:
+                q = v / cs.multiple_of
+                if (q - int(q)) * cs.multiple_of != 0.0:
+                    emit([col], E.NOT_MULTIPLE_OF, v)
+        if isinstance(v, str):
+            if cs.pattern is not None and not re.search(cs.pattern, v):
+                emit([col], E.NO_MATCH, v)
+            if (cs.min_length is not None and len(v) < cs.min_length) or (
+                cs.max_length is not None and len(v) > cs.max_length
+            ):
+                emit([col], E.WRONG_LENGTH, v)
+        if isinstance(v, (list, tuple)):
+            if (cs.min_items is not None and len(v) < cs.min_items) or (
+                cs.max_items is not None and len(v) > cs.max_items
+            ):
+                emit([col], E.WRONG_SIZE, {"length": len(v)})
+            if cs.unique_items:
+                seen: set = set()
+                for x in v:
+                    k = _norm_num(x)
+                    if k in seen:
+                        emit([col], E.NOT_UNIQUE, x)
+                        break
+                    seen.add(k)
+            if cs.items is not None:
+                err = (
+                    E.NOT_IN_RANGE
+                    if (cs.items.minimum is not None or cs.items.maximum is not None)
+                    else E.NOT_SCHEMA_VALID
+                )
+                for i, x in enumerate(v):
+                    if x is not None and not _spec_valid(cs.items, x):
+                        emit([col, str(i)], err, x)
+        if cs.all_of and not all(_spec_valid(s, v) for s in cs.all_of):
+            emit([col], E.ALL_SCHEMAS_NOT_VALID, v)
+        if cs.any_of and not any(_spec_valid(s, v) for s in cs.any_of):
+            emit([col], E.ANY_SCHEMAS_NOT_VALID, v)
+        if cs.one_of:
+            cnt = sum(_spec_valid(s, v) for s in cs.one_of)
+            if cnt == 0:
+                emit([col], E.NOT_ONE_SCHEMA_VALID, v)
+            elif cnt > 1:
+                emit([col], E.MORE_THAN_ONE_SCHEMA_VALID, v)
+        if cs.not_ is not None and _spec_valid(cs.not_, v):
+            emit([col], E.NOT_SCHEMA_VALID, v)
+
+    for rule in spec.consistency:
+        lv, rv = row.get(rule.left), row.get(rule.right)
+        if lv is None or rv is None:
+            continue
+        ln = len(lv)
+        if float(ln) != float(rv):
+            emit([rule.left], rule.error_atom, {"len": ln, rule.right: int(rv)})
+
+    for col, needs in spec.dependencies.items():
+        v = row.get(col)
+        if v is None:
+            continue
+        for dep in needs:
+            if row.get(dep) is None:
+                emit([col], E.MISSING_DEPENDENCY, v)
+                break
+
+    for r in spec.referential:
+        v = row.get(r.column)
+        if v is None:
+            continue
+        allowed = r.values
+        if allowed is not None and v not in allowed:
+            out.append((doc, (r.column,), r.error_atom, json.dumps(v, ensure_ascii=False)))
+
+    return out

@@ -1,0 +1,128 @@
+"""Relational building blocks on Ray Data with explicit scale discipline.
+
+- ``grouped_agg``: two-phase aggregation — per-batch pyarrow
+  ``Table.group_by`` partials (the map-side combiner) before the Ray
+  ``groupby`` shuffle, so the all-to-all moves one row per key per
+  block, not the corpus.
+- ``broadcast_join``: small-side ``ray.put`` once + per-batch pandas
+  merge inside ``map_batches`` — no shuffle at all.
+- ``tumbling_window``: event-time bucketing as a computed column +
+  ``grouped_agg`` (Ray Data has no event-time windows; this is the
+  documented batch re-expression).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Max, Min, Sum
+
+
+def grouped_agg(
+    ds: Dataset,
+    keys: Sequence[str],
+    *,
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    count_alias: Optional[str] = "cnt",
+    batch_size: int = 65536,
+) -> Dataset:
+    """groupby(keys) with count/sum/min/max, pre-aggregated per batch."""
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aggs = []
+        if count_alias:
+            aggs.append(([], "count_all"))
+        aggs += [([c], "sum") for c in sums]
+        aggs += [([c], "min") for c in mins]
+        aggs += [([c], "max") for c in maxs]
+        g = batch.group_by(keys).aggregate(aggs)
+        names = list(keys)
+        if count_alias:
+            names.append("__pc")
+        names += [f"__ps_{c}" for c in sums]
+        names += [f"__pm_{c}" for c in mins]
+        names += [f"__px_{c}" for c in maxs]
+        # pyarrow appends agg columns after key columns in aggregate() output
+        # order: aggregates first? Normalize by name mapping instead:
+        colmap = {}
+        for name in g.column_names:
+            if name in keys:
+                colmap[name] = name
+            elif name == "count_all":
+                colmap[name] = "__pc"
+            elif name.endswith("_sum"):
+                colmap[name] = f"__ps_{name[:-4]}"
+            elif name.endswith("_min"):
+                colmap[name] = f"__pm_{name[:-4]}"
+            elif name.endswith("_max"):
+                colmap[name] = f"__px_{name[:-4]}"
+            else:
+                colmap[name] = name
+        return g.rename_columns([colmap[n] for n in g.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    aggs = []
+    if count_alias:
+        aggs.append(Sum("__pc", alias_name=count_alias))
+    aggs += [Sum(f"__ps_{c}", alias_name=f"sum_{c}") for c in sums]
+    aggs += [Min(f"__pm_{c}", alias_name=f"min_{c}") for c in mins]
+    aggs += [Max(f"__px_{c}", alias_name=f"max_{c}") for c in maxs]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def broadcast_join(
+    ds: Dataset,
+    small: pd.DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    columns: Optional[list[str]] = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Join against a small dimension broadcast via the object store.
+
+    The dimension is ``ray.put`` ONCE; each task fetches it from the
+    local object store (zero-copy for Arrow-backed frames) — no shuffle,
+    no per-batch reshipping.
+    """
+    if columns is not None:
+        small = small[[c for c in {right_on, *columns}]]
+    ref = ray.put(small)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(ref)
+        return batch.merge(dim, left_on=left_on, right_on=right_on, how="inner")
+
+    return ds.map_batches(join, batch_format="pandas", batch_size=batch_size)
+
+
+def tumbling_window(
+    ds: Dataset,
+    ts_col: str,
+    *,
+    window_s: int,
+    keys: Sequence[str] = (),
+    sums: Sequence[str] = (),
+    batch_size: int = 65536,
+) -> Dataset:
+    """Tumbling event-time windows: bucket = floor(epoch(ts)/window)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        bucket = epoch // window_s
+        return batch.append_column("window", pa.array(bucket, type=pa.int64()))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return grouped_agg(bucketed, [*keys, "window"], sums=sums, batch_size=batch_size)

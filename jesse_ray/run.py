@@ -1,0 +1,88 @@
+"""CLI entry point: ``python -m jesse_ray.run --spec S --input GLOB --output DIR``.
+
+Mirrors the reference CLI's contract (bin/jesse, src/jesse_cli.erl:36-87):
+schema(s) + instance files in, per-file verdicts out, nonzero exit on
+failure — except that, being a corpus engine, it validates ALL
+partitions and exits 1 if ANY failed (the reference halts at the first
+failing instance; halting a 100 TB run on the first bad row would waste
+the cluster).
+
+Designed to be the payload of ``ray job submit`` on a real cluster; in
+the sandbox it initializes local Ray itself (guarded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="jesse_ray corpus validation")
+    p.add_argument("--spec", help="JSON-Schema-style spec file (draft-04 subset); default: built-in sequences spec")
+    p.add_argument("--input", required=True, help="input parquet path or glob")
+    p.add_argument("--output", required=True, help="output directory (violations + manifest)")
+    p.add_argument("--allowed-sources", help="parquet dimension for the referential source check")
+    p.add_argument("--files-per-partition", type=int, default=8)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--sketch", action="store_true", help="record per-partition drift sketches")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--json", action="store_true", help="JSON summary to stdout (reference --json flag, src/jesse_cli.erl:48-49)")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+    from jesse_ray.checkpoint import run_validation
+    from jesse_ray.spec import from_json_schema, sequences_spec
+
+    if args.spec:
+        with open(args.spec) as f:
+            spec = from_json_schema(json.load(f))
+        if args.allowed_sources:
+            from jesse_ray.spec import ReferentialRule
+
+            spec.referential.append(
+                ReferentialRule(
+                    column="source",
+                    dim_path=args.allowed_sources,
+                    dim_column="source",
+                    dim_filter_column="active",
+                )
+            )
+    else:
+        spec = sequences_spec(allowed_sources_path=args.allowed_sources)
+
+    files = sorted(glob.glob(args.input)) or [args.input]
+    summary = run_validation(
+        files,
+        spec,
+        args.output,
+        files_per_partition=args.files_per_partition,
+        resume=not args.no_resume,
+        sketch=args.sketch,
+    )
+    if args.json:
+        print(json.dumps(summary, sort_keys=True))
+    else:
+        print(
+            f"partitions={summary['partitions']} skipped={summary['skipped']} "
+            f"failed={summary['failed']} violations={summary['violations']} "
+            f"verdict={'pass' if summary['passed'] else 'fail'}"
+        )
+    ray.shutdown()
+    return 0 if summary["passed"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

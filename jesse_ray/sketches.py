@@ -1,0 +1,401 @@
+"""Mergeable distribution sketches + drift statistics (no scipy).
+
+The reference has no distribution machinery (it validates one document at
+a time); these are the corpus-scale extension demanded by the north star:
+per-partition t-digest over ``n_tok`` and token-frequency sketches
+(exact bincount while the vocab is bounded; count-min as the unbounded
+scale path), merged via tree aggregation, then a two-sample KS test on
+the digests and a chi-square test on top-k token frequencies.
+
+All sketches are (a) built per Arrow batch with numpy kernels, (b)
+mergeable (associative + commutative), (c) serializable to plain numpy
+buffers so they ride the object store cheaply.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# t-digest (merging digest, arcsine scale function)
+
+
+class TDigest:
+    """Merging t-digest for streaming quantiles/CDF.
+
+    Public-knowledge algorithm (Dunning & Ertl, "Computing Extremely
+    Accurate Quantiles Using t-Digests", arXiv:1902.04023): centroids
+    (mean, weight) kept sorted; a merge pass re-clusters subject to the
+    k1 (arcsine) scale-function size bound.
+    """
+
+    __slots__ = ("compression", "means", "weights", "count", "_buf")
+
+    def __init__(self, compression: int = 200):
+        self.compression = compression
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.count = 0.0
+        self._buf: list[np.ndarray] = []
+
+    # -- scale function k1 and its inverse bound --
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return (self.compression / (2 * math.pi)) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def add(self, values: np.ndarray, weights: Optional[np.ndarray] = None) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return
+        if weights is None:
+            weights = np.ones(len(values))
+        self._buf.append(np.stack([values, np.asarray(weights, dtype=np.float64)]))
+        self.count += float(weights.sum()) if weights is not None else len(values)
+        if sum(b.shape[1] for b in self._buf) > 16 * self.compression:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        bm = np.concatenate([b[0] for b in self._buf])
+        bw = np.concatenate([b[1] for b in self._buf])
+        self._buf = []
+        means = np.concatenate([self.means, bm])
+        weights = np.concatenate([self.weights, bw])
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # merge pass: greedily absorb while the k-size bound allows
+        new_m: list[float] = []
+        new_w: list[float] = []
+        cum = 0.0
+        cur_m, cur_w = means[0], weights[0]
+        q0 = 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q2 = (cum + cur_w + w) / total
+            if self._k(np.array([q2]))[0] - self._k(np.array([q0]))[0] <= 1.0:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                new_m.append(cur_m)
+                new_w.append(cur_w)
+                cum += cur_w
+                q0 = cum / total
+                cur_m, cur_w = m, w
+        new_m.append(cur_m)
+        new_w.append(cur_w)
+        self.means = np.asarray(new_m)
+        self.weights = np.asarray(new_w)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other._flush()
+        if len(other.means):
+            self._buf.append(np.stack([other.means, other.weights]))
+            self.count += float(other.weights.sum())
+            self._flush()
+        return self
+
+    def cdf(self, x: np.ndarray) -> np.ndarray:
+        self._flush()
+        x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        if len(self.means) == 0:
+            return np.full(len(x), np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        total = self.weights.sum()
+        return np.clip(np.interp(x, self.means, cum / total, left=0.0, right=1.0), 0, 1)
+
+    def quantile(self, q: float) -> float:
+        self._flush()
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        total = self.weights.sum()
+        return float(np.interp(q, cum / total, self.means))
+
+    def to_bytes(self) -> bytes:
+        self._flush()
+        return pickle.dumps(
+            {"c": self.compression, "m": self.means, "w": self.weights, "n": self.count},
+            protocol=4,
+        )
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "TDigest":
+        d = pickle.loads(raw)
+        td = cls(d["c"])
+        td.means, td.weights, td.count = d["m"], d["w"], d["n"]
+        return td
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (unbounded-vocab scale path for token frequencies)
+
+
+_CM_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+
+
+class CountMin:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): d rows of w
+    counters, universal hashes (a*x + b) mod p mod w with fixed seeds so
+    independently-built sketches are mergeable by elementwise addition."""
+
+    __slots__ = ("w", "d", "table", "a", "b", "total")
+
+    def __init__(self, width: int = 16384, depth: int = 4, seed: int = 7):
+        self.w, self.d = width, depth
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _CM_P, size=depth, dtype=np.int64)
+        self.b = rng.integers(0, _CM_P, size=depth, dtype=np.int64)
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0
+
+    def _hash(self, keys: np.ndarray, row: int) -> np.ndarray:
+        h = (keys.astype(np.int64) * self.a[row] + self.b[row]) % _CM_P
+        return (h % self.w).astype(np.int64)
+
+    def add(self, keys: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return
+        if counts is None:
+            # pre-aggregate within the batch: unique + counts, so np.add.at
+            # touches each distinct key once
+            keys, counts = np.unique(keys, return_counts=True)
+        for r in range(self.d):
+            np.add.at(self.table[r], self._hash(keys, r), counts)
+        self.total += int(counts.sum())
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys)
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.d):
+            est = np.minimum(est, self.table[r][self._hash(keys, r)])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert self.w == other.w and self.d == other.d
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps({"w": self.w, "d": self.d, "t": self.table, "n": self.total}, protocol=4)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "CountMin":
+        d = pickle.loads(raw)
+        cm = cls(d["w"], d["d"])
+        cm.table, cm.total = d["t"], d["n"]
+        return cm
+
+
+# ---------------------------------------------------------------------------
+# exact bounded-vocab frequency vector (mergeable; used while vocab fits)
+
+
+class FreqVector:
+    __slots__ = ("counts", "total")
+
+    def __init__(self, vocab: int):
+        self.counts = np.zeros(vocab, dtype=np.int64)
+        self.total = 0
+
+    def add(self, keys: np.ndarray) -> None:
+        keys = np.asarray(keys)
+        ok = (keys >= 0) & (keys < len(self.counts))
+        self.counts += np.bincount(keys[ok], minlength=len(self.counts))
+        self.total += int(ok.sum())
+
+    def merge(self, other: "FreqVector") -> "FreqVector":
+        self.counts += other.counts
+        self.total += other.total
+        return self
+
+    def topk(self, k: int) -> np.ndarray:
+        return np.argsort(self.counts)[::-1][:k]
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps({"c": self.counts, "n": self.total}, protocol=4)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "FreqVector":
+        d = pickle.loads(raw)
+        fv = cls(len(d["c"]))
+        fv.counts, fv.total = d["c"], d["n"]
+        return fv
+
+
+# ---------------------------------------------------------------------------
+# statistics (hand-rolled, public formulas)
+
+
+def ks_statistic(d1: TDigest, d2: TDigest, grid: Optional[np.ndarray] = None) -> float:
+    """Two-sample KS statistic estimated from two digests: max |CDF1-CDF2|
+    over the union of centroid locations."""
+    d1._flush()
+    d2._flush()
+    if grid is None:
+        grid = np.unique(np.concatenate([d1.means, d2.means]))
+    if len(grid) == 0:
+        return 0.0
+    return float(np.max(np.abs(d1.cdf(grid) - d2.cdf(grid))))
+
+
+def ks_pvalue(d_stat: float, n1: float, n2: float) -> float:
+    """Asymptotic two-sample KS p-value (Kolmogorov distribution,
+    Smirnov's approximation as in standard references)."""
+    ne = n1 * n2 / (n1 + n2)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d_stat
+    if lam < 1e-9:
+        return 1.0
+    s = 0.0
+    for k in range(1, 101):
+        term = 2 * (-1) ** (k - 1) * math.exp(-2 * (k * lam) ** 2)
+        s += term
+        if abs(term) < 1e-12:
+            break
+    return float(min(max(s, 0.0), 1.0))
+
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) via series / continued
+    fraction (standard numerical method, cf. Abramowitz & Stegun 6.5)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    gln = math.lgamma(a)
+    if x < a + 1.0:
+        # series for P(a,x), return 1 - P
+        ap, summ, delt = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            delt *= x / ap
+            summ += delt
+            if abs(delt) < abs(summ) * 1e-14:
+                break
+        p = summ * math.exp(-x + a * math.log(x) - gln)
+        return max(0.0, 1.0 - p)
+    # continued fraction for Q(a,x) (Lentz's method)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < 1e-14:
+            break
+    return h * math.exp(-x + a * math.log(x) - gln)
+
+
+def chi2_pvalue(stat: float, dof: int) -> float:
+    if dof <= 0:
+        return 1.0
+    return float(_gammainc_upper_reg(dof / 2.0, stat / 2.0))
+
+
+def chi2_topk(ref: FreqVector, new: FreqVector, k: int = 100) -> tuple[float, float]:
+    """Chi-square goodness-of-fit of the new corpus's token distribution
+    vs the reference's, over the reference's top-k tokens (+ tail bucket).
+    Returns (statistic, p_value)."""
+    top = ref.topk(k)
+    ref_top = ref.counts[top].astype(np.float64)
+    new_top = new.counts[top].astype(np.float64)
+    ref_tail = float(ref.total - ref_top.sum())
+    new_tail = float(new.total - new_top.sum())
+    obs = np.append(new_top, max(new_tail, 0.0))
+    exp_p = np.append(ref_top, max(ref_tail, 0.0))
+    exp_p = exp_p / max(exp_p.sum(), 1.0)
+    exp = exp_p * max(obs.sum(), 1.0)
+    keep = exp > 1e-9
+    stat = float(np.sum((obs[keep] - exp[keep]) ** 2 / exp[keep]))
+    dof = int(keep.sum()) - 1
+    return stat, chi2_pvalue(stat, dof)
+
+
+# ---------------------------------------------------------------------------
+# combined per-partition sketch bundle
+
+
+@dataclass
+class SketchBundle:
+    """What one partition contributes to the drift check: a t-digest over
+    ``n_tok``, an exact token-frequency vector (bounded vocab) and a
+    count-min (the unbounded scale path)."""
+
+    digest: TDigest
+    freq: FreqVector
+    cmin: CountMin
+    rows: int = 0
+
+    @classmethod
+    def empty(cls, vocab: int = 50_000, compression: int = 200, cm_width: int = 16384) -> "SketchBundle":
+        return cls(TDigest(compression), FreqVector(vocab), CountMin(cm_width), 0)
+
+    def add_batch(self, n_tok: np.ndarray, flat_tokens: np.ndarray) -> None:
+        self.digest.add(n_tok)
+        self.freq.add(flat_tokens)
+        self.cmin.add(flat_tokens)
+        self.rows += len(n_tok)
+
+    def merge(self, other: "SketchBundle") -> "SketchBundle":
+        self.digest.merge(other.digest)
+        self.freq.merge(other.freq)
+        self.cmin.merge(other.cmin)
+        self.rows += other.rows
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            {
+                "d": self.digest.to_bytes(),
+                "f": self.freq.to_bytes(),
+                "c": self.cmin.to_bytes(),
+                "r": self.rows,
+            },
+            protocol=4,
+        )
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "SketchBundle":
+        d = pickle.loads(raw)
+        return cls(
+            TDigest.from_bytes(d["d"]),
+            FreqVector.from_bytes(d["f"]),
+            CountMin.from_bytes(d["c"]),
+            d["r"],
+        )
+
+
+def drift_report(ref: SketchBundle, new: SketchBundle, *, topk: int = 100,
+                 ks_alpha: float = 0.01, chi2_alpha: float = 0.01) -> dict:
+    ks = ks_statistic(ref.digest, new.digest)
+    ksp = ks_pvalue(ks, ref.rows, new.rows)
+    c2, c2p = chi2_topk(ref.freq, new.freq, k=topk)
+    return {
+        "ks_stat": ks,
+        "ks_pvalue": ksp,
+        "ks_drifted": bool(ksp < ks_alpha),
+        "chi2_stat": c2,
+        "chi2_pvalue": c2p,
+        "chi2_drifted": bool(c2p < chi2_alpha),
+        "rows_ref": ref.rows,
+        "rows_new": new.rows,
+    }

@@ -1,0 +1,465 @@
+"""Declarative validation specs — the engine's "schema" abstraction.
+
+A ``TableSpec`` is the columnar analogue of a draft-04 JSON Schema for an
+object (reference semantics: src/jesse_validator_draft4.erl:84-260, the
+``check_value`` keyword dispatch loop): every Parquet column plays the
+role of an object property, and each ``ColumnSpec`` carries the draft-04
+keyword constraints that apply to the values in that column.  Table-level
+rules (key uniqueness, referential membership against a dimension table,
+cross-column consistency) extend the per-document semantics to corpus
+scale.
+
+Specs are pure data: they are compiled once on the driver
+(:mod:`jesse_ray.compiler`) and the compiled artifact is shipped to
+workers via closure capture / ``ray.put`` — the columnar analogue of
+jesse's node-local ETS schema store (reference: src/jesse_database.erl:165-220),
+which is unnecessary here because a validation run's spec is immutable.
+
+``$ref`` handling: the reference resolves refs at validation time with a
+state swap (src/jesse_state.erl:207-303).  We instead *flatten refs at
+spec-load time* (`from_json_schema` inlines ``definitions``-local refs)
+so the data plane never sees a ref — compile-time work on the driver.
+"""
+
+from __future__ import annotations
+
+import copy
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from jesse_ray import errors as E
+
+#: draft-04 primitive type names (reference: src/jesse_schema_validator.hrl:85-93)
+PRIMITIVE_TYPES = {"string", "number", "integer", "boolean", "object", "array", "null"}
+
+
+@dataclass
+class ColumnSpec:
+    """Draft-04 keyword constraints for one column.
+
+    Semantics follow the reference validator keyword-for-keyword
+    (citations per field).  ``None`` means "keyword absent ⇒ no check",
+    matching the reference's skip-unknown/skip-absent behavior
+    (src/jesse_validator_draft4.erl:259-260).
+    """
+
+    # type — membership in primitive types; integer ⊂ number
+    # (src/jesse_validator_draft4.erl:288-318)
+    type: Optional[str | list[str]] = None
+    # required — presence/non-null (src/jesse_validator_draft4.erl:1044-1058)
+    required: bool = False
+    # enum — deep-equality membership, 1.0 == 1 (src/jesse_validator_draft4.erl:960-970,
+    # equality src/jesse_lib.erl:177-181,219-261)
+    enum: Optional[list[Any]] = None
+    # const — draft-6 sugar for single-element enum (src/jesse_validator_draft6.erl:249-250)
+    const: Any = None
+    has_const: bool = False
+    # minimum/maximum with draft-4 boolean exclusive modifiers
+    # (src/jesse_validator_draft4.erl:149-184,723-770)
+    minimum: Optional[float] = None
+    exclusive_minimum: bool = False
+    maximum: Optional[float] = None
+    exclusive_maximum: bool = False
+    # multipleOf — M > 0 else schema_invalid (src/jesse_validator_draft4.erl:1019-1029)
+    multiple_of: Optional[float] = None
+    # pattern — unanchored regex match (src/jesse_validator_draft4.erl:888-893)
+    pattern: Optional[str] = None
+    # minLength/maxLength — unicode codepoints (src/jesse_validator_draft4.erl:915-943)
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    # minItems/maxItems — list length bounds (src/jesse_validator_draft4.erl:790-811)
+    min_items: Optional[int] = None
+    max_items: Optional[int] = None
+    # uniqueItems — within-row distinctness (src/jesse_validator_draft4.erl:831-873)
+    unique_items: bool = False
+    # items (object form) — every element validates subspec
+    # (src/jesse_validator_draft4.erl:542-557)
+    items: Optional["ColumnSpec"] = None
+    # format — only the formats the reference actually checks:
+    # date-time / email / ipv4 / ipv6; hostname & uri are accept-all no-ops
+    # (src/jesse_validator_draft4.erl:975-1004)
+    format: Optional[str] = None
+    # combinators (src/jesse_validator_draft4.erl:1125-1242)
+    all_of: Optional[list["ColumnSpec"]] = None
+    any_of: Optional[list["ColumnSpec"]] = None
+    one_of: Optional[list["ColumnSpec"]] = None
+    not_: Optional["ColumnSpec"] = None
+
+    def to_fragment(self) -> dict:
+        """JSON-Schema-style fragment used in violation rows'
+        ``schema_fragment`` column (the ``Schema`` element of the
+        reference's 5-tuple, src/jesse_error.erl:85-92)."""
+        frag: dict[str, Any] = {}
+        if self.type is not None:
+            frag["type"] = self.type
+        if self.enum is not None:
+            frag["enum"] = self.enum
+        if self.has_const:
+            frag["const"] = self.const
+        if self.minimum is not None:
+            frag["minimum"] = self.minimum
+            if self.exclusive_minimum:
+                frag["exclusiveMinimum"] = True
+        if self.maximum is not None:
+            frag["maximum"] = self.maximum
+            if self.exclusive_maximum:
+                frag["exclusiveMaximum"] = True
+        if self.multiple_of is not None:
+            frag["multipleOf"] = self.multiple_of
+        if self.pattern is not None:
+            frag["pattern"] = self.pattern
+        if self.min_length is not None:
+            frag["minLength"] = self.min_length
+        if self.max_length is not None:
+            frag["maxLength"] = self.max_length
+        if self.min_items is not None:
+            frag["minItems"] = self.min_items
+        if self.max_items is not None:
+            frag["maxItems"] = self.max_items
+        if self.unique_items:
+            frag["uniqueItems"] = True
+        if self.items is not None:
+            frag["items"] = self.items.to_fragment()
+        if self.format is not None:
+            frag["format"] = self.format
+        if self.all_of is not None:
+            frag["allOf"] = [s.to_fragment() for s in self.all_of]
+        if self.any_of is not None:
+            frag["anyOf"] = [s.to_fragment() for s in self.any_of]
+        if self.one_of is not None:
+            frag["oneOf"] = [s.to_fragment() for s in self.one_of]
+        if self.not_ is not None:
+            frag["not"] = self.not_.to_fragment()
+        return frag
+
+
+@dataclass
+class ReferentialRule:
+    """Corpus-level referential check: ``column`` values must appear in an
+    allowed-values dimension (anti-join rows become violations).
+
+    This is the reference's ``enum`` keyword
+    (src/jesse_validator_draft4.erl:960-970) applied against an *external*
+    dimension table: the dimension is broadcast once (``ray.put``) and the
+    membership test runs inside a stateful validator actor pool.
+    """
+
+    column: str
+    dim_path: Optional[str] = None  # parquet path of the dimension table
+    dim_column: str = "value"
+    dim_filter_column: Optional[str] = None  # boolean column; only True rows allowed
+    values: Optional[list[Any]] = None  # inline alternative to dim_path
+    error_atom: str = E.NOT_IN_ENUM
+
+
+@dataclass
+class ConsistencyRule:
+    """Cross-column invariant.  Kinds:
+
+    - ``list_len_eq``: ``len(list_column) == int_column`` — the corpus's
+      ``n_tok == len(tokens)`` invariant, expressed with the reference's
+      array-size semantics (minItems/maxItems, src/jesse_validator_draft4.erl:790-811);
+      violations use atom ``wrong_size``.
+    - ``str_len_eq``: ``utf8_len(str_column) == int_column`` (wrong_length).
+    """
+
+    kind: str
+    left: str  # list/str column
+    right: str  # int column
+    name: Optional[str] = None
+    error_atom: str = E.WRONG_SIZE
+
+
+@dataclass
+class TableSpec:
+    """The full spec for one corpus table."""
+
+    columns: dict[str, ColumnSpec] = field(default_factory=dict)
+    key_column: Optional[str] = "doc_id"
+    #: columns whose values must be unique across the whole corpus
+    unique_keys: list[str] = field(default_factory=list)
+    referential: list[ReferentialRule] = field(default_factory=list)
+    consistency: list[ConsistencyRule] = field(default_factory=list)
+    #: additionalProperties:false analogue — unexpected Parquet columns are a
+    #: schema-side failure at launch (src/jesse_validator_draft4.erl:431-507,
+    #: mapped to compile-time per SURVEY §2.3)
+    additional_columns_allowed: bool = True
+    #: dependencies (array form): col present ⇒ others present
+    #: (src/jesse_validator_draft4.erl:637-694)
+    dependencies: dict[str, list[str]] = field(default_factory=dict)
+    name: str = "spec"
+
+    def to_json(self) -> str:
+        doc = {
+            "name": self.name,
+            "key_column": self.key_column,
+            "columns": {k: v.to_fragment() for k, v in self.columns.items()},
+            "required": sorted(k for k, v in self.columns.items() if v.required),
+            "unique_keys": self.unique_keys,
+            "dependencies": self.dependencies,
+            "consistency": [
+                {"kind": c.kind, "left": c.left, "right": c.right}
+                for c in self.consistency
+            ],
+            "referential": [
+                {"column": r.column, "dim_path": r.dim_path, "dim_column": r.dim_column}
+                for r in self.referential
+            ],
+            "additionalColumnsAllowed": self.additional_columns_allowed,
+        }
+        return json.dumps(doc, sort_keys=True, separators=(",", ":"))
+
+    @property
+    def version(self) -> str:
+        """Content hash — the ``spec_version`` recorded in checkpoint
+        manifests for lineage."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# JSON-Schema (draft-04 subset) loader
+
+
+_KEYWORD_MAP: dict[str, Callable[[ColumnSpec, Any, dict], None]] = {}
+
+
+def _kw(name):
+    def deco(fn):
+        _KEYWORD_MAP[name] = fn
+        return fn
+
+    return deco
+
+
+def _subspec(raw: Any, root: dict) -> ColumnSpec:
+    return _column_from_schema(raw, root)
+
+
+@_kw("type")
+def _(c, v, root):
+    if isinstance(v, str):
+        if v not in PRIMITIVE_TYPES and v != "any":
+            raise E.SchemaInvalidError(E.WRONG_TYPE_SPECIFICATION, f"type {v!r}")
+        c.type = v
+    elif isinstance(v, list):
+        for t in v:
+            if not (isinstance(t, str) and (t in PRIMITIVE_TYPES or t == "any")):
+                raise E.SchemaInvalidError(E.WRONG_TYPE_SPECIFICATION, f"union member {t!r}")
+        c.type = v
+    else:
+        raise E.SchemaInvalidError(E.WRONG_TYPE_SPECIFICATION, repr(v))
+
+
+@_kw("enum")
+def _(c, v, root):
+    if not isinstance(v, list) or not v:
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "enum must be a non-empty array")
+    c.enum = v
+
+
+@_kw("const")
+def _(c, v, root):
+    c.const, c.has_const = v, True
+
+
+@_kw("minimum")
+def _(c, v, root):
+    c.minimum = v
+
+
+@_kw("exclusiveMinimum")
+def _(c, v, root):
+    # draft-04 boolean modifier form only (src/jesse_validator_draft4.erl:149-159)
+    c.exclusive_minimum = bool(v)
+
+
+@_kw("maximum")
+def _(c, v, root):
+    c.maximum = v
+
+
+@_kw("exclusiveMaximum")
+def _(c, v, root):
+    c.exclusive_maximum = bool(v)
+
+
+@_kw("multipleOf")
+def _(c, v, root):
+    if not isinstance(v, (int, float)) or v <= 0:
+        # M <= 0 is schema_invalid (src/jesse_validator_draft4.erl:1026-1029)
+        raise E.SchemaInvalidError(E.WRONG_MULTIPLE_OF, "multipleOf must be > 0")
+    c.multiple_of = v
+
+
+@_kw("pattern")
+def _(c, v, root):
+    c.pattern = v
+
+
+@_kw("minLength")
+def _(c, v, root):
+    c.min_length = v
+
+
+@_kw("maxLength")
+def _(c, v, root):
+    c.max_length = v
+
+
+@_kw("minItems")
+def _(c, v, root):
+    c.min_items = v
+
+
+@_kw("maxItems")
+def _(c, v, root):
+    c.max_items = v
+
+
+@_kw("uniqueItems")
+def _(c, v, root):
+    c.unique_items = bool(v)
+
+
+@_kw("items")
+def _(c, v, root):
+    if isinstance(v, dict):
+        c.items = _subspec(v, root)
+    else:
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "positional items not supported for columns")
+
+
+@_kw("format")
+def _(c, v, root):
+    c.format = v
+
+
+@_kw("allOf")
+def _(c, v, root):
+    c.all_of = [_subspec(s, root) for s in v]
+
+
+@_kw("anyOf")
+def _(c, v, root):
+    c.any_of = [_subspec(s, root) for s in v]
+
+
+@_kw("oneOf")
+def _(c, v, root):
+    c.one_of = [_subspec(s, root) for s in v]
+
+
+@_kw("not")
+def _(c, v, root):
+    c.not_ = _subspec(v, root)
+
+
+def _resolve_ref(raw: dict, root: dict, depth: int = 0) -> dict:
+    """Inline ``$ref`` pointing into the root schema's ``definitions`` /
+    local JSON Pointers.  Compile-time flattening replaces the reference's
+    runtime state-swap resolution (src/jesse_state.erl:207-303); ``$ref``
+    short-circuits sibling keywords, as in the reference
+    (src/jesse_validator_draft4.erl:86-87)."""
+    if depth > 32:
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "$ref recursion too deep")
+    ref = raw.get("$ref")
+    if ref is None:
+        return raw
+    if not ref.startswith("#"):
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"non-local $ref {ref!r} (resolve on the driver before compile)")
+    target: Any = root
+    for part in ref.lstrip("#/").split("/"):
+        if not part:
+            continue
+        part = part.replace("~1", "/").replace("~0", "~")
+        if not isinstance(target, dict) or part not in target:
+            raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"unresolvable $ref {ref!r}")
+        target = target[part]
+    return _resolve_ref(target, root, depth + 1)
+
+
+def _column_from_schema(raw: Any, root: dict) -> ColumnSpec:
+    if raw is True:  # draft-6 boolean schema: true ≡ {} (src/jesse_validator_draft6.erl:285-291)
+        raw = {}
+    elif raw is False:  # false ≡ {"not": {}}
+        raw = {"not": {}}
+    if not isinstance(raw, dict):
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"schema must be an object, got {raw!r}")
+    raw = _resolve_ref(raw, root)
+    c = ColumnSpec()
+    for kw, v in raw.items():
+        fn = _KEYWORD_MAP.get(kw)
+        if fn is not None:
+            fn(c, v, root)
+        # unknown keywords ignored (src/jesse_validator_draft4.erl:259-260)
+    return c
+
+
+def from_json_schema(schema: dict, *, name: str = "spec", key_column: str = "doc_id") -> TableSpec:
+    """Build a TableSpec from a draft-04 object schema whose ``properties``
+    are the table's columns.  ``required`` must be a non-empty array when
+    present (src/jesse_validator_draft4.erl:1044-1047)."""
+    schema = copy.deepcopy(schema)
+    spec = TableSpec(name=name, key_column=key_column)
+    props = schema.get("properties", {})
+    for col, sub in props.items():
+        spec.columns[col] = _column_from_schema(sub, schema)
+    req = schema.get("required")
+    if req is not None:
+        if not isinstance(req, list) or len(req) == 0:
+            raise E.SchemaInvalidError(E.WRONG_REQUIRED_ARRAY, "required must be a non-empty array")
+        for col in req:
+            spec.columns.setdefault(col, ColumnSpec()).required = True
+    deps = schema.get("dependencies")
+    if isinstance(deps, dict):
+        for col, need in deps.items():
+            if isinstance(need, list):
+                spec.dependencies[col] = list(need)
+            else:
+                raise E.SchemaInvalidError(E.SCHEMA_INVALID, "schema-form dependencies not supported for columns")
+    if schema.get("additionalProperties") is False:
+        spec.additional_columns_allowed = False
+    return spec
+
+
+def sequences_spec(
+    *,
+    vocab_size: int = 50_000,
+    min_tokens: int = 1,
+    max_tokens: int = 2048,
+    allowed_sources: Optional[list[str]] = None,
+    allowed_sources_path: Optional[str] = None,
+    doc_id_pattern: str = r"^doc-[0-9]{8}$",
+) -> TableSpec:
+    """The flagship corpus spec for the (doc_id, tokens, n_tok, source)
+    table — BASELINE.json input_hint shape, FIXTURES.md F1 rules."""
+    spec = TableSpec(name="sequences", key_column="doc_id")
+    spec.columns["doc_id"] = ColumnSpec(type="string", required=True, pattern=doc_id_pattern)
+    spec.columns["tokens"] = ColumnSpec(
+        type="array",
+        required=True,
+        min_items=min_tokens,
+        max_items=max_tokens,
+        items=ColumnSpec(type="integer", minimum=0, maximum=vocab_size, exclusive_maximum=True),
+    )
+    spec.columns["n_tok"] = ColumnSpec(
+        type="integer", required=True, minimum=min_tokens, maximum=max_tokens
+    )
+    spec.columns["source"] = ColumnSpec(type="string", required=True)
+    spec.consistency.append(
+        ConsistencyRule(kind="list_len_eq", left="tokens", right="n_tok", name="n_tok_eq_len")
+    )
+    spec.unique_keys = ["doc_id"]
+    if allowed_sources is not None or allowed_sources_path is not None:
+        spec.referential.append(
+            ReferentialRule(
+                column="source",
+                values=allowed_sources,
+                dim_path=allowed_sources_path,
+                dim_column="source",
+                dim_filter_column="active",
+            )
+        )
+    return spec

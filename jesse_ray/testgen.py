@@ -1,0 +1,206 @@
+"""Deterministic synthetic sequences corpus (FIXTURES.md F1/F2/F5/F6).
+
+The BASELINE.json ``input_hint`` table shape:
+
+    doc_id: string, tokens: list<int32>, n_tok: int32, source: string
+
+Generated with a fixed seed (42) so tests, the DuckDB oracle, and the
+bench all see byte-identical data.  ~1% of rows in the dirty variant
+carry exactly one injected violation class, recorded in a side column
+``expected_error`` (the oracle's golden answer; dropped before the
+engine sees the table).
+
+No external data; pure numpy.  Scale-factor row counts:
+sf0.001 → 2_000, sf0.01 → 20_000, sf0.1 → 500_000.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+VOCAB = 50_000
+MIN_TOK, MAX_TOK = 1, 2048
+SOURCES = ["web", "books", "code", "wiki", "forums"]
+SOURCE_WEIGHTS = [0.70, 0.12, 0.10, 0.05, 0.03]
+BAD_SOURCE = "crawl-x"
+
+SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 500_000}
+
+#: version tag — bump to force regeneration after generator changes
+GEN_VERSION = "v3"
+
+DATA_ROOT = Path(os.environ.get("JESSE_RAY_DATA", "/tmp/jesse_ray_data"))
+
+
+def corpus_dir(sf_name: str) -> Path:
+    return DATA_ROOT / sf_name
+
+
+def corpus_path(sf_name: str) -> Path:
+    return corpus_dir(sf_name) / "sequences.parquet"
+
+
+def clean_corpus_path(sf_name: str) -> Path:
+    return corpus_dir(sf_name) / "sequences_clean.parquet"
+
+
+def allowed_sources_path(sf_name: str) -> Path:
+    return corpus_dir(sf_name) / "allowed_sources.parquet"
+
+
+def sf_name_of(sf_dir: str) -> str:
+    """Map a driver sf dir like /root/testdata/sf0.01 to our corpus scale."""
+    base = os.path.basename(str(sf_dir).rstrip("/"))
+    return base if base in SF_ROWS else "sf0.01"
+
+
+def _gen_clean(rng: np.random.Generator, n: int):
+    """Clean F1 table as columnar numpy/arrow parts."""
+    doc_ids = np.array([f"doc-{i:08d}" for i in range(n)], dtype=object)
+    # lognormal token lengths clipped to [1, 2048]
+    lengths = np.clip(rng.lognormal(mean=5.0, sigma=0.8, size=n), MIN_TOK, MAX_TOK).astype(np.int32)
+    total = int(lengths.sum())
+    # Zipf-ish token ids over [0, VOCAB)
+    flat = (rng.zipf(1.3, size=total) - 1) % VOCAB
+    flat = flat.astype(np.int32)
+    sources = rng.choice(np.array(SOURCES, dtype=object), size=n, p=SOURCE_WEIGHTS)
+    return doc_ids, lengths, flat, sources
+
+
+def _to_table(doc_ids, lengths, flat, n_tok, sources, expected_error=None) -> pa.Table:
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
+    cols = {
+        "doc_id": pa.array(doc_ids, type=pa.string()),
+        "tokens": tokens,
+        "n_tok": pa.array(n_tok, type=pa.int32()),
+        "source": pa.array(sources, type=pa.string()),
+    }
+    if expected_error is not None:
+        cols["expected_error"] = pa.array(expected_error, type=pa.string())
+    return pa.table(cols)
+
+
+def generate(sf_name: str, force: bool = False) -> Path:
+    """Generate corpus files for one scale factor; idempotent."""
+    out = corpus_dir(sf_name)
+    stamp = out / f".{GEN_VERSION}.done"
+    if stamp.exists() and not force:
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    n = SF_ROWS.get(sf_name, 20_000)
+    rng = np.random.default_rng(SEED)
+    doc_ids, lengths, flat, sources = _gen_clean(rng, n)
+    n_tok = lengths.copy()
+    expected = np.array([""] * n, dtype=object)
+
+    # clean variant first (drift fixtures & invariants)
+    clean = _to_table(doc_ids.copy(), lengths.copy(), flat.copy(), n_tok.copy(), sources.copy())
+    pq.write_table(clean, clean_corpus_path(sf_name))
+
+    # ---- inject ~1% violations, one class per dirty row (FIXTURES F1) ----
+    n_dirty = max(8, n // 100)
+    dirty_idx = rng.choice(n, size=n_dirty, replace=False)
+    classes = [
+        "wrong_size",  # n_tok != len(tokens)
+        "not_in_range",  # n_tok out of [1, 2048]
+        "not_unique",  # duplicated doc_id
+        "not_in_enum",  # source not in allowed set
+        "missing_required_property",  # doc_id null
+        "token_not_in_range",  # token value out of [0, VOCAB)
+        "no_match",  # doc_id not matching ^doc-[0-9]{8}$
+    ]
+    assign = rng.integers(0, len(classes), size=n_dirty)
+    dup_targets = []
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    for j, i in enumerate(dirty_idx):
+        c = classes[assign[j]]
+        if c == "wrong_size":
+            n_tok[i] = min(MAX_TOK, int(lengths[i]) + 7) if lengths[i] + 7 <= MAX_TOK else max(MIN_TOK, int(lengths[i]) - 7)
+            if n_tok[i] == lengths[i]:
+                n_tok[i] = lengths[i] - 1 if lengths[i] > 1 else lengths[i] + 1
+            expected[i] = "wrong_size"
+        elif c == "not_in_range":
+            # n_tok pushed out of [1, 2048]; tokens untouched, so the
+            # consistency rule (wrong_size) also fires for these rows —
+            # per-rule queries/tests each target their own atom.
+            v = int(rng.integers(MAX_TOK + 1, MAX_TOK + 500)) if rng.random() < 0.5 else 0
+            n_tok[i] = v
+            expected[i] = "not_in_range"
+        elif c == "not_unique":
+            dup_targets.append(i)
+            expected[i] = "not_unique"
+        elif c == "not_in_enum":
+            sources[i] = BAD_SOURCE
+            expected[i] = "not_in_enum"
+        elif c == "missing_required_property":
+            doc_ids[i] = None
+            expected[i] = "missing_required_property"
+        elif c == "token_not_in_range":
+            pos = int(offsets[i]) + int(rng.integers(0, lengths[i]))
+            flat[pos] = np.int32(VOCAB + rng.integers(0, 1000)) if rng.random() < 0.5 else np.int32(-1 - rng.integers(0, 5))
+            expected[i] = "token_not_in_range"
+        elif c == "no_match":
+            doc_ids[i] = f"DOC_{i}"
+            expected[i] = "no_match"
+
+    tbl = _to_table(doc_ids, lengths, flat, n_tok, sources, expected)
+
+    # duplicated doc_ids: append 1-4 extra copies of each dup target, plus a
+    # few hot ids with many copies (skew stressor, FIXTURES F5 flavor)
+    if dup_targets:
+        extra_idx = []
+        for k, i in enumerate(dup_targets):
+            copies = 1 + int(rng.integers(1, 4))
+            if k < 2 and n >= 20_000:  # hot keys
+                copies = 100
+            extra_idx.extend([i] * copies)
+        extra = tbl.take(pa.array(extra_idx, type=pa.int64()))
+        tbl = pa.concat_tables([tbl, extra])
+
+    pq.write_table(tbl, corpus_path(sf_name))
+
+    # F2 allowed-sources dimension (one inactive row for anti-join tests)
+    dim = pa.table(
+        {
+            "source": pa.array(SOURCES + ["retired-src"], type=pa.string()),
+            "active": pa.array([True] * len(SOURCES) + [False]),
+        }
+    )
+    pq.write_table(dim, allowed_sources_path(sf_name))
+
+    # F6 drift pair (small, fixed 20k rows regardless of sf)
+    nd = min(n, 20_000)
+    r_ref = np.random.default_rng(SEED + 1)
+    ids1, len1, flat1, src1 = _gen_clean(r_ref, nd)
+    pq.write_table(_to_table(ids1, len1, flat1, len1, src1), out / "drift_reference.parquet")
+    r_drift = np.random.default_rng(SEED + 2)
+    len2 = np.clip(r_drift.lognormal(mean=5.6, sigma=0.8, size=nd), MIN_TOK, MAX_TOK).astype(np.int32)
+    total2 = int(len2.sum())
+    flat2 = ((r_drift.zipf(1.05, size=total2) - 1) % VOCAB).astype(np.int32)
+    ids2 = np.array([f"doc-{i:08d}" for i in range(nd)], dtype=object)
+    src2 = r_drift.choice(np.array(SOURCES, dtype=object), size=nd, p=SOURCE_WEIGHTS)
+    pq.write_table(_to_table(ids2, len2, flat2, len2, src2), out / "drift_drifted.parquet")
+
+    (out / "meta.json").write_text(
+        json.dumps({"sf": sf_name, "rows": n, "seed": SEED, "version": GEN_VERSION})
+    )
+    stamp.touch()
+    return out
+
+
+def ensure_all(force: bool = False) -> None:
+    for sf in SF_ROWS:
+        generate(sf, force=force)
+
+
+if __name__ == "__main__":
+    ensure_all()
+    print(json.dumps({"root": str(DATA_ROOT), "sfs": list(SF_ROWS)}))

@@ -1,0 +1,230 @@
+"""End-to-end engine tests over the deterministic dirty corpus (F1).
+
+The golden answers are the ``expected_error`` side column written by the
+generator; the engine never sees it (the reader prunes to the canonical
+4 columns).  Parity with the row-wise Python oracle is asserted
+record-for-record (SURVEY §5.2).
+"""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from jesse_ray import errors as E
+from jesse_ray import testgen
+from jesse_ray.compiler import compile_spec
+from jesse_ray.engine import (
+    ValidationEngine,
+    column_stats,
+    duplicate_keys,
+    filter_valid,
+    referential_violations,
+    row_violations,
+    uniqueness_violations,
+    validate_dataset,
+)
+from jesse_ray.oracle import validate_row
+from jesse_ray.sources import read_sequences
+from jesse_ray.spec import sequences_spec
+from jesse_ray.stages import drift_check, sketch_dataset
+
+
+@pytest.fixture(scope="module")
+def spec(corpus_sf0001):
+    return sequences_spec(
+        allowed_sources_path=str(testgen.allowed_sources_path("sf0.001"))
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_path(corpus_sf0001):
+    return str(testgen.corpus_path("sf0.001"))
+
+
+@pytest.fixture(scope="module")
+def golden(corpus_path):
+    tbl = pq.read_table(corpus_path)
+    return tbl
+
+
+def test_row_violations_match_golden_atoms(corpus_path, golden, spec):
+    ds = read_sequences(corpus_path)
+    compiled = compile_spec(spec)
+    v = pa.concat_tables(
+        list(row_violations(ds, compiled).iter_batches(batch_format="pyarrow"))
+    )
+    got = {}
+    for d, e in zip(v["doc_id"].to_pylist(), v["error"].to_pylist()):
+        got.setdefault(d, set()).add(e)
+
+    exp = golden.to_pydict()
+    for doc, err, n_tok in zip(exp["doc_id"], exp["expected_error"], exp["n_tok"]):
+        if err in ("", "not_unique", "not_in_enum"):
+            continue  # corpus-level / referential classes tested separately
+        atom = "not_in_range" if err == "token_not_in_range" else err
+        key = doc  # None doc_id rows keyed by None
+        assert atom in got.get(key, set()), (doc, err, got.get(key))
+
+
+def test_row_violations_no_false_positives(corpus_path, golden, spec):
+    ds = read_sequences(corpus_path)
+    compiled = compile_spec(spec)
+    v = pa.concat_tables(
+        list(row_violations(ds, compiled).iter_batches(batch_format="pyarrow"))
+    )
+    flagged = {d for d in v["doc_id"].to_pylist() if d is not None}
+    clean_docs = {
+        d
+        for d, e in zip(golden["doc_id"].to_pylist(), golden["expected_error"].to_pylist())
+        if e == "" and d is not None
+    }
+    dirty_docs = {
+        d
+        for d, e in zip(golden["doc_id"].to_pylist(), golden["expected_error"].to_pylist())
+        if e not in ("", "not_unique", "not_in_enum") and d is not None
+    }
+    # a clean doc_id must not be flagged by row-level checks
+    assert flagged & (clean_docs - dirty_docs) == set()
+
+
+def test_oracle_parity_rowlevel(corpus_path, spec):
+    """Engine violation records == row-wise oracle records, field for field."""
+    tbl = pq.read_table(corpus_path).slice(0, 4000)
+    seq = tbl.select(["doc_id", "tokens", "n_tok", "source"])
+    compiled = compile_spec(spec)
+    v = compiled.check_batch(seq)
+    engine_recs = sorted(
+        (d, tuple(p), e, vj)
+        for d, p, e, vj in zip(
+            v["doc_id"].to_pylist(),
+            v["path"].to_pylist(),
+            v["error"].to_pylist(),
+            v["value_json"].to_pylist(),
+        )
+        if d is not None
+    )
+    oracle_recs = []
+    spec_no_ref = sequences_spec()  # oracle handles referential separately
+    for row in seq.to_pylist():
+        oracle_recs.extend(
+            (d, p, e, vj) for d, p, e, vj in validate_row(spec_no_ref, row) if d is not None
+        )
+    assert engine_recs == sorted(oracle_recs)
+
+
+def test_token_array_equality_invariant(corpus_path, spec):
+    """Per-row invariant vs the reference pass: the engine must not mutate
+    tokens (BASELINE.json input_hint)."""
+    ds = read_sequences(corpus_path)
+    compiled = compile_spec(spec)
+    before = pq.read_table(corpus_path, columns=["doc_id", "tokens"])
+    after = pa.concat_tables(
+        list(
+            filter_valid(ds, compiled)
+            .select_columns(["doc_id", "tokens"])
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    # every surviving row's token array is byte-identical to its input row
+    idx = {d: i for i, d in enumerate(before["doc_id"].to_pylist())}
+    before_tok = before["tokens"].to_pylist()
+    for d, toks in zip(after["doc_id"].to_pylist(), after["tokens"].to_pylist()):
+        assert toks == before_tok[idx[d]]
+
+
+def test_uniqueness_two_phase(corpus_path, golden):
+    ds = read_sequences(corpus_path, columns=["doc_id"])
+    uv = uniqueness_violations(ds, "doc_id")
+    got = {json.loads(v)["value"]: json.loads(v)["count"] for v in uv["value_json"].to_pylist()}
+    # golden: doc_ids that appear more than once
+    ids = [d for d in golden["doc_id"].to_pylist() if d is not None]
+    import collections
+
+    exact = {k: c for k, c in collections.Counter(ids).items() if c > 1}
+    assert got == exact
+    assert set(uv["error"].to_pylist()) == {E.NOT_UNIQUE}
+
+
+def test_referential_actor_pool(corpus_path, spec, golden):
+    ds = read_sequences(corpus_path)
+    rv = referential_violations(ds, spec, concurrency=2)
+    v = pa.concat_tables(list(rv.iter_batches(batch_format="pyarrow")))
+    bad_docs = {
+        d
+        for d, e in zip(golden["doc_id"].to_pylist(), golden["expected_error"].to_pylist())
+        if e == "not_in_enum"
+    }
+    assert set(v["doc_id"].to_pylist()) == bad_docs
+    assert set(v["error"].to_pylist()) == {E.NOT_IN_ENUM}
+    assert set(json.loads(x) for x in v["value_json"].to_pylist()) == {testgen.BAD_SOURCE}
+
+
+def test_full_validate_and_counts(corpus_path, spec, golden):
+    ds = read_sequences(corpus_path)
+    res = validate_dataset(ds, spec)
+    counts = res.counts_by_error()
+    exp = [e for e in golden["expected_error"].to_pylist() if e]
+    assert counts.get(E.NOT_IN_ENUM, 0) == sum(1 for e in exp if e == "not_in_enum")
+    assert counts.get(E.MISSING_REQUIRED_PROPERTY, 0) == sum(
+        1 for e in exp if e == "missing_required_property"
+    )
+    assert not res.passed
+
+
+def test_clean_corpus_passes(corpus_sf0001):
+    ds = read_sequences(str(testgen.clean_corpus_path("sf0.001")))
+    spec = sequences_spec(allowed_sources=list(testgen.SOURCES))
+    res = validate_dataset(ds, spec)
+    assert res.counts_by_error() == {}
+    assert res.passed
+
+
+def test_column_stats_per_source(corpus_path, golden):
+    ds = read_sequences(corpus_path, columns=["n_tok", "source"])
+    stats = column_stats(ds, "n_tok", "source")
+    got = {
+        g: (c, mn, mx)
+        for g, c, mn, mx in zip(
+            stats["group"].to_pylist(),
+            stats["cnt"].to_pylist(),
+            stats["vmin"].to_pylist(),
+            stats["vmax"].to_pylist(),
+        )
+    }
+    src = golden["source"].to_pylist()
+    ntk = golden["n_tok"].to_pylist()
+    import collections
+
+    exp_cnt = collections.Counter(src)
+    for s, c in exp_cnt.items():
+        assert got[s][0] == c
+        vals = [n for x, n in zip(src, ntk) if x == s]
+        assert got[s][1] == min(vals) and got[s][2] == max(vals)
+
+
+def test_drift_detects_shift_not_self(corpus_sf0001):
+    ref = ray.data.read_parquet(str(corpus_sf0001 / "drift_reference.parquet"))
+    drifted = ray.data.read_parquet(str(corpus_sf0001 / "drift_drifted.parquet"))
+    rep_self = drift_check(ref, ref)
+    assert not rep_self["ks_drifted"] and not rep_self["chi2_drifted"]
+    rep = drift_check(ref, drifted)
+    assert rep["ks_drifted"] and rep["chi2_drifted"]
+
+
+def test_sketch_merge_is_distribution_invariant(corpus_sf0001):
+    """Sketching the same data at different batch sizes gives the same
+    quantiles (merge associativity at the pipeline level)."""
+    path = str(corpus_sf0001 / "drift_reference.parquet")
+    ds = ray.data.read_parquet(path)
+    b1 = sketch_dataset(ds, batch_size=2048)
+    b2 = sketch_dataset(ds, batch_size=16384)
+    assert b1.rows == b2.rows
+    for q in (0.25, 0.5, 0.9):
+        assert abs(b1.digest.quantile(q) - b2.digest.quantile(q)) < 0.02 * b2.digest.quantile(q)
+    assert np.array_equal(b1.freq.counts, b2.freq.counts)
