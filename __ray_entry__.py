@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline at sf0.001;
+``queries()`` / ``oracle_sql()`` expose the operator catalog from
+:mod:`jesse_ray.pipelines.queries` (one entry per implemented operator
+from SURVEY §2, each SQL-checkable one with a DuckDB twin).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,40 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full corpus
+    validation (row checks + referential actor pool + uniqueness
+    shuffle) over the deterministic sequences corpus; returns the
+    violation rows (doc_id, path, error, value_json, schema_fragment)."""
+    from jesse_ray import testgen
+    from jesse_ray.engine import validate_dataset
+    from jesse_ray.pipelines.queries import _seq_spec
+    from jesse_ray.sources import read_sequences
+
+    testgen.generate("sf0.001")
+    ds = read_sequences(str(testgen.corpus_path("sf0.001")))
+    res = validate_dataset(ds, _seq_spec(), referential_concurrency=(1, 2))
+    tbl = res.all_violations_table()
+    # path is list<string>; flatten for a stable driver-friendly schema
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": tbl["doc_id"],
+            "path": pa.array(["/".join(p) for p in tbl["path"].to_pylist()], type=pa.string()),
+            "error": tbl["error"],
+            "value_json": tbl["value_json"],
+            "schema_fragment": tbl["schema_fragment"],
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from jesse_ray.pipelines.queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jesse_ray.pipelines.queries import oracle_sql as _o
+
+    return _o()

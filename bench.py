@@ -1,0 +1,145 @@
+"""Benchmark harness.
+
+Headline: the flagship validation pipeline (row-level keyword checks +
+referential actor pool + doc_id-uniqueness shuffle) over the
+deterministic sf0.1 sequences corpus (500k rows, ~100M tokens).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "rows": ..., "rows_per_sec": ...}
+
+``--scaling``: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs
+plus scaling efficiency (the sandbox evidence for the two-cluster-size
+criterion; one physical CPU → oversubscribed logical CPUs, reported
+honestly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jesse_ray import testgen
+    from jesse_ray.compiler import compile_spec
+    from jesse_ray.engine import validate_dataset
+    from jesse_ray.pipelines.queries import _seq_spec
+    from jesse_ray.sources import read_sequences
+    from jesse_ray.stages import sketch_dataset
+
+    sf = testgen.sf_name_of(SF_DIR)
+    testgen.generate(sf)
+    path = str(testgen.corpus_path(sf))
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    rows = read_sequences(path, columns=["doc_id"]).count()
+    queries: dict[str, float] = {}
+
+    # headline: full validation (row checks ∪ referential ∪ uniqueness)
+    t0 = time.time()
+    res = validate_dataset(ds := read_sequences(path), _seq_spec())
+    n_viol = res.all_violations_table().num_rows
+    queries["validate_full"] = round(time.time() - t0, 3)
+
+    # row-level checks alone (the dominant per-token compute)
+    from jesse_ray.engine import row_violations
+
+    t0 = time.time()
+    compiled = compile_spec(_seq_spec())
+    _ = row_violations(read_sequences(path), compiled).count()
+    queries["row_checks"] = round(time.time() - t0, 3)
+
+    # uniqueness shuffle alone
+    from jesse_ray.engine import uniqueness_violations
+
+    t0 = time.time()
+    _ = uniqueness_violations(read_sequences(path, columns=["doc_id"]), "doc_id")
+    queries["uniqueness"] = round(time.time() - t0, 3)
+
+    # drift sketching (t-digest + freq + count-min, tree merge)
+    t0 = time.time()
+    _ = sketch_dataset(read_sequences(path, columns=["n_tok", "tokens"]))
+    queries["sketch"] = round(time.time() - t0, 3)
+
+    headline = queries["validate_full"]
+    out = {
+        "metric": "full corpus validation wall time (sf0.1 sequences corpus)",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "violations": n_viol,
+        "rows_per_sec": round(rows / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        tp_lo = r_lo["rows_per_sec"]
+        tp_hi = r_hi["rows_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (num_cpus 8 vs 32, same input)",
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "rows_per_sec_8": tp_lo,
+                    "rows_per_sec_32": tp_hi,
+                    "scaling_efficiency": round(eff, 3),
+                    "note": "single physical CPU sandbox; logical-CPU oversubscription",
+                }
+            )
+        )
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

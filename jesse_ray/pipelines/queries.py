@@ -1,0 +1,733 @@
+"""The query catalog: one entry per operator/pipeline (SURVEY §2), each
+with a DuckDB-oracle SQL twin where SQL can express it.
+
+Contract (driver): each callable takes ``sf_dir`` (a /root/testdata/sfX
+directory) and returns a Dataset / DataFrame / pyarrow Table whose
+column NAMES and VALUES match the oracle SQL exactly (the driver
+compares order-insensitively after sorting columns by name).
+
+The sequences corpus (BASELINE.json input_hint shape) is synthesized
+deterministically by :mod:`jesse_ray.testgen` under /tmp; oracle SQL for
+those queries reads the same parquet via ``read_parquet`` (the driver
+runs oracles at sf0.01 only, so the oracle strings hardcode the sf0.01
+corpus path).
+
+Float discipline: aggregate outputs that are sums of doubles are
+``round(x, 2)`` on BOTH sides; counts/mins/maxes/sums of integers are
+cast to int64/BIGINT so hashes are exact.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from jesse_ray import testgen
+from jesse_ray.compiler import compile_spec
+from jesse_ray.engine import (
+    duplicate_keys,
+    filter_valid,
+    referential_violations,
+    row_violations,
+)
+from jesse_ray.pipelines.relational import broadcast_join, grouped_agg, tumbling_window
+from jesse_ray.sources import read_sequences
+from jesse_ray.spec import ColumnSpec, ConsistencyRule, TableSpec, sequences_spec
+
+SEQ_SQL = "read_parquet('/tmp/jesse_ray_data/sf0.01/sequences.parquet')"
+ALLOWED = list(testgen.SOURCES)
+ALLOWED_SQL = ", ".join(f"'{s}'" for s in ALLOWED)
+DOC_LANGS = ["en", "de", "fr", "es"]  # zh intentionally excluded → violations
+DOC_LANGS_SQL = ", ".join(f"'{x}'" for x in DOC_LANGS)
+
+
+def _seq_path(sf_dir: str) -> str:
+    sf = testgen.sf_name_of(sf_dir)
+    testgen.generate(sf)
+    return str(testgen.corpus_path(sf))
+
+
+def _seq_spec() -> TableSpec:
+    return sequences_spec(allowed_sources=ALLOWED)
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else None
+
+
+# ---------------------------------------------------------------------------
+# sequences-corpus validation queries (engine ↔ SQL twins)
+
+
+def q_seq_val_consistency(sf_dir: str) -> pa.Table:
+    """wrong_size rows: len(tokens) != n_tok (ConsistencyRule list_len_eq)."""
+    ds = read_sequences(_seq_path(sf_dir))
+
+    def find(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = pc.list_value_length(toks).cast(pa.int64())
+        nt = batch["n_tok"].cast(pa.int64())
+        bad = pc.not_equal(ln, nt)
+        t = batch.filter(bad)
+        ln_b = pc.list_value_length(t["tokens"]).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "len_tokens": ln_b,
+                "n_tok": t["n_tok"].cast(pa.int64()),
+                "error": pa.array(["wrong_size"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return _collect(ds.map_batches(find, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SEQ_VAL_CONSISTENCY = f"""
+SELECT doc_id,
+       CAST(len(tokens) AS BIGINT) AS len_tokens,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       'wrong_size' AS error
+FROM {SEQ_SQL}
+WHERE len(tokens) != n_tok
+"""
+
+
+def q_seq_val_ntok_range(sf_dir: str) -> pa.Table:
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"])
+
+    def find(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tok"].cast(pa.int64())
+        bad = pc.or_(pc.less(nt, 1), pc.greater(nt, 2048))
+        t = batch.filter(bad)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": t["n_tok"].cast(pa.int64()),
+                "error": pa.array(["not_in_range"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return _collect(ds.map_batches(find, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SEQ_VAL_NTOK_RANGE = f"""
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, 'not_in_range' AS error
+FROM {SEQ_SQL}
+WHERE n_tok < 1 OR n_tok > 2048
+"""
+
+
+def q_seq_val_source_enum(sf_dir: str) -> pa.Table:
+    """Referential check through the broadcast-dimension actor pool."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source"])
+    spec = _seq_spec()
+    rv = referential_violations(ds, spec, concurrency=(1, 2))
+    v = _collect(rv)
+    if v is None or v.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "source": pa.array([], type=pa.string()),
+             "error": pa.array([], type=pa.string())}
+        )
+    src = pa.array([json.loads(x) for x in v["value_json"].to_pylist()], type=pa.string())
+    return pa.table({"doc_id": v["doc_id"], "source": src, "error": v["error"]})
+
+
+SQL_SEQ_VAL_SOURCE_ENUM = f"""
+SELECT doc_id, source, 'not_in_enum' AS error
+FROM {SEQ_SQL}
+WHERE source NOT IN ({ALLOWED_SQL})
+"""
+
+
+def q_seq_val_required(sf_dir: str) -> pd.DataFrame:
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows - pc.sum(pc.is_valid(batch["doc_id"]).cast(pa.int64())).as_py()
+        return pa.table({"p": pa.array([n], type=pa.int64())})
+
+    total = sum(
+        sum(b["p"].to_pylist())
+        for b in ds.map_batches(cnt, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    return pd.DataFrame({"error": ["missing_required_property"], "cnt": pd.array([total], dtype="int64")})
+
+
+SQL_SEQ_VAL_REQUIRED = f"""
+SELECT 'missing_required_property' AS error, CAST(count(*) AS BIGINT) AS cnt
+FROM {SEQ_SQL} WHERE doc_id IS NULL
+"""
+
+
+def q_seq_val_pattern(sf_dir: str) -> pa.Table:
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id"])
+
+    def find(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"]
+        ok = pc.match_substring_regex(d, r"^doc-[0-9]{8}$")
+        bad = pc.and_(pc.is_valid(d), pc.invert(pc.fill_null(ok, False)))
+        t = batch.filter(bad)
+        return pa.table(
+            {"doc_id": t["doc_id"], "error": pa.array(["no_match"] * t.num_rows, type=pa.string())}
+        )
+
+    return _collect(ds.map_batches(find, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SEQ_VAL_PATTERN = f"""
+SELECT doc_id, 'no_match' AS error
+FROM {SEQ_SQL}
+WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+"""
+
+
+def q_seq_val_token_bounds(sf_dir: str) -> pa.Table:
+    """Per-element bounds via the compiled items check (vectorized
+    flatten + parent-index mapping)."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+    spec = TableSpec(key_column="doc_id")
+    spec.columns["tokens"] = ColumnSpec(
+        items=ColumnSpec(minimum=0, maximum=testgen.VOCAB, exclusive_maximum=True)
+    )
+    compiled = compile_spec(spec)
+    v = _collect(row_violations(ds, compiled))
+    if v is None or v.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "token": pa.array([], type=pa.int64()),
+             "error": pa.array([], type=pa.string())}
+        )
+    tok = pa.array([int(json.loads(x)) for x in v["value_json"].to_pylist()], type=pa.int64())
+    return pa.table({"doc_id": v["doc_id"], "token": tok, "error": v["error"]})
+
+
+SQL_SEQ_VAL_TOKEN_BOUNDS = f"""
+SELECT doc_id, CAST(t AS BIGINT) AS token, 'not_in_range' AS error
+FROM (SELECT doc_id, unnest(tokens) AS t FROM {SEQ_SQL})
+WHERE t < 0 OR t >= {testgen.VOCAB}
+"""
+
+
+def q_seq_val_docid_dups(sf_dir: str) -> pa.Table:
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id"])
+    dups = duplicate_keys(ds, "doc_id")
+    t = _collect(dups)
+    if t is None:
+        return pa.table({"doc_id": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())})
+    return pa.table({"doc_id": t["doc_id"], "cnt": t["cnt"].cast(pa.int64())})
+
+
+SQL_SEQ_VAL_DOCID_DUPS = f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt
+FROM {SEQ_SQL}
+WHERE doc_id IS NOT NULL
+GROUP BY doc_id HAVING count(*) > 1
+"""
+
+
+def q_seq_stats_by_source(sf_dir: str) -> pa.Table:
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+    out = grouped_agg(ds, ["source"], sums=["n_tok"], mins=["n_tok"], maxs=["n_tok"])
+    t = _collect(out)
+    return pa.table(
+        {
+            "source": t["source"],
+            "cnt": t["cnt"].cast(pa.int64()),
+            "min_n_tok": t["min_n_tok"].cast(pa.int64()),
+            "max_n_tok": t["max_n_tok"].cast(pa.int64()),
+            "sum_n_tok": t["sum_n_tok"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_SEQ_STATS_BY_SOURCE = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(n_tok) AS BIGINT) AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_n_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+FROM {SEQ_SQL} GROUP BY source
+"""
+
+
+def q_seq_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup over the token payload: hash tokens per batch →
+    two-phase group count → groups with >1 row."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        hashes = [
+            hashlib.blake2b(flat[offs[i] : offs[i + 1]].tobytes(), digest_size=16).hexdigest()
+            for i in range(len(lens))
+        ]
+        t = pa.table({"h": pa.array(hashes, type=pa.string())})
+        g = t.group_by("h").aggregate([([], "count_all")])
+        return g.rename_columns(["h", "p"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partials.groupby("h").aggregate(Sum("p", alias_name="cnt"))
+    dup_groups = 0
+    dup_rows = 0
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        dup = c[c > 1]
+        dup_groups += int(len(dup))
+        dup_rows += int(dup.sum())
+    return pd.DataFrame(
+        {"dup_groups": pd.array([dup_groups], dtype="int64"), "dup_rows": pd.array([dup_rows], dtype="int64")}
+    )
+
+
+SQL_SEQ_DEDUP_EXACT = f"""
+SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+       CAST(coalesce(sum(cnt), 0) AS BIGINT) AS dup_rows
+FROM (SELECT count(*) AS cnt FROM {SEQ_SQL} GROUP BY tokens HAVING count(*) > 1)
+"""
+
+
+def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
+    """Rows passing ALL row-level checks (filter_valid end-to-end)."""
+    ds = read_sequences(_seq_path(sf_dir))
+    compiled = compile_spec(_seq_spec())
+    n = filter_valid(ds, compiled).count()
+    return pd.DataFrame({"clean_rows": pd.array([n], dtype="int64")})
+
+
+SQL_SEQ_VAL_CLEAN_COUNT = f"""
+SELECT CAST(count(*) AS BIGINT) AS clean_rows
+FROM {SEQ_SQL}
+WHERE doc_id IS NOT NULL
+  AND regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+  AND len(tokens) = n_tok
+  AND n_tok BETWEEN 1 AND 2048
+  AND len(tokens) BETWEEN 1 AND 2048
+  AND len(list_filter(tokens, x -> x < 0 OR x >= {testgen.VOCAB})) = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / events / TPC-H-ish tables (driver-provided testdata)
+
+
+def q_doc_val_nchars(sf_dir: str) -> pa.Table:
+    """Consistency rule n_chars == utf8_len(text) via the engine."""
+    from jesse_ray import errors as E
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    spec = TableSpec(key_column="doc_id")
+    spec.consistency.append(
+        ConsistencyRule(kind="str_len_eq", left="text", right="n_chars", error_atom=E.WRONG_LENGTH)
+    )
+    v = _collect(row_violations(ds, compile_spec(spec)))
+    if v is None or v.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()), "error": pa.array([], type=pa.string())})
+    return pa.table({"doc_id": v["doc_id"].cast(pa.int64()), "error": v["error"]})
+
+
+SQL_DOC_VAL_NCHARS = """
+SELECT doc_id, 'wrong_length' AS error FROM documents WHERE length(text) != n_chars
+"""
+
+
+def q_doc_lang_enum(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    spec = TableSpec(key_column="doc_id")
+    spec.columns["lang"] = ColumnSpec(enum=DOC_LANGS)
+    v = _collect(row_violations(ds, compile_spec(spec)))
+    if v is None or v.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "lang": pa.array([], type=pa.string()),
+             "error": pa.array([], type=pa.string())}
+        )
+    lang = pa.array([json.loads(x) for x in v["value_json"].to_pylist()], type=pa.string())
+    return pa.table({"doc_id": v["doc_id"].cast(pa.int64()), "lang": lang, "error": v["error"]})
+
+
+SQL_DOC_LANG_ENUM = f"""
+SELECT doc_id, lang, 'not_in_enum' AS error FROM documents WHERE lang NOT IN ({DOC_LANGS_SQL})
+"""
+
+
+def q_doc_token_counts(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        ws = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_words": ws})
+
+    return _collect(ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_TOKEN_COUNTS = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents
+"""
+
+
+def q_doc_quality_counts(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def qual(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        n_chars = pc.utf8_length(txt).cast(pa.int64())
+        n_alpha = pc.utf8_length(pc.replace_substring_regex(txt, "[^A-Za-z]", "")).cast(pa.int64())
+        n_space = pc.subtract(
+            pc.utf8_length(txt), pc.utf8_length(pc.replace_substring(txt, " ", ""))
+        ).cast(pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "q_len": n_chars, "n_alpha": n_alpha, "n_space": n_space}
+        )
+
+    return _collect(ds.map_batches(qual, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_QUALITY_COUNTS = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS q_len,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+FROM documents
+"""
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
+    t = _collect(out)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "window": t["window"].cast(pa.int64()),
+            "cnt": t["cnt"].cast(pa.int64()),
+            "sum_value": pc.round(t["sum_value"], 2),
+        }
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_orders_by_segment(sf_dir: str) -> pa.Table:
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    joined = broadcast_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    out = grouped_agg(joined, ["c_mktsegment"], sums=["o_totalprice"])
+    t = _collect(out)
+    return pa.table(
+        {
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": t["cnt"].cast(pa.int64()),
+            "total_price": pc.round(t["sum_o_totalprice"], 2),
+        }
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_lineitem_pricing(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style wide aggregate with a pushed-down date filter."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") <= pads.scalar(np.datetime64("1998-09-02T00:00:00", "us")),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(
+        prepped, ["l_returnflag", "l_linestatus"], sums=["l_quantity", "l_extendedprice", "disc_price"]
+    )
+    t = _collect(out)
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["sum_l_quantity"].cast(pa.int64()),
+            "sum_base_price": pc.round(t["sum_l_extendedprice"], 2),
+            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "cnt": t["cnt"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_emb_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for the query vector vec_id=0."""
+    from jesse_ray.functions.similarity import cosine_topk
+
+    qvec = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
+        .to_pylist()[0]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, np.asarray([qvec]), k=10, concurrency=(1, 2))
+    return pd.DataFrame(
+        {
+            "rank": out["rank"].astype("int64"),
+            "vec_id": out["vec_id"].astype("int64"),
+        }
+    )
+
+
+SQL_EMB_TOPK = """
+SELECT CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+       ) AS BIGINT) AS rank,
+       e.vec_id
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY rank LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (driver records rows-only checks)
+
+
+def q_drift_report(sf_dir: str) -> pd.DataFrame:
+    from jesse_ray.stages import drift_check
+
+    sf = testgen.sf_name_of(sf_dir)
+    testgen.generate(sf)
+    d = testgen.corpus_dir(sf)
+    ref = ray.data.read_parquet(str(d / "drift_reference.parquet"))
+    new = ray.data.read_parquet(str(d / "drift_drifted.parquet"))
+    rep = drift_check(ref, new)
+    rep_self = drift_check(ref, ref)
+    return pd.DataFrame(
+        [
+            {"pair": "ref_vs_drifted", **{k: rep[k] for k in ("ks_stat", "ks_pvalue", "ks_drifted", "chi2_stat", "chi2_pvalue", "chi2_drifted")}},
+            {"pair": "ref_vs_self", **{k: rep_self[k] for k in ("ks_stat", "ks_pvalue", "ks_drifted", "chi2_stat", "chi2_pvalue", "chi2_drifted")}},
+        ]
+    )
+
+
+def q_doc_langid(sf_dir: str) -> pd.DataFrame:
+    from jesse_ray.functions.text import LangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = LangId.apply(ds, concurrency=(1, 2))
+    pdf = out.to_pandas()[["doc_id", "lang_pred"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from jesse_ray.functions.dedup import lsh_candidate_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = lsh_candidate_pairs(ds, num_hashes=64, bands=16, concurrency=(1, 2))
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"left": pd.array([], dtype="int64"), "right": pd.array([], dtype="int64")})
+    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+
+
+def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from jesse_ray.functions.dedup import simhash_near_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3, concurrency=(1, 2))
+
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from jesse_ray.functions.text import add_fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = add_fingerprints(ds).to_pandas()[["doc_id", "fingerprint"]]
+    out["fingerprint"] = out["fingerprint"].astype("uint64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_emb_near_dups(sf_dir: str) -> pd.DataFrame:
+    from jesse_ray.functions.dedup import embedding_near_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = embedding_near_dups(ds, threshold=0.9, n_buckets=4)
+    if pdf.empty:
+        return pd.DataFrame({"left": pd.array([], dtype="int64"), "right": pd.array([], dtype="int64"), "cosine": pd.array([], dtype="float64")})
+    return pdf
+
+
+def q_emb_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    from jesse_ray.functions.similarity import ivf_topk
+
+    qvec = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
+        .to_pylist()[0]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, np.asarray([qvec]), k=10, n_centroids=8, n_probe=3, concurrency=(1, 2))
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    from jesse_ray.functions.multimodal import decode_features, make_fake_media_table
+
+    ds = ray.data.from_arrow(make_fake_media_table(64))
+    out = decode_features(ds, fake=True, concurrency=(1, 2))
+    pdf = out.to_pandas()[["media_id", "mime", "width", "height"]]
+    return pdf.sort_values("media_id").reset_index(drop=True)
+
+
+def q_seq_validation_full(sf_dir: str) -> pd.DataFrame:
+    """Flagship: full engine run (row + referential + uniqueness) →
+    per-error counts."""
+    from jesse_ray.engine import validate_dataset
+
+    ds = read_sequences(_seq_path(sf_dir))
+    res = validate_dataset(ds, _seq_spec(), referential_concurrency=(1, 2))
+    counts = res.counts_by_error()
+    rows = sorted(counts.items())
+    return pd.DataFrame(
+        {"error": [r[0] for r in rows], "cnt": pd.array([r[1] for r in rows], dtype="int64")}
+    )
+
+
+SQL_SEQ_VALIDATION_FULL = f"""
+WITH v AS (
+  SELECT 'wrong_size' AS error, count(*)::BIGINT AS cnt FROM {SEQ_SQL} WHERE len(tokens) != n_tok
+  UNION ALL
+  SELECT 'not_in_range', (
+      (SELECT count(*) FROM {SEQ_SQL} WHERE n_tok < 1 OR n_tok > 2048)
+    + (SELECT count(*) FROM (SELECT unnest(tokens) AS t FROM {SEQ_SQL}) WHERE t < 0 OR t >= {testgen.VOCAB})
+  )::BIGINT
+  UNION ALL
+  SELECT 'missing_required_property', count(*)::BIGINT FROM {SEQ_SQL} WHERE doc_id IS NULL
+  UNION ALL
+  SELECT 'no_match', count(*)::BIGINT FROM {SEQ_SQL}
+    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+  UNION ALL
+  SELECT 'not_in_enum', count(*)::BIGINT FROM {SEQ_SQL} WHERE source NOT IN ({ALLOWED_SQL})
+  UNION ALL
+  SELECT 'not_unique', count(*)::BIGINT FROM (
+      SELECT doc_id FROM {SEQ_SQL} WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1
+  )
+)
+SELECT error, cnt FROM v WHERE cnt > 0 ORDER BY error
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict[str, Callable]:
+    # ensure the corpora the driver's oracle SQL reads exist before any
+    # SQL runs (sf0.1 is generated lazily by bench.py only)
+    testgen.generate("sf0.001")
+    testgen.generate("sf0.01")
+    return {
+        "seq_val_consistency": q_seq_val_consistency,
+        "seq_val_ntok_range": q_seq_val_ntok_range,
+        "seq_val_source_enum": q_seq_val_source_enum,
+        "seq_val_required": q_seq_val_required,
+        "seq_val_pattern": q_seq_val_pattern,
+        "seq_val_token_bounds": q_seq_val_token_bounds,
+        "seq_val_docid_dups": q_seq_val_docid_dups,
+        "seq_stats_by_source": q_seq_stats_by_source,
+        "seq_dedup_exact": q_seq_dedup_exact,
+        "seq_val_clean_count": q_seq_val_clean_count,
+        "seq_validation_full": q_seq_validation_full,
+        "doc_val_nchars": q_doc_val_nchars,
+        "doc_lang_enum": q_doc_lang_enum,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality_counts": q_doc_quality_counts,
+        "events_window": q_events_window,
+        "orders_by_segment": q_orders_by_segment,
+        "lineitem_pricing": q_lineitem_pricing,
+        "emb_topk": q_emb_topk,
+        # non-SQL-expressible (rows-only checks)
+        "drift_report": q_drift_report,
+        "doc_langid": q_doc_langid,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "emb_near_dups": q_emb_near_dups,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "seq_val_consistency": SQL_SEQ_VAL_CONSISTENCY,
+        "seq_val_ntok_range": SQL_SEQ_VAL_NTOK_RANGE,
+        "seq_val_source_enum": SQL_SEQ_VAL_SOURCE_ENUM,
+        "seq_val_required": SQL_SEQ_VAL_REQUIRED,
+        "seq_val_pattern": SQL_SEQ_VAL_PATTERN,
+        "seq_val_token_bounds": SQL_SEQ_VAL_TOKEN_BOUNDS,
+        "seq_val_docid_dups": SQL_SEQ_VAL_DOCID_DUPS,
+        "seq_stats_by_source": SQL_SEQ_STATS_BY_SOURCE,
+        "seq_dedup_exact": SQL_SEQ_DEDUP_EXACT,
+        "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
+        "seq_validation_full": SQL_SEQ_VALIDATION_FULL,
+        "doc_val_nchars": SQL_DOC_VAL_NCHARS,
+        "doc_lang_enum": SQL_DOC_LANG_ENUM,
+        "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
+        "doc_quality_counts": SQL_DOC_QUALITY_COUNTS,
+        "events_window": SQL_EVENTS_WINDOW,
+        "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+        "lineitem_pricing": SQL_LINEITEM_PRICING,
+        "emb_topk": SQL_EMB_TOPK,
+    }

@@ -1,0 +1,122 @@
+"""Mini-driver: run every queries() entry and its oracle_sql() twin at a
+given sf, compare row-count + column names + order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    try:
+        from ray.data import Dataset
+
+        if isinstance(res, Dataset):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(got.columns) != sorted(want.columns):
+        problems.append(f"columns {sorted(got.columns)} != {sorted(want.columns)}")
+        return problems
+    if len(got) != len(want):
+        problems.append(f"rows {len(got)} != {len(want)}")
+    g, w = canon(got), canon(want)
+    if len(g) == len(w):
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                if not np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
+                    problems.append(f"float col {c} differs")
+            else:
+                if not (a.astype(str).values == b.astype(str).values).all():
+                    bad = np.flatnonzero(a.astype(str).values != b.astype(str).values)[:3]
+                    problems.append(f"col {c} differs at rows {bad.tolist()}: got {a.iloc[bad].tolist()} want {b.iloc[bad].tolist()}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(got)} ({dt:.1f}s) [rows-only]")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle raised {e}")
+            failures += 1
+            continue
+        problems = compare(name, got, want)
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} ({dt:.1f}s)")
+            failures += 1
+        else:
+            print(f"ok   {name}: rows={len(got)} match ({dt:.1f}s)")
+    ray.shutdown()
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
