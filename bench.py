@@ -62,9 +62,13 @@ def run_bench() -> dict:
     rows = read_sequences(path, columns=["doc_id"]).count()
     queries: dict[str, float] = {}
 
-    # headline: full validation (row checks ∪ referential ∪ uniqueness)
+    # headline: full validation (fused row+referential pass ∪ uniqueness)
     t0 = time.time()
-    res = validate_dataset(ds := read_sequences(path), _seq_spec())
+    res = validate_dataset(
+        read_sequences(path),
+        _seq_spec(),
+        key_ds=read_sequences(path, columns=["doc_id"]),
+    )
     n_viol = res.all_violations_table().num_rows
     queries["validate_full"] = round(time.time() - t0, 3)
 

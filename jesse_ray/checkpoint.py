@@ -136,7 +136,9 @@ def run_validation(
             continue
 
         ds = ray.data.read_parquet(frag, columns=columns)
-        res = eng.validate(ds, compiled)
+        uk = compiled.spec.unique_keys
+        key_ds = ray.data.read_parquet(frag, columns=list(uk)) if uk else None
+        res = eng.validate(ds, compiled, key_ds=key_ds)
         vtbl = res.all_violations_table()
         part_out = out / pid
         part_out.mkdir(parents=True, exist_ok=True)

@@ -380,6 +380,28 @@ class CompiledSpec:
             ok &= cnt == 1
         if cs.not_ is not None:
             ok &= ~self._spec_valid_mask(cs.not_, arr)
+        if cs.divisible_by is not None and is_num:
+            if cs.divisible_by == 0:
+                ok &= False  # divisor 0: every value not_divisible (draft-3)
+            else:
+                ok &= _multiple_of_mask(arr, cs.divisible_by)
+        if cs.disallow is not None:
+            ok &= ~np.full(n, _type_ok(cs.disallow, arr.type), dtype=bool)
+        if is_list and cs.contains is not None:
+            ok &= self._contains_mask(cs.contains, arr)
+        return ok
+
+    def _contains_mask(self, sub: ColumnSpec, arr: pa.Array) -> np.ndarray:
+        """True where ≥1 list element validates ``sub``; empty lists fail
+        (src/jesse_validator_draft6.erl:569-587)."""
+        n = len(arr)
+        flat, parent, _ii, _cnt = _list_layout(arr)
+        ok = np.zeros(n, dtype=bool)
+        if len(parent):
+            elem_ok = self._spec_valid_mask(sub, flat)
+            elem_ok &= _np_mask(pc.is_valid(flat), len(flat))
+            good_rows = np.unique(parent[elem_ok])
+            ok[good_rows] = True
         return ok
 
     # -- build emission units --
@@ -390,6 +412,32 @@ class CompiledSpec:
             self._build_consistency(rule)
         for col, needs in self.spec.dependencies.items():
             self._build_dependency(col, needs)
+        for cc in self.spec.custom_checks:
+            self._build_custom(cc)
+
+    def _build_custom(self, cc) -> None:
+        """external_validator analogue: user predicate appended AFTER all
+        keyword checks (src/jesse_validator_draft4.erl:1356-1362)."""
+        col = cc.column or self.spec.key_column
+
+        def fn(tbl, cc=cc, col=col):
+            ok = np.asarray(cc.fn(tbl), dtype=bool)
+            idx = np.flatnonzero(~ok)
+            if len(idx) == 0:
+                return idx, [], None
+            if col and col in tbl.column_names:
+                vals = self._values_json(_combine(tbl[col]), idx)
+            else:
+                vals = ["null"] * len(idx)
+            return idx, vals, None
+
+        self._add(
+            f"custom:{cc.name}",
+            cc.error_atom,
+            [col] if col else [],
+            {"external": cc.name},
+            fn,
+        )
 
     def _col_ctx(self, tbl: pa.Table, col: str):
         if col not in tbl.column_names:
@@ -651,6 +699,45 @@ class CompiledSpec:
             self._add(f"oneOf0:{col}", E.NOT_ONE_SCHEMA_VALID, [col], frag_obj, oneof_zero)
             self._add(f"oneOfN:{col}", E.MORE_THAN_ONE_SCHEMA_VALID, [col], frag_obj, oneof_many)
 
+        if cs.divisible_by is not None:
+            # draft-3 divisibleBy; divisor 0 ⇒ every present value fails
+            # with not_divisible (src/jesse_validator_draft3.erl:860-869)
+            simple(
+                "divisibleBy",
+                E.NOT_DIVISIBLE,
+                {"divisibleBy": cs.divisible_by},
+                lambda a, m=cs.divisible_by: (
+                    np.zeros(len(a), dtype=bool) if m == 0 else _multiple_of_mask(a, m)
+                )
+                if _is_numeric(a.type)
+                else np.ones(len(a), dtype=bool),
+            )
+
+        if cs.disallow is not None:
+            # draft-3 disallow ⇒ not_allowed (src/jesse_validator_draft3.erl:878-889)
+            simple(
+                "disallow",
+                E.NOT_ALLOWED,
+                {"disallow": cs.disallow},
+                lambda a, t=cs.disallow: ~np.full(len(a), _type_ok(t, a.type), dtype=bool),
+            )
+
+        if cs.contains is not None:
+            # draft-6 contains; empty array fails; atom data_invalid
+            # (src/jesse_validator_draft6.erl:151-156,569-587)
+            def contains_fn(tbl, col=col, sub=cs.contains):
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None or not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+                    return np.array([], dtype=np.int64), [], None
+                ok = self._contains_mask(sub, arr)
+                idx = np.flatnonzero(present & ~ok)
+                if len(idx) == 0:
+                    return idx, [], None
+                ln = pc.list_value_length(arr).take(pa.array(idx, type=pa.int64())).to_pylist()
+                return idx, [_json_val({"length": int(x)}) for x in ln], None
+
+            self._add(f"contains:{col}", E.DATA_INVALID, [col], {"contains": cs.contains.to_fragment()}, contains_fn)
+
         if cs.not_ is not None:
             def not_fn(tbl, col=col, sub=cs.not_):
                 arr, present = self._col_ctx(tbl, col)
@@ -723,20 +810,62 @@ class CompiledSpec:
         (SURVEY §2.3 mapping of src/jesse_validator_draft4.erl:431-507)."""
         if not self.spec.additional_columns_allowed:
             extra = set(schema.names) - set(self.spec.columns)
+            if self.spec.column_patterns:
+                pats = [re.compile(p) for p in self.spec.column_patterns]
+                extra = {c for c in extra if not any(rx.search(c) for rx in pats)}
             if extra:
                 raise E.SchemaInvalidError(
                     E.NO_EXTRA_PROPERTIES_ALLOWED, f"unexpected columns {sorted(extra)}"
                 )
+        # min/maxProperties → column-count bounds at launch
+        # (src/jesse_validator_draft4.erl:1073-1107, compile-time per SURVEY §2.3)
+        n_cols = len(schema.names)
+        if self.spec.max_columns is not None and n_cols > self.spec.max_columns:
+            raise E.SchemaInvalidError(E.TOO_MANY_PROPERTIES, f"{n_cols} columns > {self.spec.max_columns}")
+        if self.spec.min_columns is not None and n_cols < self.spec.min_columns:
+            raise E.SchemaInvalidError(E.TOO_FEW_PROPERTIES, f"{n_cols} columns < {self.spec.min_columns}")
 
-    def check_batch(self, tbl: pa.Table) -> pa.Table:
-        """All row-level checks over one Arrow batch → violations table."""
+    def check_batch(self, tbl: pa.Table, *, allowed_errors: Optional[int] = None) -> pa.Table:
+        """All row-level checks over one Arrow batch → violations table.
+
+        ``allowed_errors`` reproduces jesse's per-document error budget
+        (src/jesse_error.erl:71-78; default wiring src/jesse_state.erl:138-141):
+        ``None`` ≡ 'infinity' (collect everything, our default);
+        ``0`` ≡ jesse's default stop-at-first (one violation per row);
+        ``N>0`` ≡ collect up to N+1 violations per row (jesse appends
+        until the budget is EXCEEDED, then throws carrying the list).
+        Emission order is the spec's keyword order, so "first" is
+        deterministic.
+        """
         key = self.spec.key_column
         key_arr = _combine(tbl[key]) if key and key in tbl.column_names else None
+        cap = None if allowed_errors is None else (1 if allowed_errors == 0 else allowed_errors + 1)
+        row_counts = np.zeros(tbl.num_rows, dtype=np.int32) if cap is not None else None
         out_doc, out_path, out_err, out_val, out_frag = [], [], [], [], []
         for em in self._emits:
             idx, vals, paths = em.fn(tbl)
             if len(idx) == 0:
                 continue
+            if cap is not None:
+                idx = np.asarray(idx, dtype=np.int64)
+                keep = np.flatnonzero(row_counts[idx] < cap)
+                if len(keep) == 0:
+                    continue
+                # within one emit, several violations can hit the same row
+                # (per-element items checks): honor the cap inside the emit
+                # by counting occurrences in order
+                sel = []
+                for k in keep:
+                    r = idx[k]
+                    if row_counts[r] < cap:
+                        row_counts[r] += 1
+                        sel.append(int(k))
+                idx = idx[sel]
+                vals = [vals[k] for k in sel]
+                if paths is not None:
+                    paths = [paths[k] for k in sel]
+                if len(idx) == 0:
+                    continue
             if key_arr is not None:
                 docs = key_arr.take(pa.array(idx, type=pa.int64())).to_pylist()
                 docs = [d if d is None else str(d) for d in docs]

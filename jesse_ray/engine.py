@@ -45,7 +45,13 @@ from jesse_ray.spec import ReferentialRule, TableSpec
 # row-level checks (stateless map_batches)
 
 
-def row_violations(ds: Dataset, compiled: CompiledSpec, *, batch_size: int = 8192) -> Dataset:
+def row_violations(
+    ds: Dataset,
+    compiled: CompiledSpec,
+    *,
+    batch_size: int = 8192,
+    allowed_errors: Optional[int] = None,
+) -> Dataset:
     """All per-row keyword checks as one stateless vectorized stage.
 
     One pass emits violations for every compiled check (the reference
@@ -53,10 +59,13 @@ def row_violations(ds: Dataset, compiled: CompiledSpec, *, batch_size: int = 819
     src/jesse_validator_draft4.erl:84-260; we walk documents in bulk per
     keyword).  ``batch_size`` is modest because ``tokens`` rows are wide
     (~200 int32 each → 8192 rows ≈ 6.5 MB of list data per batch).
+
+    ``allowed_errors``: per-row error budget (None ≡ 'infinity';
+    0 ≡ jesse's stop-at-first default — see CompiledSpec.check_batch).
     """
 
     def check(batch: pa.Table) -> pa.Table:
-        return compiled.check_batch(batch)
+        return compiled.check_batch(batch, allowed_errors=allowed_errors)
 
     return ds.map_batches(
         check, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
@@ -103,6 +112,78 @@ def duplicate_keys(ds: Dataset, key: str, *, batch_size: int = 65536) -> Dataset
         return batch.filter(pc.greater(batch["cnt"], 1))
 
     return counts.map_batches(only_dups, batch_format="pyarrow")
+
+
+def duplicate_keys_hashed(ds: Dataset, key: str, *, batch_size: int = 65536) -> pa.Table:
+    """Exact duplicate keys via a HASH-weight shuffle (scale path).
+
+    The plain groupby shuffles (and sort-merges) the raw key strings.
+    Here phase 1 maps each batch to per-batch partial counts keyed by a
+    64-bit hash of the key — the all-to-all then moves 16-byte int rows
+    and sorts int64s, an order of magnitude lighter than strings at
+    10^12-key scale.  Phase 2 collects the (rare) duplicated hashes and
+    confirms them exactly: one narrow filtered pass fetches the actual
+    key strings for those hashes only (collisions drop out here), so the
+    result is exact, not approximate.
+
+    Returns an Arrow table (key, cnt) — materialized, because duplicate
+    sets are tiny by assumption.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = _combine(batch[key]).drop_null()
+        if len(arr) == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64()), "partial_cnt": pa.array([], type=pa.int64())})
+        h = _hash64(arr)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq, type=pa.uint64()), "partial_cnt": pa.array(cnt, type=pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    counts = partials.groupby("h").aggregate(Sum("partial_cnt", alias_name="cnt"))
+    dup_hashes: list[int] = []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        m = pc.greater(b["cnt"], 1)
+        dup_hashes.extend(b.filter(m)["h"].to_pylist())
+    if not dup_hashes:
+        return pa.table({key: pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())})
+
+    hset = np.sort(np.asarray(dup_hashes, dtype=np.uint64))
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        arr = _combine(batch[key]).drop_null()
+        h = _hash64(arr)
+        hit = np.isin(h, hset)
+        t = pa.table({key: arr.filter(pa.array(hit))})
+        g = t.group_by(key).aggregate([([], "count_all")])
+        return g.rename_columns([key, "partial_cnt"])
+
+    confirmed = ds.map_batches(confirm, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    tbl = pa.concat_tables(list(confirmed.iter_batches(batch_format="pyarrow")))
+    if tbl.num_rows == 0:
+        return pa.table({key: pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())})
+    g = tbl.group_by(key).aggregate([("partial_cnt", "sum")])
+    g = g.rename_columns([key, "cnt"])
+    return g.filter(pc.greater(g["cnt"], 1)).sort_by(key)
+
+
+def _hash64(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over the utf8 bytes of a string array."""
+    import pyarrow.types as pt
+
+    buf_arr = arr.cast(pa.large_string()) if not pa.types.is_large_string(arr.type) else arr
+    offsets = np.frombuffer(buf_arr.buffers()[1], dtype=np.int64, count=len(buf_arr) + 1 + buf_arr.offset)
+    offsets = offsets[buf_arr.offset :]
+    data = np.frombuffer(buf_arr.buffers()[2], dtype=np.uint8)
+    out = np.full(len(buf_arr), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    lens = np.diff(offsets)
+    maxlen = int(lens.max()) if len(lens) else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            alive = lens > j
+            idx = offsets[:-1][alive] + j
+            out[alive] = (out[alive] ^ data[idx].astype(np.uint64)) * prime
+    return out
 
 
 def uniqueness_violations(ds: Dataset, key: str) -> pa.Table:
@@ -228,6 +309,63 @@ def referential_violations(
     return ds.select_columns(cols).map_batches(
         ReferentialChecker,
         fn_constructor_args=(rules_ref, spec.key_column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FusedValidator:
+    """Actor-pool stage fusing ALL row-level keyword checks with the
+    referential (broadcast-dimension) checks in ONE pass over the data.
+
+    At corpus scale the input read dominates: running row checks and
+    referential checks as separate branches reads every block twice and
+    unions two heavy streams.  This stage reads once.  State (the
+    compiled spec + the broadcast allowed-value sets) is fetched from
+    the object store once per actor in ``__init__`` — never re-shipped
+    per batch (SURVEY §7.2).
+    """
+
+    def __init__(self, compiled_ref, rules_ref, key_column: Optional[str], allowed_errors=None):
+        self.compiled: CompiledSpec = (
+            ray.get(compiled_ref) if isinstance(compiled_ref, ray.ObjectRef) else compiled_ref
+        )
+        self.allowed_errors = allowed_errors
+        rules = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) else rules_ref
+        self._ref = ReferentialChecker(rules, key_column) if rules else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        row = self.compiled.check_batch(batch, allowed_errors=self.allowed_errors)
+        if self._ref is None:
+            return row
+        ref = self._ref(batch)
+        if ref.num_rows == 0:
+            return row
+        if row.num_rows == 0:
+            return ref
+        return pa.concat_tables([row, ref])
+
+
+def fused_violations(
+    ds: Dataset,
+    compiled: CompiledSpec,
+    *,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 8192,
+    allowed_errors: Optional[int] = None,
+) -> Dataset:
+    """Single-pass row + referential violations (see FusedValidator)."""
+    spec = compiled.spec
+    rules = (
+        [(r.column, _load_allowed_values(r), r.error_atom) for r in spec.referential]
+        if spec.referential
+        else None
+    )
+    return ds.map_batches(
+        FusedValidator,
+        fn_constructor_args=(ray.put(compiled), ray.put(rules), spec.key_column, allowed_errors),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -368,6 +506,9 @@ class ValidationEngine:
         check_unique: bool = True,
         referential_concurrency: int | tuple[int, int] = (1, 4),
         batch_size: int = 8192,
+        allowed_errors: Optional[int] = None,
+        key_ds: Optional[Dataset] = None,
+        fused: bool = True,
     ) -> ValidationResult:
         if isinstance(spec_or_name, str):
             compiled = self.get(spec_or_name)
@@ -377,7 +518,18 @@ class ValidationEngine:
             compiled = compile_spec(spec_or_name)
         spec = compiled.spec
 
-        if not spec.additional_columns_allowed:
+        if spec.column_patterns:
+            # patternProperties resolved against the actual column names
+            # at launch (driver-side, SURVEY §2.3)
+            compiled = compile_spec(spec.resolve_patterns(ds.schema().names))
+            spec = compiled.spec
+
+        needs_gate = (
+            not spec.additional_columns_allowed
+            or spec.min_columns is not None
+            or spec.max_columns is not None
+        )
+        if needs_gate:
             sch = ds.schema()
             arrow_schema = getattr(sch, "base_schema", None)
             if arrow_schema is None:
@@ -386,16 +538,33 @@ class ValidationEngine:
                 )
             compiled.check_schema(arrow_schema)
 
-        parts: list[Dataset] = [row_violations(ds, compiled, batch_size=batch_size)]
-        ref_ds = referential_violations(ds, spec, concurrency=referential_concurrency)
-        if ref_ds is not None:
-            parts.append(ref_ds)
-        violations = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        if fused:
+            # ONE pass over the full-width data for row + referential
+            # checks — at 100 TB the read dominates, so the two-branch
+            # union (two full reads) is strictly worse
+            violations = fused_violations(
+                ds,
+                compiled,
+                concurrency=referential_concurrency if spec.referential else (1, 8),
+                batch_size=batch_size,
+                allowed_errors=allowed_errors,
+            )
+        else:
+            parts: list[Dataset] = [
+                row_violations(ds, compiled, batch_size=batch_size, allowed_errors=allowed_errors)
+            ]
+            ref_ds = referential_violations(ds, spec, concurrency=referential_concurrency)
+            if ref_ds is not None:
+                parts.append(ref_ds)
+            violations = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
         uniq = empty_violations()
         if check_unique and spec.unique_keys:
+            # narrow pass: callers reading parquet should pass ``key_ds``
+            # as a column-pruned read so only the key column's pages move
+            uds = key_ds if key_ds is not None else ds
             for key in spec.unique_keys:
-                uv = uniqueness_violations(ds, key)
+                uv = uniqueness_violations(uds, key)
                 if uv.num_rows:
                     uniq = pa.concat_tables([uniq, uv]) if uniq.num_rows else uv
 

@@ -99,6 +99,17 @@ def _spec_valid(cs: ColumnSpec, v: Any) -> bool:
         return False
     if cs.not_ is not None and _spec_valid(cs.not_, v):
         return False
+    if cs.divisible_by is not None and isinstance(v, (int, float)) and not isinstance(v, bool):
+        if cs.divisible_by == 0:
+            return False
+        q = v / cs.divisible_by
+        if (q - int(q)) * cs.divisible_by != 0.0:
+            return False
+    if cs.disallow is not None and _type_ok(cs.disallow, v):
+        return False
+    if cs.contains is not None and isinstance(v, (list, tuple)):
+        if not any(x is not None and _spec_valid(cs.contains, x) for x in v):
+            return False
     return True
 
 
@@ -179,6 +190,18 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
                 emit([col], E.MORE_THAN_ONE_SCHEMA_VALID, v)
         if cs.not_ is not None and _spec_valid(cs.not_, v):
             emit([col], E.NOT_SCHEMA_VALID, v)
+        if cs.divisible_by is not None and isinstance(v, (int, float)) and not isinstance(v, bool):
+            bad = cs.divisible_by == 0
+            if not bad:
+                q = v / cs.divisible_by
+                bad = (q - int(q)) * cs.divisible_by != 0.0
+            if bad:
+                emit([col], E.NOT_DIVISIBLE, v)
+        if cs.disallow is not None and _type_ok(cs.disallow, v):
+            emit([col], E.NOT_ALLOWED, v)
+        if cs.contains is not None and isinstance(v, (list, tuple)):
+            if not any(x is not None and _spec_valid(cs.contains, x) for x in v):
+                emit([col], E.DATA_INVALID, {"length": len(v)})
 
     for rule in spec.consistency:
         lv, rv = row.get(rule.left), row.get(rule.right)

@@ -86,6 +86,17 @@ class ColumnSpec:
     any_of: Optional[list["ColumnSpec"]] = None
     one_of: Optional[list["ColumnSpec"]] = None
     not_: Optional["ColumnSpec"] = None
+    # --- draft-3 deltas (SURVEY §2.4) ---
+    # divisibleBy — like multipleOf but divisor 0 is a DATA error
+    # ``not_divisible``, not schema_invalid (src/jesse_validator_draft3.erl:860-869)
+    divisible_by: Optional[float] = None
+    # disallow — negated type membership ⇒ ``not_allowed``
+    # (src/jesse_validator_draft3.erl:878-889)
+    disallow: Optional[str | list[str]] = None
+    # --- draft-6 deltas ---
+    # contains — some array element validates subspec; empty array fails
+    # with atom ``data_invalid`` (src/jesse_validator_draft6.erl:151-156,569-587)
+    contains: Optional["ColumnSpec"] = None
 
     def to_fragment(self) -> dict:
         """JSON-Schema-style fragment used in violation rows'
@@ -132,6 +143,12 @@ class ColumnSpec:
             frag["oneOf"] = [s.to_fragment() for s in self.one_of]
         if self.not_ is not None:
             frag["not"] = self.not_.to_fragment()
+        if self.divisible_by is not None:
+            frag["divisibleBy"] = self.divisible_by
+        if self.disallow is not None:
+            frag["disallow"] = self.disallow
+        if self.contains is not None:
+            frag["contains"] = self.contains.to_fragment()
         return frag
 
 
@@ -173,6 +190,26 @@ class ConsistencyRule:
 
 
 @dataclass
+class CustomCheck:
+    """User-extension hook — the ``external_validator`` analogue
+    (src/jesse.erl:71-72, run after all keywords at
+    src/jesse_validator_draft4.erl:1356-1362): a batch predicate appended
+    to the compiled check chain.
+
+    ``fn(pa.Table) -> boolean ndarray`` returns True where the row
+    PASSES.  Must be a picklable top-level callable (it ships to
+    workers inside the compiled spec).
+    """
+
+    name: str
+    fn: Callable[[Any], Any]
+    error_atom: str = E.EXTERNAL
+    #: column used for path + value_json in violation rows (falls back to
+    #: the table's key column)
+    column: Optional[str] = None
+
+
+@dataclass
 class TableSpec:
     """The full spec for one corpus table."""
 
@@ -189,7 +226,44 @@ class TableSpec:
     #: dependencies (array form): col present ⇒ others present
     #: (src/jesse_validator_draft4.erl:637-694)
     dependencies: dict[str, list[str]] = field(default_factory=dict)
+    #: patternProperties analogue — regex → ColumnSpec, resolved against the
+    #: actual Parquet column NAMES at launch (driver-side cross product of
+    #: columns × patterns, src/jesse_validator_draft4.erl:405-426 mapped to
+    #: compile time per SURVEY §2.3)
+    column_patterns: dict[str, ColumnSpec] = field(default_factory=dict)
+    #: min/maxProperties — column-count bounds, checked against the Parquet
+    #: schema at launch (src/jesse_validator_draft4.erl:1073-1107)
+    min_columns: Optional[int] = None
+    max_columns: Optional[int] = None
+    #: external_validator hooks (src/jesse.erl:71-72)
+    custom_checks: list[CustomCheck] = field(default_factory=list)
     name: str = "spec"
+
+    def resolve_patterns(self, column_names: list[str]) -> "TableSpec":
+        """Expand ``column_patterns`` against the actual column names:
+        each matching column gains the pattern's constraints (merged into
+        any explicit ColumnSpec via allOf, mirroring the reference's
+        additive patternProperties semantics,
+        src/jesse_validator_draft4.erl:405-426).  Returns a new spec; the
+        original is untouched."""
+        if not self.column_patterns:
+            return self
+        import re as _re
+
+        out = copy.deepcopy(self)
+        out.column_patterns = {}
+        for pat, sub in self.column_patterns.items():
+            rx = _re.compile(pat)
+            for col in column_names:
+                if rx.search(col):
+                    existing = out.columns.get(col)
+                    if existing is None:
+                        out.columns[col] = copy.deepcopy(sub)
+                    else:
+                        merged = copy.deepcopy(existing)
+                        merged.all_of = (merged.all_of or []) + [copy.deepcopy(sub)]
+                        out.columns[col] = merged
+        return out
 
     def to_json(self) -> str:
         doc = {
@@ -208,6 +282,10 @@ class TableSpec:
                 for r in self.referential
             ],
             "additionalColumnsAllowed": self.additional_columns_allowed,
+            "patternProperties": {k: v.to_fragment() for k, v in self.column_patterns.items()},
+            "minProperties": self.min_columns,
+            "maxProperties": self.max_columns,
+            "customChecks": [c.name for c in self.custom_checks],
         }
         return json.dumps(doc, sort_keys=True, separators=(",", ":"))
 
@@ -356,6 +434,32 @@ def _(c, v, root):
     c.not_ = _subspec(v, root)
 
 
+@_kw("divisibleBy")
+def _(c, v, root):
+    # draft-3: divisor 0 is a DATA error (not_divisible), so 0 is kept
+    # (src/jesse_validator_draft3.erl:860-869)
+    c.divisible_by = v
+
+
+@_kw("disallow")
+def _(c, v, root):
+    # draft-3 negated type (src/jesse_validator_draft3.erl:878-889);
+    # schema-form union members unsupported for columns (documented)
+    c.disallow = v
+
+
+@_kw("extends")
+def _(c, v, root):
+    # draft-3 extends ≈ allOf (src/jesse_validator_draft3.erl:902-921)
+    subs = v if isinstance(v, list) else [v]
+    c.all_of = (c.all_of or []) + [_subspec(s, root) for s in subs]
+
+
+@_kw("contains")
+def _(c, v, root):
+    c.contains = _subspec(v, root)
+
+
 def _resolve_ref(raw: dict, root: dict, depth: int = 0) -> dict:
     """Inline ``$ref`` pointing into the root schema's ``definitions`` /
     local JSON Pointers.  Compile-time flattening replaces the reference's
@@ -421,6 +525,14 @@ def from_json_schema(schema: dict, *, name: str = "spec", key_column: str = "doc
                 raise E.SchemaInvalidError(E.SCHEMA_INVALID, "schema-form dependencies not supported for columns")
     if schema.get("additionalProperties") is False:
         spec.additional_columns_allowed = False
+    pat_props = schema.get("patternProperties")
+    if isinstance(pat_props, dict):
+        for pat, sub in pat_props.items():
+            spec.column_patterns[pat] = _column_from_schema(sub, schema)
+    if "minProperties" in schema:
+        spec.min_columns = int(schema["minProperties"])
+    if "maxProperties" in schema:
+        spec.max_columns = int(schema["maxProperties"])
     return spec
 
 

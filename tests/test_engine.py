@@ -228,3 +228,54 @@ def test_sketch_merge_is_distribution_invariant(corpus_sf0001):
     for q in (0.25, 0.5, 0.9):
         assert abs(b1.digest.quantile(q) - b2.digest.quantile(q)) < 0.02 * b2.digest.quantile(q)
     assert np.array_equal(b1.freq.counts, b2.freq.counts)
+
+
+def test_duplicate_keys_hashed_matches_plain(corpus_sf0001):
+    """The hash-weight shuffle scale path is exact (collisions confirmed
+    away), matching the plain string groupby."""
+    import pyarrow as pa
+
+    from jesse_ray.engine import duplicate_keys, duplicate_keys_hashed
+    from jesse_ray.sources import read_sequences
+    from jesse_ray import testgen
+
+    path = str(testgen.corpus_path("sf0.001"))
+    plain = pa.concat_tables(
+        list(
+            duplicate_keys(read_sequences(path, columns=["doc_id"]), "doc_id").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    ).sort_by("doc_id")
+    hashed = duplicate_keys_hashed(read_sequences(path, columns=["doc_id"]), "doc_id")
+    assert plain["doc_id"].to_pylist() == hashed["doc_id"].to_pylist()
+    assert [int(x) for x in plain["cnt"].to_pylist()] == [int(x) for x in hashed["cnt"].to_pylist()]
+
+
+def test_fused_matches_two_branch(corpus_sf0001):
+    """The fused single-pass stage emits exactly the same violation rows
+    as the separate row+referential branches."""
+    from jesse_ray.engine import validate_dataset
+    from jesse_ray.pipelines.queries import _seq_spec
+    from jesse_ray.sources import read_sequences
+    from jesse_ray import testgen
+
+    path = str(testgen.corpus_path("sf0.001"))
+
+    def canon(res):
+        t = res.all_violations_table()
+        rows = sorted(
+            zip(
+                [x or "" for x in t["doc_id"].to_pylist()],
+                ["/".join(p) for p in t["path"].to_pylist()],
+                t["error"].to_pylist(),
+                t["value_json"].to_pylist(),
+            )
+        )
+        return rows
+
+    fused = validate_dataset(read_sequences(path), _seq_spec(), referential_concurrency=(1, 2))
+    two = validate_dataset(
+        read_sequences(path), _seq_spec(), referential_concurrency=(1, 2), fused=False
+    )
+    assert canon(fused) == canon(two)

@@ -1,0 +1,243 @@
+"""Draft-3/draft-6 keyword deltas, compile-time property machinery, the
+external-validator hook and the allowed_errors budget (SURVEY §2.4,
+§2.3 patternProperties/min-maxProperties, §2.7-§2.8).
+
+Pure Arrow-batch tests — no Ray session needed except where noted.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jesse_ray import errors as E
+from jesse_ray.compiler import compile_spec
+from jesse_ray.oracle import validate_row
+from jesse_ray.spec import (
+    ColumnSpec,
+    CustomCheck,
+    TableSpec,
+    from_json_schema,
+)
+
+
+def _spec_one(col, cs, key=None):
+    s = TableSpec(key_column=key)
+    s.columns[col] = cs
+    return s
+
+
+def _errors(compiled, tbl, **kw):
+    v = compiled.check_batch(tbl, **kw)
+    return [(tuple(p), e) for p, e in zip(v["path"].to_pylist(), v["error"].to_pylist())]
+
+
+# ---------------------------------------------------------------------------
+# draft-3 deltas
+
+
+def test_divisible_by_basic():
+    # src/jesse_validator_draft3.erl:860-869
+    c = compile_spec(_spec_one("n", ColumnSpec(divisible_by=3)))
+    assert _errors(c, pa.table({"n": pa.array([6, 7])})) == [(("n",), E.NOT_DIVISIBLE)]
+
+
+def test_divisible_by_zero_is_data_error():
+    # divisor 0 ⇒ DATA error not_divisible for every value, not schema_invalid
+    c = compile_spec(_spec_one("n", ColumnSpec(divisible_by=0)))
+    assert _errors(c, pa.table({"n": pa.array([1, 2])})) == [(("n",), E.NOT_DIVISIBLE)] * 2
+
+
+def test_disallow_type():
+    # src/jesse_validator_draft3.erl:878-889
+    c = compile_spec(_spec_one("n", ColumnSpec(disallow="integer")))
+    t = pa.table({"n": pa.array([1, 2], type=pa.int64())})
+    assert _errors(c, t) == [(("n",), E.NOT_ALLOWED)] * 2
+    c2 = compile_spec(_spec_one("s", ColumnSpec(disallow=["integer", "number"])))
+    assert _errors(c2, pa.table({"s": pa.array(["a"])})) == []
+
+
+def test_extends_maps_to_all_of():
+    # src/jesse_validator_draft3.erl:902-921
+    spec = from_json_schema(
+        {"properties": {"n": {"minimum": 0, "extends": {"maximum": 10}}}}
+    )
+    c = compile_spec(spec)
+    errs = _errors(c, pa.table({"n": pa.array([5, 11, -1])}))
+    # -1 violates minimum (not_in_range), 11 violates extends→allOf
+    assert (("n",), E.NOT_IN_RANGE) in errs
+    assert (("n",), E.ALL_SCHEMAS_NOT_VALID) in errs
+
+
+# ---------------------------------------------------------------------------
+# draft-6 contains
+
+
+def test_contains_some_element_and_empty_fails():
+    # src/jesse_validator_draft6.erl:151-156,569-587
+    c = compile_spec(_spec_one("xs", ColumnSpec(contains=ColumnSpec(minimum=5))))
+    t = pa.table({"xs": pa.array([[1, 6], [1, 2], []], type=pa.list_(pa.int64()))})
+    assert _errors(c, t) == [(("xs",), E.DATA_INVALID)] * 2  # [1,2] and []
+
+
+def test_contains_loader_and_oracle_parity():
+    spec = from_json_schema({"properties": {"xs": {"contains": {"minimum": 5}}}}, key_column=None)
+    c = compile_spec(spec)
+    rows = [{"xs": [1, 6]}, {"xs": [1, 2]}, {"xs": []}]
+    tbl = pa.table({"xs": pa.array([r["xs"] for r in rows], type=pa.list_(pa.int64()))})
+    got = _errors(c, tbl)
+    want = [(p, e) for r in rows for (_d, p, e, _v) in validate_row(spec, r)]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# patternProperties / min-maxProperties (compile-time column machinery)
+
+
+def test_pattern_properties_resolution():
+    # src/jesse_validator_draft4.erl:405-426 → driver-side column match
+    spec = from_json_schema(
+        {"patternProperties": {"^meta_": {"type": "string", "minLength": 2}}}, key_column=None
+    )
+    resolved = spec.resolve_patterns(["meta_lang", "n_tok"])
+    assert "meta_lang" in resolved.columns and "n_tok" not in resolved.columns
+    c = compile_spec(resolved)
+    t = pa.table({"meta_lang": pa.array(["en", "x"]), "n_tok": pa.array([1, 2])})
+    assert _errors(c, t) == [(("meta_lang",), E.WRONG_LENGTH)]
+
+
+def test_pattern_properties_merge_with_explicit_column():
+    spec = from_json_schema(
+        {
+            "properties": {"meta_lang": {"type": "string"}},
+            "patternProperties": {"^meta_": {"minLength": 2}},
+        },
+        key_column=None,
+    )
+    resolved = spec.resolve_patterns(["meta_lang"])
+    c = compile_spec(resolved)
+    # short value now violates the merged pattern constraint via allOf
+    errs = _errors(c, pa.table({"meta_lang": pa.array(["x"])}))
+    assert (("meta_lang",), E.ALL_SCHEMAS_NOT_VALID) in errs
+
+
+def test_pattern_properties_relax_additional_columns_gate():
+    spec = from_json_schema(
+        {
+            "properties": {"a": {}},
+            "patternProperties": {"^meta_": {}},
+            "additionalProperties": False,
+        },
+        key_column=None,
+    )
+    c = compile_spec(spec)
+    c.check_schema(pa.schema([("a", pa.int64()), ("meta_x", pa.string())]))  # ok
+    with pytest.raises(E.SchemaInvalidError):
+        c.check_schema(pa.schema([("a", pa.int64()), ("rogue", pa.string())]))
+
+
+def test_min_max_properties_column_count():
+    # src/jesse_validator_draft4.erl:1073-1107 at compile time
+    spec = from_json_schema({"minProperties": 2, "maxProperties": 3}, key_column=None)
+    c = compile_spec(spec)
+    c.check_schema(pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+    with pytest.raises(E.SchemaInvalidError) as ei:
+        c.check_schema(pa.schema([("a", pa.int64())]))
+    assert E.TOO_FEW_PROPERTIES in str(ei.value)
+    with pytest.raises(E.SchemaInvalidError) as ei:
+        c.check_schema(pa.schema([(n, pa.int64()) for n in "abcd"]))
+    assert E.TOO_MANY_PROPERTIES in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# external_validator hook
+
+
+def _even_sum_check(tbl: pa.Table) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    col = tbl["xs"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    s = np.bincount(parent, weights=flat, minlength=tbl.num_rows)
+    return s % 2 == 0
+
+
+def test_custom_check_external_validator():
+    # src/jesse.erl:71-72 → predicate appended to the compiled chain
+    spec = TableSpec(key_column="id")
+    spec.custom_checks.append(CustomCheck(name="even_sum", fn=_even_sum_check, column="id"))
+    c = compile_spec(spec)
+    t = pa.table(
+        {"id": pa.array(["a", "b"]), "xs": pa.array([[1, 1], [1, 2]], type=pa.list_(pa.int64()))}
+    )
+    v = c.check_batch(t)
+    assert v["error"].to_pylist() == [E.EXTERNAL]
+    assert v["doc_id"].to_pylist() == ["b"]
+
+
+# ---------------------------------------------------------------------------
+# allowed_errors budget (src/jesse_error.erl:71-78)
+
+
+def _multi_violation_spec():
+    spec = TableSpec(key_column=None)
+    # a value of -1 violates BOTH minimum and multipleOf(2)
+    spec.columns["n"] = ColumnSpec(minimum=0, multiple_of=2)
+    return spec
+
+
+def test_allowed_errors_infinity_collects_all():
+    c = compile_spec(_multi_violation_spec())
+    t = pa.table({"n": pa.array([-1])})
+    assert len(_errors(c, t)) == 2
+
+
+def test_allowed_errors_zero_stops_at_first():
+    # jesse's default: stop at the FIRST error per document
+    c = compile_spec(_multi_violation_spec())
+    t = pa.table({"n": pa.array([-1, -3])})
+    errs = _errors(c, t, allowed_errors=0)
+    assert errs == [(("n",), E.NOT_IN_RANGE)] * 2  # range check compiled first
+
+
+def test_allowed_errors_budget_n():
+    # N>0 collects up to N+1 errors per row (budget EXCEEDED throws in jesse)
+    spec = TableSpec(key_column=None)
+    spec.columns["n"] = ColumnSpec(minimum=0, multiple_of=2, maximum=-5, enum=[2, 4])
+    c = compile_spec(spec)
+    t = pa.table({"n": pa.array([-1])})
+    all_errs = _errors(c, t)
+    assert len(all_errs) >= 3
+    assert len(_errors(c, t, allowed_errors=1)) == 2
+
+
+def test_allowed_errors_caps_within_one_emit():
+    # per-element items violations hit the same row many times; the cap
+    # must apply inside a single emission unit too
+    spec = TableSpec(key_column=None)
+    spec.columns["xs"] = ColumnSpec(items=ColumnSpec(minimum=0))
+    c = compile_spec(spec)
+    t = pa.table({"xs": pa.array([[-1, -2, -3]], type=pa.list_(pa.int64()))})
+    assert len(_errors(c, t)) == 3
+    assert len(_errors(c, t, allowed_errors=0)) == 1
+    assert len(_errors(c, t, allowed_errors=1)) == 2
+
+
+# ---------------------------------------------------------------------------
+# oracle parity for the new keywords
+
+
+def test_oracle_parity_draft3_keywords():
+    spec = TableSpec(key_column=None)
+    spec.columns["n"] = ColumnSpec(divisible_by=3)
+    spec.columns["s"] = ColumnSpec(disallow="string")
+    c = compile_spec(spec)
+    rows = [{"n": 7, "s": "bad"}, {"n": 9, "s": None}]
+    tbl = pa.table(
+        {"n": pa.array([r["n"] for r in rows]), "s": pa.array([r["s"] for r in rows])}
+    )
+    got = sorted(_errors(c, tbl))
+    want = sorted((p, e) for r in rows for (_d, p, e, _v) in validate_row(spec, r))
+    assert got == want
