@@ -492,6 +492,26 @@ class ValidationEngine:
     def del_spec(self, name: str) -> None:
         self._specs.pop(name, None)
 
+    def load_specs(self, dir_path: str) -> list[str]:
+        """Bulk-load every ``*.json`` draft-04 spec file in a directory
+        (the file stem becomes the spec name) — jesse:load_schemas
+        analogue (src/jesse.erl:153-182).  No mtime-refresh cache: a
+        validation run's specs are immutable, so reload is just calling
+        this again (SURVEY §2.6)."""
+        import glob as _glob
+        import os as _os
+
+        from jesse_ray.spec import from_json_schema
+
+        loaded = []
+        for p in sorted(_glob.glob(_os.path.join(str(dir_path), "*.json"))):
+            name = _os.path.splitext(_os.path.basename(p))[0]
+            with open(p) as f:
+                schema = json.load(f)
+            self.add_spec(name, from_json_schema(schema, name=name))
+            loaded.append(name)
+        return loaded
+
     def get(self, name: str) -> CompiledSpec:
         if name not in self._specs:
             raise KeyError(f"{E.SCHEMA_INVALID}: no spec named {name!r}")
@@ -579,3 +599,26 @@ def validate_dataset(ds: Dataset, spec: TableSpec | CompiledSpec, **kw) -> Valid
     """One-shot convenience — jesse:validate_with_schema/2 analogue
     (src/jesse.erl:220-248)."""
     return ValidationEngine().validate(ds, spec, **kw)
+
+
+def violations_to_json(tbl: pa.Table) -> str:
+    """Render violation rows in the reference CLI's ``--json`` report
+    shape — ``{"reasons": [{"invalid": "data", "schema": ..., "error":
+    ..., "data": ..., "path": [...]}, ...]}`` per
+    src/jesse_error.erl:107-138 (reason_to_jsx / to_json).  Path index
+    elements become integers, as in the reference's mixed
+    name/0-based-index paths."""
+    reasons = []
+    for i in range(tbl.num_rows):
+        path = [int(p) if p.isdigit() else p for p in tbl["path"][i].as_py()]
+        reasons.append(
+            {
+                "invalid": "data",
+                "schema": json.loads(tbl["schema_fragment"][i].as_py()),
+                "error": tbl["error"][i].as_py(),
+                "data": json.loads(tbl["value_json"][i].as_py()),
+                "path": path,
+                "doc_id": tbl["doc_id"][i].as_py(),
+            }
+        )
+    return json.dumps({"reasons": reasons}, ensure_ascii=False)

@@ -38,7 +38,12 @@ from jesse_ray.engine import (
     referential_violations,
     row_violations,
 )
-from jesse_ray.pipelines.relational import broadcast_join, grouped_agg, tumbling_window
+from jesse_ray.pipelines.relational import (
+    broadcast_join,
+    grouped_agg,
+    grouped_count_distinct,
+    tumbling_window,
+)
 from jesse_ray.sources import read_sequences
 from jesse_ray.spec import ColumnSpec, ConsistencyRule, TableSpec, sequences_spec
 
@@ -324,6 +329,60 @@ WHERE doc_id IS NOT NULL
   AND n_tok BETWEEN 1 AND 2048
   AND len(tokens) BETWEEN 1 AND 2048
   AND len(list_filter(tokens, x -> x < 0 OR x >= {testgen.VOCAB})) = 0
+"""
+
+
+def q_seq_val_first_error(sf_dir: str) -> pd.DataFrame:
+    """allowed_errors=0 (jesse's default stop-at-first budget,
+    src/jesse_error.erl:71-78): per-error counts when each row reports
+    only its FIRST violation in compiled keyword order."""
+    ds = read_sequences(_seq_path(sf_dir))
+    compiled = compile_spec(_seq_spec())
+    v = _collect(row_violations(ds, compiled, allowed_errors=0))
+    if v is None or v.num_rows == 0:
+        return pd.DataFrame({"error": [], "cnt": pd.array([], dtype="int64")})
+    g = v.group_by("error").aggregate([([], "count_all")])
+    pdf = pd.DataFrame({"error": g["error"].to_pylist(), "cnt": g["count_all"].to_pylist()})
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    return pdf.sort_values("error").reset_index(drop=True)
+
+
+# The CASE order mirrors the compiled emission order exactly:
+# doc_id(required → pattern) → tokens(required → size → element bounds)
+# → n_tok(required → range) → source(required) → consistency
+SQL_SEQ_VAL_FIRST_ERROR = f"""
+WITH fe AS (
+  SELECT CASE
+    WHEN doc_id IS NULL THEN 'missing_required_property'
+    WHEN NOT regexp_matches(doc_id, '^doc-[0-9]{{8}}$') THEN 'no_match'
+    WHEN tokens IS NULL THEN 'missing_required_property'
+    WHEN len(tokens) < 1 OR len(tokens) > 2048 THEN 'wrong_size'
+    WHEN len(list_filter(tokens, x -> x < 0 OR x >= {testgen.VOCAB})) > 0 THEN 'not_in_range'
+    WHEN n_tok IS NULL THEN 'missing_required_property'
+    WHEN n_tok < 1 OR n_tok > 2048 THEN 'not_in_range'
+    WHEN source IS NULL THEN 'missing_required_property'
+    WHEN len(tokens) != n_tok THEN 'wrong_size'
+    ELSE NULL END AS error
+  FROM {SEQ_SQL}
+)
+SELECT error, CAST(count(*) AS BIGINT) AS cnt
+FROM fe WHERE error IS NOT NULL GROUP BY error ORDER BY error
+"""
+
+
+def q_events_users_per_type(sf_dir: str) -> pa.Table:
+    """Exact grouped count-distinct (two-phase dedup shuffle)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    out = grouped_count_distinct(ds, ["event_type"], "user_id")
+    t = _collect(out)
+    return pa.table(
+        {"event_type": t["event_type"], "n_users": t["n_distinct"].cast(pa.int64())}
+    )
+
+
+SQL_EVENTS_USERS_PER_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
 """
 
 
@@ -688,7 +747,9 @@ def queries() -> dict[str, Callable]:
         "seq_stats_by_source": q_seq_stats_by_source,
         "seq_dedup_exact": q_seq_dedup_exact,
         "seq_val_clean_count": q_seq_val_clean_count,
+        "seq_val_first_error": q_seq_val_first_error,
         "seq_validation_full": q_seq_validation_full,
+        "events_users_per_type": q_events_users_per_type,
         "doc_val_nchars": q_doc_val_nchars,
         "doc_lang_enum": q_doc_lang_enum,
         "doc_token_counts": q_doc_token_counts,
@@ -721,7 +782,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_stats_by_source": SQL_SEQ_STATS_BY_SOURCE,
         "seq_dedup_exact": SQL_SEQ_DEDUP_EXACT,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
+        "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
         "seq_validation_full": SQL_SEQ_VALIDATION_FULL,
+        "events_users_per_type": SQL_EVENTS_USERS_PER_TYPE,
         "doc_val_nchars": SQL_DOC_VAL_NCHARS,
         "doc_lang_enum": SQL_DOC_LANG_ENUM,
         "doc_token_counts": SQL_DOC_TOKEN_COUNTS,

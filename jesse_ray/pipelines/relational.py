@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def grouped_agg(
@@ -126,3 +126,40 @@ def tumbling_window(
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     return grouped_agg(bucketed, [*keys, "window"], sums=sums, batch_size=batch_size)
+
+
+def grouped_count_distinct(
+    ds: Dataset,
+    keys: Sequence[str],
+    value: str,
+    *,
+    alias: str = "n_distinct",
+    batch_size: int = 65536,
+) -> Dataset:
+    """Exact count(DISTINCT value) per key group, two-phase.
+
+    Phase 1 (map-side): per-batch dedup of (keys, value) — collapses
+    repeated pairs before anything moves.  Phase 2: groupby on the full
+    (keys, value) tuple finishes the global dedup; each surviving row is
+    one distinct pair.  Phase 3: per-batch count per key + final
+    groupby(keys) sum — the second shuffle carries one row per distinct
+    pair, already far smaller than the input.
+
+    The reference's KVC ``@distinctUnionOfObjects`` collection operator
+    (src/jesse_json_path.erl:173-209) lifted to distributed execution.
+    """
+    keys = list(keys)
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        g = batch.select([*keys, value]).group_by([*keys, value]).aggregate([])
+        return g
+
+    deduped = ds.map_batches(dedup, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    global_distinct = deduped.groupby([*keys, value]).aggregate(Count(alias_name="__dup"))
+
+    def count_per_key(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns([*keys, "__pd"])
+
+    partials = global_distinct.map_batches(count_per_key, batch_format="pyarrow", batch_size=batch_size)
+    return partials.groupby(keys).aggregate(Sum("__pd", alias_name=alias))

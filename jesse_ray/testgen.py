@@ -31,10 +31,17 @@ SOURCES = ["web", "books", "code", "wiki", "forums"]
 SOURCE_WEIGHTS = [0.70, 0.12, 0.10, 0.05, 0.03]
 BAD_SOURCE = "crawl-x"
 
-SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 500_000}
+SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 500_000, "sf0.3": 1_500_000}
 
 #: version tag — bump to force regeneration after generator changes
-GEN_VERSION = "v3"
+GEN_VERSION = "v4"
+
+#: parquet row-group size — the read-parallelism unit.  A single giant
+#: row group serializes the whole read into one task (measured: inverse
+#: scaling 8→32 CPUs); ~16k rows ≈ 7 MB of list data per group gives
+#: read_parquet dozens of independently fetchable fragments per file,
+#: mirroring how a real 100 TB corpus ships as many files × row groups.
+ROW_GROUP_SIZE = 16_384
 
 DATA_ROOT = Path(os.environ.get("JESSE_RAY_DATA", "/tmp/jesse_ray_data"))
 
@@ -103,7 +110,7 @@ def generate(sf_name: str, force: bool = False) -> Path:
 
     # clean variant first (drift fixtures & invariants)
     clean = _to_table(doc_ids.copy(), lengths.copy(), flat.copy(), n_tok.copy(), sources.copy())
-    pq.write_table(clean, clean_corpus_path(sf_name))
+    pq.write_table(clean, clean_corpus_path(sf_name), row_group_size=ROW_GROUP_SIZE)
 
     # ---- inject ~1% violations, one class per dirty row (FIXTURES F1) ----
     n_dirty = max(8, n // 100)
@@ -165,7 +172,7 @@ def generate(sf_name: str, force: bool = False) -> Path:
         extra = tbl.take(pa.array(extra_idx, type=pa.int64()))
         tbl = pa.concat_tables([tbl, extra])
 
-    pq.write_table(tbl, corpus_path(sf_name))
+    pq.write_table(tbl, corpus_path(sf_name), row_group_size=ROW_GROUP_SIZE)
 
     # F2 allowed-sources dimension (one inactive row for anti-join tests)
     dim = pa.table(
@@ -180,14 +187,14 @@ def generate(sf_name: str, force: bool = False) -> Path:
     nd = min(n, 20_000)
     r_ref = np.random.default_rng(SEED + 1)
     ids1, len1, flat1, src1 = _gen_clean(r_ref, nd)
-    pq.write_table(_to_table(ids1, len1, flat1, len1, src1), out / "drift_reference.parquet")
+    pq.write_table(_to_table(ids1, len1, flat1, len1, src1), out / "drift_reference.parquet", row_group_size=ROW_GROUP_SIZE)
     r_drift = np.random.default_rng(SEED + 2)
     len2 = np.clip(r_drift.lognormal(mean=5.6, sigma=0.8, size=nd), MIN_TOK, MAX_TOK).astype(np.int32)
     total2 = int(len2.sum())
     flat2 = ((r_drift.zipf(1.05, size=total2) - 1) % VOCAB).astype(np.int32)
     ids2 = np.array([f"doc-{i:08d}" for i in range(nd)], dtype=object)
     src2 = r_drift.choice(np.array(SOURCES, dtype=object), size=nd, p=SOURCE_WEIGHTS)
-    pq.write_table(_to_table(ids2, len2, flat2, len2, src2), out / "drift_drifted.parquet")
+    pq.write_table(_to_table(ids2, len2, flat2, len2, src2), out / "drift_drifted.parquet", row_group_size=ROW_GROUP_SIZE)
 
     (out / "meta.json").write_text(
         json.dumps({"sf": sf_name, "rows": n, "seed": SEED, "version": GEN_VERSION})

@@ -279,3 +279,24 @@ def test_fused_matches_two_branch(corpus_sf0001):
         read_sequences(path), _seq_spec(), referential_concurrency=(1, 2), fused=False
     )
     assert canon(fused) == canon(two)
+
+
+def test_load_specs_and_json_report(tmp_path, corpus_sf0001):
+    """jesse:load_schemas + jesse_error:to_json analogues."""
+    import json
+
+    import pyarrow as pa
+
+    from jesse_ray.engine import ValidationEngine, violations_to_json
+
+    (tmp_path / "a.json").write_text(json.dumps({"properties": {"x": {"minimum": 0}}}))
+    (tmp_path / "b.json").write_text(json.dumps({"properties": {"y": {"type": "string"}}}))
+    eng = ValidationEngine()
+    assert eng.load_specs(str(tmp_path)) == ["a", "b"]
+    compiled = eng.get("a")
+    v = compiled.check_batch(pa.table({"x": pa.array([-1, 2]), "doc_id": pa.array(["d1", "d2"])}))
+    rep = json.loads(violations_to_json(v))
+    assert rep["reasons"][0]["error"] == "not_in_range"
+    assert rep["reasons"][0]["invalid"] == "data"
+    assert rep["reasons"][0]["path"] == ["x"]
+    assert rep["reasons"][0]["data"] == -1
