@@ -9,12 +9,39 @@ run that only touches (doc_id, n_tok, source) must not lift the wide
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import ray.data
 from ray.data import Dataset
 
 SEQUENCE_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def _row_group_blocks(path: str | Sequence[str]) -> Optional[int]:
+    """Block count aligned to the input's parquet row groups.
+
+    Left to its own defaults, Ray Data splits a big single-file read
+    into extra blocks AFTER the read task (``ReadParquet->SplitBlocks``),
+    which blocks read→map operator fusion and round-trips the full
+    decompressed corpus through the object store (measured: 2-3x wall
+    time on the identity pipeline).  One block per row group keeps the
+    read fused with the first map stage — each task reads its row
+    groups and checks them without materializing raw data to plasma.
+    """
+    import pyarrow.parquet as pq
+
+    paths = [path] if isinstance(path, (str, os.PathLike)) else list(path)
+    total = 0
+    for p in paths:
+        p = str(p)
+        if not os.path.isfile(p):
+            return None  # directories / remote globs: let Ray decide
+        try:
+            total += pq.ParquetFile(p).num_row_groups
+        except (OSError, ValueError):
+            return None
+    return max(1, min(total, 1024))
 
 
 def read_sequences(
@@ -28,7 +55,10 @@ def read_sequences(
 
     ``columns=None`` reads the canonical 4-column shape (never side
     columns like the fixtures' ``expected_error`` golden answers).
+    Blocks default to one per parquet row group (see _row_group_blocks).
     """
+    if override_num_blocks is None:
+        override_num_blocks = _row_group_blocks(path)
     return ray.data.read_parquet(
         path,
         columns=columns if columns is not None else SEQUENCE_COLUMNS,

@@ -211,3 +211,49 @@ def ensure_all(force: bool = False) -> None:
 if __name__ == "__main__":
     ensure_all()
     print(json.dumps({"root": str(DATA_ROOT), "sfs": list(SF_ROWS)}))
+
+
+# ---------------------------------------------------------------------------
+# scaling-run corpus: same schema, cheap-to-sample tokens (uniform), so a
+# multi-GB corpus generates in minutes.  The validation work per row is
+# identical to the zipf corpora — only the token *distribution* differs,
+# which no row-level check depends on.
+
+
+def scaling_corpus_dir(rows: int) -> Path:
+    return DATA_ROOT / f"scale_{rows}"
+
+
+def generate_scaling(rows: int, *, mean_tokens: int = 200, force: bool = False) -> Path:
+    out = scaling_corpus_dir(rows)
+    stamp = out / f".{GEN_VERSION}.done"
+    if stamp.exists() and not force:
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    doc_ids = np.array([f"doc-{i:08d}" for i in range(rows)], dtype=object)
+    lengths = np.clip(
+        rng.normal(loc=mean_tokens, scale=mean_tokens / 4, size=rows), MIN_TOK, MAX_TOK
+    ).astype(np.int32)
+    total = int(lengths.sum())
+    flat = rng.integers(0, VOCAB, size=total, dtype=np.int32)
+    sources = rng.choice(np.array(SOURCES, dtype=object), size=rows, p=SOURCE_WEIGHTS)
+    n_tok = lengths.copy()
+    # ~0.1% injected violations so the violation path isn't a no-op
+    n_bad = max(4, rows // 1000)
+    bad = rng.choice(rows, size=n_bad, replace=False)
+    n_tok[bad[: n_bad // 2]] += 3  # wrong_size
+    for i in bad[n_bad // 2 :]:
+        sources[i] = BAD_SOURCE  # not_in_enum
+    tbl = _to_table(doc_ids, lengths, flat, n_tok, sources)
+    pq.write_table(tbl, out / "sequences.parquet", row_group_size=ROW_GROUP_SIZE)
+    dim = pa.table(
+        {
+            "source": pa.array(SOURCES + ["retired-src"], type=pa.string()),
+            "active": pa.array([True] * len(SOURCES) + [False]),
+        }
+    )
+    pq.write_table(dim, out / "allowed_sources.parquet")
+    (out / "meta.json").write_text(json.dumps({"rows": rows, "seed": SEED, "version": GEN_VERSION, "kind": "scaling"}))
+    stamp.touch()
+    return out
