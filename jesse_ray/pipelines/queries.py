@@ -571,6 +571,28 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_orders_top10(sf_dir: str) -> pa.Table:
+    """Distributed sort + limit (ds.sort is a range-partitioned shuffle;
+    the limit consumes only the first partitions)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    t = _collect(top)
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_totalprice": pc.round(t["o_totalprice"], 2),
+        }
+    )
+
+
+SQL_ORDERS_TOP10 = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
 def q_emb_topk(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for the query vector vec_id=0."""
     from jesse_ray.functions.similarity import cosine_topk
@@ -756,6 +778,7 @@ def queries() -> dict[str, Callable]:
         "doc_quality_counts": q_doc_quality_counts,
         "events_window": q_events_window,
         "orders_by_segment": q_orders_by_segment,
+        "orders_top10": q_orders_top10,
         "lineitem_pricing": q_lineitem_pricing,
         "emb_topk": q_emb_topk,
         # non-SQL-expressible (rows-only checks)
@@ -791,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_counts": SQL_DOC_QUALITY_COUNTS,
         "events_window": SQL_EVENTS_WINDOW,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+        "orders_top10": SQL_ORDERS_TOP10,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
         "emb_topk": SQL_EMB_TOPK,
     }

@@ -504,8 +504,23 @@ def _column_from_schema(raw: Any, root: dict) -> ColumnSpec:
 def from_json_schema(schema: dict, *, name: str = "spec", key_column: str = "doc_id") -> TableSpec:
     """Build a TableSpec from a draft-04 object schema whose ``properties``
     are the table's columns.  ``required`` must be a non-empty array when
-    present (src/jesse_validator_draft4.erl:1044-1047)."""
+    present (src/jesse_validator_draft4.erl:1044-1047).
+
+    ``$schema`` selects the dialect as in the reference
+    (src/jesse_schema_validator.erl:56-58,82-98); the only
+    dialect-sensitive gate we enforce at load time is the id-tag rule:
+    draft-4 schemas must use ``id`` (a ``$id`` key is schema_invalid)
+    and draft-6 schemas must use ``$id``
+    (src/jesse_validator_draft4.erl:84-85, src/jesse_validator_draft6.erl:86-87).
+    Keyword semantics follow the per-keyword draft notes in the field
+    docs (draft-3/6 deltas are explicit ColumnSpec fields).
+    """
     schema = copy.deepcopy(schema)
+    dialect = str(schema.get("$schema", ""))
+    if "draft-04" in dialect and "$id" in schema:
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "draft-4 schema must use 'id', not '$id'")
+    if "draft-06" in dialect and "id" in schema:
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "draft-6 schema must use '$id', not 'id'")
     spec = TableSpec(name=name, key_column=key_column)
     props = schema.get("properties", {})
     for col, sub in props.items():

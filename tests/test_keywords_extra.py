@@ -241,3 +241,13 @@ def test_oracle_parity_draft3_keywords():
     got = sorted(_errors(c, tbl))
     want = sorted((p, e) for r in rows for (_d, p, e, _v) in validate_row(spec, r))
     assert got == want
+
+
+def test_schema_dialect_id_tag_enforcement():
+    # src/jesse_validator_draft4.erl:84-85 / draft6.erl:86-87
+    with pytest.raises(E.SchemaInvalidError):
+        from_json_schema({"$schema": "http://json-schema.org/draft-04/schema#", "$id": "x", "properties": {}})
+    with pytest.raises(E.SchemaInvalidError):
+        from_json_schema({"$schema": "http://json-schema.org/draft-06/schema#", "id": "x", "properties": {}})
+    from_json_schema({"$schema": "http://json-schema.org/draft-04/schema#", "id": "x", "properties": {}})
+    from_json_schema({"$schema": "http://json-schema.org/draft-06/schema#", "$id": "x", "properties": {}})
