@@ -270,18 +270,29 @@ def _unique_items_dups(col: pa.Array):
     if len(parent) == 0:
         return np.array([], dtype=np.int64), []
     if _is_numeric(flat.type):
+        # vectorized detection: lexsort flattened (parent, value) pairs,
+        # adjacent-equal within a parent ⇒ that row has a duplicate
         v = _to_f64(flat)
         order = np.lexsort((v, parent))
         pv, vv = parent[order], v[order]
         dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
-        rows, first = [], {}
-        for k in np.flatnonzero(dup):
-            r = int(pv[k + 1])
-            if r not in first:
-                first[r] = vv[k + 1]
-                rows.append(r)
-        vals = [first[r] if not float(first[r]).is_integer() else int(first[r]) for r in rows]
-        return np.asarray(sorted(rows), dtype=np.int64), [first[r] for r in sorted(rows)]
+        flagged = np.unique(pv[1:][dup]).astype(np.int64)
+        # value reporting: jesse emits the FIRST value (in list order)
+        # whose second occurrence appears — scan only the flagged rows
+        # (duplicates are rare), using the original (typed) values
+        vals = []
+        for r in flagged:
+            lst = col[int(r)].as_py()
+            seen: set = set()
+            found = lst[0] if lst else None
+            for x in lst:
+                k = float(x) if isinstance(x, (int, float)) and not isinstance(x, bool) else x
+                if k in seen:
+                    found = x
+                    break
+                seen.add(k)
+            vals.append(found)
+        return flagged, vals
     # generic (strings etc.): per-row python sets only over rows — still
     # batch-local; acceptable for non-hot string-list columns
     rows, vals = [], []

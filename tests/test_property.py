@@ -1,0 +1,106 @@
+"""Property-based engine ↔ single-row-oracle parity (SURVEY §5.2).
+
+Random batches (seeded by hypothesis) over a spec exercising most
+keyword families; the vectorized engine's violation records must match
+the pure-Python draft-04 oracle record-for-record.  No Ray needed —
+check_batch is pure Arrow.
+"""
+
+import json
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jesse_ray.compiler import compile_spec
+from jesse_ray.oracle import validate_row
+from jesse_ray.spec import ColumnSpec, ConsistencyRule, TableSpec
+
+
+def _spec() -> TableSpec:
+    spec = TableSpec(key_column="doc_id")
+    spec.columns["doc_id"] = ColumnSpec(type="string", required=True, pattern=r"^d-[0-9]+$")
+    spec.columns["n"] = ColumnSpec(
+        type="integer", minimum=0, maximum=100, exclusive_maximum=True, multiple_of=2
+    )
+    spec.columns["s"] = ColumnSpec(enum=["a", "b", "c"], min_length=1, max_length=2)
+    spec.columns["xs"] = ColumnSpec(
+        min_items=1,
+        max_items=6,
+        unique_items=True,
+        items=ColumnSpec(minimum=0, maximum=50),
+    )
+    spec.columns["m"] = ColumnSpec(divisible_by=3)
+    spec.consistency.append(ConsistencyRule(kind="list_len_eq", left="xs", right="n_xs"))
+    return spec
+
+
+SPEC = _spec()
+COMPILED = compile_spec(SPEC)
+
+row_st = st.fixed_dictionaries(
+    {
+        "doc_id": st.one_of(
+            st.none(),
+            st.from_regex(r"^d-[0-9]{1,4}$", fullmatch=True),
+            st.text(alphabet="xyz-", min_size=0, max_size=5),
+        ),
+        "n": st.one_of(st.none(), st.integers(min_value=-5, max_value=105)),
+        "s": st.one_of(st.none(), st.sampled_from(["a", "b", "c", "zz", "", "q"])),
+        "xs": st.one_of(
+            st.none(),
+            st.lists(st.integers(min_value=-3, max_value=55), min_size=0, max_size=8),
+        ),
+        "m": st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+        "n_xs": st.one_of(st.none(), st.integers(min_value=0, max_value=8)),
+    }
+)
+
+
+def _table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+            "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+            "s": pa.array([r["s"] for r in rows], type=pa.string()),
+            "xs": pa.array([r["xs"] for r in rows], type=pa.list_(pa.int64())),
+            "m": pa.array([r["m"] for r in rows], type=pa.int64()),
+            "n_xs": pa.array([r["n_xs"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def _canon_engine(tbl: pa.Table) -> list[tuple]:
+    out = []
+    for i in range(tbl.num_rows):
+        out.append(
+            (
+                tbl["doc_id"][i].as_py(),
+                tuple(tbl["path"][i].as_py()),
+                tbl["error"][i].as_py(),
+                json.loads(tbl["value_json"][i].as_py()),
+            )
+        )
+    return sorted(out, key=repr)
+
+
+def _canon_oracle(recs: list[tuple]) -> list[tuple]:
+    return sorted(
+        [(d, tuple(p), e, json.loads(v)) for (d, p, e, v) in recs], key=repr
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(row_st, min_size=1, max_size=20))
+def test_engine_matches_oracle(rows):
+    got = _canon_engine(COMPILED.check_batch(_table(rows)))
+    want = _canon_oracle([rec for r in rows for rec in validate_row(SPEC, r)])
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(row_st, min_size=1, max_size=12))
+def test_invalid_row_mask_matches_oracle_verdicts(rows):
+    mask = COMPILED.invalid_row_mask(_table(rows))
+    for i, r in enumerate(rows):
+        assert bool(mask[i]) == (len(validate_row(SPEC, r)) > 0)
