@@ -139,17 +139,19 @@ def run_validation(
         uk = compiled.spec.unique_keys
         key_ds = ray.data.read_parquet(frag, columns=list(uk)) if uk else None
         res = eng.validate(ds, compiled, key_ds=key_ds)
-        vtbl = res.all_violations_table()
+        # ONE execution of the validation pipeline; violation blocks are
+        # pinned in the OBJECT STORE (small by assumption), then streamed
+        # to partitioned parquet — the driver never holds the rows
+        res.materialize()
         part_out = out / pid
-        part_out.mkdir(parents=True, exist_ok=True)
-        import pyarrow.parquet as pq
-
-        pq.write_table(vtbl if vtbl.num_rows else empty_violations(), part_out / "violations.parquet")
+        res.write_violations(part_out / "violations")
+        n_viol = res.violations.count() + res.unique_violations.num_rows
+        by_error = res.counts_by_error()
 
         metrics = {
             "rows": ds.count(),
-            "violations": int(vtbl.num_rows),
-            "by_error": _count_by_error(vtbl),
+            "violations": int(n_viol),
+            "by_error": by_error,
         }
         if sketch:
             from jesse_ray.stages import sketch_dataset
@@ -159,7 +161,7 @@ def run_validation(
             digest_path.write_bytes(bundle.to_bytes())
             metrics["stats_digest"] = hashlib.sha256(bundle.to_bytes()).hexdigest()[:16]
 
-        verdict = "pass" if vtbl.num_rows == 0 else "fail"
+        verdict = "pass" if n_viol == 0 else "fail"
         manifest.append(
             ManifestRecord(
                 partition_id=pid,

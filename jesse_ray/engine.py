@@ -493,6 +493,30 @@ class ValidationResult:
     metrics: dict[str, Any] = field(default_factory=dict)
     _cached: Optional[pa.Table] = None
 
+    def materialize(self) -> "ValidationResult":
+        """Execute the violations pipeline ONCE and pin the (small)
+        result blocks in the object store — NOT on the driver — so that
+        subsequent writes/aggregations don't re-run the full validation.
+        The corpus itself is never materialized; only violations are,
+        and violations are rare by assumption."""
+        self.violations = self.violations.materialize()
+        return self
+
+    def write_violations(self, out_dir: str) -> None:
+        """Stream violation rows to a directory of parquet part files
+        (never one giant file; never via the driver) — the scale-correct
+        sink.  ``unique_violations`` (already a small driver table) is
+        appended as one extra file."""
+        import pyarrow.parquet as pq
+
+        from pathlib import Path
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        self.violations.write_parquet(str(out))
+        extra = self.unique_violations if self.unique_violations.num_rows else empty_violations()
+        pq.write_table(extra, out / "unique_violations.parquet")
+
     def all_violations_table(self) -> pa.Table:
         # one execution of the violations pipeline; cached because the
         # violation set is small relative to the corpus by assumption
@@ -505,6 +529,20 @@ class ValidationResult:
         return self._cached
 
     def counts_by_error(self) -> dict[str, int]:
+        if self._cached is None and isinstance(
+            self.violations, getattr(ray.data.dataset, "MaterializedDataset", ())
+        ):
+            # distributed aggregate over the materialized violation blocks
+            # — the driver sees only (error, count) pairs, never the rows
+            out: dict[str, int] = {}
+            for b in self.violations.groupby("error").count().iter_batches(batch_format="pyarrow"):
+                for e, c in zip(b["error"].to_pylist(), b["count()"].to_pylist()):
+                    out[e] = out.get(e, 0) + int(c)
+            if self.unique_violations.num_rows:
+                g = self.unique_violations.group_by("error").aggregate([([], "count_all")])
+                for e, c in zip(g["error"].to_pylist(), g["count_all"].to_pylist()):
+                    out[e] = out.get(e, 0) + int(c)
+            return out
         tbl = self.all_violations_table()
         if tbl.num_rows == 0:
             return {}
