@@ -494,6 +494,37 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_props_sum(sf_dir: str) -> pa.Table:
+    """parser_fun analogue (src/jesse.erl:79): a pluggable decode stage
+    ahead of the aggregation — here a VECTORIZED JSON-field extraction
+    (RE2 kernel) instead of per-row json.loads."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?[0-9]+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": kv})
+
+    decoded = ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(decoded, ["event_type"], sums=["k"])
+    t = _collect(out)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "cnt": t["cnt"].cast(pa.int64()),
+            "sum_k": t["sum_k"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_PROPS_SUM = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_orders_by_segment(sf_dir: str) -> pa.Table:
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     cust = pq.read_table(
@@ -777,6 +808,7 @@ def queries() -> dict[str, Callable]:
         "doc_token_counts": q_doc_token_counts,
         "doc_quality_counts": q_doc_quality_counts,
         "events_window": q_events_window,
+        "events_props_sum": q_events_props_sum,
         "orders_by_segment": q_orders_by_segment,
         "orders_top10": q_orders_top10,
         "lineitem_pricing": q_lineitem_pricing,
@@ -813,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
         "doc_quality_counts": SQL_DOC_QUALITY_COUNTS,
         "events_window": SQL_EVENTS_WINDOW,
+        "events_props_sum": SQL_EVENTS_PROPS_SUM,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "orders_top10": SQL_ORDERS_TOP10,
         "lineitem_pricing": SQL_LINEITEM_PRICING,

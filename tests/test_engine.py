@@ -300,3 +300,24 @@ def test_load_specs_and_json_report(tmp_path, corpus_sf0001):
     assert rep["reasons"][0]["invalid"] == "data"
     assert rep["reasons"][0]["path"] == ["x"]
     assert rep["reasons"][0]["data"] == -1
+
+
+def test_uniqueness_hot_key_skew(ray_session):
+    """Skew stressor: one doc_id with 50k copies must not blow up the
+    shuffle — the map-side combiner collapses it to one row per batch
+    before anything moves (SURVEY §7.3 skew defense)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from jesse_ray.engine import duplicate_keys_hashed
+
+    n = 60_000
+    ids = np.array([f"doc-{i:08d}" for i in range(n)], dtype=object)
+    ids[10_000:] = "doc-hot"  # 50k copies of one key
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.string())}))
+    tbl = duplicate_keys_hashed(ds, "doc_id", batch_size=8192)
+    assert tbl.num_rows == 1
+    assert tbl["doc_id"][0].as_py() == "doc-hot"
+    assert tbl["cnt"][0].as_py() == 50_000
