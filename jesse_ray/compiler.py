@@ -77,6 +77,22 @@ def _to_f64(arr: pa.Array) -> np.ndarray:
     return arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
 
 
+def _canon_key(x: Any):
+    """Hashable canonical form for deep equality — the analogue of the
+    reference's normalize_and_sort (src/jesse_lib.erl:148-197): numbers
+    normalized to float (1.0 == 1, 177-181), object keys order-insensitive,
+    arrays order-preserving."""
+    if isinstance(x, bool):
+        return ("b", x)
+    if isinstance(x, (int, float)):
+        return ("n", float(x))
+    if isinstance(x, dict):
+        return ("o", tuple(sorted((k, _canon_key(v)) for k, v in x.items())))
+    if isinstance(x, (list, tuple)):
+        return ("a", tuple(_canon_key(v) for v in x))
+    return ("s", x) if isinstance(x, str) else ("x", repr(x))
+
+
 def _json_val(v: Any) -> str:
     if isinstance(v, float) and v.is_integer():
         # canonical: 3.0 prints as 3.0 (json default) — keep json default
@@ -224,20 +240,16 @@ def _format_mask(arr: pa.Array, fmt: str) -> np.ndarray:
         return _pattern_mask(arr, _IPV4_RX)
     if fmt == "date-time":
         ok = _pattern_mask(arr, _DATETIME_RX)
-        # refine the regex hits with a real parse (RFC3339 per reference
-        # src/jesse_validator_draft4.erl:1340-1354)
-        from datetime import datetime
-
+        # refine regex hits with field validation (RFC3339 per the
+        # reference's calendar:rfc3339_to_system_time,
+        # src/jesse_validator_draft4.erl:1340-1354).  NOT
+        # datetime.fromisoformat: Python rejects year 0000, which the
+        # reference accepts ("minimal timestamp" extra case).
         idx = np.flatnonzero(ok)
         if len(idx):
             vals = arr.take(pa.array(idx)).to_pylist()
             for j, s in zip(idx, vals):
-                t = s.replace("z", "Z").replace("t", "T")
-                if t.endswith("Z"):
-                    t = t[:-1] + "+00:00"
-                try:
-                    datetime.fromisoformat(t)
-                except ValueError:
+                if not _rfc3339_fields_ok(s):
                     ok[j] = False
         return ok
     if fmt == "ipv6":
@@ -254,6 +266,30 @@ def _format_mask(arr: pa.Array, fmt: str) -> np.ndarray:
                 pass
         return out
     return np.ones(n, dtype=bool)  # hostname / uri / unknown: no-op
+
+
+def _rfc3339_fields_ok(s: str) -> bool:
+    """Field-range validation for a string already matching the RFC3339
+    shape regex: proleptic Gregorian (year 0000 allowed), leap-year day
+    rule, leap second 60 allowed per the RFC grammar."""
+    try:
+        y, mo, d = int(s[0:4]), int(s[5:7]), int(s[8:10])
+        hh, mi, ss = int(s[11:13]), int(s[14:16]), int(s[17:19])
+    except ValueError:
+        return False
+    if not 1 <= mo <= 12:
+        return False
+    leap = y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+    days = (31, 29 if leap else 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+    if not 1 <= d <= days[mo - 1]:
+        return False
+    if hh > 23 or mi > 59 or ss > 60:
+        return False
+    off = s[-6:]
+    if (off[0] in "+-") and off[3] == ":":
+        if int(off[1:3]) > 23 or int(off[4:6]) > 59:
+            return False
+    return True
 
 
 def _unique_items_dups(col: pa.Array):
@@ -293,15 +329,16 @@ def _unique_items_dups(col: pa.Array):
                 seen.add(k)
             vals.append(found)
         return flagged, vals
-    # generic (strings etc.): per-row python sets only over rows — still
-    # batch-local; acceptable for non-hot string-list columns
+    # generic (strings/structs/nested lists): per-row python sets over
+    # canonical keys (_canon_key handles unhashable dict/list elements
+    # with key-order-insensitive equality) — still batch-local
     rows, vals = [], []
     for i, lst in enumerate(col.to_pylist()):
         if not lst:
             continue
         seen = set()
         for x in lst:
-            k = float(x) if isinstance(x, (int, float)) and not isinstance(x, bool) else x
+            k = _canon_key(x)
             if k in seen:
                 rows.append(i)
                 vals.append(x)
@@ -376,6 +413,9 @@ class CompiledSpec:
                 item_ok |= ~_np_mask(pc.is_valid(flat), len(flat))  # null elements vacuous
                 bad_rows = np.unique(parent[~item_ok])
                 ok[bad_rows] = False
+        if is_list and cs.items_positional is not None:
+            bad_rows, _details, _flat = self._positional_bad_rows(cs, arr)
+            ok[bad_rows] = False
         if cs.all_of:
             for sub in cs.all_of:
                 ok &= self._spec_valid_mask(sub, arr)
@@ -401,6 +441,48 @@ class CompiledSpec:
         if is_list and cs.contains is not None:
             ok &= self._contains_mask(cs.contains, arr)
         return ok
+
+    def _positional_bad_rows(self, cs: ColumnSpec, arr: pa.Array):
+        """Positional-items evaluation (src/jesse_validator_draft4.erl:558-603).
+
+        Returns (bad_row_idx, details, flat) where details holds
+        (flat_i, row, item_idx, error_atom) tuples for violation
+        emission and flat is the flattened element array for value
+        extraction.
+        """
+        flat, parent, item_idx, _cnt = _list_layout(arr)
+        n_pos = len(cs.items_positional)
+        bad_rows: list[int] = []
+        details: list[tuple[int, int, int, str]] = []  # (flat_i, row, item, atom)
+        if len(parent) == 0:
+            return np.array([], dtype=np.int64), details, flat
+        elem_present = _np_mask(pc.is_valid(flat), len(flat))
+        for j, sub in enumerate(cs.items_positional):
+            sel = np.flatnonzero((item_idx == j) & elem_present)
+            if len(sel) == 0:
+                continue
+            sub_ok = self._spec_valid_mask(sub, flat.take(pa.array(sel, type=pa.int64())))
+            for k in np.flatnonzero(~sub_ok):
+                fi = int(sel[k])
+                details.append((fi, int(parent[fi]), j, E.NOT_SCHEMA_VALID))
+                bad_rows.append(int(parent[fi]))
+        extra = np.flatnonzero(item_idx >= n_pos)
+        if len(extra):
+            if cs.additional_items is False:
+                for fi in extra:
+                    details.append((int(fi), int(parent[fi]), int(item_idx[fi]), E.NO_EXTRA_ITEMS_ALLOWED))
+                    bad_rows.append(int(parent[fi]))
+            elif isinstance(cs.additional_items, ColumnSpec):
+                sel = extra[elem_present[extra]]
+                if len(sel):
+                    sub_ok = self._spec_valid_mask(
+                        cs.additional_items, flat.take(pa.array(sel, type=pa.int64()))
+                    )
+                    for k in np.flatnonzero(~sub_ok):
+                        fi = int(sel[k])
+                        details.append((fi, int(parent[fi]), int(item_idx[fi]), E.NOT_SCHEMA_VALID))
+                        bad_rows.append(int(parent[fi]))
+        return np.asarray(sorted(set(bad_rows)), dtype=np.int64), details, flat
 
     def _contains_mask(self, sub: ColumnSpec, arr: pa.Array) -> np.ndarray:
         """True where ≥1 list element validates ``sub``; empty lists fail
@@ -645,6 +727,43 @@ class CompiledSpec:
                 return rows.astype(np.int64), [_json_val(v) for v in vals], paths
 
             self._add(f"items:{col}", E.NOT_IN_RANGE if (sub.minimum is not None or sub.maximum is not None) else E.NOT_SCHEMA_VALID, [col], {"items": sub_frag}, items_fn)
+
+        if cs.items_positional is not None:
+            # array-form items + additionalItems
+            # (src/jesse_validator_draft4.erl:558-603)
+            frag_pi = {
+                "items": [s.to_fragment() for s in cs.items_positional],
+            }
+            if cs.additional_items is not None:
+                frag_pi["additionalItems"] = (
+                    cs.additional_items.to_fragment()
+                    if isinstance(cs.additional_items, ColumnSpec)
+                    else cs.additional_items
+                )
+
+            # two atoms can come out of one evaluation; split into two
+            # emission units sharing the evaluator
+            def pos_split(atom):
+                def fn(tbl, col=col, cs=cs, atom=atom):
+                    arr, present = self._col_ctx(tbl, col)
+                    if arr is None or not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+                        return np.array([], dtype=np.int64), [], None
+                    _rows, details, flat = self._positional_bad_rows(cs, arr)
+                    details = [d for d in details if present[d[1]] and d[3] == atom]
+                    if not details:
+                        return np.array([], dtype=np.int64), [], None
+                    rows = np.asarray([d[1] for d in details], dtype=np.int64)
+                    vals = [_json_val(flat[d[0]].as_py()) for d in details]
+                    paths = [[col, str(d[2])] for d in details]
+                    return rows, vals, paths
+
+                return fn
+
+            self._add(f"posItems:{col}", E.NOT_SCHEMA_VALID, [col], frag_pi, pos_split(E.NOT_SCHEMA_VALID))
+            if cs.additional_items is False:
+                self._add(
+                    f"addItems:{col}", E.NO_EXTRA_ITEMS_ALLOWED, [col], frag_pi, pos_split(E.NO_EXTRA_ITEMS_ALLOWED)
+                )
 
         # combinators over the column value
         if cs.all_of:

@@ -14,17 +14,14 @@ import re
 from typing import Any
 
 from jesse_ray import errors as E
-from jesse_ray.compiler import _json_val
+from jesse_ray.compiler import _canon_key, _json_val
 from jesse_ray.spec import ColumnSpec, TableSpec
 
 
 def _norm_num(v: Any):
-    # cross-numeric deep equality: 1.0 == 1 (src/jesse_lib.erl:177-181)
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, (int, float)):
-        return ("n", float(v))
-    return ("o", v)
+    # cross-numeric + structural deep equality (src/jesse_lib.erl:148-261):
+    # shared canonicalization with the vectorized engine
+    return _canon_key(v)
 
 
 def _type_of(v: Any) -> str:
@@ -91,6 +88,16 @@ def _spec_valid(cs: ColumnSpec, v: Any) -> bool:
                 return False
         if cs.items is not None and any(x is not None and not _spec_valid(cs.items, x) for x in v):
             return False
+        if cs.items_positional is not None:
+            for i, x in enumerate(v):
+                if i < len(cs.items_positional):
+                    if x is not None and not _spec_valid(cs.items_positional[i], x):
+                        return False
+                elif cs.items_positional is not None:
+                    if cs.additional_items is False:
+                        return False
+                    if hasattr(cs.additional_items, "type") and x is not None and not _spec_valid(cs.additional_items, x):
+                        return False
     if cs.all_of and not all(_spec_valid(s, v) for s in cs.all_of):
         return False
     if cs.any_of and not any(_spec_valid(s, v) for s in cs.any_of):
@@ -178,6 +185,16 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
                 for i, x in enumerate(v):
                     if x is not None and not _spec_valid(cs.items, x):
                         emit([col, str(i)], err, x)
+            if cs.items_positional is not None:
+                for i, x in enumerate(v):
+                    if i < len(cs.items_positional):
+                        if x is not None and not _spec_valid(cs.items_positional[i], x):
+                            emit([col, str(i)], E.NOT_SCHEMA_VALID, x)
+                    elif cs.additional_items is False:
+                        emit([col, str(i)], E.NO_EXTRA_ITEMS_ALLOWED, x)
+                    elif hasattr(cs.additional_items, "type"):
+                        if x is not None and not _spec_valid(cs.additional_items, x):
+                            emit([col, str(i)], E.NOT_SCHEMA_VALID, x)
         if cs.all_of and not all(_spec_valid(s, v) for s in cs.all_of):
             emit([col], E.ALL_SCHEMAS_NOT_VALID, v)
         if cs.any_of and not any(_spec_valid(s, v) for s in cs.any_of):

@@ -77,6 +77,11 @@ class ColumnSpec:
     # items (object form) — every element validates subspec
     # (src/jesse_validator_draft4.erl:542-557)
     items: Optional["ColumnSpec"] = None
+    # items (array form) — positional subschemas; extras governed by
+    # additionalItems: None/True = anything, False = no_extra_items_allowed,
+    # ColumnSpec = extras validate it (src/jesse_validator_draft4.erl:558-603)
+    items_positional: Optional[list["ColumnSpec"]] = None
+    additional_items: Any = None
     # format — only the formats the reference actually checks:
     # date-time / email / ipv4 / ipv6; hostname & uri are accept-all no-ops
     # (src/jesse_validator_draft4.erl:975-1004)
@@ -133,6 +138,14 @@ class ColumnSpec:
             frag["uniqueItems"] = True
         if self.items is not None:
             frag["items"] = self.items.to_fragment()
+        if self.items_positional is not None:
+            frag["items"] = [s.to_fragment() for s in self.items_positional]
+        if self.additional_items is not None:
+            frag["additionalItems"] = (
+                self.additional_items.to_fragment()
+                if isinstance(self.additional_items, ColumnSpec)
+                else self.additional_items
+            )
         if self.format is not None:
             frag["format"] = self.format
         if self.all_of is not None:
@@ -403,10 +416,17 @@ def _(c, v, root):
 
 @_kw("items")
 def _(c, v, root):
-    if isinstance(v, dict):
+    if isinstance(v, dict) or isinstance(v, bool):
         c.items = _subspec(v, root)
+    elif isinstance(v, list):
+        c.items_positional = [_subspec(s, root) for s in v]
     else:
-        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "positional items not supported for columns")
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"items must be schema or array, got {v!r}")
+
+
+@_kw("additionalItems")
+def _(c, v, root):
+    c.additional_items = v if isinstance(v, bool) else _subspec(v, root)
 
 
 @_kw("format")
