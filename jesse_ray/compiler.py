@@ -474,9 +474,12 @@ class CompiledSpec:
         extra = np.flatnonzero(item_idx >= n_pos)
         if len(extra):
             if cs.additional_items is False:
-                for fi in extra:
-                    details.append((int(fi), int(parent[fi]), int(item_idx[fi]), E.NO_EXTRA_ITEMS_ALLOWED))
-                    bad_rows.append(int(parent[fi]))
+                # ONE no_extra_items_allowed per offending array, as the
+                # reference emits (src/jesse_validator_draft4.erl:598-603);
+                # item_idx -1 signals "whole array" to the emit fn
+                for r in np.unique(parent[extra]):
+                    details.append((int(extra[parent[extra] == r][0]), int(r), -1, E.NO_EXTRA_ITEMS_ALLOWED))
+                    bad_rows.append(int(r))
             elif isinstance(cs.additional_items, ColumnSpec):
                 sel = extra[elem_present[extra]]
                 if len(sel):
@@ -769,8 +772,14 @@ class CompiledSpec:
                     if not details:
                         return np.array([], dtype=np.int64), [], None
                     rows = np.asarray([d[1] for d in details], dtype=np.int64)
-                    vals = [_json_val(flat[d[0]].as_py()) for d in details]
-                    paths = [[col, str(d[2])] for d in details]
+                    ln = pc.list_value_length(arr)
+                    vals = [
+                        _json_val({"length": ln[d[1]].as_py()}) if d[2] < 0 else _json_val(flat[d[0]].as_py())
+                        for d in details
+                    ]
+                    # item_idx -1 = whole-array error: path is the column
+                    # itself (the reference's [] at instance root)
+                    paths = [[col] if d[2] < 0 else [col, str(d[2])] for d in details]
                     return rows, vals, paths
 
                 return fn

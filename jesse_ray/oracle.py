@@ -186,12 +186,15 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
                     if x is not None and not _spec_valid(cs.items, x):
                         emit([col, str(i)], err, x)
             if cs.items_positional is not None:
+                emitted_extra = False
                 for i, x in enumerate(v):
                     if i < len(cs.items_positional):
                         if x is not None and not _spec_valid(cs.items_positional[i], x):
                             emit([col, str(i)], E.NOT_SCHEMA_VALID, x)
                     elif cs.additional_items is False:
-                        emit([col, str(i)], E.NO_EXTRA_ITEMS_ALLOWED, x)
+                        if not emitted_extra:  # one per array, as the reference
+                            emit([col], E.NO_EXTRA_ITEMS_ALLOWED, {"length": len(v)})
+                            emitted_extra = True
                     elif hasattr(cs.additional_items, "type"):
                         if x is not None and not _spec_valid(cs.additional_items, x):
                             emit([col, str(i)], E.NOT_SCHEMA_VALID, x)
