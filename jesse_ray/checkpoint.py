@@ -102,6 +102,7 @@ def run_validation(
     columns: Optional[list[str]] = None,
     sketch: bool = False,
     engine: Optional[ValidationEngine] = None,
+    allowed_errors: Optional[int] = None,
 ) -> dict[str, Any]:
     """Validate a corpus partition-by-partition with checkpointing.
 
@@ -138,7 +139,7 @@ def run_validation(
         ds = ray.data.read_parquet(frag, columns=columns)
         uk = compiled.spec.unique_keys
         key_ds = ray.data.read_parquet(frag, columns=list(uk)) if uk else None
-        res = eng.validate(ds, compiled, key_ds=key_ds)
+        res = eng.validate(ds, compiled, key_ds=key_ds, allowed_errors=allowed_errors)
         # ONE execution of the validation pipeline; violation blocks are
         # pinned in the OBJECT STORE (small by assumption), then streamed
         # to partitioned parquet — the driver never holds the rows

@@ -267,6 +267,29 @@ FROM {SEQ_SQL} GROUP BY source
 """
 
 
+def q_seq_distinct_tokens_by_source(sf_dir: str) -> pa.Table:
+    """KVC @distinctUnionOfArrays analogue: distinct token ids per
+    source (map-side flatten+unique, shuffle carries distinct pairs)."""
+    from jesse_ray.pipelines.relational import grouped_distinct_elements
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "tokens"])
+    out = grouped_distinct_elements(ds, "source", "tokens", alias="n_distinct_tokens")
+    t = _collect(out)
+    return pa.table(
+        {
+            "source": t["source"],
+            "n_distinct_tokens": t["n_distinct_tokens"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_SEQ_DISTINCT_TOKENS_BY_SOURCE = f"""
+SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_tokens
+FROM (SELECT source, unnest(tokens) AS t FROM {SEQ_SQL})
+GROUP BY source
+"""
+
+
 def q_seq_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup over the token payload: hash tokens per batch →
     two-phase group count → groups with >1 row."""
@@ -798,6 +821,7 @@ def queries() -> dict[str, Callable]:
         "seq_val_token_bounds": q_seq_val_token_bounds,
         "seq_val_docid_dups": q_seq_val_docid_dups,
         "seq_stats_by_source": q_seq_stats_by_source,
+        "seq_distinct_tokens_by_source": q_seq_distinct_tokens_by_source,
         "seq_dedup_exact": q_seq_dedup_exact,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -835,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_val_token_bounds": SQL_SEQ_VAL_TOKEN_BOUNDS,
         "seq_val_docid_dups": SQL_SEQ_VAL_DOCID_DUPS,
         "seq_stats_by_source": SQL_SEQ_STATS_BY_SOURCE,
+        "seq_distinct_tokens_by_source": SQL_SEQ_DISTINCT_TOKENS_BY_SOURCE,
         "seq_dedup_exact": SQL_SEQ_DEDUP_EXACT,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

@@ -163,3 +163,48 @@ def grouped_count_distinct(
 
     partials = global_distinct.map_batches(count_per_key, batch_format="pyarrow", batch_size=batch_size)
     return partials.groupby(keys).aggregate(Sum("__pd", alias_name=alias))
+
+
+def grouped_distinct_elements(
+    ds: Dataset,
+    key: str,
+    list_col: str,
+    *,
+    alias: str = "n_distinct_elems",
+    batch_size: int = 16384,
+) -> Dataset:
+    """Distinct list-element count per key group — the reference's KVC
+    ``@distinctUnionOfArrays`` collection operator
+    (src/jesse_json_path.erl:173-209) lifted to distributed execution.
+
+    Map side: per (batch, key) the list column is flattened and
+    deduplicated (np.unique), so the shuffle carries distinct
+    (key, element) pairs, not raw elements.  Reduce side: groupby(key)
+    merges with one more vectorized unique per group.
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        keys = batch[key].to_pylist()
+        out_k, out_e = [], []
+        key_arr = np.asarray(keys, dtype=object)[parent]
+        for kv in set(keys):
+            elems = np.unique(flat[key_arr == kv])
+            out_k.extend([kv] * len(elems))
+            out_e.extend(elems.tolist())
+        return pa.table({key: pa.array(out_k), "elem": pa.array(out_e)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], alias: [int(len(np.unique(g["elem"].to_numpy())))]}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")

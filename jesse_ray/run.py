@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--allowed-sources", help="parquet dimension for the referential source check")
     p.add_argument("--files-per-partition", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--allowed-errors",
+        default=None,
+        help="per-row error budget: 0 = stop at first error per row "
+        "(jesse's default, src/jesse_state.erl:138-141); omit for "
+        "'infinity' (collect all)",
+    )
     p.add_argument("--sketch", action="store_true", help="record per-partition drift sketches")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--json", action="store_true", help="JSON summary to stdout (reference --json flag, src/jesse_cli.erl:48-49)")
@@ -64,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         spec = sequences_spec(allowed_sources_path=args.allowed_sources)
 
     files = sorted(glob.glob(args.input)) or [args.input]
+    ae = args.allowed_errors
+    allowed_errors = None if ae in (None, "infinity") else int(ae)
     summary = run_validation(
         files,
         spec,
@@ -71,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         files_per_partition=args.files_per_partition,
         resume=not args.no_resume,
         sketch=args.sketch,
+        allowed_errors=allowed_errors,
     )
     if args.json:
         print(json.dumps(summary, sort_keys=True))
