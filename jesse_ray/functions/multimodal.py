@@ -86,3 +86,78 @@ def decode_features(ds: Dataset, *, fake: bool = True, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeImage:
+    """Actor-pool resize stage (STUB — same contract as DecodeImage).
+
+    Real deployment resizes decoded pixel buffers; the fake path scales
+    the metadata dimensions deterministically so downstream schema /
+    layout code is exercised end-to-end.
+    """
+
+    def __init__(self, target: int = 224, fake: bool = False):
+        self.target = target
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires PIL/libvips — not available in this "
+                "container; construct with fake=True for plumbing tests"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.array([self.target] * n, type=pa.int32())
+        batch = batch.drop_columns([c for c in ("width", "height") if c in batch.column_names])
+        return batch.append_column("width", t).append_column("height", t)
+
+
+class SampleFrames:
+    """Actor-pool video frame-sampling stage (STUB).
+
+    Real deployment: ffmpeg-decode ``payload`` and emit one row per
+    sampled frame (a flat_map-shaped expansion).  The fake path emits
+    ``n_frames`` deterministic pseudo-frames per input row so the
+    1→many output layout, row multiplication, and memory sizing are
+    exercised.
+    """
+
+    def __init__(self, n_frames: int = 4, fake: bool = False):
+        self.n_frames = n_frames
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "video decode requires ffmpeg — not available in this "
+                "container; construct with fake=True for plumbing tests"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, digests = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            for j in range(self.n_frames):
+                ids.append(mid)
+                frame_idx.append(j)
+                digests.append(
+                    hashlib.blake2b((p or b"") + bytes([j]), digest_size=16).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "frame": pa.array(frame_idx, type=pa.int32()),
+                "frame_digest": pa.array(digests, type=pa.string()),
+            }
+        )
+
+
+def sample_frames(ds: Dataset, *, n_frames: int = 4, fake: bool = True,
+                  concurrency: int = 2, batch_size: int = 8) -> Dataset:
+    """1→many frame expansion; batch_size stays tiny because each input
+    row multiplies by n_frames on output."""
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"n_frames": n_frames, "fake": fake},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -321,3 +321,43 @@ def test_uniqueness_hot_key_skew(ray_session):
     assert tbl.num_rows == 1
     assert tbl["doc_id"][0].as_py() == "doc-hot"
     assert tbl["cnt"][0].as_py() == 50_000
+
+
+def test_multimodal_plumbing(ray_session):
+    """Stubbed decode/resize/frame-sample stages: real Ray actor-pool
+    plumbing, deterministic fake codec work."""
+    import pytest
+
+    import ray.data
+
+    from jesse_ray.functions.multimodal import (
+        DecodeImage,
+        ResizeImage,
+        SampleFrames,
+        make_fake_media_table,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
+    with pytest.raises(NotImplementedError):
+        ResizeImage(fake=False)
+    with pytest.raises(NotImplementedError):
+        SampleFrames(fake=False)
+
+    tbl = make_fake_media_table(16)
+    ds = ray.data.from_arrow(tbl)
+    frames = sample_frames(ds, n_frames=3, concurrency=(1, 2)).to_pandas()
+    assert len(frames) == 16 * 3
+    assert set(frames.columns) == {"media_id", "frame", "frame_digest"}
+    # determinism: same payload + frame index → same digest
+    again = sample_frames(ray.data.from_arrow(tbl), n_frames=3, concurrency=(1, 2)).to_pandas()
+    a = frames.sort_values(["media_id", "frame"]).reset_index(drop=True)
+    b = again.sort_values(["media_id", "frame"]).reset_index(drop=True)
+    assert (a["frame_digest"] == b["frame_digest"]).all()
+
+    resized = ds.map_batches(
+        ResizeImage, fn_constructor_kwargs={"target": 224, "fake": True},
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2),
+    ).to_pandas()
+    assert (resized["width"] == 224).all() and (resized["height"] == 224).all()
