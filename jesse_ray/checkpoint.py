@@ -103,6 +103,7 @@ def run_validation(
     sketch: bool = False,
     engine: Optional[ValidationEngine] = None,
     allowed_errors: Optional[int] = None,
+    drift_reference: Optional[str] = None,
 ) -> dict[str, Any]:
     """Validate a corpus partition-by-partition with checkpointing.
 
@@ -154,13 +155,30 @@ def run_validation(
             "violations": int(n_viol),
             "by_error": by_error,
         }
-        if sketch:
+        if sketch or drift_reference:
             from jesse_ray.stages import sketch_dataset
 
             bundle = sketch_dataset(ray.data.read_parquet(frag, columns=["n_tok", "tokens"]))
             digest_path = part_out / "sketch.bin"
             digest_path.write_bytes(bundle.to_bytes())
             metrics["stats_digest"] = hashlib.sha256(bundle.to_bytes()).hexdigest()[:16]
+            if drift_reference:
+                # per-partition distribution-drift gate: KS on the n_tok
+                # digests + chi-square on top-k token frequencies vs a
+                # reference digest loaded ONCE per run (north-star drift
+                # detection at partition granularity)
+                from jesse_ray.sketches import SketchBundle, drift_report
+
+                ref = _load_reference_bundle(drift_reference)
+                rep = drift_report(ref, bundle)
+                metrics["drift"] = {
+                    k: rep[k]
+                    for k in ("ks_stat", "ks_pvalue", "ks_drifted", "chi2_stat", "chi2_pvalue", "chi2_drifted")
+                }
+                metrics["drifted"] = bool(rep["ks_drifted"] or rep["chi2_drifted"])
+                summary["drifted_partitions"] = summary.get("drifted_partitions", 0) + int(
+                    metrics["drifted"]
+                )
 
         verdict = "pass" if n_viol == 0 else "fail"
         manifest.append(
@@ -179,6 +197,29 @@ def run_validation(
 
     summary["passed"] = summary["failed"] == 0
     return summary
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _load_reference_bundle(path: str):
+    """Reference drift digest, loaded once per run (lru-cached)."""
+    from jesse_ray.sketches import SketchBundle
+
+    return SketchBundle.from_bytes(Path(path).read_bytes())
+
+
+def build_reference_digest(input_paths, out_path: str, *, columns=("n_tok", "tokens")) -> str:
+    """Build and save the corpus-level reference SketchBundle that
+    per-partition drift gates compare against."""
+    import ray.data
+
+    from jesse_ray.stages import sketch_dataset
+
+    bundle = sketch_dataset(ray.data.read_parquet(list(input_paths), columns=list(columns)))
+    Path(out_path).write_bytes(bundle.to_bytes())
+    return out_path
 
 
 def _count_by_error(vtbl: pa.Table) -> dict[str, int]:

@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
         "'infinity' (collect all)",
     )
     p.add_argument("--sketch", action="store_true", help="record per-partition drift sketches")
+    p.add_argument(
+        "--drift-reference",
+        help="reference SketchBundle file (from jesse_ray.checkpoint."
+        "build_reference_digest); enables per-partition KS/chi-square drift gating",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--json", action="store_true", help="JSON summary to stdout (reference --json flag, src/jesse_cli.erl:48-49)")
     args = p.parse_args(argv)
@@ -81,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         sketch=args.sketch,
         allowed_errors=allowed_errors,
+        drift_reference=args.drift_reference,
     )
     if args.json:
         print(json.dumps(summary, sort_keys=True))

@@ -361,3 +361,31 @@ def test_multimodal_plumbing(ray_session):
         batch_format="pyarrow", batch_size=8, concurrency=(1, 2),
     ).to_pandas()
     assert (resized["width"] == 224).all() and (resized["height"] == 224).all()
+
+
+def test_checkpoint_drift_gate(tmp_path, corpus_sf0001):
+    """Per-partition drift gating: a partition from the drifted corpus
+    must be flagged against a clean-reference digest; the clean corpus
+    itself must not."""
+    from jesse_ray import testgen
+    from jesse_ray.checkpoint import build_reference_digest, run_validation
+    from jesse_ray.spec import TableSpec, ColumnSpec
+
+    d = testgen.corpus_dir("sf0.001")
+    ref_path = str(tmp_path / "ref.bin")
+    build_reference_digest([str(d / "drift_reference.parquet")], ref_path)
+
+    spec = TableSpec(key_column="doc_id")
+    spec.columns["n_tok"] = ColumnSpec(type="integer", minimum=1)
+
+    s_clean = run_validation(
+        [str(d / "drift_reference.parquet")], spec, tmp_path / "clean",
+        drift_reference=ref_path,
+    )
+    assert s_clean.get("drifted_partitions", 0) == 0
+
+    s_drift = run_validation(
+        [str(d / "drift_drifted.parquet")], spec, tmp_path / "drift",
+        drift_reference=ref_path,
+    )
+    assert s_drift["drifted_partitions"] == 1
