@@ -389,3 +389,20 @@ def test_checkpoint_drift_gate(tmp_path, corpus_sf0001):
         drift_reference=ref_path,
     )
     assert s_drift["drifted_partitions"] == 1
+
+
+def test_driver_entry_contract(ray_session):
+    """__ray_entry__ contract: entry() runs the flagship pipeline at
+    sf0.001 with a stable schema; every oracle_sql() key has a queries()
+    twin (the driver's correctness gate requires both)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    t = e.entry()
+    assert t.num_rows > 0
+    assert t.schema.names == ["doc_id", "path", "error", "value_json", "schema_fragment"]
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 30
