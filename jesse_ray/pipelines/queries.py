@@ -290,6 +290,40 @@ GROUP BY source
 """
 
 
+def q_seq_top_docs_by_source(sf_dir: str) -> pa.Table:
+    """Ranked-window analogue: the 2 longest documents per source
+    (ROW_NUMBER over partition), deterministic via doc_id tie-break."""
+    from jesse_ray.pipelines.relational import grouped_topn
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "doc_id", "n_tok"])
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["doc_id"]))
+
+    out = grouped_topn(
+        ds.map_batches(drop_null, batch_format="pyarrow"),
+        ["source"], "n_tok", 2, descending=True, tiebreak="doc_id",
+    )
+    t = _collect(out)
+    return pa.table(
+        {
+            "source": t["source"],
+            "doc_id": t["doc_id"],
+            "n_tok": t["n_tok"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_SEQ_TOP_DOCS_BY_SOURCE = f"""
+SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok
+FROM (
+  SELECT source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) AS rn
+  FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+) WHERE rn <= 2
+"""
+
+
 def q_seq_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup over the token payload: hash tokens per batch →
     two-phase group count → groups with >1 row."""
@@ -822,6 +856,7 @@ def queries() -> dict[str, Callable]:
         "seq_val_docid_dups": q_seq_val_docid_dups,
         "seq_stats_by_source": q_seq_stats_by_source,
         "seq_distinct_tokens_by_source": q_seq_distinct_tokens_by_source,
+        "seq_top_docs_by_source": q_seq_top_docs_by_source,
         "seq_dedup_exact": q_seq_dedup_exact,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -860,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_val_docid_dups": SQL_SEQ_VAL_DOCID_DUPS,
         "seq_stats_by_source": SQL_SEQ_STATS_BY_SOURCE,
         "seq_distinct_tokens_by_source": SQL_SEQ_DISTINCT_TOKENS_BY_SOURCE,
+        "seq_top_docs_by_source": SQL_SEQ_TOP_DOCS_BY_SOURCE,
         "seq_dedup_exact": SQL_SEQ_DEDUP_EXACT,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

@@ -208,3 +208,40 @@ def grouped_distinct_elements(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def grouped_topn(
+    ds: Dataset,
+    keys: Sequence[str],
+    order_col: str,
+    n: int,
+    *,
+    descending: bool = True,
+    tiebreak: Optional[str] = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Top-n rows per key group — the ranked-window analogue
+    (ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_col) <= n).
+
+    Map side: each batch keeps only its local top-n per key, so the
+    groupby shuffle carries at most n × keys × blocks rows.  Reduce
+    side: one pandas nlargest per group.  Deterministic via ``tiebreak``.
+    """
+    keys = list(keys)
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    asc = [not descending] + ([True] if tiebreak else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (
+            df.sort_values(sort_cols, ascending=asc)
+            .groupby(keys, sort=False)
+            .head(n)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_cols, ascending=asc).head(n)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return partials.groupby(keys).map_groups(final, batch_format="pandas")
