@@ -406,3 +406,34 @@ def test_driver_entry_contract(ray_session):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 30
+
+
+def test_multi_partition_resume(tmp_path, corpus_sf0001):
+    """3 input files → 3 partitions; a rerun skips all; adding a file
+    revalidates only the new partition (the 100 TB resume story)."""
+    import pyarrow.parquet as pq
+
+    from jesse_ray import testgen
+    from jesse_ray.checkpoint import run_validation
+    from jesse_ray.pipelines.queries import _seq_spec
+
+    tbl = pq.read_table(str(testgen.corpus_path("sf0.001")))
+    n = tbl.num_rows
+    files = []
+    for i in range(3):
+        p = tmp_path / f"shard-{i}.parquet"
+        pq.write_table(tbl.slice(i * n // 3, n // 3), p)
+        files.append(str(p))
+
+    out = tmp_path / "out"
+    s1 = run_validation(files, _seq_spec(), out, files_per_partition=1)
+    assert s1["partitions"] == 3 and s1["skipped"] == 0
+
+    s2 = run_validation(files, _seq_spec(), out, files_per_partition=1)
+    assert s2["skipped"] == 3
+    assert s2["violations"] == s1["violations"]
+
+    p4 = tmp_path / "shard-3.parquet"
+    pq.write_table(tbl.slice(0, 100), p4)
+    s3 = run_validation(files + [str(p4)], _seq_spec(), out, files_per_partition=1)
+    assert s3["partitions"] == 4 and s3["skipped"] == 3
