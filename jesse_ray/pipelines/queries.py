@@ -681,6 +681,52 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def _emb_finite_check(tbl: pa.Table) -> "np.ndarray":
+    """external_validator hook: every embedding element is finite."""
+    col = tbl["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    bad = ~np.isfinite(flat)
+    ok = np.ones(tbl.num_rows, dtype=bool)
+    if bad.any():
+        ok[np.unique(parent[bad])] = False
+    return ok
+
+
+def q_emb_validate(sf_dir: str) -> pd.DataFrame:
+    """Validation over the embeddings modality: fixed dimension via
+    min/maxItems + finiteness via the external-validator hook, both
+    through the compiled engine."""
+    from jesse_ray.spec import CustomCheck
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    spec = TableSpec(key_column="vec_id")
+    spec.columns["embedding"] = ColumnSpec(required=True, min_items=64, max_items=64)
+    spec.custom_checks.append(
+        CustomCheck(name="finite_embedding", fn=_emb_finite_check, column="vec_id")
+    )
+    v = _collect(row_violations(ds, compile_spec(spec)))
+    n_rows = ds.count()
+    errs = v["error"].to_pylist() if v is not None else []
+    return pd.DataFrame(
+        {
+            "checked_rows": pd.array([n_rows], dtype="int64"),
+            "dim_violations": pd.array([errs.count("wrong_size")], dtype="int64"),
+            "nonfinite_rows": pd.array([errs.count("external")], dtype="int64"),
+        }
+    )
+
+
+SQL_EMB_VALIDATE = """
+SELECT CAST(count(*) AS BIGINT) AS checked_rows,
+       CAST(sum(CASE WHEN len(embedding) != 64 THEN 1 ELSE 0 END) AS BIGINT) AS dim_violations,
+       CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite_rows
+FROM embeddings
+"""
+
+
 def q_emb_topk(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for the query vector vec_id=0."""
     from jesse_ray.functions.similarity import cosine_topk
@@ -871,6 +917,7 @@ def queries() -> dict[str, Callable]:
         "orders_by_segment": q_orders_by_segment,
         "orders_top10": q_orders_top10,
         "lineitem_pricing": q_lineitem_pricing,
+        "emb_validate": q_emb_validate,
         "emb_topk": q_emb_topk,
         # non-SQL-expressible (rows-only checks)
         "drift_report": q_drift_report,
@@ -910,5 +957,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "orders_top10": SQL_ORDERS_TOP10,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
+        "emb_validate": SQL_EMB_VALIDATE,
         "emb_topk": SQL_EMB_TOPK,
     }
