@@ -485,13 +485,30 @@ def column_stats(
 
 @dataclass
 class ValidationResult:
-    """Violations + metrics for one validation run."""
+    """Violations + metrics for one validation run.
+
+    ``unique_violations`` may be computed on a background driver thread
+    (overlapping the uniqueness shuffle with the fused row/referential
+    pass — two independent Ray Data executions pipeline against each
+    other); the property joins the thread on first access.
+    """
 
     violations: Dataset
-    unique_violations: pa.Table
     spec_version: str
     metrics: dict[str, Any] = field(default_factory=dict)
     _cached: Optional[pa.Table] = None
+    _uniq: Optional[pa.Table] = None
+    _uniq_future: Any = None
+
+    @property
+    def unique_violations(self) -> pa.Table:
+        if self._uniq is None:
+            if self._uniq_future is not None:
+                self._uniq = self._uniq_future.result()
+                self._uniq_future = None
+            else:
+                self._uniq = empty_violations()
+        return self._uniq
 
     def materialize(self) -> "ValidationResult":
         """Execute the violations pipeline ONCE and pin the (small)
@@ -674,20 +691,33 @@ class ValidationEngine:
                 parts.append(ref_ds)
             violations = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
-        uniq = empty_violations()
+        uniq_future = None
         if check_unique and spec.unique_keys:
             # narrow pass: callers reading parquet should pass ``key_ds``
-            # as a column-pruned read so only the key column's pages move
+            # as a column-pruned read so only the key column's pages move.
+            # Runs on a driver thread so the shuffle overlaps the fused
+            # pass (consumed later by the caller) instead of serializing.
+            import concurrent.futures
+
             uds = key_ds if key_ds is not None else ds
-            for key in spec.unique_keys:
-                uv = uniqueness_violations(uds, key)
-                if uv.num_rows:
-                    uniq = pa.concat_tables([uniq, uv]) if uniq.num_rows else uv
+            keys = list(spec.unique_keys)
+
+            def _run_uniq() -> pa.Table:
+                uniq = empty_violations()
+                for key in keys:
+                    uv = uniqueness_violations(uds, key)
+                    if uv.num_rows:
+                        uniq = pa.concat_tables([uniq, uv]) if uniq.num_rows else uv
+                return uniq
+
+            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            uniq_future = pool.submit(_run_uniq)
+            pool.shutdown(wait=False)
 
         return ValidationResult(
             violations=violations,
-            unique_violations=uniq,
             spec_version=compiled.version,
+            _uniq_future=uniq_future,
         )
 
 
