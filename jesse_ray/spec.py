@@ -480,6 +480,14 @@ def _(c, v, root):
     c.contains = _subspec(v, root)
 
 
+@_kw("examples")
+def _(c, v, root):
+    # draft-6: must be an array; contents are NOT validated
+    # (src/jesse_validator_draft6.erl:157-165)
+    if not isinstance(v, list):
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "examples must be an array")
+
+
 def _resolve_ref(raw: dict, root: dict, depth: int = 0) -> dict:
     """Inline ``$ref`` pointing into the root schema's ``definitions`` /
     local JSON Pointers.  Compile-time flattening replaces the reference's

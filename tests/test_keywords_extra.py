@@ -251,3 +251,10 @@ def test_schema_dialect_id_tag_enforcement():
         from_json_schema({"$schema": "http://json-schema.org/draft-06/schema#", "id": "x", "properties": {}})
     from_json_schema({"$schema": "http://json-schema.org/draft-04/schema#", "id": "x", "properties": {}})
     from_json_schema({"$schema": "http://json-schema.org/draft-06/schema#", "$id": "x", "properties": {}})
+
+
+def test_examples_keyword_must_be_array():
+    # draft-6 examples gate (src/jesse_validator_draft6.erl:157-165)
+    from_json_schema({"properties": {"x": {"examples": [1, 2]}}})
+    with pytest.raises(E.SchemaInvalidError):
+        from_json_schema({"properties": {"x": {"examples": "nope"}}})

@@ -104,3 +104,67 @@ def test_invalid_row_mask_matches_oracle_verdicts(rows):
     mask = COMPILED.invalid_row_mask(_table(rows))
     for i, r in enumerate(rows):
         assert bool(mask[i]) == (len(validate_row(SPEC, r)) > 0)
+
+
+# ---------------------------------------------------------------------------
+# canonicalization property (the reference's prop_get_equal analogue,
+# test/prop_get_equal.erl: normalize_and_sort preserves is_equal)
+
+json_value = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-10, max_value=10),
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        st.text(alphabet="abc", max_size=4),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(alphabet="xy", min_size=1, max_size=2), children, max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+def _shuffle_keys(v, seed=0):
+    """Structurally identical value with reversed dict key order."""
+    if isinstance(v, dict):
+        return {k: _shuffle_keys(v[k]) for k in reversed(list(v))}
+    if isinstance(v, list):
+        return [_shuffle_keys(x) for x in v]
+    return v
+
+
+def _floatify(v):
+    """ints → equal floats (1 → 1.0), recursively."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return float(v)
+    if isinstance(v, dict):
+        return {k: _floatify(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_floatify(x) for x in v]
+    return v
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_value)
+def test_canon_key_is_key_order_insensitive_and_cross_numeric(v):
+    from jesse_ray.compiler import _canon_key
+
+    # key order must not matter (src/jesse_lib.erl:148-197)
+    assert _canon_key(v) == _canon_key(_shuffle_keys(v))
+    # 1 == 1.0 deep equality (src/jesse_lib.erl:177-181)
+    assert _canon_key(v) == _canon_key(_floatify(v))
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_value, json_value)
+def test_canon_key_distinguishes_unequal(a, b):
+    from jesse_ray.compiler import _canon_key
+
+    # soundness: equal canon ⟹ values are deep-equal under the
+    # reference's semantics (numbers cross-type, dict order free)
+    if _canon_key(a) == _canon_key(b):
+        assert _canon_key(_floatify(a)) == _canon_key(_floatify(b))
