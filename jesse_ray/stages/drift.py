@@ -1,28 +1,35 @@
-"""Distribution-drift stage: per-batch sketches + tree-merge aggregation.
+"""Distribution-drift stage: per-batch sketches + shuffle-free tree merge.
 
-Each input block contributes one serialized :class:`SketchBundle`
-(t-digest over ``n_tok``, token-frequency vector, count-min).  Sketches
-are merged in two levels — a bucketed ``groupby`` (map-side tree level,
-so at 100 TB the driver never sees one sketch per block) followed by a
-driver merge of the ≤``n_buckets`` survivors.  Merging is associative
-and commutative, so bucket assignment only affects the merge tree shape,
-never the result.
+Each input batch contributes one serialized :class:`SketchBundle`
+(t-digest over ``n_tok``, token-frequency vector, count-min).  Merging
+is associative and commutative, so no key-based shuffle is ever needed:
+the merge tree is built by letting ``map_batches`` COALESCE up to
+``fan_in`` single-row sketch blocks per task (Ray Data's batcher bundles
+consecutive blocks until ``batch_size`` rows — a streaming, sort-free
+operation), repeated for ``levels`` rounds.  A level applied to an
+already-small stream is one near-no-op task, so extra levels cost
+nothing; with the default ``fan_in=64`` and ``levels=3`` the driver
+never merges more than 64 sketches even for ~64^4 ≈ 16M input blocks
+(a 10^12-row corpus at 65k rows/block).
+
+This replaces the round-1 design (hash-bucket ``groupby().map_groups``)
+whose Sort all-to-all moved ~1 MB binary sketch rows through a
+range-partition shuffle and converted them to pandas blocks.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
 from jesse_ray.sketches import SketchBundle, drift_report
 
+_SKETCH_SCHEMA = pa.schema([pa.field("sketch", pa.large_binary())])
 
-def _build_sketch_fn(n_tok_col: str, tokens_col: str, vocab: int, n_buckets: int):
+
+def _build_sketch_fn(n_tok_col: str, tokens_col: str, vocab: int):
     def build(batch: pa.Table) -> pa.Table:
         b = SketchBundle.empty(vocab)
         n_tok = batch[n_tok_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -32,20 +39,43 @@ def _build_sketch_fn(n_tok_col: str, tokens_col: str, vocab: int, n_buckets: int
             col = col.combine_chunks()
         flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
         b.add_batch(n_tok, flat)
-        raw = b.to_bytes()
-        bucket = int.from_bytes(hashlib.blake2b(raw, digest_size=4).digest(), "big") % n_buckets
-        return pa.table({"bucket": pa.array([bucket], type=pa.int32()),
-                         "sketch": pa.array([raw], type=pa.binary())})
+        return pa.table(
+            {"sketch": pa.array([b.to_bytes()], type=pa.large_binary())},
+            schema=_SKETCH_SCHEMA,
+        )
 
     return build
 
 
-def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
+def _merge_batch(batch: pa.Table) -> pa.Table:
     merged = None
-    for raw in df["sketch"]:
-        b = SketchBundle.from_bytes(bytes(raw))
+    for raw in batch["sketch"]:
+        b = SketchBundle.from_bytes(raw.as_py())
         merged = b if merged is None else merged.merge(b)
-    return pd.DataFrame({"bucket": [int(df["bucket"].iloc[0])], "sketch": [merged.to_bytes()]})
+    if merged is None:
+        return pa.table({"sketch": pa.array([], type=pa.large_binary())}, schema=_SKETCH_SCHEMA)
+    return pa.table(
+        {"sketch": pa.array([merged.to_bytes()], type=pa.large_binary())},
+        schema=_SKETCH_SCHEMA,
+    )
+
+
+def merge_sketch_rows(sk: Dataset, *, fan_in: int = 64, levels: int = 3, vocab: int = 50_000) -> SketchBundle:
+    """Tree-merge a Dataset of one-sketch-per-row binary blocks down to a
+    single :class:`SketchBundle` without any all-to-all shuffle."""
+    for _ in range(levels):
+        sk = sk.map_batches(
+            _merge_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=fan_in,
+        )
+    merged = None
+    for b in sk.iter_batches(batch_format="pyarrow"):
+        for raw in b["sketch"]:
+            sb = SketchBundle.from_bytes(raw.as_py())
+            merged = sb if merged is None else merged.merge(sb)
+    return merged if merged is not None else SketchBundle.empty(vocab)
 
 
 def sketch_dataset(
@@ -54,23 +84,18 @@ def sketch_dataset(
     n_tok_col: str = "n_tok",
     tokens_col: str = "tokens",
     vocab: int = 50_000,
-    n_buckets: int = 32,
+    fan_in: int = 64,
+    levels: int = 3,
     batch_size: int = 16384,
 ) -> SketchBundle:
     """Build one merged SketchBundle for a whole Dataset."""
     sk = ds.select_columns([n_tok_col, tokens_col]).map_batches(
-        _build_sketch_fn(n_tok_col, tokens_col, vocab, n_buckets),
+        _build_sketch_fn(n_tok_col, tokens_col, vocab),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    level1 = sk.groupby("bucket").map_groups(_merge_group, batch_format="pandas")
-    merged = None
-    for b in level1.iter_batches(batch_format="pyarrow"):
-        for raw in b["sketch"].to_pylist():
-            sb = SketchBundle.from_bytes(bytes(raw))
-            merged = sb if merged is None else merged.merge(sb)
-    return merged if merged is not None else SketchBundle.empty(vocab)
+    return merge_sketch_rows(sk, fan_in=fan_in, levels=levels, vocab=vocab)
 
 
 def drift_check(
