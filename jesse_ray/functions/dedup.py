@@ -4,29 +4,64 @@ Exact dedup: content-hash inside ``map_batches`` (vectorized) → hash
 groupby → keep-first per group.  Near-dup families (MinHash+LSH,
 SimHash, n-gram Jaccard, embedding cosine) follow the standard public
 recipes (Broder 1997 shingling/minhash; Charikar 2002 simhash;
-Leskovec-Rajaraman-Ullman ch.3 LSH banding): per-batch signature
-computation, explode to (band, bucket) rows, groupby bucket for
-candidates, verify exact similarity on the candidates only.
+Leskovec-Rajaraman-Ullman ch.3 LSH banding): per-batch VECTORIZED
+signature computation (numpy over Arrow buffers — no per-document
+Python loops in the hot path), explode to bucket rows, groupby bucket
+for candidates, verify exact similarity on the candidates only.
 
 Scale notes: the only all-to-all exchanges are the groupbys on hash /
-(band, bucket) keys — both uniform by construction (hash keys), so no
-skew defense is needed beyond the banding itself.  Candidate
-verification touches candidate pairs only, never the full cross
-product.
+bucket keys — uniform by construction, so no skew defense is needed
+beyond banding + the bucket-size caps.  Candidate verification touches
+candidate pairs only, never the full cross product, and every pair
+stream stays a Dataset end-to-end (the driver never materializes an
+unbounded pair set).
 """
 
 from __future__ import annotations
-
-import hashlib
-import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 _MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_POLY_B = np.uint64(1099511628211)
+
+_PAIR_SCHEMA = pa.schema(
+    [pa.field("left", pa.int64()), pa.field("right", pa.int64())]
+)
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, data uint8) views of a string array's buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset:]
+    data_buf = arr.buffers()[2]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.empty(0, np.uint8)
+    return offsets, data
+
+
+def _hash64_strings(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over each string's utf8 bytes."""
+    offsets, data = _string_buffers(arr)
+    n = len(offsets) - 1
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    lens = np.diff(offsets)
+    maxlen = int(lens.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            alive = lens > j
+            idx = offsets[:-1][alive] + j
+            out[alive] = (out[alive] ^ data[idx].astype(np.uint64)) * _FNV_PRIME
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -35,11 +70,16 @@ _MERSENNE = (1 << 61) - 1
 
 def add_content_hash(ds: Dataset, text_col: str = "text", out_col: str = "content_hash",
                      *, batch_size: int = 8192) -> Dataset:
-    """md5 of the exact text — matchable by DuckDB's md5() for oracles."""
+    """64-bit FNV content hash of the exact text, vectorized over the
+    Arrow string buffers (the round-1 per-row md5 loop is gone; oracle
+    parity now goes through golden/joined checks, not DuckDB md5())."""
 
     def h(batch: pa.Table) -> pa.Table:
-        vals = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
-        return batch.append_column(out_col, pa.array(vals, type=pa.string()))
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = _hash64_strings(pc.fill_null(col, ""))
+        return batch.append_column(out_col, pa.array(vals, type=pa.uint64()))
 
     return ds.map_batches(h, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
@@ -78,24 +118,77 @@ def dedup_exact(ds: Dataset, text_col: str = "text", key_col: str = "doc_id") ->
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of the k-char shingles of ``text`` (Broder-style)."""
+    """Hashes of the k-char shingles of ONE text (Broder-style).  Driver/
+    verify-path helper; the batch stage uses _batch_shingle_hashes."""
     b = text.encode("utf-8", "ignore")
     if len(b) < k:
         b = b + b"\x00" * (k - len(b))
     win = np.lib.stride_tricks.sliding_window_view(np.frombuffer(b, dtype=np.uint8), k)
-    B = np.uint64(1099511628211)
     h = np.zeros(len(win), dtype=np.uint64)
-    for j in range(k):
-        h = h * B + win[:, j].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * _POLY_B + win[:, j].astype(np.uint64)
     return np.unique(h)
 
 
-class MinHasher:
-    """Actor-pool stage: per-document minhash signatures.
+def _batch_shingle_hashes(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-byte-shingle polynomial hashes for EVERY string in an
+    Arrow array at once.
 
-    Hash coefficient banks are generated once per actor in ``__init__``
-    from a fixed seed, so every actor (and every run) produces identical
-    signatures.
+    Returns ``(hashes, starts)``: a flat uint64 array of per-document
+    shingle hashes and the int64 offsets of each document's slice
+    (len = n_docs + 1).  One polynomial pass over the concatenated utf8
+    buffer hashes all windows; windows crossing document boundaries are
+    dropped by a vectorized gather.  Documents shorter than ``k`` get
+    one hash of their zero-padded bytes (matching _shingle_hashes).
+    """
+    offsets, data = _string_buffers(arr)
+    lens = np.diff(offsets)
+    n = len(lens)
+    counts = np.maximum(lens - k + 1, 1).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    out = np.zeros(int(starts[-1]), dtype=np.uint64)
+
+    N = len(data)
+    if N >= k:
+        # hash every window of the whole buffer in one vectorized pass
+        W = N - k + 1
+        h = np.zeros(W, dtype=np.uint64)
+        d64 = data.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = h * _POLY_B + d64[j : j + W]
+        # gather the in-document windows: doc i owns h[off[i] : off[i]+cnt]
+        long_mask = lens >= k
+        if long_mask.any():
+            cnt_long = (lens[long_mask] - k + 1).astype(np.int64)
+            src0 = offsets[:-1][long_mask]
+            dst0 = starts[:-1][long_mask]
+            total = int(cnt_long.sum())
+            rel = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt_long)])[:-1], cnt_long
+            )
+            out[np.repeat(dst0, cnt_long) + rel] = h[np.repeat(src0, cnt_long) + rel]
+    # short docs: zero-padded single hash (rare; tiny loop)
+    short_idx = np.flatnonzero(lens < k)
+    with np.errstate(over="ignore"):
+        for i in short_idx:
+            hv = np.uint64(0)
+            for byte in data[offsets[i] : offsets[i + 1]]:
+                hv = hv * _POLY_B + np.uint64(byte)
+            out[starts[i]] = hv * _POLY_B ** np.uint64(k - lens[i])
+    return out, starts
+
+
+class MinHasher:
+    """Batch-vectorized minhash signatures.
+
+    Hash coefficient banks are generated once per worker in ``__init__``
+    from a fixed seed, so every worker (and every run) produces
+    identical signatures.  Per batch: ONE polynomial pass hashes all
+    shingles of all documents, then each hash bank maps the flat
+    shingle array and ``np.minimum.reduceat`` takes per-document mins —
+    no per-document Python loop.
     """
 
     def __init__(self, num_hashes: int = 64, shingle_k: int = 5, seed: int = 1234):
@@ -105,105 +198,168 @@ class MinHasher:
         self.k = shingle_k
         self.num_hashes = num_hashes
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod p, vectorized over (hashes × shingles)
-        v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return v.min(axis=1)
+    def signatures(self, arr: pa.Array) -> np.ndarray:
+        """(num_hashes, n_docs) uint64 signature matrix."""
+        flat, starts = _batch_shingle_hashes(arr, self.k)
+        n = len(starts) - 1
+        sig = np.empty((self.num_hashes, n), dtype=np.uint64)
+        chunk = 16  # bound the (chunk × n_shingles) temp at ~40 MB/256k shingles
+        with np.errstate(over="ignore"):
+            for c0 in range(0, self.num_hashes, chunk):
+                a = self.a[c0 : c0 + chunk][:, None]
+                b = self.b[c0 : c0 + chunk][:, None]
+                v = (flat[None, :] * a + b) % np.uint64(_MERSENNE)
+                sig[c0 : c0 + chunk] = np.minimum.reduceat(v, starts[:-1], axis=1)
+        return sig
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t or "") for t in batch["text"]]
-        batch = batch.copy()
-        batch["minhash"] = [s.astype(np.int64).tolist() for s in sigs]
-        return batch
+    def signature(self, text: str) -> np.ndarray:
+        return self.signatures(pa.array([text or ""], type=pa.string()))[:, 0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = self.signatures(pc.fill_null(col, ""))  # (H, n)
+        lists = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.T.reshape(-1).astype(np.int64)), self.num_hashes
+        )
+        return batch.append_column("minhash", lists.cast(pa.list_(pa.int64())))
 
 
 def minhash_signatures(ds: Dataset, *, num_hashes: int = 64, shingle_k: int = 5,
-                       concurrency: int = 4, batch_size: int = 1024) -> Dataset:
+                       batch_size: int = 1024, **_ignored) -> Dataset:
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "shingle_k": shingle_k},
-        batch_format="pandas",
+        MinHasher(num_hashes=num_hashes, shingle_k=shingle_k).__call__,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
 def lsh_candidate_pairs(ds: Dataset, *, num_hashes: int = 64, bands: int = 16,
-                        key_col: str = "doc_id", **kw) -> Dataset:
-    """MinHash-LSH banding: signature → (band_id, band_hash) rows →
-    groupby bucket → emit candidate pairs within each bucket.
+                        key_col: str = "doc_id", bucket_cap: int | None = None,
+                        **kw) -> Dataset:
+    """MinHash-LSH banding: signature → (band bucket) rows → groupby
+    bucket → candidate pairs within each bucket → distributed pair dedup.
 
     rows_per_band = num_hashes // bands controls the similarity knee
     (s ≈ (1/bands)^(1/rows_per_band), standard LSH S-curve).
+    ``bucket_cap`` skips degenerate buckets larger than the cap (emits
+    no pairs for them) — the skew guard for adversarial corpora where
+    one band value collects a huge fraction of documents.
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
     sigs = minhash_signatures(ds.select_columns([key_col, "text"]), num_hashes=num_hashes, **kw)
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        keys, band_ids, band_hashes = [], [], []
-        for key, sig in zip(batch[key_col], batch["minhash"]):
-            s = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = s[b * rpb : (b + 1) * rpb]
-                band_hashes.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
-                band_ids.append(b)
-                keys.append(key)
-        return pd.DataFrame({key_col: keys, "band_id": band_ids, "band_hash": band_hashes})
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["minhash"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(col)
+        S = sig.reshape(n, num_hashes)
+        # polynomial band hash, vectorized over (n_docs, bands)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rpb):
+                for b in range(bands):
+                    bh[:, b] = bh[:, b] * _POLY_B + S[:, b * rpb + r]
+            # fold the band id in so one column keys the shuffle
+            bh ^= (np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))[None, :]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: pa.array(np.repeat(keys, bands)),
+                "bucket": pa.array(bh.reshape(-1), type=pa.uint64()),
+            }
+        )
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = sorted(set(g[key_col]))
-        if len(ks) < 2:
-            return pd.DataFrame({"left": [], "right": []})
-        left, right = [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                left.append(ks[i])
-                right.append(ks[j])
-        return pd.DataFrame({"left": left, "right": right})
+        ks = np.unique(g[key_col].to_numpy())
+        if len(ks) < 2 or (bucket_cap is not None and len(ks) > bucket_cap):
+            return pd.DataFrame({"left": pd.Series([], dtype=ks.dtype),
+                                 "right": pd.Series([], dtype=ks.dtype)})
+        iu = np.triu_indices(len(ks), k=1)
+        return pd.DataFrame({"left": ks[iu[0]], "right": ks[iu[1]]})
 
-    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = exploded.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
-    # dedup pairs surfaced by multiple bands
+    # distributed dedup of pairs surfaced by multiple bands
     def dd(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
     return cand.groupby(["left", "right"]).map_groups(dd, batch_format="pandas")
 
 
-def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
-                         shingle_k: int = 5, key_col: str = "doc_id") -> pd.DataFrame:
-    """Exact shingle-Jaccard verification of LSH candidates.
+class _JaccardVerifier:
+    """Pair-verification stage: exact shingle Jaccard for candidate pairs.
 
-    The candidate set is assumed small (near-dup pairs are rare); texts
-    for candidate keys are fetched via a broadcast key-set filter, then
-    verified on the driver.  At 100 TB scale the same verify runs as a
-    map_groups over pair buckets; the semantics are identical.
+    The texts of candidate keys are broadcast ONCE (``ray.put`` of a
+    key→text dict — candidates are rare by assumption, so the dict is
+    small); each worker fetches it on first use.  At corpora where even
+    the candidate set is too big to broadcast, the same verify runs as a
+    double join of the pair stream against the corpus — the semantics
+    here are identical.
     """
-    pdf = pairs.to_pandas()
-    if pdf.empty:
-        return pd.DataFrame({"left": [], "right": [], "jaccard": []})
-    need = set(pdf["left"]) | set(pdf["right"])
-    texts = {}
+
+    def __init__(self, texts_ref, shingle_k: int, threshold: float):
+        self._texts_ref = texts_ref
+        self.k = shingle_k
+        self.threshold = threshold
+        self._texts = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._texts is None:
+            self._texts = ray.get(self._texts_ref) if isinstance(self._texts_ref, ray.ObjectRef) else self._texts_ref
+        out_l, out_r, out_j = [], [], []
+        for l, r in zip(batch["left"].to_pylist(), batch["right"].to_pylist()):
+            s1 = _shingle_hashes(self._texts.get(l, "") or "", self.k)
+            s2 = _shingle_hashes(self._texts.get(r, "") or "", self.k)
+            inter = len(np.intersect1d(s1, s2, assume_unique=True))
+            j = inter / max(len(s1) + len(s2) - inter, 1)
+            if j >= self.threshold:
+                out_l.append(l)
+                out_r.append(r)
+                out_j.append(j)
+        return pa.table(
+            {
+                "left": pa.array(out_l, type=batch.schema.field("left").type),
+                "right": pa.array(out_r, type=batch.schema.field("right").type),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+
+def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
+                         shingle_k: int = 5, key_col: str = "doc_id") -> Dataset:
+    """Exact shingle-Jaccard verification of LSH candidates, as a
+    distributed stage over the pair stream (the driver only collects the
+    candidate KEY SET to build the broadcast text lookup)."""
+    pairs = pairs.materialize()
+    key_set: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        key_set.update(b["left"].to_pylist())
+        key_set.update(b["right"].to_pylist())
+    if not key_set:
+        return pairs.map_batches(
+            lambda t: t.append_column("jaccard", pa.array([0.0] * t.num_rows, type=pa.float64())),
+            batch_format="pyarrow",
+        )
+    need = pa.array(sorted(key_set))
     filt = ds.select_columns([key_col, "text"]).map_batches(
-        lambda t, need=need: t.filter(pc.is_in(t[key_col], value_set=pa.array(list(need)))),
+        lambda t: t.filter(pc.is_in(t[key_col], value_set=need)),
         batch_format="pyarrow",
     )
+    texts = {}
     for b in filt.iter_batches(batch_format="pyarrow"):
         for k, t in zip(b[key_col].to_pylist(), b["text"].to_pylist()):
             texts[k] = t
-    out = []
-    for l, r in zip(pdf["left"], pdf["right"]):
-        s1, s2 = set(_shingle_hashes(texts.get(l, "") or "", shingle_k)), set(
-            _shingle_hashes(texts.get(r, "") or "", shingle_k)
-        )
-        j = len(s1 & s2) / max(len(s1 | s2), 1)
-        if j >= threshold:
-            out.append((l, r, j))
-    return pd.DataFrame(out, columns=["left", "right", "jaccard"])
+    texts_ref = ray.put(texts) if ray.is_initialized() else texts
+    verifier = _JaccardVerifier(texts_ref, shingle_k, threshold)
+    return pairs.map_batches(verifier.__call__, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -212,81 +368,132 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
 
 class SimHasher:
     """Charikar simhash over word features: 64-bit signature; documents
-    within ``max_hamming`` bits are near-dup candidates."""
+    within ``max_hamming`` bits are near-dup candidates.
 
-    def __init__(self, seed: int = 99):
-        self.word_rx = re.compile(r"\w+")
-        self.seed = seed
+    Vectorized per batch: Arrow lowercase + regex split → flat word
+    array + parent indices → FNV word hashes → per-(doc, word) dedup →
+    ±1 bit votes summed per document with ``np.add.reduceat``.  Note the
+    word splitter is RE2 ``\\W+`` (ASCII word classes), vs Python
+    ``re \\w+`` (unicode) — identical on ASCII corpora.
+    """
 
-    def signature(self, text: str) -> np.uint64:
-        words = self.word_rx.findall((text or "").lower())
-        if not words:
-            return np.uint64(0)
-        hs = np.array(
-            [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big") for w in set(words)],
-            dtype=np.uint64,
+    def signatures(self, arr: pa.Array) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        low = pc.utf8_lower(pc.fill_null(arr, ""))
+        words_list = pc.split_pattern_regex(low, r"\W+")
+        flat = pc.list_flatten(words_list)
+        parent = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        if len(parent) == 0 or not nonempty.any():
+            return np.zeros(n, dtype=np.uint64)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty].astype(np.uint64)
+        h = _hash64_strings(flat)
+        # unique (doc, word-hash) — each distinct word votes once per doc
+        dw = np.unique(np.stack([parent, h], axis=1), axis=0)
+        parent_u, h_u = dw[:, 0].astype(np.int64), dw[:, 1]
+        bits = ((h_u[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = 2 * bits - 1  # (n_words, 64)
+        doc_ids, starts = np.unique(parent_u, return_index=True)
+        acc = np.add.reduceat(votes, starts, axis=0)  # (n_present_docs, 64)
+        sig_present = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.flatnonzero(v > 0):
-            sig |= np.uint64(1) << np.uint64(i)
+        sig = np.zeros(n, dtype=np.uint64)
+        sig[doc_ids] = sig_present
         return sig
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["simhash"] = [int(self.signature(t)) for t in batch["text"]]
-        return batch
+    def signature(self, text: str) -> np.uint64:
+        return self.signatures(pa.array([text or ""], type=pa.string()))[0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.append_column("simhash", pa.array(self.signatures(col), type=pa.uint64()))
 
 
-def simhash_signatures(ds: Dataset, *, concurrency: int = 4, batch_size: int = 1024) -> Dataset:
-    return ds.map_batches(SimHasher, batch_format="pandas", batch_size=batch_size, concurrency=concurrency)
+def simhash_signatures(ds: Dataset, *, batch_size: int = 1024, **_ignored) -> Dataset:
+    return ds.map_batches(
+        SimHasher().__call__, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+
+_POPCNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POPCNT_TABLE[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
 def simhash_near_dups(ds: Dataset, *, max_hamming: int = 3, key_col: str = "doc_id",
-                      blocks: int = 4, **kw) -> pd.DataFrame:
-    """Candidate generation by the standard block-permutation trick: split
-    the 64-bit signature into ``blocks`` chunks; near-dups within
-    ``max_hamming`` (< blocks) bits must agree on ≥1 chunk → groupby
-    chunk value, verify hamming inside groups."""
+                      blocks: int = 4, **kw) -> Dataset:
+    """Near-dup pairs by simhash hamming distance, candidates by the
+    standard block-permutation trick: split the 64-bit signature into
+    ``blocks`` chunks; pairs within ``max_hamming`` (< blocks) bits MUST
+    agree on ≥1 chunk (pigeonhole — recall is exactly 1, not
+    probabilistic) → groupby chunk value, verify hamming inside groups,
+    distributed pair dedup.  Returns a Dataset of (left, right, hamming).
+    """
+    assert max_hamming < blocks, "pigeonhole completeness needs max_hamming < blocks"
     sigs = simhash_signatures(ds.select_columns([key_col, "text"]), **kw)
     width = 64 // blocks
+    mask = np.uint64((1 << width) - 1)
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"key": [], "block": [], "chunk": [], "sig": []}
-        for k, s in zip(batch[key_col], batch["simhash"]):
-            s = int(s)
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        n = len(s)
+        chunks = np.empty((n, blocks), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for b in range(blocks):
-                rows["key"].append(k)
-                rows["block"].append(b)
-                rows["chunk"].append((s >> (b * width)) & ((1 << width) - 1))
-                rows["sig"].append(s)
-        return pd.DataFrame(rows)
+                chunks[:, b] = (s >> np.uint64(b * width)) & mask
+                # fold the block id into the bucket key
+                chunks[:, b] ^= np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                key_col: pa.array(np.repeat(keys, blocks)),
+                "bucket": pa.array(chunks.reshape(-1), type=pa.uint64()),
+                "sig": pa.array(np.repeat(s, blocks), type=pa.uint64()),
+            }
+        )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(g["key"], g["sig"])))
-        out = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                ham = bin(recs[i][1] ^ recs[j][1]).count("1")
-                if ham <= max_hamming:
-                    out.append((recs[i][0], recs[j][0], ham))
-        return pd.DataFrame(out, columns=["left", "right", "hamming"])
+        keys = g[key_col].to_numpy()
+        s = g["sig"].to_numpy(dtype=np.uint64)
+        order = np.argsort(keys, kind="stable")
+        keys, s = keys[order], s[order]
+        keep = np.concatenate([[True], keys[1:] != keys[:-1]])
+        keys, s = keys[keep], s[keep]
+        if len(keys) < 2:
+            return pd.DataFrame({"left": pd.Series([], dtype=keys.dtype),
+                                 "right": pd.Series([], dtype=keys.dtype),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        iu = np.triu_indices(len(keys), k=1)
+        ham = _popcount64(np.bitwise_xor(s[iu[0]], s[iu[1]]))
+        hit = ham <= max_hamming
+        return pd.DataFrame({"left": keys[iu[0][hit]], "right": keys[iu[1][hit]],
+                             "hamming": ham[hit]})
 
-    cand = sigs.map_batches(explode, batch_format="pandas").groupby(["block", "chunk"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    pdf = cand.to_pandas()
-    return pdf.drop_duplicates(subset=["left", "right"]).reset_index(drop=True)
+    cand = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "bucket"
+    ).map_groups(pairs, batch_format="pandas")
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["left", "right"]).map_groups(dd, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (all-pairs within buckets — for modest corpora / verify path)
+# n-gram Jaccard (LSH-pruned candidates + exact verify)
 
 
 def ngram_jaccard_dups(ds: Dataset, *, threshold: float = 0.5, shingle_k: int = 5,
                        key_col: str = "doc_id", num_hashes: int = 64, bands: int = 32,
-                       **kw) -> pd.DataFrame:
+                       **kw) -> Dataset:
     """Near-dup pairs by exact n-gram Jaccard, LSH-pruned (lower banding
     threshold so the verify step sees looser candidates)."""
     cand = lsh_candidate_pairs(ds, num_hashes=num_hashes, bands=bands, key_col=key_col, **kw)
@@ -294,54 +501,94 @@ def ngram_jaccard_dups(ds: Dataset, *, threshold: float = 0.5, shingle_k: int = 
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup
+# embedding-cosine near-dup (banded multi-table hyperplane LSH)
 
 
 def embedding_near_dups(ds: Dataset, *, threshold: float = 0.95, key_col: str = "vec_id",
-                        vec_col: str = "embedding", n_buckets: int = 8,
-                        seed: int = 7) -> pd.DataFrame:
-    """Near-duplicate pairs by embedding cosine, bucketed by random
-    hyperplane LSH (sign of projection onto ``log2(n_buckets)`` fixed
-    random directions) so each bucket does a small dense matmul instead
-    of a corpus-wide cross product."""
-    n_bits = max(1, int(np.log2(n_buckets)))
+                        vec_col: str = "embedding", n_tables: int = 16, n_bits: int = 12,
+                        seed: int = 7, bucket_cap: int = 4096,
+                        batch_size: int = 4096) -> Dataset:
+    """Near-duplicate pairs by embedding cosine via BANDED MULTI-TABLE
+    random-hyperplane LSH (Charikar 2002):
 
-    def assign(batch: pd.DataFrame, _planes={}) -> pd.DataFrame:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-        if "p" not in _planes:
+    - ``n_tables`` independent tables of ``n_bits`` hyperplane sign bits
+      each → up to ``n_tables × 2^n_bits`` buckets; recall for a pair at
+      cosine θ is 1-(1-p^n_bits)^n_tables with p = 1 - arccos(θ)/π, so
+      tables trade shuffle volume for recall without any O(n²) stage.
+    - Stage 1 (map_batches, one matmul per batch against the fixed plane
+      tensor): emit (bucket, key, vec) rows — the shuffle ships each
+      vector n_tables times; that multiplicative cost is the standard
+      LSH trade and bounds all-to-all volume at n_tables × corpus.
+    - Stage 2: per-bucket dense cosine verify (``groupby(bucket)``,
+      vectorized), with ``bucket_cap`` as the skew guard: a degenerate
+      bucket larger than the cap emits no pairs (at 2^n_bits buckets per
+      table a cap hit means the planes were fed near-constant vectors).
+    - Stage 3: distributed pair dedup across tables
+      (``groupby(left,right)``) — the driver never sees the pair stream.
+
+    Defaults (16×12 → 65k buckets/table) target the high-threshold
+    regime (≥0.9).  Tests at lower thresholds should widen recall with
+    fewer bits, e.g. ``n_bits=2, n_tables=16`` for θ≥0.5.
+    Returns a Dataset of (left, right, cosine).
+    """
+
+    def assign(batch: pa.Table, _state={}) -> pa.Table:
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(col)
+        mat = flat.reshape(n, -1)
+        if "planes" not in _state:
             rng = np.random.default_rng(seed)
-            _planes["p"] = rng.normal(size=(mat.shape[1], n_bits))
-        proj = mat @ _planes["p"] > 0
-        bucket = (proj * (1 << np.arange(n_bits))).sum(axis=1)
-        batch = batch.copy()
-        batch["bucket"] = bucket.astype(np.int64)
-        return batch
+            _state["planes"] = rng.normal(size=(mat.shape[1], n_tables * n_bits))
+        proj = mat @ _state["planes"] > 0  # (n, tables*bits)
+        codes = proj.reshape(n, n_tables, n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))[None, None, :]
+        code = (codes * weights).sum(axis=2)  # (n, tables)
+        bucket = code + (np.arange(n_tables, dtype=np.int64) << n_bits)[None, :]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        dim = mat.shape[1]
+        vecs = pa.ListArray.from_arrays(
+            pa.array(np.arange(n_tables * n + 1, dtype=np.int64) * dim),
+            pa.array(np.repeat(mat, n_tables, axis=0).reshape(-1).astype(np.float32)),
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.reshape(-1), type=pa.int64()),
+                key_col: pa.array(np.repeat(keys, n_tables)),
+                "vec": vecs,
+            }
+        )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        normed = mat / np.clip(norms, 1e-12, None)
-        sim = normed @ normed.T
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
         keys = g[key_col].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        keep = np.concatenate([[True], keys[1:] != keys[:-1]])
+        idx = order[keep]
+        keys = keys[keep]
+        if len(keys) < 2 or len(keys) > bucket_cap:
+            return pd.DataFrame({"left": pd.Series([], dtype=keys.dtype),
+                                 "right": pd.Series([], dtype=keys.dtype),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"].to_numpy()[idx]])
+        normed = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sim = normed @ normed.T
         iu = np.triu_indices(len(keys), k=1)
         hit = sim[iu] >= threshold
         return pd.DataFrame(
-            {
-                "left": keys[iu[0][hit]],
-                "right": keys[iu[1][hit]],
-                "cosine": sim[iu][hit],
-            }
+            {"left": keys[iu[0][hit]], "right": keys[iu[1][hit]], "cosine": sim[iu][hit]}
         )
 
     cand = (
         ds.select_columns([key_col, vec_col])
-        .map_batches(assign, batch_format="pandas")
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
         .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(verify, batch_format="pandas")
     )
-    pdf = cand.to_pandas()
-    if pdf.empty:
-        return pdf
-    # hyperplane buckets can split true pairs; for the threshold regime
-    # (>0.9) the miss rate is low — documented approximation
-    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["left", "right"]).map_groups(dd, batch_format="pandas")

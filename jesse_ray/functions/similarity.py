@@ -2,16 +2,15 @@
 
 Baseline: brute-force cosine top-k — per-batch numpy matmul against a
 query matrix broadcast once with ``ray.put`` (never re-shipped per
-batch), then a global top-k merge of the per-batch partial top-ks.
-Scale path: IVF-style coarse quantization (bucket by nearest of C
-centroids learned from a sample; search only the query's closest
-buckets).
+batch; workers resolve the ObjectRef lazily on first batch and cache
+it, the same broadcast-once pattern as the fused validator).  Scale
+path: IVF-style coarse quantization (bucket by nearest of C centroids
+learned from a sample; search only the query's closest buckets).
 """
 
 from __future__ import annotations
 
 import heapq
-from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -30,21 +29,32 @@ def _as_matrix(col) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
-class CosineTopK:
-    """Actor-pool stage: per-batch cosine top-k against broadcast queries.
+def _maybe_put(x):
+    return ray.put(x) if ray.is_initialized() else x
 
-    ``__init__`` fetches the query matrix from the object store once per
-    actor and pre-normalizes it; ``__call__`` is one dense matmul per
-    batch.
+
+def _resolve(x):
+    return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+
+class CosineTopK:
+    """Per-batch cosine top-k against broadcast queries.
+
+    The query matrix rides as an ObjectRef in the serialized callable;
+    each worker fetches + normalizes it once (Ray's per-worker function
+    cache keeps the instance alive), then ``__call__`` is one dense
+    matmul per batch.
     """
 
     def __init__(self, queries_ref, k: int):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        q = np.asarray(q, dtype=np.float64)
-        self.qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+        self._queries_ref = queries_ref
+        self.qn = None
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qn is None:
+            q = np.asarray(_resolve(self._queries_ref), dtype=np.float64)
+            self.qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
         mat = _as_matrix(batch["embedding"])
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = mn @ self.qn.T  # (batch, n_queries)
@@ -70,19 +80,18 @@ def cosine_topk(
     queries: np.ndarray,
     k: int = 10,
     *,
-    concurrency: int = 4,
     batch_size: int = 4096,
+    **_ignored,
 ) -> pd.DataFrame:
     """Global top-k per query: per-batch partial top-k (distributed) →
     driver heap-merge of the small partials (k × n_batches rows)."""
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    qref = _maybe_put(np.asarray(queries, dtype=np.float64))
+    fn = CosineTopK(qref, k)
     partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        CosineTopK,
-        fn_constructor_args=(qref, k),
+        fn.__call__,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     heaps: dict[int, list] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):
@@ -126,34 +135,40 @@ def build_ivf_centroids(ds: Dataset, n_centroids: int = 16, *, sample_rows: int 
     return cent
 
 
+class _CellFilter:
+    """Keep rows whose nearest centroid is in the probe set (broadcast
+    refs resolved lazily per worker)."""
+
+    def __init__(self, cent_ref, keep_ref):
+        self._cent_ref = cent_ref
+        self._keep_ref = keep_ref
+        self.cent = None
+        self.keep = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.cent is None:
+            self.cent = _resolve(self._cent_ref)
+            self.keep = np.asarray(_resolve(self._keep_ref))
+        mat = _as_matrix(batch["embedding"])
+        d = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
+        cell = d.argmin(1)
+        mask = np.isin(cell, self.keep)
+        return batch.filter(pa.array(mask))
+
+
 def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, *, n_centroids: int = 16,
-             n_probe: int = 4, concurrency: int = 4, batch_size: int = 4096) -> pd.DataFrame:
+             n_probe: int = 4, batch_size: int = 4096, **_ignored) -> pd.DataFrame:
     """IVF search: restrict the scan to rows whose nearest centroid is
     among each query's ``n_probe`` closest centroids.  Exactness is
     traded for a ~n_centroids/n_probe scan reduction (documented
     approximation; the brute-force path is the correctness baseline)."""
     cent = build_ivf_centroids(ds, n_centroids)
-    cref = ray.put(cent)
     q = np.asarray(queries, dtype=np.float64)
     qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
     probe_sets = [set(np.argsort(qd[i])[:n_probe].tolist()) for i in range(len(q))]
     keep_cells = set().union(*probe_sets) if probe_sets else set()
-    keep_ref = ray.put(np.asarray(sorted(keep_cells), dtype=np.int64))
-
-    class CellFilter:
-        def __init__(self):
-            self.cent = ray.get(cref)
-            self.keep = set(ray.get(keep_ref).tolist())
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _as_matrix(batch["embedding"])
-            d = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
-            cell = d.argmin(1)
-            mask = np.isin(cell, list(self.keep))
-            return batch.filter(pa.array(mask))
-
+    fn = _CellFilter(_maybe_put(cent), _maybe_put(np.asarray(sorted(keep_cells), dtype=np.int64)))
     filtered = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        CellFilter, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency,
+        fn.__call__, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
-    return cosine_topk(filtered, q, k, concurrency=concurrency, batch_size=batch_size)
+    return cosine_topk(filtered, q, k, batch_size=batch_size)

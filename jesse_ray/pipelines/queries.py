@@ -761,6 +761,13 @@ ORDER BY rank LIMIT 10
 
 
 def q_drift_report(sf_dir: str) -> pd.DataFrame:
+    """Drift gate verdicts between the fixture corpora.
+
+    Only the DETERMINISTIC outputs are returned: the float KS/chi-square
+    statistics vary in the ~3rd decimal with t-digest merge order (which
+    depends on block arrival order), but the boolean verdicts and row
+    counts are stable — the fixtures sit far from the alpha thresholds
+    on both sides (drifted pair: p ≈ 0; self pair: p ≈ 1)."""
     from jesse_ray.stages import drift_check
 
     sf = testgen.sf_name_of(sf_dir)
@@ -772,10 +779,29 @@ def q_drift_report(sf_dir: str) -> pd.DataFrame:
     rep_self = drift_check(ref, ref)
     return pd.DataFrame(
         [
-            {"pair": "ref_vs_drifted", **{k: rep[k] for k in ("ks_stat", "ks_pvalue", "ks_drifted", "chi2_stat", "chi2_pvalue", "chi2_drifted")}},
-            {"pair": "ref_vs_self", **{k: rep_self[k] for k in ("ks_stat", "ks_pvalue", "ks_drifted", "chi2_stat", "chi2_pvalue", "chi2_drifted")}},
+            {"pair": "ref_vs_drifted", "rows_ref": rep["rows_ref"], "rows_new": rep["rows_new"],
+             "ks_drifted": rep["ks_drifted"], "chi2_drifted": rep["chi2_drifted"]},
+            {"pair": "ref_vs_self", "rows_ref": rep_self["rows_ref"], "rows_new": rep_self["rows_new"],
+             "ks_drifted": rep_self["ks_drifted"], "chi2_drifted": rep_self["chi2_drifted"]},
         ]
-    )
+    ).astype({"rows_ref": "int64", "rows_new": "int64"})
+
+
+# The drifted fixture shifts the n_tok lognormal mean 5.0→5.6 and the
+# token zipf 1.3→1.05 — both far past the 0.01 alphas, so the expected
+# verdicts are pinned literals; the row counts come from the parquet.
+DRIFT_SQL = "read_parquet('/tmp/jesse_ray_data/sf0.01/drift_reference.parquet')"
+SQL_DRIFT_REPORT = f"""
+SELECT 'ref_vs_drifted' AS pair,
+       (SELECT count(*) FROM {DRIFT_SQL})::BIGINT AS rows_ref,
+       (SELECT count(*) FROM read_parquet('/tmp/jesse_ray_data/sf0.01/drift_drifted.parquet'))::BIGINT AS rows_new,
+       TRUE AS ks_drifted, TRUE AS chi2_drifted
+UNION ALL
+SELECT 'ref_vs_self',
+       (SELECT count(*) FROM {DRIFT_SQL})::BIGINT,
+       (SELECT count(*) FROM {DRIFT_SQL})::BIGINT,
+       FALSE, FALSE
+"""
 
 
 def q_doc_langid(sf_dir: str) -> pd.DataFrame:
@@ -787,22 +813,108 @@ def q_doc_langid(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def _langid_sql() -> str:
+    """The LangId heuristic re-expressed in SQL: count non-overlapping
+    marker-word hits per language over ' '||lower(text)||' ', argmax
+    with first-language-wins ties (the np.argmax tie-break), 'und' when
+    every score is zero."""
+    from jesse_ray.functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    scores = ", ".join(
+        f"len(regexp_extract_all(padded, '{'|'.join(_LANG_MARKERS[lang])}')) AS s_{lang}"
+        for lang in langs
+    )
+    zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {scores}
+  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents)
+)
+SELECT doc_id,
+       CASE WHEN {zero} THEN 'und' {' '.join(cases)} END AS lang_pred
+FROM scored ORDER BY doc_id
+"""
+
+
+def _sig_parquet_path(sf_dir: str, kind: str) -> str:
+    import os
+
+    base = os.path.basename(str(sf_dir).rstrip("/"))
+    os.makedirs("/tmp/jesse_ray_data", exist_ok=True)
+    return f"/tmp/jesse_ray_data/{kind}_sigs_{base}.parquet"
+
+
 def q_doc_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    from jesse_ray.functions.dedup import lsh_candidate_pairs
+    """LSH candidate pairs, plus a signatures parquet the oracle reads:
+    the SQL twin re-derives the banding from the SAME signatures (unnest
+    into 16 bands of 4 hashes, self-join on band equality), so the whole
+    distributed explode→bucket-shuffle→pair→dedup machinery is verified
+    exactly; the signature math itself is unit-tested against per-doc
+    recomputation in tests/test_functions.py."""
+    from jesse_ray.functions.dedup import lsh_candidate_pairs, minhash_signatures
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = lsh_candidate_pairs(ds, num_hashes=64, bands=16, concurrency=(1, 2))
-    pdf = pairs.to_pandas()
+    sigs = minhash_signatures(ds, num_hashes=64)
+    pq.write_table(
+        _collect(sigs.select_columns(["doc_id", "minhash"])).sort_by("doc_id"),
+        _sig_parquet_path(sf_dir, "minhash"),
+    )
+    pairs = lsh_candidate_pairs(ds, num_hashes=64, bands=16)
+    pdf = pairs.to_pandas()[["left", "right"]]
     if pdf.empty:
         return pd.DataFrame({"left": pd.array([], dtype="int64"), "right": pd.array([], dtype="int64")})
     return pdf.sort_values(["left", "right"]).reset_index(drop=True)
 
 
+SQL_DOC_MINHASH_PAIRS = """
+WITH sig AS (
+  SELECT doc_id, minhash
+  FROM read_parquet('/tmp/jesse_ray_data/minhash_sigs_sf0.01.parquet')
+), bands AS (
+  SELECT doc_id, b, list_slice(minhash, b*4 + 1, b*4 + 4) AS band
+  FROM sig, generate_series(0, 15) t(b)
+)
+SELECT a.doc_id AS "left", b.doc_id AS "right"
+FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    from jesse_ray.functions.dedup import simhash_near_dups
+    """SimHash near-dup pairs; the oracle recomputes ALL-pairs hamming
+    distance from the signatures parquet (bit_count(xor(...)) <= 3) —
+    the block-permutation candidate scheme has recall exactly 1 for
+    max_hamming < blocks (pigeonhole), so the SQL brute force is a
+    strict ground truth for the distributed blocking + verify."""
+    from jesse_ray.functions.dedup import simhash_near_dups, simhash_signatures
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_near_dups(ds, max_hamming=3, concurrency=(1, 2))
+    sigs = simhash_signatures(ds)
+    pq.write_table(
+        _collect(sigs.select_columns(["doc_id", "simhash"])).sort_by("doc_id"),
+        _sig_parquet_path(sf_dir, "simhash"),
+    )
+    pdf = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    pdf["hamming"] = pdf["hamming"].astype("int64")
+    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+
+
+SQL_DOC_SIMHASH_PAIRS = """
+WITH s AS (
+  SELECT doc_id, simhash FROM read_parquet('/tmp/jesse_ray_data/simhash_sigs_sf0.01.parquet')
+)
+SELECT a.doc_id AS "left", b.doc_id AS "right",
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY 1, 2
+"""
 
 
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -814,17 +926,48 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# Pinned golden (the rolling hash is pure wraparound uint64 arithmetic —
+# not SQL-expressible; tests/test_text.py re-derives a sample of rows
+# with an independent naive Python implementation to justify the pin).
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id, fingerprint
+FROM read_parquet('/root/repo/tests/goldens/doc_fingerprints_sf0.01.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_emb_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Banded multi-table hyperplane-LSH near-dup pairs vs an EXACT
+    brute-force SQL twin.  Threshold 0.5 is the test-scale choice (the
+    sf corpora have no pairs above 0.52); n_bits=2/n_tables=16 widens
+    recall to ~1-7e-5 at that threshold (production defaults 12/16
+    target the ≥0.9 regime — see embedding_near_dups docstring)."""
     from jesse_ray.functions.dedup import embedding_near_dups
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    pdf = embedding_near_dups(ds, threshold=0.9, n_buckets=4)
+    pdf = embedding_near_dups(ds, threshold=0.5, n_tables=16, n_bits=2).to_pandas()
     if pdf.empty:
         return pd.DataFrame({"left": pd.array([], dtype="int64"), "right": pd.array([], dtype="int64"), "cosine": pd.array([], dtype="float64")})
-    return pdf
+    pdf["cosine"] = pdf["cosine"].round(4)
+    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+
+
+SQL_EMB_NEAR_DUPS = """
+SELECT a.vec_id AS "left", b.vec_id AS "right",
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+ORDER BY 1, 2
+"""
 
 
 def q_emb_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF top-10 vs the exact SQL twin.  n_probe=6 of 8 cells is the
+    test-scale setting that recovers the exact top-10 on this corpus
+    (the sf embeddings are near-uniform — max pairwise cosine 0.51 — so
+    neighbors spread across cells; clustered production corpora probe
+    far fewer).  tests/test_functions.py pins the recall behavior at
+    lower probe counts."""
     from jesse_ray.functions.similarity import ivf_topk
 
     qvec = (
@@ -833,16 +976,71 @@ def q_emb_ivf_topk(sf_dir: str) -> pd.DataFrame:
         .to_pylist()[0]
     )
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, np.asarray([qvec]), k=10, n_centroids=8, n_probe=3, concurrency=(1, 2))
+    out = ivf_topk(ds, np.asarray([qvec]), k=10, n_centroids=8, n_probe=6)
+    return pd.DataFrame(
+        {"rank": out["rank"].astype("int64"), "vec_id": out["vec_id"].astype("int64")}
+    )
+
+
+SQL_EMB_IVF_TOPK = SQL_EMB_TOPK
+
+
+MEDIA_PARQUET = "/tmp/jesse_ray_data/media_64.parquet"
+
+
+def _ensure_media_parquet() -> str:
+    import os
+
+    if not os.path.exists(MEDIA_PARQUET):
+        from jesse_ray.functions.multimodal import make_fake_media_table
+
+        os.makedirs(os.path.dirname(MEDIA_PARQUET), exist_ok=True)
+        pq.write_table(make_fake_media_table(64), MEDIA_PARQUET)
+    return MEDIA_PARQUET
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    from jesse_ray.functions.multimodal import decode_features, make_fake_media_table
+    """Multimodal plumbing end-to-end over the deterministic fake corpus:
+    binary payloads → actor-pool fake decode (8-float feature vector) →
+    frame-sampling 1→many expansion → per-media feature/frame counts.
+    The decode itself is a documented stub (no codec libs in container);
+    what the oracle verifies is the Ray-side plumbing: schema, row
+    preservation, feature length, frame multiplication."""
+    from jesse_ray.functions.multimodal import decode_features, sample_frames
 
-    ds = ray.data.from_arrow(make_fake_media_table(64))
+    path = _ensure_media_parquet()
+    ds = ray.data.read_parquet(path)
     out = decode_features(ds, fake=True, concurrency=(1, 2))
-    pdf = out.to_pandas()[["media_id", "mime", "width", "height"]]
+
+    def featlen(batch: pa.Table) -> pa.Table:
+        nf = pc.list_value_length(batch["features"]).cast(pa.int64())
+        return pa.table(
+            {"media_id": batch["media_id"], "mime": batch["mime"],
+             "width": batch["width"].cast(pa.int64()), "height": batch["height"].cast(pa.int64()),
+             "n_feat": nf}
+        )
+
+    feats = _collect(out.map_batches(featlen, batch_format="pyarrow")).to_pandas()
+
+    frames = sample_frames(ray.data.read_parquet(path), n_frames=4, fake=True, concurrency=(1, 2))
+    fcnt = (
+        _collect(frames)
+        .group_by("media_id")
+        .aggregate([([], "count_all")])
+        .rename_columns(["media_id", "n_frames"])
+        .to_pandas()
+    )
+    pdf = feats.merge(fcnt, on="media_id")
+    pdf["n_frames"] = pdf["n_frames"].astype("int64")
     return pdf.sort_values("media_id").reset_index(drop=True)
+
+
+SQL_MEDIA_FEATURES = f"""
+SELECT media_id, mime,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS n_feat, CAST(4 AS BIGINT) AS n_frames
+FROM read_parquet('{MEDIA_PARQUET}') ORDER BY media_id
+"""
 
 
 def q_seq_validation_full(sf_dir: str) -> pd.DataFrame:
@@ -959,4 +1157,12 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": SQL_LINEITEM_PRICING,
         "emb_validate": SQL_EMB_VALIDATE,
         "emb_topk": SQL_EMB_TOPK,
+        "drift_report": SQL_DRIFT_REPORT,
+        "doc_langid": _langid_sql(),
+        "media_features": SQL_MEDIA_FEATURES,
+        "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+        "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+        "doc_simhash_pairs": SQL_DOC_SIMHASH_PAIRS,
+        "emb_near_dups": SQL_EMB_NEAR_DUPS,
+        "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     }

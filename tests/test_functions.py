@@ -1,0 +1,319 @@
+"""Tests for the LLM-data-pipeline functions (dedup / text / similarity).
+
+Each vectorized batch implementation is checked against an INDEPENDENT
+naive per-document Python reimplementation, so the goldens pinned for
+the driver oracle (doc_fingerprints) and the signature parquets the
+SQL twins consume are themselves justified here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    "the quick brown fox jumped over the lazy dog",  # near dup of 0
+    "a completely different document about ray data pipelines",
+    "short",
+    "",
+    "ab",
+    "der die und ist das war hier",
+    "le la les est une dans pour",
+]
+
+
+# ---------------------------------------------------------------------------
+# fingerprints: naive reimplementation justifies the pinned golden
+
+
+def _naive_fingerprint(text: str, window: int = 8) -> int:
+    B = 1000003
+    M = 1 << 64
+    b = (text or "").encode("utf-8", "ignore")
+    if len(b) < window:
+        h = 0
+        for x in b:
+            h = (h * B + x) % M
+        return h
+    best = None
+    for i in range(len(b) - window + 1):
+        h = 0
+        for x in b[i : i + window]:
+            h = (h * B + x) % M
+        best = h if best is None else min(best, h)
+    return best
+
+
+def test_fingerprint_matches_naive(ray_session):
+    from jesse_ray.functions.text import add_fingerprints
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(TEXTS))), "text": TEXTS})
+    )
+    got = add_fingerprints(ds).to_pandas().sort_values("doc_id")
+    for t, fp in zip(TEXTS, got["fingerprint"]):
+        assert int(fp) == _naive_fingerprint(t), t
+
+
+def test_fingerprint_golden_current(ray_session):
+    """The committed golden parquet still matches what the engine
+    computes over the driver corpus (guards against silent drift)."""
+    import pyarrow.parquet as pq
+
+    from jesse_ray.functions.text import add_fingerprints
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = add_fingerprints(ds).to_pandas()[["doc_id", "fingerprint"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    want = pq.read_table("tests/goldens/doc_fingerprints_sf0.001.parquet").to_pandas()
+    assert (got["fingerprint"].astype("uint64").values == want["fingerprint"].values).all()
+
+
+# ---------------------------------------------------------------------------
+# minhash: batch signatures == naive per-doc recomputation
+
+
+def _naive_minhash(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
+    M = (1 << 61) - 1
+    W = 1 << 64
+    bts = (text or "").encode("utf-8", "ignore")
+    if len(bts) < k:
+        bts = bts + b"\x00" * (k - len(bts))
+    B = 1099511628211
+    shingles = set()
+    for i in range(len(bts) - k + 1):
+        h = 0
+        for x in bts[i : i + k]:
+            h = (h * B + x) % W
+        shingles.add(h)
+    out = np.empty(len(a), dtype=np.uint64)
+    for j in range(len(a)):
+        out[j] = min(((int(a[j]) * s + int(b[j])) % W) % M for s in shingles)
+    return out
+
+
+def test_minhash_matches_naive():
+    from jesse_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_hashes=16)
+    sigs = mh.signatures(pa.array(TEXTS))
+    for i, t in enumerate(TEXTS):
+        naive = _naive_minhash(t, mh.a, mh.b)
+        assert (sigs[:, i] == naive).all(), (i, t)
+
+
+def test_minhash_similarity_estimate():
+    """Matching fraction of minhash components estimates Jaccard
+    (Broder's property) — near-dup texts agree on most components."""
+    from jesse_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_hashes=128)
+    sigs = mh.signatures(pa.array(TEXTS))
+    same = (sigs[:, 0] == sigs[:, 1]).mean()
+    near = (sigs[:, 0] == sigs[:, 2]).mean()
+    far = (sigs[:, 0] == sigs[:, 3]).mean()
+    assert same == 1.0
+    assert near > 0.5
+    assert far < 0.2
+
+
+# ---------------------------------------------------------------------------
+# simhash: batch signatures == naive per-doc recomputation
+
+
+def _fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h = ((h ^ byte) * 0x100000001B3) % (1 << 64)
+    return h
+
+
+def _naive_simhash(text: str) -> int:
+    import re
+
+    words = set(w for w in re.split(r"\W+", (text or "").lower()) if w)
+    if not words:
+        return 0
+    votes = [0] * 64
+    for w in words:
+        h = _fnv64(w)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash_matches_naive():
+    from jesse_ray.functions.dedup import SimHasher
+
+    sh = SimHasher()
+    sigs = sh.signatures(pa.array(TEXTS))
+    for i, t in enumerate(TEXTS):
+        assert int(sigs[i]) == _naive_simhash(t), (i, t)
+
+
+def test_popcount64():
+    from jesse_ray.functions.dedup import _popcount64
+
+    xs = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63, 0x8000000000000001], dtype=np.uint64)
+    assert _popcount64(xs).tolist() == [0, 1, 2, 64, 1, 2]
+
+
+def test_simhash_blocking_recall_exact(ray_session):
+    """Block-permutation candidates have recall EXACTLY 1 for
+    max_hamming < blocks: the distributed pipeline must find precisely
+    the brute-force hamming pairs."""
+    from jesse_ray.functions.dedup import SimHasher, simhash_near_dups
+
+    rng = np.random.default_rng(5)
+    base = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+                             "theta", "iota", "kappa"], size=20).tolist())
+        for _ in range(60)
+    ]
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(len(base))), "text": base}))
+    got = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    sigs = SimHasher().signatures(pa.array(base))
+    want = set()
+    for i in range(len(base)):
+        for j in range(i + 1, len(base)):
+            if bin(int(sigs[i]) ^ int(sigs[j])).count("1") <= 3:
+                want.add((i, j))
+    assert set(zip(got["left"], got["right"])) == want
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate pairs + Jaccard verify
+
+
+def test_lsh_finds_near_dups_and_verify(ray_session):
+    from jesse_ray.functions.dedup import lsh_candidate_pairs, verify_jaccard_pairs, _shingle_hashes
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(len(TEXTS))), "text": TEXTS}))
+    pairs = lsh_candidate_pairs(ds, num_hashes=64, bands=16)
+    pdf = pairs.to_pandas()
+    got = set(zip(pdf["left"], pdf["right"]))
+    assert (0, 1) in got  # exact dup always collides on every band
+    assert (0, 2) in got  # near dup
+
+    verified = verify_jaccard_pairs(ds, pairs, threshold=0.9).to_pandas()
+    v = set(zip(verified["left"], verified["right"]))
+    assert (0, 1) in v
+    row = verified[(verified["left"] == 0) & (verified["right"] == 1)]
+    assert float(row["jaccard"].iloc[0]) == 1.0
+    # exact-jaccard spot check for the near pair at a loose threshold
+    verified_lo = verify_jaccard_pairs(ds, pairs, threshold=0.5).to_pandas()
+    s1, s2 = set(_shingle_hashes(TEXTS[0]).tolist()), set(_shingle_hashes(TEXTS[2]).tolist())
+    want_j = len(s1 & s2) / len(s1 | s2)
+    row = verified_lo[(verified_lo["left"] == 0) & (verified_lo["right"] == 2)]
+    assert abs(float(row["jaccard"].iloc[0]) - want_j) < 1e-12
+
+
+def test_exact_dedup(ray_session):
+    from jesse_ray.functions.dedup import dedup_exact, exact_duplicate_groups
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(len(TEXTS))), "text": TEXTS}))
+    groups = exact_duplicate_groups(ds).to_pandas()
+    assert len(groups) == 1 and int(groups["cnt"].iloc[0]) == 2
+    kept = dedup_exact(ds).to_pandas()
+    assert len(kept) == len(TEXTS) - 1
+    assert 0 in set(kept["doc_id"]) and 1 not in set(kept["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dups: banded multi-table LSH recall at production params
+
+
+def test_embedding_near_dups_planted(ray_session):
+    """1000 random 64-d vectors + 20 planted near-dup pairs (cos≥0.95):
+    the banded LSH at production defaults (16 tables × 12 bits) must
+    find exactly the planted pairs (random pairs sit near cos 0)."""
+    from jesse_ray.functions.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(1000, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    want = set()
+    vecs = [base]
+    ids = [np.arange(1000)]
+    for p in range(20):
+        v = base[p] + rng.normal(scale=0.03, size=64)
+        v /= np.linalg.norm(v)
+        cos = float(base[p] @ v)
+        assert cos > 0.95, cos
+        vecs.append(v[None, :])
+        ids.append(np.array([1000 + p]))
+        want.add((p, 1000 + p))
+    mat = np.concatenate(vecs).astype(np.float32)
+    allids = np.concatenate(ids)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(allids, type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), 64
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    got = embedding_near_dups(
+        ray.data.from_arrow(tbl), threshold=0.9, n_tables=16, n_bits=12
+    ).to_pandas()
+    assert set(zip(got["left"], got["right"])) == want
+    assert (got["cosine"] >= 0.9).all()
+
+
+def test_ivf_recall(ray_session):
+    """IVF probe subsets trade recall for scan reduction; on clustered
+    data a few probes recover the exact top-k."""
+    from jesse_ray.functions.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 32)) * 4
+    pts = np.concatenate([c + rng.normal(size=(100, 32)) for c in centers]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1)), 32
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    q = pts[0:1].astype(np.float64)
+    bf = cosine_topk(ray.data.from_arrow(tbl), q, k=10)["vec_id"].tolist()
+    ivf = ivf_topk(ray.data.from_arrow(tbl), q, k=10, n_centroids=8, n_probe=2)["vec_id"].tolist()
+    recall = len(set(bf) & set(ivf)) / 10
+    assert recall >= 0.9, (recall, bf, ivf)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def test_langid_markers(ray_session):
+    from jesse_ray.functions.text import LangId
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": [TEXTS[0], TEXTS[7], TEXTS[8]]}))
+    out = LangId.apply(ds).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr"]
+
+
+def test_quality_scores(ray_session):
+    from jesse_ray.functions.text import QualityScorer
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0], "text": ["The cat. And a dog!"]}))
+    out = QualityScorer.apply(ds).to_pandas().iloc[0]
+    assert out["q_len"] == 19
+    # words: The cat And a dog → stopwords {the, and, a} → 3/5
+    assert abs(out["q_stop_ratio"] - 3 / 5) < 1e-12
+    assert abs(out["q_mean_word_len"] - np.mean([3, 3, 3, 1, 3])) < 1e-12
