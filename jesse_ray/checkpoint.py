@@ -104,6 +104,7 @@ def run_validation(
     engine: Optional[ValidationEngine] = None,
     allowed_errors: Optional[int] = None,
     drift_reference: Optional[str] = None,
+    fail_on_drift: bool = False,
 ) -> dict[str, Any]:
     """Validate a corpus partition-by-partition with checkpointing.
 
@@ -114,8 +115,27 @@ def run_validation(
     the reference CLI: nonzero/fail if any partition fails,
     src/jesse_cli.erl:80-87 — but we process ALL partitions instead of
     halting at the first failure, recording each verdict).
+
+    Key uniqueness is CORPUS-scoped: one column-pruned
+    ``duplicate_keys_hashed`` pass over ALL input files runs after the
+    partition loop (a per-partition check would miss keys duplicated
+    across partitions).  It reruns on every invocation — including
+    resumes — because it reads only the key column.
+
+    With ``sketch``/``drift_reference`` the drift sketch is accumulated
+    INSIDE the fused validation pass (SketchingFusedValidator), so each
+    partition reads the wide ``tokens`` column exactly once.
+    ``fail_on_drift=True`` makes a drifted partition's verdict "fail";
+    the default records drift per-partition and in the summary without
+    affecting the verdict (advisory gate).
     """
     import ray.data
+
+    from jesse_ray.engine import (
+        VIOLATION_SCHEMA,
+        fused_sketch_violations,
+        uniqueness_violations,
+    )
 
     compiled = spec if isinstance(spec, CompiledSpec) else compile_spec(spec)
     eng = engine or ValidationEngine()
@@ -124,8 +144,13 @@ def run_validation(
     manifest = Manifest(out / "manifest.jsonl")
     done = manifest.load() if resume else {}
 
+    ref_bundle = None
+    if drift_reference:
+        ref_bundle = _load_reference_bundle(drift_reference)
+
     parts = plan_partitions(input_paths, files_per_partition)
-    summary = {"partitions": len(parts), "skipped": 0, "failed": 0, "violations": 0}
+    summary = {"partitions": len(parts), "skipped": 0, "failed": 0, "violations": 0,
+               "drifted_partitions": 0}
 
     for frag in parts:
         pid = partition_id(frag)
@@ -133,54 +158,78 @@ def run_validation(
         if prev is not None and prev.spec_version == compiled.version:
             summary["skipped"] += 1
             summary["violations"] += prev.metrics.get("violations", 0)
+            summary["drifted_partitions"] += int(prev.metrics.get("drifted", False))
             if prev.verdict == "fail":
                 summary["failed"] += 1
             continue
 
         ds = ray.data.read_parquet(frag, columns=columns)
-        uk = compiled.spec.unique_keys
-        key_ds = ray.data.read_parquet(frag, columns=list(uk)) if uk else None
-        res = eng.validate(ds, compiled, key_ds=key_ds, allowed_errors=allowed_errors)
-        # ONE execution of the validation pipeline; violation blocks are
-        # pinned in the OBJECT STORE (small by assumption), then streamed
-        # to partitioned parquet — the driver never holds the rows
-        res.materialize()
         part_out = out / pid
-        res.write_violations(part_out / "violations")
-        n_viol = res.violations.count() + res.unique_violations.num_rows
-        by_error = res.counts_by_error()
+        want_sketch = sketch or drift_reference
+        if want_sketch:
+            # single pass: violations + in-band per-batch sketch rows
+            combined = fused_sketch_violations(
+                ds, compiled, allowed_errors=allowed_errors
+            ).materialize()
+
+            import pyarrow.compute as pc
+
+            def _viol_only(t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_null(t["__sketch"])).drop_columns(["__sketch"])
+
+            def _sketch_only(t: pa.Table) -> pa.Table:
+                keep = t.filter(pc.is_valid(t["__sketch"]))
+                return pa.table({"sketch": keep["__sketch"].cast(pa.large_binary())})
+
+            viol_ds = combined.map_batches(_viol_only, batch_format="pyarrow")
+            from jesse_ray.stages.drift import merge_sketch_rows
+
+            bundle = merge_sketch_rows(
+                combined.map_batches(_sketch_only, batch_format="pyarrow")
+            )
+            (part_out / "violations").mkdir(parents=True, exist_ok=True)
+            viol_ds = viol_ds.materialize()
+            viol_ds.write_parquet(str(part_out / "violations"))
+            n_viol = viol_ds.count()
+            by_error = {}
+            for b in viol_ds.groupby("error").count().iter_batches(batch_format="pyarrow"):
+                for e, c in zip(b["error"].to_pylist(), b["count()"].to_pylist()):
+                    by_error[e] = by_error.get(e, 0) + int(c)
+        else:
+            res = eng.validate(ds, compiled, check_unique=False, allowed_errors=allowed_errors)
+            res.materialize()
+            res.write_violations(part_out / "violations")
+            n_viol = res.violations.count()
+            by_error = res.counts_by_error()
+            bundle = None
 
         metrics = {
             "rows": ds.count(),
             "violations": int(n_viol),
             "by_error": by_error,
         }
-        if sketch or drift_reference:
-            from jesse_ray.stages import sketch_dataset
-
-            bundle = sketch_dataset(ray.data.read_parquet(frag, columns=["n_tok", "tokens"]))
+        drifted = False
+        if want_sketch and bundle is not None:
             digest_path = part_out / "sketch.bin"
             digest_path.write_bytes(bundle.to_bytes())
             metrics["stats_digest"] = hashlib.sha256(bundle.to_bytes()).hexdigest()[:16]
-            if drift_reference:
+            if ref_bundle is not None:
                 # per-partition distribution-drift gate: KS on the n_tok
                 # digests + chi-square on top-k token frequencies vs a
                 # reference digest loaded ONCE per run (north-star drift
                 # detection at partition granularity)
-                from jesse_ray.sketches import SketchBundle, drift_report
+                from jesse_ray.sketches import drift_report
 
-                ref = _load_reference_bundle(drift_reference)
-                rep = drift_report(ref, bundle)
+                rep = drift_report(ref_bundle, bundle)
                 metrics["drift"] = {
                     k: rep[k]
                     for k in ("ks_stat", "ks_pvalue", "ks_drifted", "chi2_stat", "chi2_pvalue", "chi2_drifted")
                 }
-                metrics["drifted"] = bool(rep["ks_drifted"] or rep["chi2_drifted"])
-                summary["drifted_partitions"] = summary.get("drifted_partitions", 0) + int(
-                    metrics["drifted"]
-                )
+                drifted = bool(rep["ks_drifted"] or rep["chi2_drifted"])
+                metrics["drifted"] = drifted
+                summary["drifted_partitions"] += int(drifted)
 
-        verdict = "pass" if n_viol == 0 else "fail"
+        verdict = "fail" if n_viol > 0 or (fail_on_drift and drifted) else "pass"
         manifest.append(
             ManifestRecord(
                 partition_id=pid,
@@ -195,16 +244,33 @@ def run_validation(
         if verdict == "fail":
             summary["failed"] += 1
 
-    summary["passed"] = summary["failed"] == 0
+    # corpus-wide key uniqueness (column-pruned read over ALL files)
+    uk = compiled.spec.unique_keys
+    n_unique_viol = 0
+    if uk:
+        import pyarrow.parquet as pq
+
+        all_files = sorted(str(p) for p in input_paths)
+        uniq_parts = []
+        for key in uk:
+            uv = uniqueness_violations(ray.data.read_parquet(all_files, columns=[key]), key)
+            if uv.num_rows:
+                uniq_parts.append(uv)
+        uniq_tbl = (
+            pa.concat_tables(uniq_parts) if uniq_parts else empty_violations()
+        )
+        n_unique_viol = uniq_tbl.num_rows
+        pq.write_table(uniq_tbl, out / "unique_violations.parquet")
+    summary["unique_violations"] = int(n_unique_viol)
+    summary["violations"] += int(n_unique_viol)
+
+    summary["passed"] = summary["failed"] == 0 and n_unique_viol == 0
     return summary
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=4)
 def _load_reference_bundle(path: str):
-    """Reference drift digest, loaded once per run (lru-cached)."""
+    """Reference drift digest — loaded once per run_validation call (no
+    cross-call cache: a digest rebuilt at the same path must be re-read)."""
     from jesse_ray.sketches import SketchBundle
 
     return SketchBundle.from_bytes(Path(path).read_bytes())

@@ -318,6 +318,14 @@ def _unique_items_dups(col: pa.Array):
         pv, vv = parent[order], v[order]
         dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
         flagged = np.unique(pv[1:][dup]).astype(np.int64)
+        # null elements cast to NaN and NaN != NaN, so [null, null] would
+        # slip through the value comparison — but null == null in the
+        # reference's deep equality (src/jesse_lib.erl:219-261): flag any
+        # row with ≥2 null elements too
+        nulls = ~_np_mask(pc.is_valid(flat), len(flat))
+        if nulls.any():
+            null_cnt = np.bincount(parent[nulls], minlength=len(col))
+            flagged = np.union1d(flagged, np.flatnonzero(null_cnt >= 2)).astype(np.int64)
         # value reporting: jesse emits the FIRST value (in list order)
         # whose second occurrence appears — scan only the flagged rows
         # (duplicates are rare), using the original (typed) values
@@ -374,8 +382,36 @@ class CompiledSpec:
     def __init__(self, spec: TableSpec):
         self.spec = spec
         self.version = spec.version
+        self.dialect = getattr(spec, "dialect", "draft4")
         self._emits: list[_Emit] = []
+        #: schema-form dependencies: (trigger column, compiled sub-spec)
+        self._schema_deps: list[tuple[str, "CompiledSpec"]] = [
+            (col, CompiledSpec(sub)) for col, sub in spec.schema_dependencies.items()
+        ]
         self._build()
+
+    def _type_valid_mask(self, cs: ColumnSpec, arr: pa.Array) -> np.ndarray:
+        """Value-level ``type`` mask: static primitive membership, the
+        draft-6 ``integer`` leniency (floats with zero fraction pass,
+        src/jesse_validator_draft6.erl:344-355), and draft-3 union
+        schema members (src/jesse_validator_draft3.erl:304-328)."""
+        n = len(arr)
+        prim_ok = _type_ok(cs.type, arr.type) if cs.type is not None else False
+        ok = np.full(n, prim_ok, dtype=bool)
+        if (
+            not prim_ok
+            and self.dialect == "draft6"
+            and cs.type is not None
+            and ("integer" in ([cs.type] if isinstance(cs.type, str) else cs.type))
+            and pa.types.is_floating(arr.type)
+        ):
+            v = _to_f64(arr)
+            with np.errstate(invalid="ignore"):
+                ok |= v == np.trunc(v)
+        if cs.type_schemas:
+            for sub in cs.type_schemas:
+                ok |= self._spec_valid_mask(sub, arr)
+        return ok
 
     # -- mask evaluation for one ColumnSpec on one (possibly flat) array --
     def _spec_valid_mask(self, cs: ColumnSpec, arr: pa.Array) -> np.ndarray:
@@ -383,8 +419,10 @@ class CompiledSpec:
         handled by caller).  Used for combinator sub-schemas."""
         n = len(arr)
         ok = np.ones(n, dtype=bool)
-        if cs.type is not None and not _type_ok(cs.type, arr.type):
-            return np.zeros(n, dtype=bool)
+        if cs.type is not None or cs.type_schemas is not None:
+            ok &= self._type_valid_mask(cs, arr)
+            if not ok.any():
+                return ok
         is_num = _is_numeric(arr.type)
         is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
         is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
@@ -446,6 +484,87 @@ class CompiledSpec:
         if is_list and cs.contains is not None:
             ok &= self._contains_mask(cs.contains, arr)
         return ok
+
+    def _spec_fail_atoms(self, cs: ColumnSpec, arr: pa.Array) -> list[tuple[str, np.ndarray]]:
+        """Per-keyword (error_atom, fail_mask) pairs for one sub-schema —
+        the vectorized analogue of the child error lists jesse collects
+        per anyOf attempt (src/jesse_validator_draft4.erl:1156-1179).
+        Keyword order mirrors _spec_valid_mask; combinator children are
+        reported as their single combinator atom."""
+        n = len(arr)
+        out: list[tuple[str, np.ndarray]] = []
+
+        def add(atom: str, ok: np.ndarray) -> None:
+            fail = ~ok
+            if fail.any():
+                out.append((atom, fail))
+
+        if cs.type is not None or cs.type_schemas is not None:
+            add(E.WRONG_TYPE, self._type_valid_mask(cs, arr))
+        is_num = _is_numeric(arr.type)
+        is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+        is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+        if cs.enum is not None:
+            add(E.NOT_IN_ENUM, _enum_mask(arr, cs.enum))
+        if cs.has_const:
+            add(E.NOT_IN_ENUM, _enum_mask(arr, [cs.const]))
+        if (cs.minimum is not None or cs.maximum is not None) and is_num:
+            add(E.NOT_IN_RANGE, _range_mask(arr, cs.minimum, cs.exclusive_minimum, cs.maximum, cs.exclusive_maximum))
+        if cs.multiple_of is not None and is_num:
+            add(E.NOT_MULTIPLE_OF, _multiple_of_mask(arr, cs.multiple_of))
+        if cs.pattern is not None and is_str:
+            add(E.NO_MATCH, _pattern_mask(arr, cs.pattern))
+        if (cs.min_length is not None or cs.max_length is not None) and is_str:
+            add(E.WRONG_LENGTH, _strlen_mask(arr, cs.min_length, cs.max_length))
+        if cs.format is not None and is_str:
+            add(E.WRONG_FORMAT, _format_mask(arr, cs.format))
+        if is_list and (cs.min_items is not None or cs.max_items is not None):
+            ln = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False)
+            ok = np.ones(n, dtype=bool)
+            if cs.min_items is not None:
+                ok &= ln >= cs.min_items
+            if cs.max_items is not None:
+                ok &= ln <= cs.max_items
+            add(E.WRONG_SIZE, ok)
+        if is_list and cs.unique_items:
+            ok = np.ones(n, dtype=bool)
+            dup_rows, _ = _unique_items_dups(arr)
+            ok[dup_rows] = False
+            add(E.NOT_UNIQUE, ok)
+        if is_list and cs.items is not None:
+            flat, parent, _ii, _cnt = _list_layout(arr)
+            ok = np.ones(n, dtype=bool)
+            if len(parent):
+                item_ok = self._spec_valid_mask(cs.items, flat)
+                item_ok |= ~_np_mask(pc.is_valid(flat), len(flat))
+                ok[np.unique(parent[~item_ok])] = False
+            add(E.NOT_SCHEMA_VALID, ok)
+        if cs.all_of:
+            ok = np.ones(n, dtype=bool)
+            for sub in cs.all_of:
+                ok &= self._spec_valid_mask(sub, arr)
+            add(E.ALL_SCHEMAS_NOT_VALID, ok)
+        if cs.any_of:
+            ok = np.zeros(n, dtype=bool)
+            for sub in cs.any_of:
+                ok |= self._spec_valid_mask(sub, arr)
+            add(E.ANY_SCHEMAS_NOT_VALID, ok)
+        if cs.one_of:
+            cnt = np.zeros(n, dtype=np.int32)
+            for sub in cs.one_of:
+                cnt += self._spec_valid_mask(sub, arr).astype(np.int32)
+            add(E.NOT_ONE_SCHEMA_VALID, cnt >= 1)
+            add(E.MORE_THAN_ONE_SCHEMA_VALID, cnt <= 1)
+        if cs.not_ is not None:
+            add(E.NOT_SCHEMA_VALID, ~self._spec_valid_mask(cs.not_, arr))
+        if cs.divisible_by is not None and is_num:
+            ok = np.zeros(n, dtype=bool) if cs.divisible_by == 0 else _multiple_of_mask(arr, cs.divisible_by)
+            add(E.NOT_DIVISIBLE, ok)
+        if cs.disallow is not None:
+            add(E.NOT_ALLOWED, ~np.full(n, _type_ok(cs.disallow, arr.type), dtype=bool))
+        if is_list and cs.contains is not None:
+            add(E.DATA_INVALID, self._contains_mask(cs.contains, arr))
+        return out
 
     def _positional_bad_rows(self, cs: ColumnSpec, arr: pa.Array):
         """Positional-items evaluation (src/jesse_validator_draft4.erl:558-603).
@@ -592,15 +711,16 @@ class CompiledSpec:
 
             self._add(f"{name}:{col}", error, [col], frag_obj, fn)
 
-        if cs.type is not None:
-            # wrong_type (src/jesse_validator_draft4.erl:288-318) — the
-            # column's Arrow dtype is static, so this either passes for
-            # every present value or fails for every present value.
-            def type_mask(arr, t=cs.type):
-                n = len(arr)
-                return np.full(n, _type_ok(t, arr.type), dtype=bool)
-
-            simple("type", E.WRONG_TYPE, {"type": cs.type}, type_mask)
+        if cs.type is not None or cs.type_schemas is not None:
+            # wrong_type (src/jesse_validator_draft4.erl:288-318).  For a
+            # pure-primitive draft-4 type the column's Arrow dtype is
+            # static (all-pass or all-fail); draft-6 integer leniency and
+            # draft-3 union schema members are value-level (_type_valid_mask).
+            type_frag = {"type": cs.type} if cs.type_schemas is None else {
+                "type": ([cs.type] if isinstance(cs.type, str) else (cs.type or []))
+                + [s.to_fragment() for s in cs.type_schemas]
+            }
+            simple("type", E.WRONG_TYPE, type_frag, lambda a, c=cs: self._type_valid_mask(c, a))
 
         if cs.enum is not None:
             simple("enum", E.NOT_IN_ENUM, {"enum": cs.enum}, lambda a, v=cs.enum: _enum_mask(a, v))
@@ -813,7 +933,30 @@ class CompiledSpec:
                 for s in subs:
                     ok |= self._spec_valid_mask(s, arr)
                 idx = np.flatnonzero(present & ~ok)
-                return idx, self._values_json(arr, idx), None
+                if len(idx) == 0:
+                    return idx, [], None
+                # the reference reports the failing CHILD with the fewest
+                # errors alongside the atom ({any_schemas_not_valid,
+                # ShortestErrors}, src/jesse_validator_draft4.erl:1162-1179,
+                # ties keep the earlier sub 1365-1373); value_json embeds
+                # that child error list per row
+                sub_fails = [self._spec_fail_atoms(s, arr) for s in subs]
+                raw = arr.take(pa.array(idx, type=pa.int64())).to_pylist()
+                vals = []
+                for pos, r in enumerate(idx):
+                    best: Optional[list[str]] = None
+                    for fails in sub_fails:
+                        atoms = [atom for atom, mask in fails if mask[r]]
+                        if best is None or len(atoms) < len(best):
+                            best = atoms
+                    vals.append(
+                        json.dumps(
+                            {"value": raw[pos], "shortest_errors": best or []},
+                            ensure_ascii=False,
+                            separators=(",", ":"),
+                        )
+                    )
+                return idx, vals, None
 
             self._add(f"anyOf:{col}", E.ANY_SCHEMAS_NOT_VALID, [col], {"anyOf": [s.to_fragment() for s in cs.any_of]}, anyof_fn)
 
@@ -972,6 +1115,18 @@ class CompiledSpec:
                 raise E.SchemaInvalidError(
                     E.NO_EXTRA_PROPERTIES_ALLOWED, f"unexpected columns {sorted(extra)}"
                 )
+        # propertyNames (draft-6): every column NAME must validate the
+        # sub-spec (src/jesse_validator_draft6.erl:114-125,424-436) —
+        # like additionalProperties, names are schema-side in the
+        # columnar mapping, so this is a launch gate, not a data error.
+        if self.spec.property_names is not None:
+            names = pa.array(list(schema.names), type=pa.string())
+            ok = self._spec_valid_mask(self.spec.property_names, names)
+            if not ok.all():
+                bad = [schema.names[i] for i in np.flatnonzero(~ok)]
+                raise E.SchemaInvalidError(
+                    E.NOT_SCHEMA_VALID, f"propertyNames: invalid column names {sorted(bad)}"
+                )
         # min/maxProperties → column-count bounds at launch
         # (src/jesse_validator_draft4.erl:1073-1107, compile-time per SURVEY §2.3)
         n_cols = len(schema.names)
@@ -980,7 +1135,13 @@ class CompiledSpec:
         if self.spec.min_columns is not None and n_cols < self.spec.min_columns:
             raise E.SchemaInvalidError(E.TOO_FEW_PROPERTIES, f"{n_cols} columns < {self.spec.min_columns}")
 
-    def check_batch(self, tbl: pa.Table, *, allowed_errors: Optional[int] = None) -> pa.Table:
+    def check_batch(
+        self,
+        tbl: pa.Table,
+        *,
+        allowed_errors: Optional[int] = None,
+        error_handler: Optional[Callable[[pa.Table, Optional[int]], pa.Table]] = None,
+    ) -> pa.Table:
         """All row-level checks over one Arrow batch → violations table.
 
         ``allowed_errors`` reproduces jesse's per-document error budget
@@ -991,6 +1152,15 @@ class CompiledSpec:
         until the budget is EXCEEDED, then throws carrying the list).
         Emission order is the spec's keyword order, so "first" is
         deterministic.
+
+        ``error_handler`` is the pluggable violation-sink hook — the
+        batch analogue of jesse's per-error ``error_handler(Error,
+        ErrorList, AllowedErrors)`` option (src/jesse.erl:61-66,
+        default src/jesse_error.erl:67-78): it receives this batch's
+        violations table plus the allowed_errors budget and returns the
+        (possibly transformed/filtered) table to emit, or raises to
+        abort the run.  Must be a picklable top-level callable — it
+        ships to workers inside the fused validator state.
         """
         key = self.spec.key_column
         key_arr = _combine(tbl[key]) if key and key in tbl.column_names else None
@@ -1032,17 +1202,40 @@ class CompiledSpec:
             out_val.extend(vals)
             out_frag.extend([em.fragment] * len(idx))
         if not out_err:
-            return empty_violations()
-        return pa.table(
-            {
-                "doc_id": pa.array(out_doc, type=pa.string()),
-                "path": pa.array(out_path, type=pa.list_(pa.string())),
-                "error": pa.array(out_err, type=pa.string()),
-                "value_json": pa.array(out_val, type=pa.string()),
-                "schema_fragment": pa.array(out_frag, type=pa.string()),
-            },
-            schema=VIOLATION_SCHEMA,
-        )
+            result = empty_violations()
+        else:
+            result = pa.table(
+                {
+                    "doc_id": pa.array(out_doc, type=pa.string()),
+                    "path": pa.array(out_path, type=pa.list_(pa.string())),
+                    "error": pa.array(out_err, type=pa.string()),
+                    "value_json": pa.array(out_val, type=pa.string()),
+                    "schema_fragment": pa.array(out_frag, type=pa.string()),
+                },
+                schema=VIOLATION_SCHEMA,
+            )
+        # schema-form dependencies: rows where the trigger column is
+        # present are validated against the dependent sub-spec, and the
+        # CHILD's violations propagate as-is — mirroring the reference's
+        # recursive check of the enclosing object against the dependency
+        # schema (src/jesse_validator_draft4.erl:656-668).  Runs outside
+        # the allowed_errors budget (documented delta: the budget caps
+        # keyword emissions per row; dependency children are appended).
+        if self._schema_deps:
+            parts = [result] if result.num_rows else []
+            for col, sub in self._schema_deps:
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None or not present.any():
+                    continue
+                filtered = tbl.filter(pa.array(present))
+                child = sub.check_batch(filtered, allowed_errors=allowed_errors)
+                if child.num_rows:
+                    parts.append(child)
+            if parts:
+                result = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        if error_handler is not None:
+            result = error_handler(result, allowed_errors)
+        return result
 
     def invalid_row_mask(self, tbl: pa.Table) -> np.ndarray:
         """Per-row boolean: True where the row has ≥1 row-level violation.
@@ -1054,6 +1247,13 @@ class CompiledSpec:
             idx, _vals, _paths = em.fn(tbl)
             if len(idx):
                 bad[np.asarray(idx, dtype=np.int64)] = True
+        for col, sub in self._schema_deps:
+            arr, present = self._col_ctx(tbl, col)
+            if arr is None or not present.any():
+                continue
+            rows = np.flatnonzero(present)
+            child_bad = sub.invalid_row_mask(tbl.filter(pa.array(present)))
+            bad[rows[child_bad]] = True
         return bad
 
 

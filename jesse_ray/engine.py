@@ -51,6 +51,7 @@ def row_violations(
     *,
     batch_size: int = 8192,
     allowed_errors: Optional[int] = None,
+    error_handler=None,
 ) -> Dataset:
     """All per-row keyword checks as one stateless vectorized stage.
 
@@ -65,7 +66,9 @@ def row_violations(
     """
 
     def check(batch: pa.Table) -> pa.Table:
-        return compiled.check_batch(batch, allowed_errors=allowed_errors)
+        return compiled.check_batch(
+            batch, allowed_errors=allowed_errors, error_handler=error_handler
+        )
 
     return ds.map_batches(
         check, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
@@ -360,11 +363,13 @@ class FusedValidator:
     per batch (SURVEY §7.2).
     """
 
-    def __init__(self, compiled_ref, rules_ref, key_column: Optional[str], allowed_errors=None):
+    def __init__(self, compiled_ref, rules_ref, key_column: Optional[str], allowed_errors=None,
+                 error_handler=None):
         self._compiled_ref = compiled_ref
         self._rules_ref = rules_ref
         self._key_column = key_column
         self.allowed_errors = allowed_errors
+        self.error_handler = error_handler
         self._resolved = False
         self.compiled: Optional[CompiledSpec] = None
         self._ref: Optional[ReferentialChecker] = None
@@ -384,7 +389,9 @@ class FusedValidator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self._resolved:
             self._resolve()
-        row = self.compiled.check_batch(batch, allowed_errors=self.allowed_errors)
+        row = self.compiled.check_batch(
+            batch, allowed_errors=self.allowed_errors, error_handler=self.error_handler
+        )
         if self._ref is None:
             return row
         ref = self._ref(batch)
@@ -402,6 +409,7 @@ def fused_violations(
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 8192,
     allowed_errors: Optional[int] = None,
+    error_handler=None,
     actor_pool: bool = False,
 ) -> Dataset:
     """Single-pass row + referential violations (see FusedValidator).
@@ -434,6 +442,7 @@ def fused_violations(
             ray.put(rules) if big else rules,
             spec.key_column,
             allowed_errors,
+            error_handler,
         )
         return ds.map_batches(
             fv.__call__,
@@ -443,12 +452,97 @@ def fused_violations(
         )
     return ds.map_batches(
         FusedValidator,
-        fn_constructor_args=(ray.put(compiled), ray.put(rules), spec.key_column, allowed_errors),
+        fn_constructor_args=(ray.put(compiled), ray.put(rules), spec.key_column, allowed_errors,
+                             error_handler),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+#: violations schema + an in-band sketch column (see SketchingFusedValidator)
+VIOLATION_SKETCH_SCHEMA = VIOLATION_SCHEMA.append(pa.field("__sketch", pa.large_binary()))
+
+
+def fused_sketch_violations(
+    ds: Dataset,
+    compiled: CompiledSpec,
+    *,
+    batch_size: int = 8192,
+    allowed_errors: Optional[int] = None,
+    error_handler=None,
+    vocab: int = 50_000,
+) -> Dataset:
+    """One-pass violations + in-band sketch rows (VIOLATION_SKETCH_SCHEMA)."""
+    spec = compiled.spec
+    rules = (
+        [(r.column, _load_allowed_values(r), r.error_atom) for r in spec.referential]
+        if spec.referential
+        else None
+    )
+    big = ray.is_initialized()
+    fv = SketchingFusedValidator(
+        ray.put(compiled) if big else compiled,
+        ray.put(rules) if big else rules,
+        spec.key_column,
+        allowed_errors,
+        error_handler,
+        vocab=vocab,
+    )
+    return ds.map_batches(
+        fv.__call__, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+
+class SketchingFusedValidator(FusedValidator):
+    """FusedValidator that ALSO accumulates the drift sketch per batch —
+    so a checkpointed run with drift gating reads the wide ``tokens``
+    column ONCE instead of a second sketch-only pass.
+
+    Output schema is the violations schema plus ``__sketch``: violation
+    rows carry a null sketch; each batch appends ONE row whose other
+    columns are null and whose ``__sketch`` holds the serialized
+    :class:`SketchBundle`.  The caller splits the two streams and
+    tree-merges the sketch rows (jesse_ray.stages.merge_sketch_rows).
+    """
+
+    def __init__(self, compiled_ref, rules_ref, key_column, allowed_errors=None,
+                 error_handler=None, *, n_tok_col: str = "n_tok",
+                 tokens_col: str = "tokens", vocab: int = 50_000):
+        super().__init__(compiled_ref, rules_ref, key_column, allowed_errors, error_handler)
+        self.n_tok_col = n_tok_col
+        self.tokens_col = tokens_col
+        self.vocab = vocab
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from jesse_ray.sketches import SketchBundle
+
+        viol = super().__call__(batch)
+        b = SketchBundle.empty(self.vocab)
+        n_tok = np.empty(0, dtype=np.float64)
+        flat = np.empty(0, dtype=np.int64)
+        if self.n_tok_col in batch.column_names:
+            n_tok = _combine(batch[self.n_tok_col]).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            n_tok = n_tok[~np.isnan(n_tok)]
+        if self.tokens_col in batch.column_names:
+            flat = pc.list_flatten(_combine(batch[self.tokens_col])).to_numpy(zero_copy_only=False)
+        b.add_batch(n_tok, flat)
+        viol = viol.append_column(
+            "__sketch", pa.array([None] * viol.num_rows, type=pa.large_binary())
+        )
+        sk_row = pa.table(
+            {
+                "doc_id": pa.array([None], type=pa.string()),
+                "path": pa.array([None], type=pa.list_(pa.string())),
+                "error": pa.array([None], type=pa.string()),
+                "value_json": pa.array([None], type=pa.string()),
+                "schema_fragment": pa.array([None], type=pa.string()),
+                "__sketch": pa.array([b.to_bytes()], type=pa.large_binary()),
+            },
+            schema=VIOLATION_SKETCH_SCHEMA,
+        )
+        return pa.concat_tables([viol.cast(VIOLATION_SKETCH_SCHEMA), sk_row])
 
 
 # ---------------------------------------------------------------------------
@@ -473,27 +567,29 @@ def column_stats(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = _combine(batch[value_column])
-        vals = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        present = _np_mask(pc.is_valid(v), len(v))
+        # Arrow-native map-side combiner: one group_by per batch, no
+        # Python per-group loop (same pattern as relational.grouped_agg)
+        v = _combine(batch[value_column]).cast(pa.float64())
         if group_column is None:
-            groups = {None: np.arange(len(vals))}
+            grp = pa.array([""] * batch.num_rows, type=pa.string())
         else:
-            g = _combine(batch[group_column])
-            garr = np.asarray(g.to_pylist(), dtype=object)
-            groups = {}
-            for gv in set(garr.tolist()):
-                groups[gv] = np.flatnonzero(garr == gv)
-        rows = {"group": [], "p_cnt": [], "p_null": [], "p_min": [], "p_max": [], "p_sum": []}
-        for gv, idx in groups.items():
-            pv = vals[idx][present[idx]]
-            rows["group"].append("" if gv is None else str(gv))
-            rows["p_cnt"].append(int(len(idx)))
-            rows["p_null"].append(int(len(idx) - len(pv)))
-            rows["p_min"].append(float(pv.min()) if len(pv) else float("inf"))
-            rows["p_max"].append(float(pv.max()) if len(pv) else float("-inf"))
-            rows["p_sum"].append(float(pv.sum()) if len(pv) else 0.0)
-        return pa.table(rows)
+            grp = pc.fill_null(pc.cast(_combine(batch[group_column]), pa.string()), "")
+        nulls = pc.cast(pc.is_null(v), pa.int64())
+        t = pa.table({"group": grp, "v": v, "nulls": nulls})
+        g = t.group_by("group").aggregate(
+            [("v", "count"), ("nulls", "sum"), ("v", "min"), ("v", "max"), ("v", "sum")]
+        )
+        out = pa.table(
+            {
+                "group": g["group"],
+                "p_cnt": pc.add(g["v_count"].cast(pa.int64()), g["nulls_sum"].cast(pa.int64())),
+                "p_null": g["nulls_sum"].cast(pa.int64()),
+                "p_min": pc.fill_null(g["v_min"], float("inf")),
+                "p_max": pc.fill_null(g["v_max"], float("-inf")),
+                "p_sum": pc.fill_null(g["v_sum"], 0.0),
+            }
+        )
+        return out
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     merged = partials.groupby("group").aggregate(
@@ -660,6 +756,7 @@ class ValidationEngine:
         referential_concurrency: int | tuple[int, int] = (1, 4),
         batch_size: int = 8192,
         allowed_errors: Optional[int] = None,
+        error_handler=None,
         key_ds: Optional[Dataset] = None,
         fused: bool = True,
         actor_pool: bool = False,
@@ -712,11 +809,15 @@ class ValidationEngine:
                 concurrency=conc,
                 batch_size=batch_size,
                 allowed_errors=allowed_errors,
+                error_handler=error_handler,
                 actor_pool=actor_pool and cpus >= 2,
             )
         else:
             parts: list[Dataset] = [
-                row_violations(ds, compiled, batch_size=batch_size, allowed_errors=allowed_errors)
+                row_violations(
+                    ds, compiled, batch_size=batch_size, allowed_errors=allowed_errors,
+                    error_handler=error_handler,
+                )
             ]
             ref_ds = referential_violations(ds, spec, concurrency=referential_concurrency)
             if ref_ds is not None:

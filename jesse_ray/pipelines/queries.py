@@ -427,6 +427,36 @@ FROM fe WHERE error IS NOT NULL GROUP BY error ORDER BY error
 """
 
 
+def q_seq_val_dependency(sf_dir: str) -> pa.Table:
+    """Schema-form dependencies through the compiled engine
+    (src/jesse_validator_draft4.erl:656-668): source present ⇒ the row
+    must satisfy {n_tok: {maximum: 2000}} — the dependent sub-spec's
+    violations propagate with their own atoms."""
+    from jesse_ray.spec import from_json_schema
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source", "n_tok"])
+    spec = from_json_schema(
+        {
+            "properties": {"source": {"type": "string"}},
+            "dependencies": {"source": {"properties": {"n_tok": {"maximum": 2000}}}},
+        }
+    )
+    v = _collect(row_violations(ds, compile_spec(spec)))
+    if v is None or v.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "error": pa.array([], type=pa.string())}
+        )
+    return pa.table({"doc_id": v["doc_id"], "error": v["error"]}).sort_by("doc_id")
+
+
+SQL_SEQ_VAL_DEPENDENCY = f"""
+SELECT doc_id, 'not_in_range' AS error
+FROM {SEQ_SQL}
+WHERE source IS NOT NULL AND n_tok IS NOT NULL AND n_tok > 2000
+ORDER BY doc_id
+"""
+
+
 def q_events_users_per_type(sf_dir: str) -> pa.Table:
     """Exact grouped count-distinct (two-phase dedup shuffle)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
@@ -1104,6 +1134,7 @@ def queries() -> dict[str, Callable]:
         "seq_dedup_exact": q_seq_dedup_exact,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
+        "seq_val_dependency": q_seq_val_dependency,
         "seq_validation_full": q_seq_validation_full,
         "events_users_per_type": q_events_users_per_type,
         "doc_val_nchars": q_doc_val_nchars,
@@ -1144,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_dedup_exact": SQL_SEQ_DEDUP_EXACT,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
+        "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,
         "seq_validation_full": SQL_SEQ_VALIDATION_FULL,
         "events_users_per_type": SQL_EVENTS_USERS_PER_TYPE,
         "doc_val_nchars": SQL_DOC_VAL_NCHARS,

@@ -23,6 +23,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from jesse_ray.compiler import _combine
+
 
 def grouped_agg(
     ds: Dataset,
@@ -96,13 +98,15 @@ def broadcast_join(
     """
     if columns is not None:
         small = small[[c for c in {right_on, *columns}]]
-    ref = ray.put(small)
+    dim_tbl = pa.Table.from_pandas(small, preserve_index=False)
+    ref = ray.put(dim_tbl) if ray.is_initialized() else dim_tbl
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        dim = ray.get(ref)
-        return batch.merge(dim, left_on=left_on, right_on=right_on, how="inner")
+    def join(batch: pa.Table) -> pa.Table:
+        dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        # Arrow-native hash join per batch — no pandas round-trip
+        return batch.join(dim, keys=[left_on], right_keys=[right_on], join_type="inner")
 
-    return ds.map_batches(join, batch_format="pandas", batch_size=batch_size)
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
 
 def tumbling_window(
@@ -182,28 +186,22 @@ def grouped_distinct_elements(
     (key, element) pairs, not raw elements.  Reduce side: groupby(key)
     merges with one more vectorized unique per group.
     """
-    import numpy as np
-
     def partial(batch: pa.Table) -> pa.Table:
         col = batch[list_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
-        keys = batch[key].to_pylist()
-        out_k, out_e = [], []
-        key_arr = np.asarray(keys, dtype=object)[parent]
-        for kv in set(keys):
-            elems = np.unique(flat[key_arr == kv])
-            out_k.extend([kv] * len(elems))
-            out_e.extend(elems.tolist())
-        return pa.table({key: pa.array(out_k), "elem": pa.array(out_e)})
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col)
+        key_flat = _combine(batch[key]).take(parent)
+        # Arrow-native (key, elem) dedup: keeps the element dtype (no
+        # int64→float64 NaN cast) and drops NULL elements, matching
+        # SQL's count(DISTINCT unnest(...)) which ignores NULLs
+        t = pa.table({key: key_flat, "elem": flat}).filter(pc.is_valid(flat))
+        return t.group_by([key, "elem"]).aggregate([])
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         return pd.DataFrame(
-            {key: [g[key].iloc[0]], alias: [int(len(np.unique(g["elem"].to_numpy())))]}
+            {key: [g[key].iloc[0]], alias: [int(g["elem"].nunique())]}
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
@@ -231,14 +229,29 @@ def grouped_topn(
     sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
     asc = [not descending] + ([True] if tiebreak else [])
 
+    arrow_order = [(k, "ascending") for k in keys] + [
+        (c, "ascending" if a else "descending") for c, a in zip(sort_cols, asc)
+    ]
+
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = (
-            df.sort_values(sort_cols, ascending=asc)
-            .groupby(keys, sort=False)
-            .head(n)
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow-native map-side top-n: one sort_by, then a vectorized
+        # per-group rank over the sorted key run-lengths — no pandas
+        # round-trip in the hot path
+        t = batch.sort_by(arrow_order)
+        if t.num_rows == 0:
+            return t
+        change = np.zeros(t.num_rows, dtype=bool)
+        change[0] = True
+        for k in keys:
+            col = _combine(t[k])
+            neq = pc.not_equal(col.slice(1), col.slice(0, len(col) - 1))
+            # null-key rows: treat null != anything as a group break
+            neq = pc.fill_null(neq, True)
+            change[1:] |= neq.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(change)
+        group_of = np.cumsum(change) - 1
+        rank = np.arange(t.num_rows) - starts[group_of]
+        return t.filter(pa.array(rank < n))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(sort_cols, ascending=asc).head(n)

@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--sketch", action="store_true", help="record per-partition drift sketches")
     p.add_argument(
+        "--fail-on-drift",
+        action="store_true",
+        help="a drifted partition's verdict becomes 'fail' (default: drift is advisory, recorded only)",
+    )
+    p.add_argument(
         "--drift-reference",
         help="reference SketchBundle file (from jesse_ray.checkpoint."
         "build_reference_digest); enables per-partition KS/chi-square drift gating",
@@ -87,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         sketch=args.sketch,
         allowed_errors=allowed_errors,
         drift_reference=args.drift_reference,
+        fail_on_drift=args.fail_on_drift,
     )
     if args.json:
         print(json.dumps(summary, sort_keys=True))

@@ -102,6 +102,10 @@ class ColumnSpec:
     # contains — some array element validates subspec; empty array fails
     # with atom ``data_invalid`` (src/jesse_validator_draft6.erl:151-156,569-587)
     contains: Optional["ColumnSpec"] = None
+    # draft-3 union types may embed SCHEMAS next to primitive names:
+    # value passes `type` if any primitive matches OR any embedded schema
+    # validates (src/jesse_validator_draft3.erl:295-328)
+    type_schemas: Optional[list["ColumnSpec"]] = None
 
     def to_fragment(self) -> dict:
         """JSON-Schema-style fragment used in violation rows'
@@ -162,6 +166,10 @@ class ColumnSpec:
             frag["disallow"] = self.disallow
         if self.contains is not None:
             frag["contains"] = self.contains.to_fragment()
+        if self.type_schemas is not None:
+            frag["type"] = (self.type if isinstance(self.type, list) else []) + [
+                s.to_fragment() for s in self.type_schemas
+            ]
         return frag
 
 
@@ -250,6 +258,18 @@ class TableSpec:
     max_columns: Optional[int] = None
     #: external_validator hooks (src/jesse.erl:71-72)
     custom_checks: list[CustomCheck] = field(default_factory=list)
+    #: dependencies (schema form): col present ⇒ the ROW must satisfy the
+    #: dependent sub-spec; the reference validates the enclosing object
+    #: against the dependency schema (src/jesse_validator_draft4.erl:656-668)
+    schema_dependencies: dict[str, "TableSpec"] = field(default_factory=dict)
+    #: propertyNames (draft-6) — every column NAME must validate this
+    #: sub-spec; mapped to a LAUNCH-TIME schema gate like
+    #: additionalProperties (src/jesse_validator_draft6.erl:114-125,424-436)
+    property_names: Optional[ColumnSpec] = None
+    #: validation dialect: "draft3" | "draft4" (default) | "draft6".
+    #: Gates the draft-6 leniencies (required may be [], integer accepts
+    #: floats with zero fraction — src/jesse_validator_draft6.erl:344-355,1019-1023)
+    dialect: str = "draft4"
     name: str = "spec"
 
     def resolve_patterns(self, column_names: list[str]) -> "TableSpec":
@@ -299,6 +319,11 @@ class TableSpec:
             "minProperties": self.min_columns,
             "maxProperties": self.max_columns,
             "customChecks": [c.name for c in self.custom_checks],
+            "schemaDependencies": {
+                k: json.loads(v.to_json()) for k, v in self.schema_dependencies.items()
+            },
+            "propertyNames": self.property_names.to_fragment() if self.property_names else None,
+            "dialect": self.dialect,
         }
         return json.dumps(doc, sort_keys=True, separators=(",", ":"))
 
@@ -335,10 +360,21 @@ def _(c, v, root):
             raise E.SchemaInvalidError(E.WRONG_TYPE_SPECIFICATION, f"type {v!r}")
         c.type = v
     elif isinstance(v, list):
+        prims: list[str] = []
+        schemas: list[ColumnSpec] = []
         for t in v:
-            if not (isinstance(t, str) and (t in PRIMITIVE_TYPES or t == "any")):
+            if isinstance(t, str) and (t in PRIMITIVE_TYPES or t == "any"):
+                prims.append(t)
+            elif isinstance(t, dict):
+                # draft-3 union type with embedded schema members
+                # (src/jesse_validator_draft3.erl:304-328)
+                schemas.append(_subspec(t, root))
+            else:
                 raise E.SchemaInvalidError(E.WRONG_TYPE_SPECIFICATION, f"union member {t!r}")
-        c.type = v
+        c.type = prims or None
+        c.type_schemas = schemas or None
+        if c.type is None and c.type_schemas is None:
+            raise E.SchemaInvalidError(E.WRONG_TYPE_SPECIFICATION, "empty type union")
     else:
         raise E.SchemaInvalidError(E.WRONG_TYPE_SPECIFICATION, repr(v))
 
@@ -480,6 +516,17 @@ def _(c, v, root):
     c.contains = _subspec(v, root)
 
 
+@_kw("required")
+def _(c, v, root):
+    # draft-3 per-property required:true inside the property schema
+    # (src/jesse_validator_draft3.erl:346-383).  The draft-4 array form
+    # inside a column sub-schema would govern a NESTED object's
+    # properties — scalar columns have none, so it is a no-op here (the
+    # root-level array is handled by from_json_schema).
+    if isinstance(v, bool):
+        c.required = v
+
+
 @_kw("examples")
 def _(c, v, root):
     # draft-6: must be an array; contents are NOT validated
@@ -544,18 +591,24 @@ def from_json_schema(schema: dict, *, name: str = "spec", key_column: str = "doc
     docs (draft-3/6 deltas are explicit ColumnSpec fields).
     """
     schema = copy.deepcopy(schema)
-    dialect = str(schema.get("$schema", ""))
-    if "draft-04" in dialect and "$id" in schema:
+    dialect_uri = str(schema.get("$schema", ""))
+    if "draft-04" in dialect_uri and "$id" in schema:
         raise E.SchemaInvalidError(E.SCHEMA_INVALID, "draft-4 schema must use 'id', not '$id'")
-    if "draft-06" in dialect and "id" in schema:
+    if "draft-06" in dialect_uri and "id" in schema:
         raise E.SchemaInvalidError(E.SCHEMA_INVALID, "draft-6 schema must use '$id', not 'id'")
     spec = TableSpec(name=name, key_column=key_column)
+    if "draft-03" in dialect_uri:
+        spec.dialect = "draft3"
+    elif "draft-06" in dialect_uri:
+        spec.dialect = "draft6"
     props = schema.get("properties", {})
     for col, sub in props.items():
         spec.columns[col] = _column_from_schema(sub, schema)
     req = schema.get("required")
-    if req is not None:
-        if not isinstance(req, list) or len(req) == 0:
+    if req is not None and not isinstance(req, bool):
+        # draft-4 requires a NON-EMPTY array (src/jesse_validator_draft4.erl:1044-1047);
+        # draft-6 allows [] (src/jesse_validator_draft6.erl:1019-1023)
+        if not isinstance(req, list) or (len(req) == 0 and spec.dialect != "draft6"):
             raise E.SchemaInvalidError(E.WRONG_REQUIRED_ARRAY, "required must be a non-empty array")
         for col in req:
             spec.columns.setdefault(col, ColumnSpec()).required = True
@@ -564,10 +617,20 @@ def from_json_schema(schema: dict, *, name: str = "spec", key_column: str = "doc
         for col, need in deps.items():
             if isinstance(need, list):
                 spec.dependencies[col] = list(need)
+            elif isinstance(need, dict):
+                # schema-form: col present ⇒ row satisfies the dependent
+                # schema (src/jesse_validator_draft4.erl:656-668)
+                spec.schema_dependencies[col] = from_json_schema(
+                    {**need, "$schema": dialect_uri} if dialect_uri else need,
+                    name=f"{name}.dependencies.{col}",
+                    key_column=key_column,
+                )
             else:
-                raise E.SchemaInvalidError(E.SCHEMA_INVALID, "schema-form dependencies not supported for columns")
+                raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"invalid dependency for {col!r}")
     if schema.get("additionalProperties") is False:
         spec.additional_columns_allowed = False
+    if "propertyNames" in schema:
+        spec.property_names = _column_from_schema(schema["propertyNames"], schema)
     pat_props = schema.get("patternProperties")
     if isinstance(pat_props, dict):
         for pat, sub in pat_props.items():

@@ -258,3 +258,142 @@ def test_examples_keyword_must_be_array():
     from_json_schema({"properties": {"x": {"examples": [1, 2]}}})
     with pytest.raises(E.SchemaInvalidError):
         from_json_schema({"properties": {"x": {"examples": "nope"}}})
+
+
+# ---------------------------------------------------------------------------
+# round-2 keyword additions: propertyNames, draft-3 per-property required,
+# draft-3 union types with schema members, schema-form dependencies,
+# draft-6 leniencies, anyOf shortest-sub-error parity, error_handler hook
+
+
+def test_property_names_gate():
+    # src/jesse_validator_draft6.erl:114-125,424-436 — column names are
+    # schema-side in the columnar mapping, so this is a launch gate
+    s = from_json_schema(
+        {"$schema": "http://json-schema.org/draft-06/schema#",
+         "propertyNames": {"pattern": "^[a-z_]+$", "maxLength": 8}}
+    )
+    c = compile_spec(s)
+    c.check_schema(pa.schema([("ok_name", pa.int64()), ("also_ok", pa.string())]))
+    with pytest.raises(E.SchemaInvalidError):
+        c.check_schema(pa.schema([("BadName", pa.int64())]))
+    with pytest.raises(E.SchemaInvalidError):
+        c.check_schema(pa.schema([("waytoolongname", pa.int64())]))
+
+
+def test_draft3_per_property_required():
+    # src/jesse_validator_draft3.erl:346-383
+    s = from_json_schema(
+        {"$schema": "http://json-schema.org/draft-03/schema#",
+         "properties": {"a": {"type": "string", "required": True},
+                        "b": {"type": "string", "required": False}}}
+    )
+    c = compile_spec(s)
+    t = pa.table({"a": pa.array(["x", None]), "b": pa.array([None, None], type=pa.string())})
+    assert _errors(c, t) == [(("a",), E.MISSING_REQUIRED_PROPERTY)]
+
+
+def test_draft3_union_type_with_schema():
+    # src/jesse_validator_draft3.erl:295-328: value passes if any
+    # primitive matches OR any embedded schema validates
+    s = from_json_schema(
+        {"$schema": "http://json-schema.org/draft-03/schema#",
+         "properties": {"a": {"type": ["integer", {"type": "string", "pattern": "^ok"}]}}}
+    )
+    c = compile_spec(s)
+    t = pa.table({"a": pa.array(["okay", "nope"])})
+    assert _errors(c, t) == [(("a",), E.WRONG_TYPE)]
+    t2 = pa.table({"a": pa.array([1, 2], type=pa.int64())})
+    assert _errors(c, t2) == []
+
+
+def test_schema_form_dependencies():
+    # src/jesse_validator_draft4.erl:656-668: col present => the row
+    # must satisfy the dependent schema; child errors propagate
+    s = from_json_schema(
+        {"properties": {"a": {"type": "string"}},
+         "dependencies": {"a": {"properties": {"b": {"type": "integer", "minimum": 5}},
+                                "required": ["b"]}}}
+    )
+    c = compile_spec(s)
+    t = pa.table(
+        {"a": pa.array(["p", None, "q", "r"]),
+         "b": pa.array([3, None, None, 7], type=pa.int64())}
+    )
+    errs = sorted(_errors(c, t))
+    # row0: b=3 fails minimum; row1: a absent, dep not triggered;
+    # row2: b missing; row3: clean
+    assert errs == [(("b",), E.MISSING_REQUIRED_PROPERTY), (("b",), E.NOT_IN_RANGE)]
+    # invalid_row_mask agrees
+    bad = c.invalid_row_mask(t)
+    assert bad.tolist() == [True, False, True, False]
+
+
+def test_draft6_required_empty_allowed():
+    # src/jesse_validator_draft6.erl:1019-1023 vs draft-4's non-empty rule
+    from_json_schema(
+        {"$schema": "http://json-schema.org/draft-06/schema#",
+         "properties": {"a": {}}, "required": []}
+    )
+    with pytest.raises(E.SchemaInvalidError):
+        from_json_schema({"properties": {"a": {}}, "required": []})
+
+
+def test_draft6_integer_accepts_float_with_zero_fraction():
+    # src/jesse_validator_draft6.erl:344-355; draft-4 still rejects
+    d6 = compile_spec(from_json_schema(
+        {"$schema": "http://json-schema.org/draft-06/schema#",
+         "properties": {"a": {"type": "integer"}}}
+    ))
+    t = pa.table({"a": pa.array([1.0, 1.5])})
+    assert _errors(d6, t) == [(("a",), E.WRONG_TYPE)]
+    d4 = compile_spec(from_json_schema({"properties": {"a": {"type": "integer"}}}))
+    assert _errors(d4, t) == [(("a",), E.WRONG_TYPE)] * 2
+
+
+def test_anyof_shortest_sub_errors():
+    # src/jesse_validator_draft4.erl:1156-1179,1365-1373: the child with
+    # the fewest errors is reported next to the atom (ties keep the
+    # earlier sub); value_json embeds that child error list
+    import json as _json
+
+    s = _spec_one(
+        "a",
+        ColumnSpec(any_of=[
+            ColumnSpec(type="string", pattern="^x", min_length=10),
+            ColumnSpec(type="string", pattern="^y"),
+        ]),
+    )
+    c = compile_spec(s)
+    v = c.check_batch(pa.table({"a": pa.array(["nope"])}))
+    assert v["error"].to_pylist() == [E.ANY_SCHEMAS_NOT_VALID]
+    payload = _json.loads(v["value_json"][0].as_py())
+    assert payload["value"] == "nope"
+    # second sub fails only the pattern (1 error) vs first sub's 2
+    assert payload["shortest_errors"] == [E.NO_MATCH]
+
+
+def _cap_one_handler(viol, allowed):
+    """Example error_handler: keep at most one violation per batch."""
+    return viol.slice(0, 1)
+
+
+def test_error_handler_hook():
+    # src/jesse.erl:61-66 (default src/jesse_error.erl:67-78): pluggable
+    # per-batch violation sink — here capping, like a custom budget
+    s = _spec_one("a", ColumnSpec(type="string", pattern="^x", min_length=10))
+    c = compile_spec(s)
+    t = pa.table({"a": pa.array(["no", "nope"])})
+    assert c.check_batch(t).num_rows == 4
+    assert c.check_batch(t, error_handler=_cap_one_handler).num_rows == 1
+
+    class Abort(Exception):
+        pass
+
+    def raising(viol, allowed):
+        if viol.num_rows:
+            raise Abort()
+        return viol
+
+    with pytest.raises(Abort):
+        c.check_batch(t, error_handler=raising)
