@@ -86,12 +86,21 @@ def run_bench() -> dict:
         _warm, batch_size=1
     ).count()
 
+    # prime the full validation code path (function shipping, parquet
+    # metadata cache, referential dimension load) on a small slice so
+    # rep 1 measures steady-state, not first-use costs
+    _ = validate_dataset(
+        read_sequences(path).limit(20_000),
+        _seq_spec(),
+        key_ds=read_sequences(path, columns=["doc_id"]).limit(20_000),
+    ).all_violations_table().num_rows
+
     rows = read_sequences(path, columns=["doc_id"]).count()
     queries: dict[str, float] = {}
     headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
-    # min of 2 reps by default: the sandbox box is shared and wall-time
+    # min of 3 reps by default: the sandbox box is shared and wall-time
     # noise between identical runs exceeds 50%; min estimates capability
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # headline: full validation (fused row+referential pass ∪ uniqueness);
     # with BENCH_REPS>1, the MIN over reps estimates steady-state wall
@@ -146,6 +155,24 @@ def run_bench() -> dict:
     t0 = time.time()
     _ = sketch_dataset(read_sequences(path, columns=["n_tok", "tokens"]))
     queries["sketch"] = round(time.time() - t0, 3)
+
+    # near-dup pipelines over the driver documents table at this sf
+    docs_path = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), sf, "documents.parquet")
+    if os.path.exists(docs_path):
+        import ray.data as _rd
+
+        from jesse_ray.functions.dedup import lsh_candidate_pairs, simhash_near_dups
+
+        t0 = time.time()
+        n_mh = lsh_candidate_pairs(
+            _rd.read_parquet(docs_path, columns=["doc_id", "text"]), num_hashes=64, bands=16
+        ).count()
+        queries["minhash_pairs"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_sh = simhash_near_dups(
+            _rd.read_parquet(docs_path, columns=["doc_id", "text"]), max_hamming=3
+        ).count()
+        queries["simhash_pairs"] = round(time.time() - t0, 3)
 
     headline = queries["validate_full"]
     out = {

@@ -701,6 +701,32 @@ class ValidationResult:
         return self.all_violations_table().num_rows == 0
 
 
+def default_schema_loader(name: str):
+    """Default schema_loader_fun: ``file://`` URIs and existing ``.json``
+    paths load from disk; ``http(s)://`` is fetched with urllib (works
+    on clusters with egress; this sandbox has none).  Returns None on a
+    miss — jesse's ?not_found (src/jesse_database.erl:316-336)."""
+    import os
+
+    path = None
+    if name.startswith("file://"):
+        path = name[len("file://"):]
+    elif name.startswith(("http://", "https://")):
+        try:
+            from urllib.request import urlopen
+
+            with urlopen(name, timeout=10) as r:  # pragma: no cover (no network in sandbox)
+                return json.loads(r.read().decode())
+        except Exception:
+            return None
+    elif name.endswith(".json"):
+        path = name
+    if path and os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
 class ValidationEngine:
     """Compile once on the driver; validate many Datasets.
 
@@ -709,8 +735,16 @@ class ValidationEngine:
     plain dict + closure capture is the idiomatic Ray equivalent.
     """
 
-    def __init__(self):
+    def __init__(self, schema_loader_fun=None):
+        """``schema_loader_fun`` — jesse's pluggable schema resolver
+        (src/jesse.erl:89-92, used from src/jesse_database.erl:316-336):
+        called with the unknown spec name/URI on a registry miss and may
+        return a TableSpec, a JSON-Schema dict, or None (miss).  The
+        default loader resolves ``file://`` URIs and plain ``*.json``
+        paths; ``http(s)://`` fetches use urllib when the cluster has
+        network access (this sandbox does not — documented)."""
         self._specs: dict[str, CompiledSpec] = {}
+        self._loader = schema_loader_fun if schema_loader_fun is not None else default_schema_loader
 
     # jesse:add_schema/2 analogue (src/jesse.erl:116-130)
     def add_spec(self, name: str, spec: TableSpec) -> CompiledSpec:
@@ -743,7 +777,14 @@ class ValidationEngine:
 
     def get(self, name: str) -> CompiledSpec:
         if name not in self._specs:
-            raise KeyError(f"{E.SCHEMA_INVALID}: no spec named {name!r}")
+            loaded = self._loader(name) if self._loader is not None else None
+            if loaded is None:
+                raise KeyError(f"{E.SCHEMA_INVALID}: no spec named {name!r}")
+            if isinstance(loaded, dict):
+                from jesse_ray.spec import from_json_schema
+
+                loaded = from_json_schema(loaded, name=name)
+            self.add_spec(name, loaded)
         return self._specs[name]
 
     # jesse:validate/2 analogue (src/jesse.erl:185-216)

@@ -50,41 +50,65 @@ _STOPWORDS = (
 
 
 class QualityScorer:
-    """Actor-pool stage: per-document quality features.
+    """Per-document quality features, fully vectorized in Arrow.
 
-    Regexes compiled once per actor (the analogue of the reference's
-    pre-compiled re_options discipline, src/jesse_lib.erl:127-139).
+    The stopword value-set and regex patterns are built once per worker
+    (Ray caches the deserialized callable per process — the analogue of
+    the reference's pre-compiled re_options discipline,
+    src/jesse_lib.erl:127-139); per batch everything is pyarrow.compute
+    kernels + one bincount per feature — no per-row Python.
     """
 
     def __init__(self):
-        self.word_rx = re.compile(r"[A-Za-z']+")
-        self.stop = frozenset(_STOPWORDS)
+        self.stop = pa.array(sorted(_STOPWORDS), type=pa.string())
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        txt = batch["text"].astype(str)
-        n_chars = txt.str.len()
-        n_alpha = txt.str.count(r"[A-Za-z]")
-        n_punct = txt.str.count(r"[^\w\s]")
-        words = txt.str.findall(self.word_rx)
-        n_words = words.map(len)
-        n_stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in self.stop))
-        batch = batch.copy()
-        batch["q_len"] = n_chars.astype("int64")
-        batch["q_alpha_ratio"] = (n_alpha / n_chars.clip(lower=1)).astype("float64")
-        batch["q_punct_ratio"] = (n_punct / n_chars.clip(lower=1)).astype("float64")
-        batch["q_stop_ratio"] = (n_stop / n_words.clip(lower=1)).astype("float64")
-        batch["q_mean_word_len"] = (
-            words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        ).astype("float64")
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        n = len(txt)
+        n_chars = pc.utf8_length(txt)
+        n_alpha = pc.utf8_length(pc.replace_substring_regex(txt, "[^A-Za-z]", ""))
+        n_punct = pc.count_substring_regex(txt, r"[^\w\s]")
+        # words: [A-Za-z']+ runs, flattened with parent indices
+        words = pc.extract_regex_all(txt, r"(?P<w>[A-Za-z']+)") if hasattr(pc, "extract_regex_all") else None
+        if words is not None:
+            flat = pc.list_flatten(words)
+            flat = pc.struct_field(flat, "w") if pa.types.is_struct(flat.type) else flat
+            parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        else:  # older pyarrow: split on the complement
+            split = pc.split_pattern_regex(pc.fill_null(txt, ""), r"[^A-Za-z']+")
+            flat0 = pc.list_flatten(split)
+            parent0 = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+            keep = pc.greater(pc.utf8_length(flat0), 0).to_numpy(zero_copy_only=False)
+            flat = flat0.filter(pa.array(keep))
+            parent = parent0[keep]
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        is_stop = pc.is_in(pc.utf8_lower(flat), value_set=self.stop).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parent[is_stop], minlength=n).astype(np.int64)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_wlen = np.bincount(parent, weights=wlen, minlength=n)
+        nc = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+        nw = np.maximum(n_words, 1).astype(np.float64)
+        return (
+            batch.append_column("q_len", n_chars.cast(pa.int64()))
+            .append_column("q_alpha_ratio", pa.array(n_alpha.to_numpy(zero_copy_only=False) / nc))
+            .append_column("q_punct_ratio", pa.array(n_punct.to_numpy(zero_copy_only=False) / nc))
+            .append_column("q_stop_ratio", pa.array(n_stop / nw))
+            .append_column(
+                "q_mean_word_len",
+                pa.array(np.where(n_words > 0, sum_wlen / nw, 0.0)),
+            )
+        )
 
     @staticmethod
-    def apply(ds: Dataset, *, concurrency: int = 4, batch_size: int = 2048) -> Dataset:
+    def apply(ds: Dataset, *, batch_size: int = 2048, **_ignored) -> Dataset:
         return ds.map_batches(
-            QualityScorer,
-            batch_format="pandas",
+            QualityScorer(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
             batch_size=batch_size,
-            concurrency=concurrency,
         )
 
 

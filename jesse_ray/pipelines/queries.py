@@ -477,6 +477,48 @@ FROM events GROUP BY event_type
 # documents / events / TPC-H-ish tables (driver-provided testdata)
 
 
+def q_doc_langs_by_source(sf_dir: str) -> pa.Table:
+    """KVC @distinctUnionOfObjects VALUE form (src/jesse_json_path.erl:173-209):
+    the distinct (source, lang) pairs of the documents table."""
+    from jesse_ray.pipelines.relational import grouped_distinct_values
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    t = _collect(grouped_distinct_values(ds, ["source"], "lang"))
+    return t.sort_by([("source", "ascending"), ("lang", "ascending")])
+
+
+SQL_DOC_LANGS_BY_SOURCE = """
+SELECT source, lang FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+def q_seq_union_tokens_small(sf_dir: str) -> pa.Table:
+    """KVC @distinctUnionOfArrays VALUE form: the distinct token ids of
+    the 'forums' source (smallest group), as (source, token) rows."""
+    from jesse_ray.pipelines.relational import grouped_union_elements
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "tokens"])
+
+    def only_forums(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["source"], "forums"))
+
+    out = grouped_union_elements(
+        ds.map_batches(only_forums, batch_format="pyarrow"), "source", "tokens",
+        distinct=True, elem_alias="token",
+    )
+    t = _collect(out)
+    return pa.table(
+        {"source": t["source"], "token": t["token"].cast(pa.int64())}
+    ).sort_by([("source", "ascending"), ("token", "ascending")])
+
+
+SQL_SEQ_UNION_TOKENS_SMALL = f"""
+SELECT source, CAST(t AS BIGINT) AS token
+FROM (SELECT source, unnest(tokens) AS t FROM {SEQ_SQL} WHERE source = 'forums')
+GROUP BY source, t ORDER BY source, t
+"""
+
+
 def q_doc_val_nchars(sf_dir: str) -> pa.Table:
     """Consistency rule n_chars == utf8_len(text) via the engine."""
     from jesse_ray import errors as E
@@ -1137,6 +1179,8 @@ def queries() -> dict[str, Callable]:
         "seq_val_dependency": q_seq_val_dependency,
         "seq_validation_full": q_seq_validation_full,
         "events_users_per_type": q_events_users_per_type,
+        "doc_langs_by_source": q_doc_langs_by_source,
+        "seq_union_tokens_small": q_seq_union_tokens_small,
         "doc_val_nchars": q_doc_val_nchars,
         "doc_lang_enum": q_doc_lang_enum,
         "doc_token_counts": q_doc_token_counts,
@@ -1178,6 +1222,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,
         "seq_validation_full": SQL_SEQ_VALIDATION_FULL,
         "events_users_per_type": SQL_EVENTS_USERS_PER_TYPE,
+        "doc_langs_by_source": SQL_DOC_LANGS_BY_SOURCE,
+        "seq_union_tokens_small": SQL_SEQ_UNION_TOKENS_SMALL,
         "doc_val_nchars": SQL_DOC_VAL_NCHARS,
         "doc_lang_enum": SQL_DOC_LANG_ENUM,
         "doc_token_counts": SQL_DOC_TOKEN_COUNTS,

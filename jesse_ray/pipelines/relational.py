@@ -208,6 +208,68 @@ def grouped_distinct_elements(
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
 
 
+def grouped_distinct_values(
+    ds: Dataset,
+    keys: Sequence[str],
+    value: str,
+    *,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Distinct (keys, value) pairs — the VALUE-returning form of the
+    reference's KVC ``@distinctUnionOfObjects`` collection operator
+    (src/jesse_json_path.erl:173-209; the count form is
+    grouped_count_distinct).  Two-phase: per-batch Arrow dedup combiner,
+    then a groupby over the pairs finishes the global dedup — the
+    shuffle carries one row per distinct pair per block."""
+    keys = list(keys)
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        return batch.select([*keys, value]).group_by([*keys, value]).aggregate([])
+
+    deduped = ds.map_batches(dedup, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return deduped.groupby([*keys, value]).aggregate(Count(alias_name="__dup")).drop_columns(["__dup"])
+
+
+def grouped_union_elements(
+    ds: Dataset,
+    key: str,
+    list_col: str,
+    *,
+    distinct: bool = True,
+    elem_alias: str = "elem",
+    batch_size: int = 16384,
+) -> Dataset:
+    """Elements of a list column per key group, as (key, elem) rows —
+    the VALUE-returning forms of KVC ``@unionOfArrays`` /
+    ``@distinctUnionOfArrays`` (src/jesse_json_path.erl:173-209).
+    ``distinct=True`` dedups globally (two-phase); ``distinct=False``
+    preserves multiplicity with a two-phase (pair, count) expansion so
+    the shuffle still moves distinct pairs + counts, not raw elements."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col)
+        key_flat = _combine(batch[key]).take(parent)
+        t = pa.table({key: key_flat, elem_alias: flat}).filter(pc.is_valid(flat))
+        g = t.group_by([key, elem_alias]).aggregate([([], "count_all")])
+        return g.rename_columns([key, elem_alias, "__pc"])
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    merged = pairs.groupby([key, elem_alias]).aggregate(Sum("__pc", alias_name="__cnt"))
+    if distinct:
+        return merged.drop_columns(["__cnt"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cnt = batch["__cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows), cnt)
+        return batch.drop_columns(["__cnt"]).take(pa.array(idx, type=pa.int64()))
+
+    return merged.map_batches(expand, batch_format="pyarrow")
+
+
 def grouped_topn(
     ds: Dataset,
     keys: Sequence[str],

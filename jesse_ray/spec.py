@@ -576,30 +576,57 @@ def _column_from_schema(raw: Any, root: dict) -> ColumnSpec:
     return c
 
 
-def from_json_schema(schema: dict, *, name: str = "spec", key_column: str = "doc_id") -> TableSpec:
+def from_json_schema(
+    schema: dict,
+    *,
+    name: str = "spec",
+    key_column: str = "doc_id",
+    default_schema_ver: Optional[str] = None,
+    meta_schema_ver: Optional[str] = None,
+) -> TableSpec:
     """Build a TableSpec from a draft-04 object schema whose ``properties``
     are the table's columns.  ``required`` must be a non-empty array when
     present (src/jesse_validator_draft4.erl:1044-1047).
 
     ``$schema`` selects the dialect as in the reference
-    (src/jesse_schema_validator.erl:56-58,82-98); the only
-    dialect-sensitive gate we enforce at load time is the id-tag rule:
-    draft-4 schemas must use ``id`` (a ``$id`` key is schema_invalid)
-    and draft-6 schemas must use ``$id``
+    (src/jesse_schema_validator.erl:56-58,82-98), with the id-tag rule
+    enforced at load time: draft-4 schemas must use ``id`` (a ``$id``
+    key is schema_invalid) and draft-6 schemas must use ``$id``
     (src/jesse_validator_draft4.erl:84-85, src/jesse_validator_draft6.erl:86-87).
     Keyword semantics follow the per-keyword draft notes in the field
     docs (draft-3/6 deltas are explicit ColumnSpec fields).
+
+    ``default_schema_ver`` — jesse's option of the same name
+    (src/jesse.erl:94-102, src/jesse_schema_validator.erl:56-62):
+    dialect used when the schema carries no ``$schema`` tag (a URI or
+    a "draft3"/"draft4"/"draft6" shorthand).  ``meta_schema_ver`` —
+    jesse's meta-schema gate (src/jesse.erl:94-102): when given, the
+    schema's declared dialect MUST match it, else schema_invalid
+    (structural keyword validation — the rest of the reference's
+    meta-schema check — happens in the keyword handlers, which raise
+    schema_invalid on malformed keyword values).
     """
     schema = copy.deepcopy(schema)
-    dialect_uri = str(schema.get("$schema", ""))
+    dialect_uri = str(schema.get("$schema", "")) or str(default_schema_ver or "")
+    if meta_schema_ver is not None:
+        want = str(meta_schema_ver)
+        declared = str(schema.get("$schema", "")) or str(default_schema_ver or "")
+        norm = lambda s: ("draft3" if "draft-03" in s or s == "draft3" else
+                          "draft6" if "draft-06" in s or s == "draft6" else
+                          "draft4" if "draft-04" in s or s == "draft4" else s)
+        if norm(want) != norm(declared):
+            raise E.SchemaInvalidError(
+                E.SCHEMA_INVALID,
+                f"meta_schema_ver {want!r} does not match schema dialect {declared!r}",
+            )
     if "draft-04" in dialect_uri and "$id" in schema:
         raise E.SchemaInvalidError(E.SCHEMA_INVALID, "draft-4 schema must use 'id', not '$id'")
     if "draft-06" in dialect_uri and "id" in schema:
         raise E.SchemaInvalidError(E.SCHEMA_INVALID, "draft-6 schema must use '$id', not 'id'")
     spec = TableSpec(name=name, key_column=key_column)
-    if "draft-03" in dialect_uri:
+    if "draft-03" in dialect_uri or dialect_uri == "draft3":
         spec.dialect = "draft3"
-    elif "draft-06" in dialect_uri:
+    elif "draft-06" in dialect_uri or dialect_uri == "draft6":
         spec.dialect = "draft6"
     props = schema.get("properties", {})
     for col, sub in props.items():

@@ -317,3 +317,66 @@ def test_quality_scores(ray_session):
     # words: The cat And a dog → stopwords {the, and, a} → 3/5
     assert abs(out["q_stop_ratio"] - 3 / 5) < 1e-12
     assert abs(out["q_mean_word_len"] - np.mean([3, 3, 3, 1, 3])) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# KVC value-returning collection forms + schema loader hook
+
+
+def test_grouped_union_values(ray_session):
+    from jesse_ray.pipelines.relational import (
+        grouped_distinct_values,
+        grouped_union_elements,
+    )
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "b", "b"],
+            "v": ["x", "x", "y", "z"],
+            "lst": [[1, 2, 2], [2], [3], [None, 4]],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    pairs = grouped_distinct_values(ds, ["k"], "v").to_pandas()
+    assert sorted(map(tuple, pairs[["k", "v"]].values.tolist())) == [
+        ("a", "x"), ("b", "y"), ("b", "z"),
+    ]
+    distinct = grouped_union_elements(ray.data.from_arrow(tbl), "k", "lst").to_pandas()
+    assert sorted(map(tuple, distinct[["k", "elem"]].values.tolist())) == [
+        ("a", 1), ("a", 2), ("b", 3), ("b", 4),
+    ]
+    multi = grouped_union_elements(
+        ray.data.from_arrow(tbl), "k", "lst", distinct=False
+    ).to_pandas()
+    assert sorted(map(tuple, multi[["k", "elem"]].values.tolist())) == [
+        ("a", 1), ("a", 2), ("a", 2), ("a", 2), ("b", 3), ("b", 4),
+    ]
+
+
+def test_schema_loader_fun(tmp_path):
+    import json as _json
+
+    from jesse_ray.engine import ValidationEngine
+
+    p = tmp_path / "myspec.json"
+    p.write_text(_json.dumps({"properties": {"a": {"type": "string"}}}))
+
+    # default loader: file:// URI and plain path both resolve
+    eng = ValidationEngine()
+    c = eng.get(str(p))
+    assert "a" in c.spec.columns
+    eng2 = ValidationEngine()
+    assert "a" in eng2.get(f"file://{p}").spec.columns
+
+    # custom loader (jesse's schema_loader_fun, src/jesse.erl:89-92)
+    def loader(name):
+        if name == "inline":
+            return {"properties": {"b": {"type": "integer"}}}
+        return None
+
+    eng3 = ValidationEngine(schema_loader_fun=loader)
+    assert "b" in eng3.get("inline").spec.columns
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        eng3.get("missing")

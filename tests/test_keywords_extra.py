@@ -397,3 +397,25 @@ def test_error_handler_hook():
 
     with pytest.raises(Abort):
         c.check_batch(t, error_handler=raising)
+
+
+def test_default_and_meta_schema_ver():
+    # default_schema_ver picks the dialect for untagged schemas;
+    # meta_schema_ver gates a mismatched dialect (src/jesse.erl:94-102)
+    s = from_json_schema(
+        {"properties": {"a": {"type": "integer"}}},
+        default_schema_ver="draft6",
+    )
+    assert s.dialect == "draft6"
+    c = compile_spec(s)
+    assert _errors(c, pa.table({"a": pa.array([2.0])})) == []
+
+    from_json_schema(
+        {"$schema": "http://json-schema.org/draft-04/schema#", "properties": {}},
+        meta_schema_ver="draft4",
+    )
+    with pytest.raises(E.SchemaInvalidError):
+        from_json_schema(
+            {"$schema": "http://json-schema.org/draft-04/schema#", "properties": {}},
+            meta_schema_ver="draft6",
+        )
