@@ -65,6 +65,11 @@ def _np_mask(arr, n: int) -> np.ndarray:
 
 def _combine(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
+        # single-chunk fast path: combine_chunks() COPIES even when there
+        # is one chunk; chunk(0) is zero-copy (measured 0.45 s of a
+        # 1.2 s check_batch over 6 row groups before this)
+        if col.num_chunks == 1:
+            return col.chunk(0)
         return col.combine_chunks()
     return col
 
@@ -390,6 +395,12 @@ class CompiledSpec:
         ]
         self._build()
 
+    def __getstate__(self):
+        # never ship the per-batch memo (it pins an Arrow batch)
+        d = self.__dict__.copy()
+        d.pop("_ctx_cache", None)
+        return d
+
     def _type_valid_mask(self, cs: ColumnSpec, arr: pa.Array) -> np.ndarray:
         """Value-level ``type`` mask: static primitive membership, the
         draft-6 ``integer`` leniency (floats with zero fraction pass,
@@ -660,11 +671,23 @@ class CompiledSpec:
         )
 
     def _col_ctx(self, tbl: pa.Table, col: str):
+        # per-batch memo: every emission unit asks for its column(s), so
+        # the same column would otherwise be re-combined and re-masked
+        # once per keyword.  Keyed on the table identity; one batch is
+        # in flight per worker at a time.
+        cache = getattr(self, "_ctx_cache", None)
+        if cache is None or cache[0] is not tbl:
+            cache = (tbl, {})
+            self._ctx_cache = cache
+        if col in cache[1]:
+            return cache[1][col]
         if col not in tbl.column_names:
-            return None, None
-        arr = _combine(tbl[col])
-        present = _np_mask(pc.is_valid(arr), len(arr))
-        return arr, present
+            out = (None, None)
+        else:
+            arr = _combine(tbl[col])
+            out = (arr, _np_mask(pc.is_valid(arr), len(arr)))
+        cache[1][col] = out
+        return out
 
     def _add(self, name, error, path, fragment_obj, fn):
         self._emits.append(

@@ -162,7 +162,7 @@ def duplicate_keys_hashed(
         uniq, cnt = np.unique(h, return_counts=True)
         return pa.table(
             {
-                "part": pa.array((uniq % P).astype(np.int32)),
+                "part": pa.array((uniq & np.uint64(P - 1)).astype(np.int32)),
                 "h": pa.array(uniq, type=pa.uint64()),
                 "cnt": pa.array(cnt, type=pa.int64()),
             }

@@ -64,6 +64,96 @@ def _hash64_strings(arr: pa.Array) -> np.ndarray:
     return out
 
 
+def _by_coarse_part(ds: Dataset, bucket_col: str, n_parts: int = 64) -> "ray.data.grouped_data.GroupedData":
+    """groupby on ``bucket % n_parts`` instead of the raw bucket value.
+
+    Hash-bucket LSH stages produce O(corpus) tiny buckets; grouping on
+    the raw bucket makes Ray call the map_groups UDF once per bucket
+    (Python + pandas slice overhead per call — the dominant cost once
+    buckets outnumber ~10k).  A coarse partition keys the shuffle on
+    ≤``n_parts`` values; the UDF then handles many complete buckets per
+    call with one vectorized sort + run scan (same trick as the
+    engine's duplicate_keys_hashed)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        b = batch[bucket_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # n_parts is a power of two: mask instead of the (slow) div unit
+        return batch.append_column(
+            "__part", pa.array((b & np.uint64(n_parts - 1)).astype(np.int32))
+        )
+
+    return ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).groupby("__part")
+
+
+def _pairs_within_runs(buckets: np.ndarray, keys: np.ndarray, bucket_cap: int | None,
+                       payload: np.ndarray | None = None):
+    """All within-bucket (left, right) pairs for many buckets at once.
+
+    Sorts by (bucket, key), walks the bucket runs, and emits the upper
+    triangle per run — numpy only, no per-bucket pandas.  Duplicate keys
+    within a run are dropped; runs above ``bucket_cap`` emit nothing
+    (skew guard).  When ``payload`` is given, returns the pair payload
+    arrays (payload[left_idx], payload[right_idx]) as well.
+    """
+    order = np.lexsort((keys, buckets))
+    bk, ks = buckets[order], keys[order]
+    pl = payload[order] if payload is not None else None
+    # dedup identical (bucket, key) rows
+    keep = np.concatenate([[True], (bk[1:] != bk[:-1]) | (ks[1:] != ks[:-1])])
+    bk, ks = bk[keep], ks[keep]
+    if pl is not None:
+        pl = pl[keep]
+    starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+    ends = np.concatenate([starts[1:], [len(bk)]])
+    out_l, out_r, out_pl, out_pr = [], [], [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2 or (bucket_cap is not None and m > bucket_cap):
+            continue
+        iu = np.triu_indices(m, k=1)
+        out_l.append(ks[s:e][iu[0]])
+        out_r.append(ks[s:e][iu[1]])
+        if pl is not None:
+            out_pl.append(pl[s:e][iu[0]])
+            out_pr.append(pl[s:e][iu[1]])
+    if not out_l:
+        empty = np.empty(0, dtype=keys.dtype)
+        if payload is not None:
+            pe = np.empty(0, dtype=payload.dtype)
+            return empty, empty, pe, pe
+        return empty, empty
+    if payload is not None:
+        return (np.concatenate(out_l), np.concatenate(out_r),
+                np.concatenate(out_pl), np.concatenate(out_pr))
+    return np.concatenate(out_l), np.concatenate(out_r)
+
+
+def _dedup_pairs(cand: Dataset, extra: str | None = None, n_parts: int = 64) -> Dataset:
+    """Distributed (left, right) pair dedup: shuffle on a COARSE hash of
+    the pair, then one C-level ``drop_duplicates`` per part.
+
+    Neither ``groupby(pair)`` nor ``groupby(pair).aggregate`` is usable
+    here: Ray's multi-key aggregate merged 185k pair rows at ~1.2k
+    rows/s (153 s measured), and per-pair map_groups pays Python per
+    pair.  The coarse shuffle keys on ≤``n_parts`` values; duplicates of
+    a pair always hash to the same part.  ``extra`` names a payload
+    column to keep (identical across duplicates of a pair)."""
+    cols = ["left", "right"] + ([extra] if extra else [])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["left", "right"]], index=False).to_numpy(dtype=np.uint64)
+        df = df[cols].copy()
+        df["__part"] = (h & np.uint64(n_parts - 1)).astype(np.int32)
+        return df
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["left", "right"])[cols]
+
+    return cand.map_batches(part, batch_format="pandas").groupby("__part").map_groups(
+        dd, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -204,12 +294,37 @@ class MinHasher:
         n = len(starts) - 1
         sig = np.empty((self.num_hashes, n), dtype=np.uint64)
         chunk = 16  # bound the (chunk × n_shingles) temp at ~40 MB/256k shingles
+        M = np.uint64(_MERSENNE)
+        s61 = np.uint64(61)
+        # persistent scratch, grown monotonically and reused across
+        # batches (the instance is cached per worker): first-touch page
+        # faults on fresh large allocations are ~0.5 ms/page in this
+        # sandbox, so re-allocating the 38 MB temps per batch cost more
+        # than the arithmetic
+        W = len(flat)
+        if getattr(self, "_vbuf", None) is None or self._vbuf.shape[1] < W:
+            self._vbuf = np.empty((chunk, W), dtype=np.uint64)
+            self._tbuf = np.empty((chunk, W), dtype=np.uint64)
+        v_all, t_all = self._vbuf[:, :W], self._tbuf[:, :W]
         with np.errstate(over="ignore"):
             for c0 in range(0, self.num_hashes, chunk):
                 a = self.a[c0 : c0 + chunk][:, None]
                 b = self.b[c0 : c0 + chunk][:, None]
-                v = (flat[None, :] * a + b) % np.uint64(_MERSENNE)
-                sig[c0 : c0 + chunk] = np.minimum.reduceat(v, starts[:-1], axis=1)
+                k = min(chunk, self.num_hashes - c0)
+                v, t = v_all[:k], t_all[:k]
+                np.multiply(flat[None, :], a, out=v)
+                v += b
+                # v % M via the Mersenne identity 2^61 ≡ 1 (mod 2^61-1):
+                # z = (v & M) + (v >> 61) < M + 8, one conditional
+                # subtract finishes.  Bit-identical to v % M, but avoids
+                # the integer-division unit, which this sandbox executes
+                # ~30x slower on cold pages (measured 8 s vs 0.3 s for a
+                # 5M-element uint64 %).
+                np.right_shift(v, s61, out=t)
+                np.bitwise_and(v, M, out=v)
+                v += t
+                np.subtract(v, M, out=v, where=v >= M)
+                sig[c0 : c0 + k] = np.minimum.reduceat(v, starts[:-1], axis=1)
         return sig
 
     def signature(self, text: str) -> np.ndarray:
@@ -277,21 +392,19 @@ def lsh_candidate_pairs(ds: Dataset, *, num_hashes: int = 64, bands: int = 16,
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = np.unique(g[key_col].to_numpy())
-        if len(ks) < 2 or (bucket_cap is not None and len(ks) > bucket_cap):
-            return pd.DataFrame({"left": pd.Series([], dtype=ks.dtype),
-                                 "right": pd.Series([], dtype=ks.dtype)})
-        iu = np.triu_indices(len(ks), k=1)
-        return pd.DataFrame({"left": ks[iu[0]], "right": ks[iu[1]]})
+    # COARSE hash partitions, not one group per bucket: Ray's map_groups
+    # pays Python+pandas overhead PER GROUP, and bucket counts grow with
+    # the corpus (measured 138 s for 5k docs with per-bucket groups).
+    # Each of the ~n_parts coarse groups handles MANY buckets with one
+    # vectorized sort + run scan.
+    def pairs_many(g: pd.DataFrame) -> pd.DataFrame:
+        ks = g[key_col].to_numpy()
+        bk = g["bucket"].to_numpy(dtype=np.uint64)
+        out_l, out_r = _pairs_within_runs(bk, ks, bucket_cap)
+        return pd.DataFrame({"left": out_l, "right": out_r})
 
-    cand = exploded.groupby("bucket").map_groups(pairs, batch_format="pandas")
-
-    # distributed dedup of pairs surfaced by multiple bands
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["left", "right"]).map_groups(dd, batch_format="pandas")
+    cand = _by_coarse_part(exploded, "bucket").map_groups(pairs_many, batch_format="pandas")
+    return _dedup_pairs(cand)
 
 
 class _JaccardVerifier:
@@ -460,31 +573,21 @@ def simhash_near_dups(ds: Dataset, *, max_hamming: int = 3, key_col: str = "doc_
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_many(g: pd.DataFrame) -> pd.DataFrame:
         keys = g[key_col].to_numpy()
+        bk = g["bucket"].to_numpy(dtype=np.uint64)
         s = g["sig"].to_numpy(dtype=np.uint64)
-        order = np.argsort(keys, kind="stable")
-        keys, s = keys[order], s[order]
-        keep = np.concatenate([[True], keys[1:] != keys[:-1]])
-        keys, s = keys[keep], s[keep]
-        if len(keys) < 2:
-            return pd.DataFrame({"left": pd.Series([], dtype=keys.dtype),
-                                 "right": pd.Series([], dtype=keys.dtype),
+        l, r, sl, sr = _pairs_within_runs(bk, keys, None, payload=s)
+        if len(l) == 0:
+            return pd.DataFrame({"left": pd.Series(l), "right": pd.Series(r),
                                  "hamming": pd.Series([], dtype=np.int64)})
-        iu = np.triu_indices(len(keys), k=1)
-        ham = _popcount64(np.bitwise_xor(s[iu[0]], s[iu[1]]))
+        ham = _popcount64(np.bitwise_xor(sl, sr))
         hit = ham <= max_hamming
-        return pd.DataFrame({"left": keys[iu[0][hit]], "right": keys[iu[1][hit]],
-                             "hamming": ham[hit]})
+        return pd.DataFrame({"left": l[hit], "right": r[hit], "hamming": ham[hit]})
 
-    cand = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        "bucket"
-    ).map_groups(pairs, batch_format="pandas")
-
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["left", "right"]).map_groups(dd, batch_format="pandas")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _by_coarse_part(exploded, "bucket").map_groups(pairs_many, batch_format="pandas")
+    return _dedup_pairs(cand, extra="hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -561,34 +664,42 @@ def embedding_near_dups(ds: Dataset, *, threshold: float = 0.95, key_col: str = 
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def verify_many(g: pd.DataFrame) -> pd.DataFrame:
+        # one coarse group = many complete buckets: sort by (bucket, key),
+        # dedup, dense-cosine verify per bucket run (matmul per run)
         keys = g[key_col].to_numpy()
-        order = np.argsort(keys, kind="stable")
-        keys = keys[order]
-        keep = np.concatenate([[True], keys[1:] != keys[:-1]])
-        idx = order[keep]
-        keys = keys[keep]
-        if len(keys) < 2 or len(keys) > bucket_cap:
+        bk = g["bucket"].to_numpy(dtype=np.int64)
+        order = np.lexsort((keys, bk))
+        bk, keys = bk[order], keys[order]
+        vecs = g["vec"].to_numpy()[order]
+        keep = np.concatenate([[True], (bk[1:] != bk[:-1]) | (keys[1:] != keys[:-1])])
+        bk, keys, vecs = bk[keep], keys[keep], vecs[keep]
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        ends = np.concatenate([starts[1:], [len(bk)]])
+        out_l, out_r, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > bucket_cap:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[s:e]])
+            normed = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+            sim = normed @ normed.T
+            iu = np.triu_indices(m, k=1)
+            hit = sim[iu] >= threshold
+            out_l.append(keys[s:e][iu[0][hit]])
+            out_r.append(keys[s:e][iu[1][hit]])
+            out_c.append(sim[iu][hit])
+        if not out_l:
             return pd.DataFrame({"left": pd.Series([], dtype=keys.dtype),
                                  "right": pd.Series([], dtype=keys.dtype),
                                  "cosine": pd.Series([], dtype=np.float64)})
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"].to_numpy()[idx]])
-        normed = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        sim = normed @ normed.T
-        iu = np.triu_indices(len(keys), k=1)
-        hit = sim[iu] >= threshold
         return pd.DataFrame(
-            {"left": keys[iu[0][hit]], "right": keys[iu[1][hit]], "cosine": sim[iu][hit]}
+            {"left": np.concatenate(out_l), "right": np.concatenate(out_r),
+             "cosine": np.concatenate(out_c)}
         )
 
-    cand = (
-        ds.select_columns([key_col, vec_col])
-        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+    assigned = ds.select_columns([key_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
-
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["left", "right"]).map_groups(dd, batch_format="pandas")
+    cand = _by_coarse_part(assigned, "bucket").map_groups(verify_many, batch_format="pandas")
+    return _dedup_pairs(cand, extra="cosine")

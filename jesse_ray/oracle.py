@@ -42,18 +42,37 @@ def _type_of(v: Any) -> str:
     return "unknown"
 
 
-def _type_ok(spec_type, v) -> bool:
+def _type_ok(spec_type, v, dialect: str = "draft4") -> bool:
     types = [spec_type] if isinstance(spec_type, str) else list(spec_type)
     t = _type_of(v)
     for want in types:
         if want == "any" or want == t or (want == "number" and t == "integer"):
             return True
+        if (
+            want == "integer"
+            and t == "number"
+            and dialect == "draft6"
+            and float(v) == int(v)
+        ):
+            # draft-6: float with zero fraction is a valid integer
+            # (src/jesse_validator_draft6.erl:344-355)
+            return True
     return False
 
 
-def _spec_valid(cs: ColumnSpec, v: Any) -> bool:
+def _type_keyword_ok(cs: ColumnSpec, v, dialect: str = "draft4") -> bool:
+    """`type` including draft-3 union schema members
+    (src/jesse_validator_draft3.erl:304-328)."""
+    if cs.type is not None and _type_ok(cs.type, v, dialect):
+        return True
+    if cs.type_schemas:
+        return any(_spec_valid(s, v, dialect) for s in cs.type_schemas)
+    return cs.type is None and not cs.type_schemas
+
+
+def _spec_valid(cs: ColumnSpec, v: Any, dialect: str = "draft4") -> bool:
     """All keywords pass for value v (v is present/non-null)."""
-    if cs.type is not None and not _type_ok(cs.type, v):
+    if (cs.type is not None or cs.type_schemas) and not _type_keyword_ok(cs, v, dialect):
         return False
     if cs.enum is not None and _norm_num(v) not in {_norm_num(e) for e in cs.enum}:
         return False
@@ -86,25 +105,25 @@ def _spec_valid(cs: ColumnSpec, v: Any) -> bool:
             seen = [_norm_num(x) for x in v]
             if len(set(seen)) != len(seen):
                 return False
-        if cs.items is not None and any(x is not None and not _spec_valid(cs.items, x) for x in v):
+        if cs.items is not None and any(x is not None and not _spec_valid(cs.items, x, dialect) for x in v):
             return False
         if cs.items_positional is not None:
             for i, x in enumerate(v):
                 if i < len(cs.items_positional):
-                    if x is not None and not _spec_valid(cs.items_positional[i], x):
+                    if x is not None and not _spec_valid(cs.items_positional[i], x, dialect):
                         return False
                 elif cs.items_positional is not None:
                     if cs.additional_items is False:
                         return False
-                    if hasattr(cs.additional_items, "type") and x is not None and not _spec_valid(cs.additional_items, x):
+                    if hasattr(cs.additional_items, "type") and x is not None and not _spec_valid(cs.additional_items, x, dialect):
                         return False
-    if cs.all_of and not all(_spec_valid(s, v) for s in cs.all_of):
+    if cs.all_of and not all(_spec_valid(s, v, dialect) for s in cs.all_of):
         return False
-    if cs.any_of and not any(_spec_valid(s, v) for s in cs.any_of):
+    if cs.any_of and not any(_spec_valid(s, v, dialect) for s in cs.any_of):
         return False
-    if cs.one_of and sum(_spec_valid(s, v) for s in cs.one_of) != 1:
+    if cs.one_of and sum(_spec_valid(s, v, dialect) for s in cs.one_of) != 1:
         return False
-    if cs.not_ is not None and _spec_valid(cs.not_, v):
+    if cs.not_ is not None and _spec_valid(cs.not_, v, dialect):
         return False
     if cs.divisible_by is not None and isinstance(v, (int, float)) and not isinstance(v, bool):
         if cs.divisible_by == 0:
@@ -115,7 +134,7 @@ def _spec_valid(cs: ColumnSpec, v: Any) -> bool:
     if cs.disallow is not None and _type_ok(cs.disallow, v):
         return False
     if cs.contains is not None and isinstance(v, (list, tuple)):
-        if not any(x is not None and _spec_valid(cs.contains, x) for x in v):
+        if not any(x is not None and _spec_valid(cs.contains, x, dialect) for x in v):
             return False
     return True
 
@@ -131,13 +150,14 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
     def emit(path: list[str], error: str, value: Any):
         out.append((doc, tuple(path), error, _json_val(value)))
 
+    dialect = getattr(spec, "dialect", "draft4")
     for col, cs in spec.columns.items():
         v = row.get(col)
         if v is None:
             if cs.required:
                 emit([col], E.MISSING_REQUIRED_PROPERTY, None)
             continue
-        if cs.type is not None and not _type_ok(cs.type, v):
+        if (cs.type is not None or cs.type_schemas) and not _type_keyword_ok(cs, v, dialect):
             emit([col], E.WRONG_TYPE, v)
         if cs.enum is not None and _norm_num(v) not in {_norm_num(e) for e in cs.enum}:
             emit([col], E.NOT_IN_ENUM, v)
@@ -183,32 +203,32 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
                     else E.NOT_SCHEMA_VALID
                 )
                 for i, x in enumerate(v):
-                    if x is not None and not _spec_valid(cs.items, x):
+                    if x is not None and not _spec_valid(cs.items, x, dialect):
                         emit([col, str(i)], err, x)
             if cs.items_positional is not None:
                 emitted_extra = False
                 for i, x in enumerate(v):
                     if i < len(cs.items_positional):
-                        if x is not None and not _spec_valid(cs.items_positional[i], x):
+                        if x is not None and not _spec_valid(cs.items_positional[i], x, dialect):
                             emit([col, str(i)], E.NOT_SCHEMA_VALID, x)
                     elif cs.additional_items is False:
                         if not emitted_extra:  # one per array, as the reference
                             emit([col], E.NO_EXTRA_ITEMS_ALLOWED, {"length": len(v)})
                             emitted_extra = True
                     elif hasattr(cs.additional_items, "type"):
-                        if x is not None and not _spec_valid(cs.additional_items, x):
+                        if x is not None and not _spec_valid(cs.additional_items, x, dialect):
                             emit([col, str(i)], E.NOT_SCHEMA_VALID, x)
-        if cs.all_of and not all(_spec_valid(s, v) for s in cs.all_of):
+        if cs.all_of and not all(_spec_valid(s, v, dialect) for s in cs.all_of):
             emit([col], E.ALL_SCHEMAS_NOT_VALID, v)
-        if cs.any_of and not any(_spec_valid(s, v) for s in cs.any_of):
+        if cs.any_of and not any(_spec_valid(s, v, dialect) for s in cs.any_of):
             emit([col], E.ANY_SCHEMAS_NOT_VALID, v)
         if cs.one_of:
-            cnt = sum(_spec_valid(s, v) for s in cs.one_of)
+            cnt = sum(_spec_valid(s, v, dialect) for s in cs.one_of)
             if cnt == 0:
                 emit([col], E.NOT_ONE_SCHEMA_VALID, v)
             elif cnt > 1:
                 emit([col], E.MORE_THAN_ONE_SCHEMA_VALID, v)
-        if cs.not_ is not None and _spec_valid(cs.not_, v):
+        if cs.not_ is not None and _spec_valid(cs.not_, v, dialect):
             emit([col], E.NOT_SCHEMA_VALID, v)
         if cs.divisible_by is not None and isinstance(v, (int, float)) and not isinstance(v, bool):
             bad = cs.divisible_by == 0
@@ -220,7 +240,7 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
         if cs.disallow is not None and _type_ok(cs.disallow, v):
             emit([col], E.NOT_ALLOWED, v)
         if cs.contains is not None and isinstance(v, (list, tuple)):
-            if not any(x is not None and _spec_valid(cs.contains, x) for x in v):
+            if not any(x is not None and _spec_valid(cs.contains, x, dialect) for x in v):
                 emit([col], E.DATA_INVALID, {"length": len(v)})
 
     for rule in spec.consistency:
@@ -239,6 +259,14 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
             if row.get(dep) is None:
                 emit([col], E.MISSING_DEPENDENCY, v)
                 break
+
+    for col, sub in getattr(spec, "schema_dependencies", {}).items():
+        # schema-form dependencies: col present => the row validates the
+        # dependent sub-spec; child violations propagate
+        # (src/jesse_validator_draft4.erl:656-668)
+        if row.get(col) is None:
+            continue
+        out.extend(validate_row(sub, row))
 
     for r in spec.referential:
         v = row.get(r.column)

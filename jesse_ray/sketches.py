@@ -164,8 +164,16 @@ class CountMin:
         self.total = 0
 
     def _hash(self, keys: np.ndarray, row: int) -> np.ndarray:
-        h = (keys.astype(np.int64) * self.a[row] + self.b[row]) % _CM_P
-        return (h % self.w).astype(np.int64)
+        # (a*x + b) mod p via the Mersenne identity (p = 2^61-1, so
+        # 2^61 ≡ 1): shift/add instead of the integer-division unit,
+        # which this sandbox executes ~30x slower on cold pages.  Width
+        # is a power of two, so the final fold is a mask.
+        M = np.uint64(_CM_P)
+        with np.errstate(over="ignore"):
+            y = keys.astype(np.uint64) * np.uint64(self.a[row]) + np.uint64(self.b[row])
+            h = (y & M) + (y >> np.uint64(61))
+            h -= M * (h >= M)
+        return (h & np.uint64(self.w - 1)).astype(np.int64)
 
     def add(self, keys: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
         keys = np.asarray(keys)
