@@ -427,6 +427,37 @@ FROM fe WHERE error IS NOT NULL GROUP BY error ORDER BY error
 """
 
 
+def q_seq_ntok_stats(sf_dir: str) -> pa.Table:
+    """column_stats over n_tok grouped by source: count / nulls / min /
+    max / mean via the two-phase Arrow combiner (KVC @count/@min/@max/
+    @avg analogue, src/jesse_json_path.erl:173-209)."""
+    from jesse_ray.engine import column_stats
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+    t = column_stats(ds, "n_tok", "source")
+    return pa.table(
+        {
+            "source": t["group"],
+            "cnt": t["cnt"].cast(pa.int64()),
+            "n_null": t["n_null"].cast(pa.int64()),
+            "vmin": t["vmin"],
+            "vmax": t["vmax"],
+            "vmean": pc.round(t["vmean"], 4),
+        }
+    ).sort_by("source")
+
+
+SQL_SEQ_NTOK_STATS = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) - count(n_tok) AS BIGINT) AS n_null,
+       CAST(min(n_tok) AS DOUBLE) AS vmin,
+       CAST(max(n_tok) AS DOUBLE) AS vmax,
+       round(avg(n_tok), 4) AS vmean
+FROM {SEQ_SQL} GROUP BY source ORDER BY source
+"""
+
+
 def q_seq_val_dependency(sf_dir: str) -> pa.Table:
     """Schema-form dependencies through the compiled engine
     (src/jesse_validator_draft4.erl:656-668): source present ⇒ the row
@@ -620,6 +651,63 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS cnt,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(sf_dir: str) -> pa.Table:
+    """Sliding windows (2h window, 1h slide): each event lands in 2
+    windows; per (event_type, window) count + value sum."""
+    from jesse_ray.pipelines.relational import sliding_window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = sliding_window(ds, "ts", window_s=7200, slide_s=3600, keys=["event_type"], sums=["value"])
+    t = _collect(out)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "window": t["window"].cast(pa.int64()),
+            "cnt": t["cnt"].cast(pa.int64()),
+            "sum_value": pc.round(t["sum_value"], 2),
+        }
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS base, value FROM events
+), w AS (
+  SELECT event_type, unnest(generate_series(base - 1, base)) AS w_id, value FROM e
+)
+SELECT event_type, CAST(w_id AS BIGINT) AS "window",
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
+def q_events_lag(sf_dir: str) -> pa.Table:
+    """Per-user previous event (LAG over PARTITION BY user_id ORDER BY
+    ts, event_id) via the coarse-partitioned grouped_lag operator."""
+    from jesse_ray.pipelines.relational import grouped_lag
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = grouped_lag(ds, "user_id", ["ts", "event_id"], "event_id", alias="prev_event_id")
+    t = _collect(out)
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "prev_event_id": t["prev_event_id"].cast(pa.int64()),
+        }
+    ).sort_by("event_id")
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       CAST(COALESCE(
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1
+       ) AS BIGINT) AS prev_event_id
+FROM events ORDER BY event_id
 """
 
 
@@ -1177,6 +1265,7 @@ def queries() -> dict[str, Callable]:
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
         "seq_val_dependency": q_seq_val_dependency,
+        "seq_ntok_stats": q_seq_ntok_stats,
         "seq_validation_full": q_seq_validation_full,
         "events_users_per_type": q_events_users_per_type,
         "doc_langs_by_source": q_doc_langs_by_source,
@@ -1186,6 +1275,8 @@ def queries() -> dict[str, Callable]:
         "doc_token_counts": q_doc_token_counts,
         "doc_quality_counts": q_doc_quality_counts,
         "events_window": q_events_window,
+        "events_sliding": q_events_sliding,
+        "events_lag": q_events_lag,
         "events_props_sum": q_events_props_sum,
         "orders_by_segment": q_orders_by_segment,
         "orders_top10": q_orders_top10,
@@ -1220,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
         "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,
+        "seq_ntok_stats": SQL_SEQ_NTOK_STATS,
         "seq_validation_full": SQL_SEQ_VALIDATION_FULL,
         "events_users_per_type": SQL_EVENTS_USERS_PER_TYPE,
         "doc_langs_by_source": SQL_DOC_LANGS_BY_SOURCE,
@@ -1229,6 +1321,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
         "doc_quality_counts": SQL_DOC_QUALITY_COUNTS,
         "events_window": SQL_EVENTS_WINDOW,
+        "events_sliding": SQL_EVENTS_SLIDING,
+        "events_lag": SQL_EVENTS_LAG,
         "events_props_sum": SQL_EVENTS_PROPS_SUM,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "orders_top10": SQL_ORDERS_TOP10,

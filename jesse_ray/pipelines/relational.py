@@ -132,6 +132,83 @@ def tumbling_window(
     return grouped_agg(bucketed, [*keys, "window"], sums=sums, batch_size=batch_size)
 
 
+def sliding_window(
+    ds: Dataset,
+    ts_col: str,
+    *,
+    window_s: int,
+    slide_s: int,
+    keys: Sequence[str] = (),
+    sums: Sequence[str] = (),
+    batch_size: int = 65536,
+) -> Dataset:
+    """Sliding event-time windows: window ``w`` covers
+    ``[w*slide_s, w*slide_s + window_s)``, so each event expands to
+    ``window_s/slide_s`` (window) rows — a vectorized flat-map — before
+    the same two-phase grouped aggregation as tumbling_window.  The
+    shuffle volume is k× the input by construction (the standard
+    sliding-window cost); ``window_s`` must be a multiple of ``slide_s``.
+    """
+    assert window_s % slide_s == 0, "window_s must be a multiple of slide_s"
+    k = window_s // slide_s
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = _combine(batch[ts_col])
+        epoch = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = epoch // slide_s
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), k)
+        windows = (base[:, None] - np.arange(k - 1, -1, -1, dtype=np.int64)[None, :]).reshape(-1)
+        out = batch.take(pa.array(idx))
+        return out.append_column("window", pa.array(windows, type=pa.int64()))
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return grouped_agg(expanded, [*keys, "window"], sums=sums, batch_size=batch_size)
+
+
+def grouped_lag(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    alias: str = "lag",
+    default: int = -1,
+    n_parts: int = 64,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Per-key previous value in event order — LAG() OVER (PARTITION BY
+    key ORDER BY order_cols), the windowed building block of as-of
+    self-joins (previous observation per entity).
+
+    Shuffles on a COARSE hash of the key (≤``n_parts`` groups — Ray's
+    per-group map_groups overhead makes one group per entity fatal at
+    corpus scale, see dedup._by_coarse_part), then one C-level
+    sort+shift per part handles all of its keys.
+    """
+    order_cols = list(order_cols)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy(dtype=np.uint64)
+        df = df.copy()
+        df["__part"] = (h & np.uint64(n_parts - 1)).astype(np.int32)
+        return df
+
+    def lag_many(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        prev = g[value_col].shift(1)
+        new_key = g[key].ne(g[key].shift(1))
+        prev[new_key] = default
+        out = g.drop(columns=["__part"]).copy()
+        out[alias] = prev.fillna(default).astype(g[value_col].dtype)
+        return out
+
+    return (
+        ds.map_batches(part, batch_format="pandas", batch_size=batch_size)
+        .groupby("__part")
+        .map_groups(lag_many, batch_format="pandas")
+    )
+
+
 def grouped_count_distinct(
     ds: Dataset,
     keys: Sequence[str],

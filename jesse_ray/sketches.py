@@ -367,8 +367,22 @@ class SketchBundle:
 
     def add_batch(self, n_tok: np.ndarray, flat_tokens: np.ndarray) -> None:
         self.digest.add(n_tok)
-        self.freq.add(flat_tokens)
-        self.cmin.add(flat_tokens)
+        # ONE bincount serves both the exact frequency vector and the
+        # count-min update (keys = the ≤vocab nonzero ids, not the raw
+        # token stream) — replaces a per-batch np.unique over millions
+        # of tokens, whose sort-allocations dominated the stage under
+        # this sandbox's cold-page tax
+        vocab = len(self.freq.counts)
+        ok = (flat_tokens >= 0) & (flat_tokens < vocab)
+        in_range = flat_tokens if ok.all() else flat_tokens[ok]
+        counts = np.bincount(in_range, minlength=vocab)
+        self.freq.counts += counts
+        self.freq.total += int(len(in_range))
+        nz = np.flatnonzero(counts)
+        if len(nz):
+            self.cmin.add(nz, counts[nz])
+        if len(in_range) != len(flat_tokens):
+            self.cmin.add(flat_tokens[~ok])  # out-of-range tokens are rare
         self.rows += len(n_tok)
 
     def merge(self, other: "SketchBundle") -> "SketchBundle":

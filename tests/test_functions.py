@@ -380,3 +380,33 @@ def test_schema_loader_fun(tmp_path):
 
     with _pytest.raises(KeyError):
         eng3.get("missing")
+
+
+def test_sliding_window_and_lag(ray_session):
+    from jesse_ray.pipelines.relational import grouped_lag, sliding_window
+
+    ts = pa.array([0, 3600, 7200, 3600], type=pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "ts": pa.array([0, 3_600_000_000, 7_200_000_000, 3_600_000_000],
+                           type=pa.timestamp("us")),
+            "k": ["a", "a", "a", "b"],
+            "v": [1.0, 2.0, 4.0, 8.0],
+            "id": [1, 2, 3, 4],
+        }
+    )
+    out = sliding_window(
+        ray.data.from_arrow(tbl), "ts", window_s=7200, slide_s=3600, keys=["k"], sums=["v"]
+    ).to_pandas().sort_values(["k", "window"]).reset_index(drop=True)
+    # window w covers [w*3600, w*3600+7200): event at t=3600 lands in w=0 and w=1
+    got = {(r.k, int(r.window)): (int(r.cnt), r.sum_v) for r in out.itertuples()}
+    assert got[("a", 0)] == (2, 3.0)   # t=0, t=3600
+    assert got[("a", 1)] == (2, 6.0)   # t=3600, t=7200
+    assert got[("a", 2)] == (1, 4.0)   # t=7200
+    assert got[("b", 0)] == (1, 8.0)
+    assert ("a", -1) in got            # t=0 also lands in w=-1
+
+    lag = grouped_lag(
+        ray.data.from_arrow(tbl), "k", ["ts", "id"], "id", alias="prev"
+    ).to_pandas().sort_values("id")
+    assert lag["prev"].tolist() == [-1, 1, 2, -1]
