@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
         help="reference SketchBundle file (from jesse_ray.checkpoint."
         "build_reference_digest); enables per-partition KS/chi-square drift gating",
     )
+    p.add_argument(
+        "--report",
+        help="also write the reference-style reasons JSON "
+        "({'reasons': [{'invalid': 'data', 'schema': ..., 'error': ..., "
+        "'data': ..., 'path': [...]}, ...]}, src/jesse_error.erl:107-138) "
+        "built from all violation rows to this path",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--json", action="store_true", help="JSON summary to stdout (reference --json flag, src/jesse_cli.erl:48-49)")
     args = p.parse_args(argv)
@@ -94,6 +101,23 @@ def main(argv: list[str] | None = None) -> int:
         drift_reference=args.drift_reference,
         fail_on_drift=args.fail_on_drift,
     )
+    if args.report:
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jesse_ray.compiler import empty_violations
+        from jesse_ray.engine import violations_to_json
+
+        parts = []
+        for f in sorted(_glob.glob(f"{args.output}/**/*.parquet", recursive=True)):
+            t = pq.read_table(f)
+            if t.num_rows and set(empty_violations().column_names) <= set(t.column_names):
+                parts.append(t.select(empty_violations().column_names))
+        tbl = pa.concat_tables(parts) if parts else empty_violations()
+        with open(args.report, "w") as fh:
+            fh.write(violations_to_json(tbl))
     if args.json:
         print(json.dumps(summary, sort_keys=True))
     else:

@@ -437,3 +437,32 @@ def test_multi_partition_resume(tmp_path, corpus_sf0001):
     pq.write_table(tbl.slice(0, 100), p4)
     s3 = run_validation(files + [str(p4)], _seq_spec(), out, files_per_partition=1)
     assert s3["partitions"] == 4 and s3["skipped"] == 3
+
+
+def test_checkpoint_drift_resume_and_fail_on_drift(tmp_path, corpus_sf0001):
+    """Resumed runs restore drifted_partitions from the manifest, and
+    fail_on_drift flips a drifted partition's verdict."""
+    from jesse_ray import testgen
+    from jesse_ray.checkpoint import build_reference_digest, run_validation
+    from jesse_ray.spec import TableSpec, ColumnSpec
+
+    d = testgen.corpus_dir("sf0.001")
+    ref_path = str(tmp_path / "ref.bin")
+    build_reference_digest([str(d / "drift_reference.parquet")], ref_path)
+
+    spec = TableSpec(key_column="doc_id")
+    spec.columns["n_tok"] = ColumnSpec(type="integer", minimum=1)
+
+    out = tmp_path / "drift"
+    s1 = run_validation([str(d / "drift_drifted.parquet")], spec, out, drift_reference=ref_path)
+    assert s1["drifted_partitions"] == 1
+    assert s1["passed"]  # advisory by default: clean rows, drift recorded only
+    s2 = run_validation([str(d / "drift_drifted.parquet")], spec, out, drift_reference=ref_path)
+    assert s2["skipped"] == 1
+    assert s2["drifted_partitions"] == 1  # restored from the manifest
+
+    s3 = run_validation(
+        [str(d / "drift_drifted.parquet")], spec, tmp_path / "gate",
+        drift_reference=ref_path, fail_on_drift=True,
+    )
+    assert s3["failed"] == 1 and not s3["passed"]
