@@ -158,8 +158,11 @@ def run_validation(
         if prev is not None and prev.spec_version == compiled.version:
             summary["skipped"] += 1
             summary["violations"] += prev.metrics.get("violations", 0)
-            summary["drifted_partitions"] += int(prev.metrics.get("drifted", False))
-            if prev.verdict == "fail":
+            prev_drifted = bool(prev.metrics.get("drifted", False))
+            summary["drifted_partitions"] += int(prev_drifted)
+            # fail_on_drift applies to RESUMED partitions too: the
+            # manifest verdict may predate the flag, so re-derive it
+            if prev.verdict == "fail" or (fail_on_drift and prev_drifted):
                 summary["failed"] += 1
             continue
 
@@ -167,9 +170,13 @@ def run_validation(
         part_out = out / pid
         want_sketch = sketch or drift_reference
         if want_sketch:
-            # single pass: violations + in-band per-batch sketch rows
+            # same launch-time preparation as engine.validate (pattern
+            # resolution + schema gates) before the single fused pass:
+            # violations + in-band per-batch sketch rows
+            from jesse_ray.engine import prepare_compiled
+
             combined = fused_sketch_violations(
-                ds, compiled, allowed_errors=allowed_errors
+                ds, prepare_compiled(compiled, ds), allowed_errors=allowed_errors
             ).materialize()
 
             import pyarrow.compute as pc

@@ -550,6 +550,22 @@ class CompiledSpec:
                 item_ok |= ~_np_mask(pc.is_valid(flat), len(flat))
                 ok[np.unique(parent[~item_ok])] = False
             add(E.NOT_SCHEMA_VALID, ok)
+        if is_list and cs.items_positional is not None:
+            bad_rows, details, _flat = self._positional_bad_rows(cs, arr)
+            ok = np.ones(n, dtype=bool)
+            ok[bad_rows] = False
+            # report the dominant atom: no_extra_items_allowed rows keep
+            # their atom, the rest are not_schema_valid
+            extra_rows = {d[1] for d in details if d[3] == E.NO_EXTRA_ITEMS_ALLOWED}
+            if extra_rows:
+                ok_extra = np.ones(n, dtype=bool)
+                ok_extra[sorted(extra_rows)] = False
+                add(E.NO_EXTRA_ITEMS_ALLOWED, ok_extra)
+                ok2 = np.ones(n, dtype=bool)
+                ok2[[r for r in bad_rows if r not in extra_rows]] = False
+                add(E.NOT_SCHEMA_VALID, ok2)
+            else:
+                add(E.NOT_SCHEMA_VALID, ok)
         if cs.all_of:
             ok = np.ones(n, dtype=bool)
             for sub in cs.all_of:
@@ -962,14 +978,18 @@ class CompiledSpec:
                 # errors alongside the atom ({any_schemas_not_valid,
                 # ShortestErrors}, src/jesse_validator_draft4.erl:1162-1179,
                 # ties keep the earlier sub 1365-1373); value_json embeds
-                # that child error list per row
-                sub_fails = [self._spec_fail_atoms(s, arr) for s in subs]
-                raw = arr.take(pa.array(idx, type=pa.int64())).to_pylist()
+                # that child error list per row.  Evaluated over ONLY the
+                # failing rows (arr.take) — violations are rare, so
+                # re-running every sub-keyword over the whole batch would
+                # double the anyOf column's cost for nothing.
+                taken = arr.take(pa.array(idx, type=pa.int64()))
+                sub_fails = [self._spec_fail_atoms(s, taken) for s in subs]
+                raw = taken.to_pylist()
                 vals = []
-                for pos, r in enumerate(idx):
+                for pos in range(len(idx)):
                     best: Optional[list[str]] = None
                     for fails in sub_fails:
-                        atoms = [atom for atom, mask in fails if mask[r]]
+                        atoms = [atom for atom, mask in fails if mask[pos]]
                         if best is None or len(atoms) < len(best):
                             best = atoms
                     vals.append(

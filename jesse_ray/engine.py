@@ -202,23 +202,11 @@ def duplicate_keys_hashed(
 
 
 def _hash64(arr: pa.Array) -> np.ndarray:
-    """Vectorized 64-bit FNV-1a over the utf8 bytes of a string array."""
-    import pyarrow.types as pt
+    """Vectorized 64-bit FNV-1a over the utf8 bytes of a string array
+    (shared implementation, jesse_ray/hashutil.py)."""
+    from jesse_ray.hashutil import hash64_strings
 
-    buf_arr = arr.cast(pa.large_string()) if not pa.types.is_large_string(arr.type) else arr
-    offsets = np.frombuffer(buf_arr.buffers()[1], dtype=np.int64, count=len(buf_arr) + 1 + buf_arr.offset)
-    offsets = offsets[buf_arr.offset :]
-    data = np.frombuffer(buf_arr.buffers()[2], dtype=np.uint8)
-    out = np.full(len(buf_arr), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-    prime = np.uint64(0x100000001B3)
-    lens = np.diff(offsets)
-    maxlen = int(lens.max()) if len(lens) else 0
-    with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            alive = lens > j
-            idx = offsets[:-1][alive] + j
-            out[alive] = (out[alive] ^ data[idx].astype(np.uint64)) * prime
-    return out
+    return hash64_strings(arr)
 
 
 def uniqueness_violations(ds: Dataset, key: str) -> pa.Table:
@@ -701,6 +689,31 @@ class ValidationResult:
         return self.all_violations_table().num_rows == 0
 
 
+def prepare_compiled(compiled: CompiledSpec, ds: Dataset) -> CompiledSpec:
+    """Launch-time spec preparation shared by every validation entry
+    point (engine.validate AND the checkpoint runner): resolve
+    patternProperties against the actual column names (SURVEY §2.3) and
+    run the schema gates (additionalProperties / min-maxProperties /
+    propertyNames) when the spec has any."""
+    spec = compiled.spec
+    if spec.column_patterns:
+        compiled = compile_spec(spec.resolve_patterns(ds.schema().names))
+        spec = compiled.spec
+    needs_gate = (
+        not spec.additional_columns_allowed
+        or spec.min_columns is not None
+        or spec.max_columns is not None
+        or spec.property_names is not None
+    )
+    if needs_gate:
+        sch = ds.schema()
+        arrow_schema = getattr(sch, "base_schema", None)
+        if arrow_schema is None:
+            arrow_schema = pa.schema([pa.field(n, t) for n, t in zip(sch.names, sch.types)])
+        compiled.check_schema(arrow_schema)
+    return compiled
+
+
 def default_schema_loader(name: str):
     """Default schema_loader_fun: ``file://`` URIs and existing ``.json``
     paths load from disk; ``http(s)://`` is fetched with urllib (works
@@ -810,25 +823,8 @@ class ValidationEngine:
             compiled = compile_spec(spec_or_name)
         spec = compiled.spec
 
-        if spec.column_patterns:
-            # patternProperties resolved against the actual column names
-            # at launch (driver-side, SURVEY §2.3)
-            compiled = compile_spec(spec.resolve_patterns(ds.schema().names))
-            spec = compiled.spec
-
-        needs_gate = (
-            not spec.additional_columns_allowed
-            or spec.min_columns is not None
-            or spec.max_columns is not None
-        )
-        if needs_gate:
-            sch = ds.schema()
-            arrow_schema = getattr(sch, "base_schema", None)
-            if arrow_schema is None:
-                arrow_schema = pa.schema(
-                    [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
-                )
-            compiled.check_schema(arrow_schema)
+        compiled = prepare_compiled(compiled, ds)
+        spec = compiled.spec
 
         if fused:
             # ONE pass over the full-width data for row + referential

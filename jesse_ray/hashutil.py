@@ -1,0 +1,43 @@
+"""Shared vectorized string hashing over Arrow buffers.
+
+One implementation of the FNV-1a-over-utf8-buffers walk, used by the
+engine's key-uniqueness shuffle and the dedup signature stages (the two
+previously carried copies of the offsets/slice handling)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, data uint8) views of a string array's buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset:]
+    data_buf = arr.buffers()[2]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.empty(0, np.uint8)
+    return offsets, data
+
+
+def hash64_strings(arr: pa.Array, offset: np.uint64 = FNV_OFFSET,
+                   prime: np.uint64 = FNV_PRIME) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over each string's utf8 bytes.  Pass a
+    different (offset, prime) pair for an independent second hash."""
+    offsets, data = string_buffers(arr)
+    n = len(offsets) - 1
+    out = np.full(n, offset, dtype=np.uint64)
+    lens = np.diff(offsets)
+    maxlen = int(lens.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            alive = lens > j
+            idx = offsets[:-1][alive] + j
+            out[alive] = (out[alive] ^ data[idx].astype(np.uint64)) * prime
+    return out

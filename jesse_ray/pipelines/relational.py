@@ -195,11 +195,16 @@ def grouped_lag(
 
     def lag_many(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, *order_cols], kind="mergesort")
-        prev = g[value_col].shift(1)
-        new_key = g[key].ne(g[key].shift(1))
+        # numpy roll, NOT Series.shift: shift round-trips int64 through
+        # float64 (NaN hole), corrupting values above 2^53
+        vals = g[value_col].to_numpy()
+        prev = np.empty_like(vals)
+        prev[0] = default
+        prev[1:] = vals[:-1]
+        new_key = g[key].ne(g[key].shift(1)).to_numpy()
         prev[new_key] = default
         out = g.drop(columns=["__part"]).copy()
-        out[alias] = prev.fillna(default).astype(g[value_col].dtype)
+        out[alias] = prev
         return out
 
     return (

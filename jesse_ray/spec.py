@@ -341,6 +341,18 @@ class TableSpec:
 _KEYWORD_MAP: dict[str, Callable[[ColumnSpec, Any, dict], None]] = {}
 
 
+def _root_dialect(root: dict) -> str:
+    """Dialect of the root schema a keyword handler is compiling under
+    (from_json_schema injects the effective ``$schema``, including the
+    default_schema_ver fallback, before walking properties)."""
+    uri = str(root.get("$schema", "")) if isinstance(root, dict) else ""
+    if "draft-03" in uri or uri == "draft3":
+        return "draft3"
+    if "draft-06" in uri or uri == "draft6":
+        return "draft6"
+    return "draft4"
+
+
 def _kw(name):
     def deco(fn):
         _KEYWORD_MAP[name] = fn
@@ -519,11 +531,12 @@ def _(c, v, root):
 @_kw("required")
 def _(c, v, root):
     # draft-3 per-property required:true inside the property schema
-    # (src/jesse_validator_draft3.erl:346-383).  The draft-4 array form
-    # inside a column sub-schema would govern a NESTED object's
-    # properties — scalar columns have none, so it is a no-op here (the
-    # root-level array is handled by from_json_schema).
-    if isinstance(v, bool):
+    # (src/jesse_validator_draft3.erl:346-383) — DRAFT-3 ONLY: the
+    # draft-4 validator treats a boolean here as a malformed array and
+    # a draft-4 sub-schema's array form would govern a NESTED object's
+    # properties, which scalar columns don't have (the root-level array
+    # is handled by from_json_schema).
+    if isinstance(v, bool) and _root_dialect(root) == "draft3":
         c.required = v
 
 
@@ -628,6 +641,10 @@ def from_json_schema(
         spec.dialect = "draft3"
     elif "draft-06" in dialect_uri or dialect_uri == "draft6":
         spec.dialect = "draft6"
+    if dialect_uri:
+        # make the EFFECTIVE dialect (incl. the default_schema_ver
+        # fallback) visible to keyword handlers via the root schema
+        schema.setdefault("$schema", dialect_uri)
     props = schema.get("properties", {})
     for col, sub in props.items():
         spec.columns[col] = _column_from_schema(sub, schema)
@@ -656,7 +673,9 @@ def from_json_schema(
                 raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"invalid dependency for {col!r}")
     if schema.get("additionalProperties") is False:
         spec.additional_columns_allowed = False
-    if "propertyNames" in schema:
+    if "propertyNames" in schema and spec.dialect == "draft6":
+        # draft-6 keyword; draft-3/4 validators ignore it
+        # (unknown-keyword rule, src/jesse_validator_draft4.erl:259-260)
         spec.property_names = _column_from_schema(schema["propertyNames"], schema)
     pat_props = schema.get("patternProperties")
     if isinstance(pat_props, dict):

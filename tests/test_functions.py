@@ -410,3 +410,16 @@ def test_sliding_window_and_lag(ray_session):
         ray.data.from_arrow(tbl), "k", ["ts", "id"], "id", alias="prev"
     ).to_pandas().sort_values("id")
     assert lag["prev"].tolist() == [-1, 1, 2, -1]
+
+
+def test_lag_preserves_big_int64(ray_session):
+    """LAG must not round-trip through float64 (2^53 hole)."""
+    from jesse_ray.pipelines.relational import grouped_lag
+
+    big = 9007199254740993  # 2^53 + 1, not representable in float64
+    tbl = pa.table(
+        {"k": ["a", "a"], "ts": [1, 2], "id": pa.array([big, big + 2], type=pa.int64())}
+    )
+    out = grouped_lag(ray.data.from_arrow(tbl), "k", ["ts"], "id", alias="prev").to_pandas()
+    out = out.sort_values("ts")
+    assert out["prev"].tolist() == [-1, big]

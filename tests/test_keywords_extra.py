@@ -468,3 +468,34 @@ def test_new_keywords_engine_oracle_parity():
             if p[0] != "b":
                 want.add((d, p, e))
     assert got == want, (got, want)
+
+
+def test_property_names_gate_through_validate(ray_session):
+    """The propertyNames gate must fire through the normal validate()
+    entry point, not only when check_schema is called directly."""
+    import ray.data
+
+    from jesse_ray.engine import validate_dataset
+
+    s = from_json_schema(
+        {"$schema": "http://json-schema.org/draft-06/schema#",
+         "propertyNames": {"pattern": "^[a-z_]+$"}},
+        key_column=None,
+    )
+    t = pa.table({"BadName": pa.array([1, 2], type=pa.int64())})
+    with pytest.raises(E.SchemaInvalidError):
+        validate_dataset(ray.data.from_arrow(t), s)
+    ok = pa.table({"fine": pa.array([1], type=pa.int64())})
+    res = validate_dataset(ray.data.from_arrow(ok), s)
+    assert res.passed
+
+
+def test_draft4_ignores_draft3_required_and_propertynames():
+    """Draft-4 schemas must IGNORE boolean per-property required and
+    propertyNames (unknown-keyword rule) — they are draft-3/6 keywords."""
+    s = from_json_schema(
+        {"properties": {"a": {"type": "string", "required": True}},
+         "propertyNames": {"pattern": "^[a-z]+$"}}
+    )
+    assert not s.columns["a"].required
+    assert s.property_names is None
