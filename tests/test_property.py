@@ -168,3 +168,67 @@ def test_canon_key_distinguishes_unequal(a, b):
     # reference's semantics (numbers cross-type, dict order free)
     if _canon_key(a) == _canon_key(b):
         assert _canon_key(_floatify(a)) == _canon_key(_floatify(b))
+
+
+# ---------------------------------------------------------------------------
+# round-2 keywords: schema-form dependencies, anyOf, draft-6 integer
+# leniency, uniqueItems over lists with nulls — engine ↔ oracle parity
+
+
+def _spec2() -> TableSpec:
+    spec = TableSpec(key_column="doc_id", dialect="draft6")
+    spec.columns["doc_id"] = ColumnSpec(type="string", required=True)
+    spec.columns["f"] = ColumnSpec(type="integer")  # float column + draft-6 leniency
+    spec.columns["a"] = ColumnSpec(
+        any_of=[ColumnSpec(type="string", pattern="^x"), ColumnSpec(type="string", min_length=4)]
+    )
+    spec.columns["ys"] = ColumnSpec(unique_items=True)
+    dep = TableSpec(key_column="doc_id")
+    dep.columns["f"] = ColumnSpec(minimum=0)
+    spec.schema_dependencies["a"] = dep
+    return spec
+
+
+SPEC2 = _spec2()
+COMPILED2 = compile_spec(SPEC2)
+
+row2_st = st.fixed_dictionaries(
+    {
+        "doc_id": st.one_of(st.none(), st.sampled_from(["r1", "r2", "r3"])),
+        "f": st.one_of(st.none(), st.sampled_from([-2.0, -1.5, 0.0, 1.0, 1.5, 2.0])),
+        "a": st.one_of(st.none(), st.sampled_from(["xab", "ab", "long-enough", "q"])),
+        "ys": st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+                min_size=0, max_size=5,
+            ),
+        ),
+    }
+)
+
+
+def _table2(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+            "f": pa.array([r["f"] for r in rows], type=pa.float64()),
+            "a": pa.array([r["a"] for r in rows], type=pa.string()),
+            "ys": pa.array([r["ys"] for r in rows], type=pa.list_(pa.int64())),
+        }
+    )
+
+
+@given(st.lists(row2_st, min_size=1, max_size=24))
+@settings(max_examples=120, deadline=None)
+def test_engine_matches_oracle_round2_keywords(rows):
+    tbl = _table2(rows)
+    got = set()
+    v = COMPILED2.check_batch(tbl)
+    for i in range(v.num_rows):
+        got.add((v["doc_id"][i].as_py(), tuple(v["path"][i].as_py()), v["error"][i].as_py()))
+    want = set()
+    for r in rows:
+        for d, p, e, _val in validate_row(SPEC2, r):
+            want.add((d, p, e))
+    assert got == want

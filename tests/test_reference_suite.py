@@ -27,7 +27,13 @@ from jesse_ray import errors as E
 from jesse_ray.compiler import compile_spec
 from jesse_ray.spec import from_json_schema
 
-EXTRA_DIR = Path("/root/reference/test/jesse_tests_draft4_SUITE_data/extra")
+EXTRA_DIRS = [
+    (Path("/root/reference/test/jesse_tests_draft4_SUITE_data/extra"), "draft4"),
+    # the draft-3 SUITE forces default_schema_ver draft3
+    # (test/jesse_tests_draft3_SUITE.erl), so its extras compile under
+    # the draft-3 dialect
+    (Path("/root/reference/test/jesse_tests_draft3_SUITE_data/extra"), "draft3"),
+]
 
 SKIP_FILES = {"remoteRefExtra.json"}
 SKIP_CASES = {
@@ -40,38 +46,39 @@ SKIP_CASES = {
 
 def _cases():
     out = []
-    if not EXTRA_DIR.exists():
-        return out
-    for f in sorted(EXTRA_DIR.glob("*.json")):
-        if f.name in SKIP_FILES:
+    for extra_dir, dialect in EXTRA_DIRS:
+        if not extra_dir.exists():
             continue
-        doc = json.loads(f.read_text())
-        groups = doc if isinstance(doc, list) else [doc]
-        for g in groups:
-            for t in g.get("tests", []):
-                out.append(
-                    pytest.param(
-                        g["schema"],
-                        g.get("options", {}),
-                        t["data"],
-                        t["valid"],
-                        id=f"{f.stem}::{g['description'][:30]}::{t['description'][:40]}",
-                        marks=pytest.mark.skipif(
-                            t["description"] in SKIP_CASES,
-                            reason="Arrow int64 bignum delta (documented)",
-                        ),
+        for f in sorted(extra_dir.glob("*.json")):
+            if f.name in SKIP_FILES:
+                continue
+            doc = json.loads(f.read_text())
+            groups = doc if isinstance(doc, list) else [doc]
+            for g in groups:
+                for t in g.get("tests", []):
+                    out.append(
+                        pytest.param(
+                            g["schema"],
+                            dialect,
+                            t["data"],
+                            t["valid"],
+                            id=f"{dialect}::{f.stem}::{g['description'][:30]}::{t['description'][:40]}",
+                            marks=pytest.mark.skipif(
+                                t["description"] in SKIP_CASES,
+                                reason="Arrow int64 bignum delta (documented)",
+                            ),
+                        )
                     )
-                )
     return out
 
 
-def _run(schema: dict, data) -> tuple[bool, list[str]]:
+def _run(schema: dict, data, dialect: str = "draft4") -> tuple[bool, list[str]]:
     """(valid?, emitted error atoms) per the engine."""
     is_object_schema = ("properties" in schema or "patternProperties" in schema) and isinstance(
         data, dict
     )
     if is_object_schema:
-        spec = from_json_schema(schema, key_column=None)
+        spec = from_json_schema(schema, key_column=None, default_schema_ver=dialect)
         cols = {k: pa.array([v]) for k, v in data.items()}
         tbl = pa.table(cols) if cols else pa.table({"__empty": pa.array([None], type=pa.null())})
         resolved = spec.resolve_patterns(list(data.keys()))
@@ -86,15 +93,16 @@ def _run(schema: dict, data) -> tuple[bool, list[str]]:
         v = compiled.check_batch(tbl)
         return v.num_rows == 0, v["error"].to_pylist()
     # scalar / array instance → single column "v"
-    spec = from_json_schema({"properties": {"v": schema}}, key_column=None)
+    spec = from_json_schema({"properties": {"v": schema}}, key_column=None,
+                            default_schema_ver=dialect)
     compiled = compile_spec(spec)
     v = compiled.check_batch(pa.table({"v": pa.array([data])}))
     return v.num_rows == 0, v["error"].to_pylist()
 
 
-@pytest.mark.parametrize("schema,options,data,valid", _cases())
-def test_reference_extra_case(schema, options, data, valid):
-    got_valid, atoms = _run(schema, data)
+@pytest.mark.parametrize("schema,dialect,data,valid", _cases())
+def test_reference_extra_case(schema, dialect, data, valid):
+    got_valid, atoms = _run(schema, data, dialect)
     if isinstance(valid, list):
         # harness form: `valid` is the exact expected error-atom list
         # (test/jesse_tests_util.erl:95-129)
