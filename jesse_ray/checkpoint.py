@@ -105,6 +105,7 @@ def run_validation(
     allowed_errors: Optional[int] = None,
     drift_reference: Optional[str] = None,
     fail_on_drift: bool = False,
+    input_format: str = "parquet",
 ) -> dict[str, Any]:
     """Validate a corpus partition-by-partition with checkpointing.
 
@@ -166,7 +167,12 @@ def run_validation(
                 summary["failed"] += 1
             continue
 
-        ds = ray.data.read_parquet(frag, columns=columns)
+        if input_format == "parquet":
+            ds = ray.data.read_parquet(frag, columns=columns)
+        else:
+            from jesse_ray.sources import read_corpus
+
+            ds = read_corpus(frag, format=input_format, columns=columns)
         part_out = out / pid
         want_sketch = sketch or drift_reference
         if want_sketch:
@@ -260,7 +266,13 @@ def run_validation(
         all_files = sorted(str(p) for p in input_paths)
         uniq_parts = []
         for key in uk:
-            uv = uniqueness_violations(ray.data.read_parquet(all_files, columns=[key]), key)
+            if input_format == "parquet":
+                key_ds = ray.data.read_parquet(all_files, columns=[key])
+            else:
+                from jesse_ray.sources import read_corpus
+
+                key_ds = read_corpus(all_files, format=input_format, columns=[key])
+            uv = uniqueness_violations(key_ds, key)
             if uv.num_rows:
                 uniq_parts.append(uv)
         uniq_tbl = (

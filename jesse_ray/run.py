@@ -25,6 +25,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="input parquet path or glob")
     p.add_argument("--output", required=True, help="output directory (violations + manifest)")
     p.add_argument("--allowed-sources", help="parquet dimension for the referential source check")
+    p.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "jsonl"],
+        help="corpus file format (jsonl = one JSON document per line, the "
+        "reference CLI's native instance format)",
+    )
     p.add_argument("--files-per-partition", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
@@ -100,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
         allowed_errors=allowed_errors,
         drift_reference=args.drift_reference,
         fail_on_drift=args.fail_on_drift,
+        input_format=args.input_format,
     )
     if args.report:
         import glob as _glob

@@ -67,6 +67,29 @@ def read_sequences(
     )
 
 
+def read_corpus(
+    path: str | Sequence[str],
+    *,
+    format: str = "parquet",
+    columns: Optional[list[str]] = None,
+    **kw,
+) -> Dataset:
+    """Format-dispatching corpus reader — the analogue of the reference
+    CLI's instance-file reader + parser_fun decode hook
+    (src/jesse_cli.erl:90-106, src/jesse.erl:79): ``parquet`` (columnar,
+    pruned at the read) or ``jsonl`` (one JSON document per line, the
+    reference's native instance format; Arrow's JSON reader decodes in
+    C, and pruning happens right after decode)."""
+    if format == "parquet":
+        return read_sequences(path, columns=columns, **kw)
+    if format in ("jsonl", "json"):
+        ds = ray.data.read_json(path, **kw)
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        return ds
+    raise ValueError(f"unknown corpus format {format!r} (parquet|jsonl)")
+
+
 def write_violations(ds: Dataset, out_dir: str, **kw) -> None:
     """Violations sink: a directory of part files (never one giant file),
     so output is resumable/parallel — SURVEY §2.2 sink mapping."""

@@ -466,3 +466,29 @@ def test_checkpoint_drift_resume_and_fail_on_drift(tmp_path, corpus_sf0001):
         drift_reference=ref_path, fail_on_drift=True,
     )
     assert s3["failed"] == 1 and not s3["passed"]
+
+
+def test_jsonl_corpus_parity(tmp_path, corpus_sf0001):
+    """A jsonl corpus (the reference CLI's native instance format) must
+    validate identically to the same rows read from parquet."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from jesse_ray import testgen
+    from jesse_ray.engine import validate_dataset
+    from jesse_ray.pipelines.queries import _seq_spec
+    from jesse_ray.sources import read_corpus, read_sequences
+
+    pq_path = str(testgen.corpus_path("sf0.001"))
+    rows = pq.read_table(pq_path, columns=["doc_id", "tokens", "n_tok", "source"]).to_pylist()
+    jl = tmp_path / "seq.jsonl"
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    res_pq = validate_dataset(read_sequences(pq_path), _seq_spec(), check_unique=False)
+    res_jl = validate_dataset(
+        read_corpus(str(jl), format="jsonl"), _seq_spec(), check_unique=False
+    )
+    assert res_pq.counts_by_error() == res_jl.counts_by_error()
