@@ -1077,6 +1077,59 @@ ORDER BY 1, 2
 """
 
 
+def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """n-gram Jaccard near-dup pairs (LSH-pruned candidates + exact
+    shingle-Jaccard verify) vs an exact all-pairs SQL twin computed from
+    the SAME per-document shingle sets (written as a parquet side
+    input): the oracle derives every pair with Jaccard ≥ 0.5 by
+    unnest+join+count, so the whole LSH recall + distributed verify
+    pipeline must match it exactly (recall 1.0 verified on this corpus
+    at bands=32)."""
+    from jesse_ray.functions.dedup import _shingle_hashes, ngram_jaccard_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sets = [np.unique(_shingle_hashes(t or "", 5)) for t in texts]
+        offs = np.concatenate([[0], np.cumsum([len(s) for s in sets])]).astype(np.int64)
+        flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        lists = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, type=pa.uint64()))
+        return pa.table({"doc_id": batch["doc_id"], "shingles": lists})
+
+    pq.write_table(
+        _collect(ds.map_batches(shingle_sets, batch_format="pyarrow")).sort_by("doc_id"),
+        _sig_parquet_path(sf_dir, "shingles"),
+    )
+    pdf = ngram_jaccard_dups(ds, threshold=0.5, num_hashes=64, bands=32).to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"left": pd.array([], dtype="int64"),
+                             "right": pd.array([], dtype="int64"),
+                             "jaccard": pd.array([], dtype="float64")})
+    pdf["jaccard"] = pdf["jaccard"].round(4)
+    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+
+
+SQL_DOC_NGRAM_JACCARD = """
+WITH s AS (
+  SELECT doc_id, shingles FROM read_parquet('/tmp/jesse_ray_data/shingles_sigs_sf0.01.parquet')
+), sz AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), e AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), p AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS inter
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT l AS "left", r AS "right",
+       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM p JOIN sz sa ON sa.doc_id = p.l JOIN sz sb ON sb.doc_id = p.r
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+ORDER BY 1, 2
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.functions.text import add_fingerprints
 
@@ -1287,6 +1340,7 @@ def queries() -> dict[str, Callable]:
         "drift_report": q_drift_report,
         "doc_langid": q_doc_langid,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "emb_near_dups": q_emb_near_dups,
@@ -1334,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA_FEATURES,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+        "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_simhash_pairs": SQL_DOC_SIMHASH_PAIRS,
         "emb_near_dups": SQL_EMB_NEAR_DUPS,
         "emb_ivf_topk": SQL_EMB_IVF_TOPK,
