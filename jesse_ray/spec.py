@@ -550,9 +550,13 @@ def _(c, v, root):
 
 def _resolve_ref(raw: dict, root: dict, depth: int = 0) -> dict:
     """Inline ``$ref`` pointing into the root schema's ``definitions`` /
-    local JSON Pointers.  Compile-time flattening replaces the reference's
-    runtime state-swap resolution (src/jesse_state.erl:207-303); ``$ref``
-    short-circuits sibling keywords, as in the reference
+    local JSON Pointers; NON-local refs resolve through the pluggable
+    schema loader at compile time (jesse's schema_loader_fun applied to
+    remote refs, src/jesse_database.erl:305-336 — ``file://`` works
+    everywhere; ``http(s)://`` wherever the driver has egress).
+    Compile-time flattening replaces the reference's runtime state-swap
+    resolution (src/jesse_state.erl:207-303); ``$ref`` short-circuits
+    sibling keywords, as in the reference
     (src/jesse_validator_draft4.erl:86-87)."""
     if depth > 32:
         raise E.SchemaInvalidError(E.SCHEMA_INVALID, "$ref recursion too deep")
@@ -560,7 +564,21 @@ def _resolve_ref(raw: dict, root: dict, depth: int = 0) -> dict:
     if ref is None:
         return raw
     if not ref.startswith("#"):
-        raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"non-local $ref {ref!r} (resolve on the driver before compile)")
+        uri, _, frag = ref.partition("#")
+        from jesse_ray.engine import default_schema_loader
+
+        remote = default_schema_loader(uri)
+        if remote is None:
+            raise E.SchemaInvalidError(
+                E.SCHEMA_INVALID,
+                f"unresolvable non-local $ref {ref!r} (loader miss; no egress in this sandbox)",
+            )
+        # the remote document becomes the new root; an optional fragment
+        # walks into it like a local pointer.  (Nested $refs INSIDE the
+        # remote subtree resolve against the remote doc only along this
+        # chain — deeply nested remote-of-remote graphs should be
+        # inlined by the caller.)
+        return _resolve_ref({"$ref": f"#{frag}"} if frag else remote, remote, depth + 1)
     target: Any = root
     for part in ref.lstrip("#/").split("/"):
         if not part:

@@ -423,3 +423,20 @@ def test_lag_preserves_big_int64(ray_session):
     out = grouped_lag(ray.data.from_arrow(tbl), "k", ["ts"], "id", alias="prev").to_pandas()
     out = out.sort_values("ts")
     assert out["prev"].tolist() == [-1, big]
+
+
+def test_lsh_bucket_cap_skew_guard(ray_session):
+    """A degenerate corpus (every document identical) collapses into one
+    giant bucket per band; bucket_cap bounds the per-bucket O(m²) work
+    by skipping oversized buckets."""
+    from jesse_ray.functions.dedup import lsh_candidate_pairs
+
+    n = 40
+    tbl = pa.table({"doc_id": list(range(n)), "text": ["same text everywhere"] * n})
+    ds = ray.data.from_arrow(tbl)
+    full = lsh_candidate_pairs(ds, num_hashes=64, bands=16).to_pandas()
+    assert len(full) == n * (n - 1) // 2
+    capped = lsh_candidate_pairs(
+        ray.data.from_arrow(tbl), num_hashes=64, bands=16, bucket_cap=10
+    ).to_pandas()
+    assert len(capped) == 0

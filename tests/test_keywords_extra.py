@@ -499,3 +499,25 @@ def test_draft4_ignores_draft3_required_and_propertynames():
     )
     assert not s.columns["a"].required
     assert s.property_names is None
+
+
+def test_remote_file_ref(tmp_path):
+    """Non-local $ref resolves through the schema loader at compile time
+    (src/jesse_database.erl:305-336) — file:// works without egress."""
+    import json as _json
+
+    remote = tmp_path / "remote.json"
+    remote.write_text(_json.dumps(
+        {"definitions": {"pos": {"type": "integer", "minimum": 1}},
+         "type": "integer", "minimum": 0}
+    ))
+    # whole-document ref
+    s = from_json_schema({"properties": {"a": {"$ref": f"file://{remote}"}}})
+    c = compile_spec(s)
+    assert _errors(c, pa.table({"a": pa.array([-1, 2])})) == [(("a",), E.NOT_IN_RANGE)]
+    # fragment into the remote document
+    s2 = from_json_schema({"properties": {"a": {"$ref": f"file://{remote}#/definitions/pos"}}})
+    c2 = compile_spec(s2)
+    assert _errors(c2, pa.table({"a": pa.array([0, 1])})) == [(("a",), E.NOT_IN_RANGE)]
+    with pytest.raises(E.SchemaInvalidError):
+        from_json_schema({"properties": {"a": {"$ref": "file:///nonexistent.json"}}})
