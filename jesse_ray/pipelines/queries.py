@@ -711,6 +711,41 @@ FROM events ORDER BY event_id
 """
 
 
+VALUE_TIERS = [(0.0, 10.0, "low"), (10.0, 50.0, "mid"), (50.0, 1e9, "high")]
+
+
+def q_events_value_tiers(sf_dir: str) -> pa.Table:
+    """Broadcast RANGE JOIN: each event joins the value tier with
+    lo <= value < hi (vectorized searchsorted probe, no shuffle), then a
+    grouped count+sum per (event_type, tier)."""
+    from jesse_ray.pipelines.relational import broadcast_range_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    tiers = pd.DataFrame(VALUE_TIERS, columns=["lo", "hi", "tier"])
+    joined = broadcast_range_join(ds, tiers, value_col="value", lo_col="lo", hi_col="hi")
+    out = grouped_agg(joined.select_columns(["event_type", "tier", "value"]),
+                      ["event_type", "tier"], sums=["value"])
+    t = _collect(out)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "tier": t["tier"],
+            "cnt": t["cnt"].cast(pa.int64()),
+            "sum_value": pc.round(t["sum_value"], 2),
+        }
+    )
+
+
+SQL_EVENTS_VALUE_TIERS = """
+WITH tiers(lo, hi, tier) AS (VALUES (0.0, 10.0, 'low'), (10.0, 50.0, 'mid'), (50.0, 1e9, 'high'))
+SELECT e.event_type, t.tier,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY 1, 2
+"""
+
+
 def q_events_props_sum(sf_dir: str) -> pa.Table:
     """parser_fun analogue (src/jesse.erl:79): a pluggable decode stage
     ahead of the aggregation — here a VECTORIZED JSON-field extraction
@@ -1330,6 +1365,7 @@ def queries() -> dict[str, Callable]:
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
+        "events_value_tiers": q_events_value_tiers,
         "events_props_sum": q_events_props_sum,
         "orders_by_segment": q_orders_by_segment,
         "orders_top10": q_orders_top10,
@@ -1377,6 +1413,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
+        "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_props_sum": SQL_EVENTS_PROPS_SUM,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "orders_top10": SQL_ORDERS_TOP10,

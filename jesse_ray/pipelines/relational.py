@@ -132,6 +132,61 @@ def tumbling_window(
     return grouped_agg(bucketed, [*keys, "window"], sums=sums, batch_size=batch_size)
 
 
+def broadcast_range_join(
+    ds: Dataset,
+    intervals: pd.DataFrame,
+    *,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    batch_size: int = 65536,
+) -> Dataset:
+    """Range join against a small broadcast interval table: each row
+    joins the interval with ``lo <= value < hi``.
+
+    Intervals must be NON-overlapping (validated on the driver); the
+    probe is one vectorized ``np.searchsorted`` per batch against the
+    sorted bounds — no shuffle, no per-row Python.  ``how='left'``
+    keeps non-matching rows with null interval columns.
+    """
+    iv = intervals.sort_values(lo_col).reset_index(drop=True)
+    lo = iv[lo_col].to_numpy(dtype=np.float64)
+    hi = iv[hi_col].to_numpy(dtype=np.float64)
+    if (hi[:-1] > lo[1:]).any() or (hi <= lo).any():
+        raise ValueError("range_join intervals must be non-empty and non-overlapping")
+    iv_tbl = pa.Table.from_pandas(iv, preserve_index=False)
+    ref = ray.put((lo, hi, iv_tbl)) if ray.is_initialized() else (lo, hi, iv_tbl)
+
+    def join(batch: pa.Table) -> pa.Table:
+        blo, bhi, dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        v = _combine(batch[value_col]).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(blo, v, side="right") - 1
+        with np.errstate(invalid="ignore"):
+            hit = (pos >= 0) & np.where(pos >= 0, v < bhi[np.clip(pos, 0, None)], False)
+        if how == "inner":
+            keep = np.flatnonzero(hit)
+            out = batch.take(pa.array(keep, type=pa.int64()))
+            rows = dim.take(pa.array(pos[keep], type=pa.int64()))
+            for name in dim.column_names:
+                out = out.append_column(name, rows[name])
+            return out
+        # left join: null interval columns where no interval matched
+        idx = np.where(hit, pos, -1)
+        for name in dim.column_names:
+            col = dim[name]
+            taken = col.take(pa.array(np.clip(idx, 0, None), type=pa.int64()))
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            nulled = pa.Array.from_pandas(
+                pd.Series(taken.to_pandas()).where(hit, other=None)
+            )
+            batch = batch.append_column(name, nulled)
+        return batch
+
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
 def sliding_window(
     ds: Dataset,
     ts_col: str,

@@ -440,3 +440,23 @@ def test_lsh_bucket_cap_skew_guard(ray_session):
         ray.data.from_arrow(tbl), num_hashes=64, bands=16, bucket_cap=10
     ).to_pandas()
     assert len(capped) == 0
+
+
+def test_broadcast_range_join(ray_session):
+    from jesse_ray.pipelines.relational import broadcast_range_join
+
+    tbl = pa.table({"id": [1, 2, 3, 4], "v": [5.0, 15.0, 100.0, -3.0]})
+    tiers = pd.DataFrame({"lo": [0.0, 10.0], "hi": [10.0, 50.0], "tier": ["low", "mid"]})
+    inner = broadcast_range_join(
+        ray.data.from_arrow(tbl), tiers, value_col="v", lo_col="lo", hi_col="hi"
+    ).to_pandas().sort_values("id")
+    assert inner["id"].tolist() == [1, 2]
+    assert inner["tier"].tolist() == ["low", "mid"]
+    left = broadcast_range_join(
+        ray.data.from_arrow(tbl), tiers, value_col="v", lo_col="lo", hi_col="hi", how="left"
+    ).to_pandas().sort_values("id")
+    assert left["tier"].tolist()[:2] == ["low", "mid"]
+    assert left["tier"].isna().tolist() == [False, False, True, True]
+    with pytest.raises(ValueError):
+        bad = pd.DataFrame({"lo": [0.0, 5.0], "hi": [10.0, 20.0], "tier": ["a", "b"]})
+        broadcast_range_join(ray.data.from_arrow(tbl), bad, value_col="v", lo_col="lo", hi_col="hi")
