@@ -190,6 +190,63 @@ def dedup_exact(ds: Dataset, text_col: str = "text", key_col: str = "doc_id") ->
     return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
 
 
+def add_token_hash(ds: Dataset, tokens_col: str = "tokens", out_col: str = "content_hash",
+                   *, batch_size: int = 8192) -> Dataset:
+    """128-bit content hash of an integer-list column (token payloads),
+    fully vectorized: two independent positional polynomial hashes over
+    the flattened values (token * B^position summed per row via
+    ``np.add.reduceat``), packed into binary(16).  The sequence-corpus
+    analogue of add_content_hash."""
+    B1, B2 = np.uint64(1099511628211), np.uint64(0x9E3779B97F4A7C15)
+    # positional weights up to the longest supported row, grown on demand
+    state: dict = {}
+
+    def h(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        n = len(col)
+        cnt = np.bincount(parent, minlength=n) if len(parent) else np.zeros(n, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        pos = (np.arange(len(flat)) - starts[parent]) if len(flat) else np.empty(0, np.int64)
+        maxlen = int(cnt.max()) + 1 if n else 1
+        if state.get("len", 0) < maxlen:
+            with np.errstate(over="ignore"):
+                p1 = np.empty(maxlen, dtype=np.uint64)
+                p2 = np.empty(maxlen, dtype=np.uint64)
+                p1[0] = p2[0] = np.uint64(1)
+                for j in range(1, maxlen):
+                    p1[j] = p1[j - 1] * B1
+                    p2[j] = p2[j - 1] * B2
+            state.update(len=maxlen, p1=p1, p2=p2)
+        with np.errstate(over="ignore"):
+            # +1 so a zero token still contributes per position; starts
+            # clipped because reduceat rejects an index == len (empty
+            # trailing rows) — their garbage is zeroed below
+            v = flat + np.uint64(1)
+            sc = np.minimum(starts, len(flat) - 1) if len(flat) else starts
+            h1 = np.add.reduceat(v * state["p1"][pos], sc) if len(flat) else np.zeros(n, np.uint64)
+            h2 = np.add.reduceat(v * state["p2"][pos], sc) if len(flat) else np.zeros(n, np.uint64)
+        # rows with empty lists: reduceat repeats neighbors — zero them
+        h1 = np.where(cnt > 0, h1, np.uint64(0))
+        h2 = np.where(cnt > 0, h2, np.uint64(0))
+        # fold the length in so [1,2] != [1,2,<absent>] prefix artifacts
+        with np.errstate(over="ignore"):
+            h1 ^= cnt.astype(np.uint64) * B1
+            h2 ^= cnt.astype(np.uint64) * B2
+        packed = np.empty(n * 2, dtype=np.uint64)
+        packed[0::2] = h1
+        packed[1::2] = h2
+        vals = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(16), n, [None, pa.py_buffer(packed.tobytes())]
+        )
+        return batch.append_column(out_col, vals)
+
+    return ds.map_batches(h, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash + LSH
 

@@ -369,6 +369,47 @@ FROM (SELECT count(*) AS cnt FROM {SEQ_SQL} GROUP BY tokens HAVING count(*) > 1)
 """
 
 
+def q_seq_curated(sf_dir: str) -> pd.DataFrame:
+    """Flagship curation pipeline end-to-end: rows passing every
+    row-level check, deduplicated to one row per distinct token payload
+    (keep smallest doc_id).  The SQL twin re-derives both counts AND a
+    checksum of the surviving doc_ids, so the validate→dedup composition
+    is verified exactly."""
+    from jesse_ray.pipelines.curate import curate_sequences
+
+    ds = read_sequences(_seq_path(sf_dir))
+    curated = curate_sequences(ds, _seq_spec())
+    t = _collect(curated.select_columns(["doc_id"]))
+    ids = sorted(t["doc_id"].to_pylist())
+    import hashlib as _hl
+
+    digest = _hl.sha256("\n".join(ids).encode()).hexdigest()[:16]
+    return pd.DataFrame(
+        {"curated_rows": pd.array([len(ids)], dtype="int64"), "ids_sha": [digest]}
+    )
+
+
+# the clean-row predicate mirrors SQL_SEQ_VAL_CLEAN_COUNT; keep-first per
+# distinct token payload = min(doc_id) per tokens group
+SQL_SEQ_CURATED = f"""
+WITH clean AS (
+  SELECT doc_id, tokens FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL
+    AND regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+    AND len(tokens) = n_tok
+    AND n_tok BETWEEN 1 AND 2048
+    AND len(tokens) BETWEEN 1 AND 2048
+    AND len(list_filter(tokens, x -> x < 0 OR x >= {testgen.VOCAB})) = 0
+    AND source IS NOT NULL
+), kept AS (
+  SELECT min(doc_id) AS doc_id FROM clean GROUP BY tokens
+)
+SELECT CAST(count(*) AS BIGINT) AS curated_rows,
+       substr(sha256(string_agg(doc_id, chr(10) ORDER BY doc_id)), 1, 16) AS ids_sha
+FROM kept
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -1350,6 +1391,7 @@ def queries() -> dict[str, Callable]:
         "seq_distinct_tokens_by_source": q_seq_distinct_tokens_by_source,
         "seq_top_docs_by_source": q_seq_top_docs_by_source,
         "seq_dedup_exact": q_seq_dedup_exact,
+        "seq_curated": q_seq_curated,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
         "seq_val_dependency": q_seq_val_dependency,
@@ -1398,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_distinct_tokens_by_source": SQL_SEQ_DISTINCT_TOKENS_BY_SOURCE,
         "seq_top_docs_by_source": SQL_SEQ_TOP_DOCS_BY_SOURCE,
         "seq_dedup_exact": SQL_SEQ_DEDUP_EXACT,
+        "seq_curated": SQL_SEQ_CURATED,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
         "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,

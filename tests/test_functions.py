@@ -460,3 +460,32 @@ def test_broadcast_range_join(ray_session):
     with pytest.raises(ValueError):
         bad = pd.DataFrame({"lo": [0.0, 5.0], "hi": [10.0, 20.0], "tier": ["a", "b"]})
         broadcast_range_join(ray.data.from_arrow(tbl), bad, value_col="v", lo_col="lo", hi_col="hi")
+
+
+def test_token_hash_properties(ray_session):
+    """Positional token hash: order-sensitive, prefix-safe, empty-safe."""
+    from jesse_ray.functions.dedup import add_token_hash
+
+    lists = [[1, 2, 3], [3, 2, 1], [1, 2], [1, 2, 0], [], [0], [1, 2, 3]]
+    tbl = pa.table({"i": list(range(len(lists))),
+                    "tokens": pa.array(lists, type=pa.list_(pa.int32()))})
+    out = add_token_hash(ray.data.from_arrow(tbl)).to_pandas().sort_values("i")
+    hs = out["content_hash"].tolist()
+    assert hs[0] == hs[6]           # identical payloads agree
+    distinct = {hs[i] for i in range(6)}
+    assert len(distinct) == 6       # order, prefix, zero, empty all distinct
+
+
+def test_curate_sequences(ray_session, corpus_sf0001):
+    """validate → dedup composition drops every invalid row and every
+    later duplicate payload."""
+    from jesse_ray import testgen
+    from jesse_ray.pipelines.curate import curate_sequences
+    from jesse_ray.pipelines.queries import _seq_spec
+    from jesse_ray.sources import read_sequences
+
+    ds = read_sequences(str(testgen.corpus_path("sf0.001")))
+    curated = curate_sequences(ds, _seq_spec()).to_pandas()
+    assert curated["doc_id"].is_unique
+    # injected dirty rows (wrong_size / bad pattern / nulls) are gone
+    assert curated["doc_id"].str.match(r"^doc-\d{8}$").all()
