@@ -156,6 +156,13 @@ def run_bench() -> dict:
     _ = sketch_dataset(read_sequences(path, columns=["n_tok", "tokens"]))
     queries["sketch"] = round(time.time() - t0, 3)
 
+    # curation composite: validate -> token-payload dedup, end-to-end
+    from jesse_ray.pipelines.curate import curate_sequences
+
+    t0 = time.time()
+    n_curated = curate_sequences(read_sequences(path), _seq_spec()).count()
+    queries["curate"] = round(time.time() - t0, 3)
+
     # near-dup pipelines over the driver documents table at this sf
     docs_path = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), sf, "documents.parquet")
     if os.path.exists(docs_path):
