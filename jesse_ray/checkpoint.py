@@ -161,18 +161,15 @@ def run_validation(
             summary["violations"] += prev.metrics.get("violations", 0)
             prev_drifted = bool(prev.metrics.get("drifted", False))
             summary["drifted_partitions"] += int(prev_drifted)
-            # fail_on_drift applies to RESUMED partitions too: the
-            # manifest verdict may predate the flag, so re-derive it
-            if prev.verdict == "fail" or (fail_on_drift and prev_drifted):
+            # the manifest verdict may have been written under a
+            # different fail_on_drift: re-derive it SYMMETRICALLY from
+            # the recorded metrics (violations + drifted), so resuming
+            # with a different flag matches what a fresh run would say
+            if prev.metrics.get("violations", 0) > 0 or (fail_on_drift and prev_drifted):
                 summary["failed"] += 1
             continue
 
-        if input_format == "parquet":
-            ds = ray.data.read_parquet(frag, columns=columns)
-        else:
-            from jesse_ray.sources import read_corpus
-
-            ds = read_corpus(frag, format=input_format, columns=columns)
+        ds = _read(frag, input_format, columns)
         part_out = out / pid
         want_sketch = sketch or drift_reference
         if want_sketch:
@@ -266,13 +263,7 @@ def run_validation(
         all_files = sorted(str(p) for p in input_paths)
         uniq_parts = []
         for key in uk:
-            if input_format == "parquet":
-                key_ds = ray.data.read_parquet(all_files, columns=[key])
-            else:
-                from jesse_ray.sources import read_corpus
-
-                key_ds = read_corpus(all_files, format=input_format, columns=[key])
-            uv = uniqueness_violations(key_ds, key)
+            uv = uniqueness_violations(_read(all_files, input_format, [key]), key)
             if uv.num_rows:
                 uniq_parts.append(uv)
         uniq_tbl = (
@@ -285,6 +276,18 @@ def run_validation(
 
     summary["passed"] = summary["failed"] == 0 and n_unique_viol == 0
     return summary
+
+
+def _read(paths, input_format: str, columns):
+    """Format-dispatching partition read (one place for the
+    parquet/jsonl branch; run.py's --input-format routes here)."""
+    import ray.data
+
+    if input_format == "parquet":
+        return ray.data.read_parquet(paths, columns=columns)
+    from jesse_ray.sources import read_corpus
+
+    return read_corpus(paths, format=input_format, columns=columns)
 
 
 def _load_reference_bundle(path: str):

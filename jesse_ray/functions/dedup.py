@@ -114,11 +114,10 @@ def _dedup_pairs(cand: Dataset, extra: str | None = None, n_parts: int = 64) -> 
     column to keep (identical across duplicates of a pair)."""
     cols = ["left", "right"] + ([extra] if extra else [])
 
+    from jesse_ray.hashutil import hash_partition_pandas
+
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[["left", "right"]], index=False).to_numpy(dtype=np.uint64)
-        df = df[cols].copy()
-        df["__part"] = (h & np.uint64(n_parts - 1)).astype(np.int32)
-        return df
+        return hash_partition_pandas(df[cols], ["left", "right"], n_parts)
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["left", "right"])[cols]
@@ -141,14 +140,17 @@ def add_content_hash(ds: Dataset, text_col: str = "text", out_col: str = "conten
     hash would expect ~30k collisions there, each silently merging
     distinct documents."""
 
+    from jesse_ray.hashutil import FNV_PRIME, hash64_strings_multi
+
     def h(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         col = pc.fill_null(col, "")
-        h1 = _hash64_strings(col)
-        h2 = _hash64_strings(
-            col, offset=np.uint64(0x6C62272E07BB0142), prime=np.uint64(0x9E3779B97F4A7C15)
+        h1, h2 = hash64_strings_multi(
+            col,
+            [(_FNV_OFFSET, FNV_PRIME),
+             (np.uint64(0x6C62272E07BB0142), np.uint64(0x9E3779B97F4A7C15))],
         )
         packed = np.empty(len(h1) * 2, dtype=np.uint64)
         packed[0::2] = h1
@@ -221,17 +223,20 @@ def add_token_hash(ds: Dataset, tokens_col: str = "tokens", out_col: str = "cont
                     p1[j] = p1[j - 1] * B1
                     p2[j] = p2[j - 1] * B2
             state.update(len=maxlen, p1=p1, p2=p2)
-        with np.errstate(over="ignore"):
-            # +1 so a zero token still contributes per position; starts
-            # clipped because reduceat rejects an index == len (empty
-            # trailing rows) — their garbage is zeroed below
-            v = flat + np.uint64(1)
-            sc = np.minimum(starts, len(flat) - 1) if len(flat) else starts
-            h1 = np.add.reduceat(v * state["p1"][pos], sc) if len(flat) else np.zeros(n, np.uint64)
-            h2 = np.add.reduceat(v * state["p2"][pos], sc) if len(flat) else np.zeros(n, np.uint64)
-        # rows with empty lists: reduceat repeats neighbors — zero them
-        h1 = np.where(cnt > 0, h1, np.uint64(0))
-        h2 = np.where(cnt > 0, h2, np.uint64(0))
+        h1 = np.zeros(n, dtype=np.uint64)
+        h2 = np.zeros(n, dtype=np.uint64)
+        nonempty = cnt > 0
+        if len(flat) and nonempty.any():
+            with np.errstate(over="ignore"):
+                # +1 so a zero token still contributes per position.
+                # reduceat runs over NON-EMPTY rows only: their starts are
+                # strictly increasing and < len(flat), so each segment sums
+                # exactly its own row (clipping starts instead would make a
+                # trailing empty row steal the last element of the final
+                # non-empty row).
+                v = flat + np.uint64(1)
+                h1[nonempty] = np.add.reduceat(v * state["p1"][pos], starts[nonempty])
+                h2[nonempty] = np.add.reduceat(v * state["p2"][pos], starts[nonempty])
         # fold the length in so [1,2] != [1,2,<absent>] prefix artifacts
         with np.errstate(over="ignore"):
             h1 ^= cnt.astype(np.uint64) * B1

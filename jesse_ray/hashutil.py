@@ -30,14 +30,37 @@ def hash64_strings(arr: pa.Array, offset: np.uint64 = FNV_OFFSET,
                    prime: np.uint64 = FNV_PRIME) -> np.ndarray:
     """Vectorized 64-bit FNV-1a over each string's utf8 bytes.  Pass a
     different (offset, prime) pair for an independent second hash."""
+    return hash64_strings_multi(arr, [(offset, prime)])[0]
+
+
+def hash64_strings_multi(
+    arr: pa.Array, params: list[tuple[np.uint64, np.uint64]]
+) -> list[np.ndarray]:
+    """One byte-walk, N independent FNV accumulators (the alive/index
+    gather is shared, so a 128-bit hash costs one walk, not two)."""
     offsets, data = string_buffers(arr)
     n = len(offsets) - 1
-    out = np.full(n, offset, dtype=np.uint64)
+    outs = [np.full(n, off, dtype=np.uint64) for off, _p in params]
     lens = np.diff(offsets)
     maxlen = int(lens.max()) if n else 0
     with np.errstate(over="ignore"):
         for j in range(maxlen):
             alive = lens > j
             idx = offsets[:-1][alive] + j
-            out[alive] = (out[alive] ^ data[idx].astype(np.uint64)) * prime
-    return out
+            byte = data[idx].astype(np.uint64)
+            for out, (_off, prime) in zip(outs, params):
+                out[alive] = (out[alive] ^ byte) * prime
+    return outs
+
+
+def hash_partition_pandas(df, cols: list[str], n_parts: int = 64, out_col: str = "__part"):
+    """Append a coarse hash-partition column (power-of-two ``n_parts``,
+    masked — never the division unit) — the shared prologue of every
+    coarse-shuffle stage (pair dedup, grouped lag, curation dedup)."""
+    import pandas as pd
+
+    sel = df[cols] if len(cols) > 1 else df[cols[0]]
+    h = pd.util.hash_pandas_object(sel, index=False).to_numpy(dtype=np.uint64)
+    df = df.copy()
+    df[out_col] = (h & np.uint64(n_parts - 1)).astype(np.int32)
+    return df

@@ -1,27 +1,25 @@
 """Flagship training-data curation pipeline: validate → exact-dedup →
-curated corpus + stats, end-to-end over the sequences table.
+curated corpus, end-to-end over the sequences table.
 
 This is the composite a user of the reference validator actually runs
 before training: drop every row with a validation violation
 (filter_valid — jesse's pass verdict per document), then keep ONE row
 per distinct token payload (exact dedup on a vectorized 128-bit
 positional content hash), streaming the survivors to partitioned
-parquet.  Two full-width passes total (the filter fuses with the read;
-the dedup shuffle moves 16-byte hashes + keys, never payloads).
+parquet.  Two full-width passes total: the filter fuses with the read,
+and the dedup shuffle moves each surviving row once — which a curated
+write-out needs anyway — keyed by a ≤64-value coarse hash partition.
 """
 
 from __future__ import annotations
 
-from typing import Optional
-
-import numpy as np
 import pandas as pd
-import pyarrow as pa
 from ray.data import Dataset
 
 from jesse_ray.compiler import CompiledSpec, compile_spec
 from jesse_ray.engine import filter_valid, prepare_compiled
 from jesse_ray.functions.dedup import add_token_hash
+from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.spec import TableSpec
 
 
@@ -31,26 +29,18 @@ def curate_sequences(
     *,
     tokens_col: str = "tokens",
     key_col: str = "doc_id",
+    n_parts: int = 64,
     batch_size: int = 8192,
 ) -> Dataset:
-    """Rows passing every row-level check, first-per-distinct-token-payload.
-
-    Keep-first is by smallest key within each content-hash group — the
-    dedup shuffle carries (hash, key) pairs only; survivors are
-    re-joined... no: the hash rides the row through the shuffle, so the
-    grouped keep-first emits full curated rows directly (payload moves
-    once, which a write-out needs anyway).
-    """
+    """Rows passing every row-level check, first-per-distinct-token-payload
+    (keep smallest ``key_col`` within each content-hash group)."""
     compiled = spec if isinstance(spec, CompiledSpec) else compile_spec(spec)
     compiled = prepare_compiled(compiled, ds)
     clean = filter_valid(ds, compiled, batch_size=batch_size)
     hashed = add_token_hash(clean, tokens_col)
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df["content_hash"], index=False).to_numpy(dtype=np.uint64)
-        df = df.copy()
-        df["__part"] = (h & np.uint64(63)).astype(np.int32)
-        return df
+        return hash_partition_pandas(df, ["content_hash"], n_parts)
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         out = g.sort_values(key_col, kind="mergesort").drop_duplicates(
@@ -63,8 +53,3 @@ def curate_sequences(
         .groupby("__part")
         .map_groups(first, batch_format="pandas")
     )
-
-
-def curation_stats(ds: Dataset, curated: Dataset) -> dict:
-    """(input_rows, curated_rows) — the headline numbers of a curation run."""
-    return {"input_rows": ds.count(), "curated_rows": curated.count()}

@@ -171,16 +171,17 @@ def broadcast_range_join(
             for name in dim.column_names:
                 out = out.append_column(name, rows[name])
             return out
-        # left join: null interval columns where no interval matched
-        idx = np.where(hit, pos, -1)
+        # left join: null interval columns where no interval matched —
+        # Arrow if_else keeps the dim columns' exact dtypes (a pandas
+        # where(..., None) round-trip would upcast int64 → float64 and
+        # corrupt values above 2^53)
+        mask = pa.array(hit)
+        safe_pos = pa.array(np.clip(np.where(hit, pos, 0), 0, None), type=pa.int64())
         for name in dim.column_names:
-            col = dim[name]
-            taken = col.take(pa.array(np.clip(idx, 0, None), type=pa.int64()))
+            taken = dim[name].take(safe_pos)
             if isinstance(taken, pa.ChunkedArray):
                 taken = taken.combine_chunks()
-            nulled = pa.Array.from_pandas(
-                pd.Series(taken.to_pandas()).where(hit, other=None)
-            )
+            nulled = pc.if_else(mask, taken, pa.nulls(len(taken), type=taken.type))
             batch = batch.append_column(name, nulled)
         return batch
 
@@ -242,11 +243,10 @@ def grouped_lag(
     """
     order_cols = list(order_cols)
 
+    from jesse_ray.hashutil import hash_partition_pandas
+
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy(dtype=np.uint64)
-        df = df.copy()
-        df["__part"] = (h & np.uint64(n_parts - 1)).astype(np.int32)
-        return df
+        return hash_partition_pandas(df, [key], n_parts)
 
     def lag_many(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, *order_cols], kind="mergesort")

@@ -574,11 +574,13 @@ def _resolve_ref(raw: dict, root: dict, depth: int = 0) -> dict:
                 f"unresolvable non-local $ref {ref!r} (loader miss; no egress in this sandbox)",
             )
         # the remote document becomes the new root; an optional fragment
-        # walks into it like a local pointer.  (Nested $refs INSIDE the
-        # remote subtree resolve against the remote doc only along this
-        # chain — deeply nested remote-of-remote graphs should be
-        # inlined by the caller.)
-        return _resolve_ref({"$ref": f"#{frag}"} if frag else remote, remote, depth + 1)
+        # walks into it like a local pointer.  Every local $ref nested
+        # anywhere inside the returned subtree is INLINED here against
+        # the remote root — the downstream keyword handlers only know the
+        # main schema's root, so leaving remote-internal pointers in
+        # place would resolve them against the wrong document.
+        target = _resolve_ref({"$ref": f"#{frag}"} if frag else remote, remote, depth + 1)
+        return _inline_local_refs(target, remote, depth + 1)
     target: Any = root
     for part in ref.lstrip("#/").split("/"):
         if not part:
@@ -588,6 +590,22 @@ def _resolve_ref(raw: dict, root: dict, depth: int = 0) -> dict:
             raise E.SchemaInvalidError(E.SCHEMA_INVALID, f"unresolvable $ref {ref!r}")
         target = target[part]
     return _resolve_ref(target, root, depth + 1)
+
+
+def _inline_local_refs(node: Any, root: dict, depth: int = 0) -> Any:
+    """Deep-inline every local ``$ref`` in ``node`` against ``root``
+    (used when a remote document is spliced into another schema, whose
+    handlers would otherwise resolve the remote's internal pointers
+    against the wrong root)."""
+    if depth > 32:
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "$ref recursion too deep")
+    if isinstance(node, dict):
+        if "$ref" in node and isinstance(node["$ref"], str) and node["$ref"].startswith("#"):
+            node = _resolve_ref(node, root, depth)
+        return {k: _inline_local_refs(v, root, depth + 1) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_inline_local_refs(v, root, depth + 1) for v in node]
+    return node
 
 
 def _column_from_schema(raw: Any, root: dict) -> ColumnSpec:

@@ -489,3 +489,41 @@ def test_curate_sequences(ray_session, corpus_sf0001):
     assert curated["doc_id"].is_unique
     # injected dirty rows (wrong_size / bad pattern / nulls) are gone
     assert curated["doc_id"].str.match(r"^doc-\d{8}$").all()
+
+
+def test_token_hash_trailing_empty_rows(ray_session):
+    """A batch ending with empty/null token rows must not corrupt the
+    final non-empty row's hash (reduceat segment bug regression)."""
+    from jesse_ray.functions.dedup import add_token_hash
+
+    alone = pa.table({"i": [0], "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32()))})
+    trailing = pa.table(
+        {"i": [0, 1, 2], "tokens": pa.array([[1, 2], [], None], type=pa.list_(pa.int32()))}
+    )
+    h_alone = add_token_hash(ray.data.from_arrow(alone)).select_columns(
+        ["i", "content_hash"]).to_pandas()
+    h_trail = add_token_hash(ray.data.from_arrow(trailing)).select_columns(
+        ["i", "content_hash"]).to_pandas().sort_values("i")
+    assert h_alone["content_hash"].iloc[0] == h_trail["content_hash"].iloc[0]
+    # empty and null rows hash alike (both are "no payload") but exist
+    assert h_trail["content_hash"].iloc[1] == h_trail["content_hash"].iloc[2]
+
+
+def test_range_join_left_preserves_int64(ray_session):
+    """Left-join interval columns must keep their dtype (no float64
+    NaN-hole round-trip)."""
+    from jesse_ray.pipelines.relational import broadcast_range_join
+
+    big = 9007199254740993  # 2^53 + 1
+    tbl = pa.table({"id": [1, 2], "v": [5.0, 99.0]})
+    tiers = pd.DataFrame({"lo": [0.0], "hi": [10.0], "tier_id": pd.array([big], dtype="int64")})
+    out = pa.concat_tables(
+        broadcast_range_join(
+            ray.data.from_arrow(tbl), tiers, value_col="v", lo_col="lo", hi_col="hi", how="left"
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("id")
+    # Arrow-side check: dtype stays int64 and the value is exact (a
+    # pandas conversion of a nullable int64 would float it)
+    assert out.schema.field("tier_id").type == pa.int64()
+    assert out["tier_id"][0].as_py() == big
+    assert out["tier_id"][1].as_py() is None

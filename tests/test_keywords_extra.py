@@ -521,3 +521,28 @@ def test_remote_file_ref(tmp_path):
     assert _errors(c2, pa.table({"a": pa.array([0, 1])})) == [(("a",), E.NOT_IN_RANGE)]
     with pytest.raises(E.SchemaInvalidError):
         from_json_schema({"properties": {"a": {"$ref": "file:///nonexistent.json"}}})
+
+
+def test_remote_ref_nested_local_refs(tmp_path):
+    """Local $refs nested inside a remotely-loaded schema resolve
+    against the REMOTE document, not the including schema's root."""
+    import json as _json
+
+    remote = tmp_path / "remote.json"
+    remote.write_text(_json.dumps(
+        {"defs": {"pos": {"type": "integer", "minimum": 1},
+                  "arr": {"items": {"$ref": "#/defs/pos"}}}}
+    ))
+    # main schema has a SAME-NAMED definition with different semantics:
+    # it must NOT be used
+    s = from_json_schema(
+        {"definitions": {"pos": {"maximum": 0}},
+         "properties": {"a": {"$ref": f"file://{remote}#/defs/arr"}}}
+    )
+    c = compile_spec(s)
+    t = pa.table({"a": pa.array([[2, 3], [0, 2]], type=pa.list_(pa.int64()))})
+    errs = _errors(c, t)
+    # [0,2]: element 0 violates the REMOTE minimum-1 (not_in_range);
+    # the main schema's same-named maximum-0 would have flagged
+    # element 2 at path ('a','1') instead
+    assert errs == [(("a", "0"), E.NOT_IN_RANGE)]
