@@ -1,9 +1,11 @@
 """The Ray Data validation engine.
 
-Pipeline shape (SURVEY §3.4): ``read_parquet`` → chained stateless
-``map_batches`` row checks (zero-copy Arrow) → stateful actor-pool
-referential stage (broadcast dimension) → two-phase groupby for key
-uniqueness → violations ``Dataset`` + per-run metrics.
+Pipeline shape (SURVEY §3.4): ``read_parquet`` → ONE fused
+``map_batches`` pass (zero-copy Arrow) running every row-level keyword
+check plus the referential broadcast-dimension checks (task mode with
+lazily-resolved ``ray.put`` state — broadcast-once per worker) →
+hash-bucket shuffle for corpus-level key uniqueness → violations
+``Dataset`` + per-run metrics.
 
 This replaces the reference's per-document recursive walk
 (reference: src/jesse_schema_validator.erl:82-98) with a streaming,
@@ -75,13 +77,41 @@ def row_violations(
     )
 
 
-def filter_valid(ds: Dataset, compiled: CompiledSpec, *, batch_size: int = 8192) -> Dataset:
+def filter_valid(
+    ds: Dataset,
+    compiled: CompiledSpec,
+    *,
+    batch_size: int = 8192,
+    include_referential: bool = False,
+) -> Dataset:
     """Keep only rows with zero row-level violations — the vectorized
     analogue of jesse's pass verdict under ``allowed_errors=0``
-    (src/jesse_error.erl:71-78)."""
+    (src/jesse_error.erl:71-78).  ``include_referential=True`` also
+    drops rows failing the spec's broadcast-dimension membership rules
+    (jesse's verdict covers every check; the flag is opt-in because the
+    plain row filter needs no dimension load)."""
+    rules = None
+    if include_referential and compiled.spec.referential:
+        rules = [
+            (r.column, _load_allowed_values(r), r.error_atom)
+            for r in compiled.spec.referential
+        ]
+        big = ray.is_initialized()
+        rules_ref = ray.put(rules) if big else rules
 
     def keep(batch: pa.Table) -> pa.Table:
         bad = compiled.invalid_row_mask(batch)
+        if rules is not None:
+            resolved = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) else rules_ref
+            for column, values, _atom in resolved:
+                if column not in batch.column_names:
+                    continue
+                arr = _combine(batch[column])
+                present = _np_mask(pc.is_valid(arr), len(arr))
+                ok = _np_mask(
+                    pc.is_in(arr, value_set=pa.array(sorted(values), type=arr.type)), len(arr)
+                )
+                bad |= present & ~ok
         return batch.filter(pa.array(~bad))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

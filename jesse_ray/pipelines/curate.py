@@ -31,12 +31,17 @@ def curate_sequences(
     key_col: str = "doc_id",
     n_parts: int = 64,
     batch_size: int = 8192,
+    include_referential: bool = True,
 ) -> Dataset:
-    """Rows passing every row-level check, first-per-distinct-token-payload
-    (keep smallest ``key_col`` within each content-hash group)."""
+    """Rows passing EVERY check (row-level keywords AND the referential
+    dimension rules — jesse's full pass verdict), deduplicated to the
+    first row per distinct token payload (smallest ``key_col`` within
+    each content-hash group)."""
     compiled = spec if isinstance(spec, CompiledSpec) else compile_spec(spec)
     compiled = prepare_compiled(compiled, ds)
-    clean = filter_valid(ds, compiled, batch_size=batch_size)
+    clean = filter_valid(
+        ds, compiled, batch_size=batch_size, include_referential=include_referential
+    )
     hashed = add_token_hash(clean, tokens_col)
 
     def part(df: pd.DataFrame) -> pd.DataFrame:

@@ -401,6 +401,7 @@ WITH clean AS (
     AND len(tokens) BETWEEN 1 AND 2048
     AND len(list_filter(tokens, x -> x < 0 OR x >= {testgen.VOCAB})) = 0
     AND source IS NOT NULL
+    AND source IN ({ALLOWED_SQL})
 ), kept AS (
   SELECT min(doc_id) AS doc_id FROM clean GROUP BY tokens
 )
