@@ -492,3 +492,34 @@ def test_jsonl_corpus_parity(tmp_path, corpus_sf0001):
         read_corpus(str(jl), format="jsonl"), _seq_spec(), check_unique=False
     )
     assert res_pq.counts_by_error() == res_jl.counts_by_error()
+
+
+def test_cross_partition_duplicate_keys(tmp_path, ray_session):
+    """Corpus-wide uniqueness: a doc_id duplicated across two checkpoint
+    PARTITIONS must be reported (the per-partition check missed it)."""
+    import pyarrow.parquet as pq
+
+    from jesse_ray.checkpoint import run_validation
+    from jesse_ray.spec import TableSpec, ColumnSpec
+
+    def mk(path, ids):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.string()),
+                      "n_tok": pa.array([1] * len(ids), type=pa.int32())}),
+            path,
+        )
+
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    mk(str(a), ["x-1", "x-2"])
+    mk(str(b), ["x-2", "x-3"])  # x-2 duplicated ACROSS files
+
+    spec = TableSpec(key_column="doc_id")
+    spec.columns["doc_id"] = ColumnSpec(type="string", required=True)
+    spec.unique_keys = ["doc_id"]
+
+    s = run_validation([str(a), str(b)], spec, tmp_path / "out", files_per_partition=1)
+    assert s["partitions"] == 2
+    assert s["unique_violations"] == 1
+    assert not s["passed"]
+    uv = pq.read_table(tmp_path / "out" / "unique_violations.parquet")
+    assert uv["doc_id"].to_pylist() == ["x-2"]
