@@ -494,6 +494,36 @@ class CompiledSpec:
             ok &= ~np.full(n, _type_ok(cs.disallow, arr.type), dtype=bool)
         if is_list and cs.contains is not None:
             ok &= self._contains_mask(cs.contains, arr)
+        if pa.types.is_struct(arr.type) and (cs.properties or cs.required_props):
+            ok &= self._struct_props_mask(cs, arr)
+        return ok
+
+    def _struct_field(self, arr: pa.Array, name: str):
+        """(field array, presence mask) for one struct field; a field
+        absent from the TYPE is all-absent (the columnar reading of
+        jesse's absent-property skip, src/jesse_validator_draft4.erl:380-400).
+        A null parent struct makes every field absent too."""
+        n = len(arr)
+        if arr.type.get_field_index(name) < 0:
+            return None, np.zeros(n, dtype=bool)
+        f = pc.struct_field(arr, name)
+        present = _np_mask(pc.is_valid(f), n) & _np_mask(pc.is_valid(arr), n)
+        return f, present
+
+    def _struct_props_mask(self, cs: ColumnSpec, arr: pa.Array) -> np.ndarray:
+        """True where a struct value satisfies its nested ``properties``
+        sub-schemas and ``required`` list."""
+        n = len(arr)
+        ok = np.ones(n, dtype=bool)
+        for prop, sub in (cs.properties or {}).items():
+            f, present = self._struct_field(arr, prop)
+            if f is None or not present.any():
+                continue
+            sub_ok = self._spec_valid_mask(sub, f)
+            ok &= ~present | sub_ok
+        for prop in cs.required_props or []:
+            _f, present = self._struct_field(arr, prop)
+            ok &= present | ~_np_mask(pc.is_valid(arr), n)
         return ok
 
     def _spec_fail_atoms(self, cs: ColumnSpec, arr: pa.Array) -> list[tuple[str, np.ndarray]]:
@@ -715,6 +745,12 @@ class CompiledSpec:
                 fn=fn,
             )
         )
+
+    def _add_multi(self, name, path, fragment_obj, fn):
+        """Emission unit whose fn returns a 4th element: a per-violation
+        error-atom list (used by nested struct properties, where one
+        field evaluation yields several keyword atoms)."""
+        self._add(name, "__multi__", path, fragment_obj, fn)
 
     def _values_json(self, arr: pa.Array, idx: np.ndarray) -> list[str]:
         if len(idx) == 0:
@@ -1090,6 +1126,56 @@ class CompiledSpec:
 
             self._add(f"not:{col}", E.NOT_SCHEMA_VALID, [col], {"not": cs.not_.to_fragment()}, not_fn)
 
+        if cs.properties or cs.required_props:
+            # nested object properties on a STRUCT column: one emission
+            # unit per (property, error atom), path gains the property
+            # name — the reference's per-property descent
+            # (src/jesse_validator_draft4.erl:380-400, path convention
+            # src/jesse_error.erl:266-271)
+            for prop, sub in (cs.properties or {}).items():
+                def prop_fn(tbl, col=col, prop=prop, sub=sub):
+                    arr, present = self._col_ctx(tbl, col)
+                    if arr is None or not pa.types.is_struct(arr.type):
+                        return np.array([], dtype=np.int64), [], None
+                    f, fpresent = self._struct_field(arr, prop)
+                    if f is None:
+                        return np.array([], dtype=np.int64), [], None
+                    fails = self._spec_fail_atoms(sub, f)
+                    if not fails:
+                        return np.array([], dtype=np.int64), [], None
+                    out_idx, out_vals, out_paths, out_atoms = [], [], [], []
+                    for atom, mask in fails:
+                        idx = np.flatnonzero(present & fpresent & mask)
+                        if len(idx) == 0:
+                            continue
+                        out_idx.append(idx)
+                        out_vals.extend(self._values_json(f, idx))
+                        out_paths.extend([[col, prop]] * len(idx))
+                        out_atoms.extend([atom] * len(idx))
+                    if not out_idx:
+                        return np.array([], dtype=np.int64), [], None
+                    # 4-tuple form: each nested keyword failure keeps its
+                    # own error atom (the _add_multi channel)
+                    return np.concatenate(out_idx), out_vals, out_paths, out_atoms
+
+                self._add_multi(
+                    f"props:{col}.{prop}", [col, prop],
+                    {"properties": {prop: sub.to_fragment()}}, prop_fn,
+                )
+            for prop in cs.required_props or []:
+                def req_prop_fn(tbl, col=col, prop=prop):
+                    arr, present = self._col_ctx(tbl, col)
+                    if arr is None or not pa.types.is_struct(arr.type):
+                        return np.array([], dtype=np.int64), [], None
+                    _f, fpresent = self._struct_field(arr, prop)
+                    idx = np.flatnonzero(present & ~fpresent)
+                    return idx, ["null"] * len(idx), None
+
+                self._add(
+                    f"reqProp:{col}.{prop}", E.MISSING_REQUIRED_PROPERTY,
+                    [col, prop], {"required": [prop]}, req_prop_fn,
+                )
+
     def _build_consistency(self, rule: ConsistencyRule) -> None:
         name = rule.name or f"{rule.kind}:{rule.left}~{rule.right}"
         frag_obj = {"consistency": {"kind": rule.kind, "left": rule.left, "right": rule.right}}
@@ -1211,7 +1297,9 @@ class CompiledSpec:
         row_counts = np.zeros(tbl.num_rows, dtype=np.int32) if cap is not None else None
         out_doc, out_path, out_err, out_val, out_frag = [], [], [], [], []
         for em in self._emits:
-            idx, vals, paths = em.fn(tbl)
+            result = em.fn(tbl)
+            idx, vals, paths = result[0], result[1], result[2]
+            atoms = result[3] if len(result) > 3 else None
             if len(idx) == 0:
                 continue
             if cap is not None:
@@ -1232,6 +1320,8 @@ class CompiledSpec:
                 vals = [vals[k] for k in sel]
                 if paths is not None:
                     paths = [paths[k] for k in sel]
+                if atoms is not None:
+                    atoms = [atoms[k] for k in sel]
                 if len(idx) == 0:
                     continue
             if key_arr is not None:
@@ -1241,7 +1331,7 @@ class CompiledSpec:
                 docs = [None] * len(idx)
             out_doc.extend(docs)
             out_path.extend(paths if paths is not None else [em.path] * len(idx))
-            out_err.extend([em.error] * len(idx))
+            out_err.extend(atoms if atoms is not None else [em.error] * len(idx))
             out_val.extend(vals)
             out_frag.extend([em.fragment] * len(idx))
         if not out_err:
@@ -1287,7 +1377,7 @@ class CompiledSpec:
         error list, just pass/fail."""
         bad = np.zeros(tbl.num_rows, dtype=bool)
         for em in self._emits:
-            idx, _vals, _paths = em.fn(tbl)
+            idx = em.fn(tbl)[0]
             if len(idx):
                 bad[np.asarray(idx, dtype=np.int64)] = True
         for col, sub in self._schema_deps:

@@ -136,6 +136,14 @@ def _spec_valid(cs: ColumnSpec, v: Any, dialect: str = "draft4") -> bool:
     if cs.contains is not None and isinstance(v, (list, tuple)):
         if not any(x is not None and _spec_valid(cs.contains, x, dialect) for x in v):
             return False
+    if isinstance(v, dict) and (cs.properties or cs.required_props):
+        for prop, sub in (cs.properties or {}).items():
+            pv = v.get(prop)
+            if pv is not None and not _spec_valid(sub, pv, dialect):
+                return False
+        for prop in cs.required_props or []:
+            if v.get(prop) is None:
+                return False
     return True
 
 
@@ -242,6 +250,21 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
         if cs.contains is not None and isinstance(v, (list, tuple)):
             if not any(x is not None and _spec_valid(cs.contains, x, dialect) for x in v):
                 emit([col], E.DATA_INVALID, {"length": len(v)})
+        if isinstance(v, dict) and (cs.properties or cs.required_props):
+            # nested object properties: per-property descent with the
+            # same keyword atoms, path gains the property name
+            # (src/jesse_validator_draft4.erl:380-400)
+            for prop, sub in (cs.properties or {}).items():
+                pv = v.get(prop)
+                if pv is None:
+                    continue
+                nested = TableSpec(key_column=None)
+                nested.columns[prop] = sub
+                for _d, p, e, val in validate_row(nested, {prop: pv}):
+                    emit([col, *p], e, json.loads(val))
+            for prop in cs.required_props or []:
+                if v.get(prop) is None:
+                    emit([col, prop], E.MISSING_REQUIRED_PROPERTY, None)
 
     for rule in spec.consistency:
         lv, rv = row.get(rule.left), row.get(rule.right)

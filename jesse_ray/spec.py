@@ -106,6 +106,12 @@ class ColumnSpec:
     # value passes `type` if any primitive matches OR any embedded schema
     # validates (src/jesse_validator_draft3.erl:295-328)
     type_schemas: Optional[list["ColumnSpec"]] = None
+    # nested object properties — validates STRUCT column fields with the
+    # reference's recursive per-property semantics (absent/null field ⇒
+    # skip unless listed in ``required_props``,
+    # src/jesse_validator_draft4.erl:380-400,1044-1058)
+    properties: Optional[dict[str, "ColumnSpec"]] = None
+    required_props: Optional[list[str]] = None
 
     def to_fragment(self) -> dict:
         """JSON-Schema-style fragment used in violation rows'
@@ -170,6 +176,10 @@ class ColumnSpec:
             frag["type"] = (self.type if isinstance(self.type, list) else []) + [
                 s.to_fragment() for s in self.type_schemas
             ]
+        if self.properties is not None:
+            frag["properties"] = {k: v.to_fragment() for k, v in self.properties.items()}
+        if self.required_props:
+            frag["required"] = list(self.required_props)
         return frag
 
 
@@ -532,12 +542,22 @@ def _(c, v, root):
 def _(c, v, root):
     # draft-3 per-property required:true inside the property schema
     # (src/jesse_validator_draft3.erl:346-383) — DRAFT-3 ONLY: the
-    # draft-4 validator treats a boolean here as a malformed array and
-    # a draft-4 sub-schema's array form would govern a NESTED object's
-    # properties, which scalar columns don't have (the root-level array
-    # is handled by from_json_schema).
+    # draft-4 validator treats a boolean here as a malformed array.
+    # The draft-4 ARRAY form inside a column sub-schema governs a
+    # NESTED object's properties (src/jesse_validator_draft4.erl:1044-1058).
     if isinstance(v, bool) and _root_dialect(root) == "draft3":
         c.required = v
+    elif isinstance(v, list):
+        c.required_props = [str(x) for x in v]
+
+
+@_kw("properties")
+def _(c, v, root):
+    # nested object properties on a STRUCT column
+    # (src/jesse_validator_draft4.erl:380-400)
+    if not isinstance(v, dict):
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "properties must be an object")
+    c.properties = {k: _subspec(s, root) for k, s in v.items()}
 
 
 @_kw("examples")

@@ -546,3 +546,61 @@ def test_remote_ref_nested_local_refs(tmp_path):
     # the main schema's same-named maximum-0 would have flagged
     # element 2 at path ('a','1') instead
     assert errs == [(("a", "0"), E.NOT_IN_RANGE)]
+
+
+def test_nested_struct_properties():
+    """Nested object properties on a STRUCT column: per-property
+    keyword descent, required list, absent-field skip
+    (src/jesse_validator_draft4.erl:380-400,1044-1058)."""
+    s = from_json_schema(
+        {"properties": {"meta": {
+            "type": "object",
+            "properties": {"lang": {"type": "string", "pattern": "^[a-z]{2}$"},
+                           "score": {"minimum": 0}},
+            "required": ["lang"],
+        }}},
+        key_column=None,
+    )
+    c = compile_spec(s)
+    t = pa.table({
+        "meta": pa.array(
+            [{"lang": "en", "score": 1},
+             {"lang": "ENG", "score": -2},
+             {"lang": None, "score": 3},
+             None],
+            type=pa.struct([("lang", pa.string()), ("score", pa.int64())]),
+        )
+    })
+    errs = sorted(_errors(c, t))
+    assert errs == sorted([
+        (("meta", "lang"), E.NO_MATCH),          # row 1 pattern
+        (("meta", "score"), E.NOT_IN_RANGE),     # row 1 minimum
+        (("meta", "lang"), E.MISSING_REQUIRED_PROPERTY),  # row 2 lang null
+    ])
+
+
+def test_nested_struct_engine_oracle_parity():
+    from jesse_ray.oracle import validate_row
+
+    s = from_json_schema(
+        {"properties": {"meta": {
+            "type": "object",
+            "properties": {"lang": {"pattern": "^[a-z]{2}$"}, "score": {"minimum": 0}},
+            "required": ["lang"],
+        }}},
+        key_column=None,
+    )
+    c = compile_spec(s)
+    rows = [
+        {"meta": {"lang": "en", "score": 1}},
+        {"meta": {"lang": "ENG", "score": -2}},
+        {"meta": {"lang": None, "score": 3}},
+        {"meta": None},
+    ]
+    t = pa.table({
+        "meta": pa.array([r["meta"] for r in rows],
+                         type=pa.struct([("lang", pa.string()), ("score", pa.int64())]))
+    })
+    got = sorted(_errors(c, t))
+    want = sorted((tuple(p), e) for r in rows for _d, p, e, _v in validate_row(s, r))
+    assert got == want
