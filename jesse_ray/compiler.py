@@ -524,6 +524,11 @@ class CompiledSpec:
         for prop in cs.required_props or []:
             _f, present = self._struct_field(arr, prop)
             ok &= present | ~_np_mask(pc.is_valid(arr), n)
+        if not cs.additional_props_allowed:
+            declared = set((cs.properties or {}).keys())
+            extra = [f.name for f in arr.type if f.name not in declared]
+            if extra:
+                ok &= ~_np_mask(pc.is_valid(arr), n)
         return ok
 
     def _spec_fail_atoms(self, cs: ColumnSpec, arr: pa.Array) -> list[tuple[str, np.ndarray]]:
@@ -1161,6 +1166,23 @@ class CompiledSpec:
                 self._add_multi(
                     f"props:{col}.{prop}", [col, prop],
                     {"properties": {prop: sub.to_fragment()}}, prop_fn,
+                )
+            if not cs.additional_props_allowed:
+                def extra_props_fn(tbl, col=col, cs=cs):
+                    arr, present = self._col_ctx(tbl, col)
+                    if arr is None or not pa.types.is_struct(arr.type):
+                        return np.array([], dtype=np.int64), [], None
+                    declared = set((cs.properties or {}).keys())
+                    extra = sorted(f.name for f in arr.type if f.name not in declared)
+                    if not extra:
+                        return np.array([], dtype=np.int64), [], None
+                    idx = np.flatnonzero(present)
+                    val = _json_val({"extraProperties": extra})
+                    return idx, [val] * len(idx), None
+
+                self._add(
+                    f"addProps:{col}", E.NO_EXTRA_PROPERTIES_ALLOWED,
+                    [col], {"additionalProperties": False}, extra_props_fn,
                 )
             for prop in cs.required_props or []:
                 def req_prop_fn(tbl, col=col, prop=prop):

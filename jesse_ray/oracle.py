@@ -144,6 +144,9 @@ def _spec_valid(cs: ColumnSpec, v: Any, dialect: str = "draft4") -> bool:
         for prop in cs.required_props or []:
             if v.get(prop) is None:
                 return False
+        if not cs.additional_props_allowed:
+            if any(k not in (cs.properties or {}) for k in v):
+                return False
     return True
 
 
@@ -265,6 +268,10 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
             for prop in cs.required_props or []:
                 if v.get(prop) is None:
                     emit([col, prop], E.MISSING_REQUIRED_PROPERTY, None)
+            if not cs.additional_props_allowed:
+                extra = sorted(k for k in v if k not in (cs.properties or {}))
+                if extra:
+                    emit([col], E.NO_EXTRA_PROPERTIES_ALLOWED, {"extraProperties": extra})
 
     for rule in spec.consistency:
         lv, rv = row.get(rule.left), row.get(rule.right)

@@ -112,6 +112,10 @@ class ColumnSpec:
     # src/jesse_validator_draft4.erl:380-400,1044-1058)
     properties: Optional[dict[str, "ColumnSpec"]] = None
     required_props: Optional[list[str]] = None
+    # nested additionalProperties:false — undeclared STRUCT fields are
+    # no_extra_properties_allowed (src/jesse_validator_draft4.erl:431-507);
+    # static per Arrow struct type, so it fails every present row at once
+    additional_props_allowed: bool = True
 
     def to_fragment(self) -> dict:
         """JSON-Schema-style fragment used in violation rows'
@@ -180,6 +184,8 @@ class ColumnSpec:
             frag["properties"] = {k: v.to_fragment() for k, v in self.properties.items()}
         if self.required_props:
             frag["required"] = list(self.required_props)
+        if not self.additional_props_allowed:
+            frag["additionalProperties"] = False
         return frag
 
 
@@ -558,6 +564,16 @@ def _(c, v, root):
     if not isinstance(v, dict):
         raise E.SchemaInvalidError(E.SCHEMA_INVALID, "properties must be an object")
     c.properties = {k: _subspec(s, root) for k, s in v.items()}
+
+
+@_kw("additionalProperties")
+def _(c, v, root):
+    # nested additionalProperties on a struct column sub-schema; only the
+    # boolean-false gate is meaningful columnar-side (a schema form would
+    # validate undeclared fields, which a fixed Arrow struct type can
+    # declare but the loader maps to properties anyway)
+    if v is False:
+        c.additional_props_allowed = False
 
 
 @_kw("examples")

@@ -604,3 +604,35 @@ def test_nested_struct_engine_oracle_parity():
     got = sorted(_errors(c, t))
     want = sorted((tuple(p), e) for r in rows for _d, p, e, _v in validate_row(s, r))
     assert got == want
+
+
+def test_nested_struct_additional_properties():
+    """Nested additionalProperties:false — undeclared struct fields are
+    no_extra_properties_allowed for every present row
+    (src/jesse_validator_draft4.erl:431-507)."""
+    from jesse_ray.oracle import validate_row
+
+    s = from_json_schema(
+        {"properties": {"meta": {
+            "type": "object",
+            "properties": {"lang": {"type": "string"}},
+            "additionalProperties": False,
+        }}},
+        key_column=None,
+    )
+    c = compile_spec(s)
+    t = pa.table({
+        "meta": pa.array(
+            [{"lang": "en", "rogue": 1}, None],
+            type=pa.struct([("lang", pa.string()), ("rogue", pa.int64())]),
+        )
+    })
+    errs = _errors(c, t)
+    assert errs == [(("meta",), E.NO_EXTRA_PROPERTIES_ALLOWED)]
+    # oracle parity
+    rows = [{"meta": {"lang": "en", "rogue": 1}}, {"meta": None}]
+    want = sorted((tuple(p), e) for r in rows for _d, p, e, _v in validate_row(s, r))
+    assert sorted(errs) == want
+    # declared-only struct passes
+    t2 = pa.table({"meta": pa.array([{"lang": "en"}], type=pa.struct([("lang", pa.string())]))})
+    assert _errors(c, t2) == []
