@@ -494,7 +494,10 @@ class CompiledSpec:
             ok &= ~np.full(n, _type_ok(cs.disallow, arr.type), dtype=bool)
         if is_list and cs.contains is not None:
             ok &= self._contains_mask(cs.contains, arr)
-        if pa.types.is_struct(arr.type) and (cs.properties or cs.required_props):
+        if pa.types.is_struct(arr.type) and (
+            cs.properties or cs.required_props or cs.pattern_props
+            or not cs.additional_props_allowed
+        ):
             ok &= self._struct_props_mask(cs, arr)
         return ok
 
@@ -524,9 +527,22 @@ class CompiledSpec:
         for prop in cs.required_props or []:
             _f, present = self._struct_field(arr, prop)
             ok &= present | ~_np_mask(pc.is_valid(arr), n)
+        for pat, sub in (cs.pattern_props or {}).items():
+            rx = re.compile(pat)
+            for f in arr.type:
+                if not rx.search(f.name):
+                    continue
+                fa, present = self._struct_field(arr, f.name)
+                if fa is None or not present.any():
+                    continue
+                ok &= ~present | self._spec_valid_mask(sub, fa)
         if not cs.additional_props_allowed:
             declared = set((cs.properties or {}).keys())
-            extra = [f.name for f in arr.type if f.name not in declared]
+            pats = [re.compile(p) for p in (cs.pattern_props or {})]
+            extra = [
+                f.name for f in arr.type
+                if f.name not in declared and not any(rx.search(f.name) for rx in pats)
+            ]
             if extra:
                 ok &= ~_np_mask(pc.is_valid(arr), n)
         return ok
@@ -1131,12 +1147,46 @@ class CompiledSpec:
 
             self._add(f"not:{col}", E.NOT_SCHEMA_VALID, [col], {"not": cs.not_.to_fragment()}, not_fn)
 
-        if cs.properties or cs.required_props:
+        if cs.properties or cs.required_props or cs.pattern_props or not cs.additional_props_allowed:
             # nested object properties on a STRUCT column: one emission
             # unit per (property, error atom), path gains the property
             # name — the reference's per-property descent
             # (src/jesse_validator_draft4.erl:380-400, path convention
             # src/jesse_error.erl:266-271)
+            def _pattern_prop_fn(tbl, col=col, cs=cs):
+                # pattern-matched struct fields validate their pattern's
+                # sub-schema; field set derived from the batch's struct
+                # TYPE (names are static per type)
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None or not pa.types.is_struct(arr.type):
+                    return np.array([], dtype=np.int64), [], None
+                out_idx, out_vals, out_paths, out_atoms = [], [], [], []
+                for pat, sub in (cs.pattern_props or {}).items():
+                    rx = re.compile(pat)
+                    for f in arr.type:
+                        if not rx.search(f.name):
+                            continue
+                        fa, fpresent = self._struct_field(arr, f.name)
+                        if fa is None:
+                            continue
+                        for atom, mask in self._spec_fail_atoms(sub, fa):
+                            idx = np.flatnonzero(present & fpresent & mask)
+                            if len(idx) == 0:
+                                continue
+                            out_idx.append(idx)
+                            out_vals.extend(self._values_json(fa, idx))
+                            out_paths.extend([[col, f.name]] * len(idx))
+                            out_atoms.extend([atom] * len(idx))
+                if not out_idx:
+                    return np.array([], dtype=np.int64), [], None
+                return np.concatenate(out_idx), out_vals, out_paths, out_atoms
+
+            if cs.pattern_props:
+                self._add_multi(
+                    f"patProps:{col}", [col],
+                    {"patternProperties": {k: v.to_fragment() for k, v in cs.pattern_props.items()}},
+                    _pattern_prop_fn,
+                )
             for prop, sub in (cs.properties or {}).items():
                 def prop_fn(tbl, col=col, prop=prop, sub=sub):
                     arr, present = self._col_ctx(tbl, col)
@@ -1173,7 +1223,11 @@ class CompiledSpec:
                     if arr is None or not pa.types.is_struct(arr.type):
                         return np.array([], dtype=np.int64), [], None
                     declared = set((cs.properties or {}).keys())
-                    extra = sorted(f.name for f in arr.type if f.name not in declared)
+                    pats = [re.compile(p) for p in (cs.pattern_props or {})]
+                    extra = sorted(
+                        f.name for f in arr.type
+                        if f.name not in declared and not any(rx.search(f.name) for rx in pats)
+                    )
                     if not extra:
                         return np.array([], dtype=np.int64), [], None
                     idx = np.flatnonzero(present)

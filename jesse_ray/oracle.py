@@ -136,7 +136,8 @@ def _spec_valid(cs: ColumnSpec, v: Any, dialect: str = "draft4") -> bool:
     if cs.contains is not None and isinstance(v, (list, tuple)):
         if not any(x is not None and _spec_valid(cs.contains, x, dialect) for x in v):
             return False
-    if isinstance(v, dict) and (cs.properties or cs.required_props):
+    if isinstance(v, dict) and (cs.properties or cs.required_props or cs.pattern_props
+                                or not cs.additional_props_allowed):
         for prop, sub in (cs.properties or {}).items():
             pv = v.get(prop)
             if pv is not None and not _spec_valid(sub, pv, dialect):
@@ -144,8 +145,17 @@ def _spec_valid(cs: ColumnSpec, v: Any, dialect: str = "draft4") -> bool:
         for prop in cs.required_props or []:
             if v.get(prop) is None:
                 return False
+        for pat, sub in (cs.pattern_props or {}).items():
+            rx = re.compile(pat)
+            for k, pv in v.items():
+                if pv is not None and rx.search(k) and not _spec_valid(sub, pv, dialect):
+                    return False
         if not cs.additional_props_allowed:
-            if any(k not in (cs.properties or {}) for k in v):
+            pats = [re.compile(p) for p in (cs.pattern_props or {})]
+            if any(
+                k not in (cs.properties or {}) and not any(rx.search(k) for rx in pats)
+                for k in v
+            ):
                 return False
     return True
 
@@ -253,7 +263,8 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
         if cs.contains is not None and isinstance(v, (list, tuple)):
             if not any(x is not None and _spec_valid(cs.contains, x, dialect) for x in v):
                 emit([col], E.DATA_INVALID, {"length": len(v)})
-        if isinstance(v, dict) and (cs.properties or cs.required_props):
+        if isinstance(v, dict) and (cs.properties or cs.required_props or cs.pattern_props
+                                    or not cs.additional_props_allowed):
             # nested object properties: per-property descent with the
             # same keyword atoms, path gains the property name
             # (src/jesse_validator_draft4.erl:380-400)
@@ -268,8 +279,21 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
             for prop in cs.required_props or []:
                 if v.get(prop) is None:
                     emit([col, prop], E.MISSING_REQUIRED_PROPERTY, None)
+            for pat, sub in (cs.pattern_props or {}).items():
+                rx = re.compile(pat)
+                for k, pv in v.items():
+                    if pv is None or not rx.search(k):
+                        continue
+                    nested = TableSpec(key_column=None)
+                    nested.columns[k] = sub
+                    for _d, p, e, val in validate_row(nested, {k: pv}):
+                        emit([col, *p], e, json.loads(val))
             if not cs.additional_props_allowed:
-                extra = sorted(k for k in v if k not in (cs.properties or {}))
+                pats = [re.compile(p) for p in (cs.pattern_props or {})]
+                extra = sorted(
+                    k for k in v
+                    if k not in (cs.properties or {}) and not any(rx.search(k) for rx in pats)
+                )
                 if extra:
                     emit([col], E.NO_EXTRA_PROPERTIES_ALLOWED, {"extraProperties": extra})
 

@@ -116,6 +116,11 @@ class ColumnSpec:
     # no_extra_properties_allowed (src/jesse_validator_draft4.erl:431-507);
     # static per Arrow struct type, so it fails every present row at once
     additional_props_allowed: bool = True
+    # nested patternProperties — struct fields whose NAME matches the
+    # regex validate the pattern's sub-schema; pattern-matched fields
+    # also count as declared for additionalProperties
+    # (src/jesse_validator_draft4.erl:405-426,431-507)
+    pattern_props: Optional[dict[str, "ColumnSpec"]] = None
 
     def to_fragment(self) -> dict:
         """JSON-Schema-style fragment used in violation rows'
@@ -186,6 +191,8 @@ class ColumnSpec:
             frag["required"] = list(self.required_props)
         if not self.additional_props_allowed:
             frag["additionalProperties"] = False
+        if self.pattern_props is not None:
+            frag["patternProperties"] = {k: v.to_fragment() for k, v in self.pattern_props.items()}
         return frag
 
 
@@ -564,6 +571,14 @@ def _(c, v, root):
     if not isinstance(v, dict):
         raise E.SchemaInvalidError(E.SCHEMA_INVALID, "properties must be an object")
     c.properties = {k: _subspec(s, root) for k, s in v.items()}
+
+
+@_kw("patternProperties")
+def _(c, v, root):
+    # nested patternProperties on a struct column sub-schema
+    if not isinstance(v, dict):
+        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "patternProperties must be an object")
+    c.pattern_props = {k: _subspec(s, root) for k, s in v.items()}
 
 
 @_kw("additionalProperties")

@@ -636,3 +636,38 @@ def test_nested_struct_additional_properties():
     # declared-only struct passes
     t2 = pa.table({"meta": pa.array([{"lang": "en"}], type=pa.struct([("lang", pa.string())]))})
     assert _errors(c, t2) == []
+
+
+def test_nested_struct_pattern_properties():
+    """Nested patternProperties: name-matched struct fields validate the
+    pattern's sub-schema and count as declared for
+    additionalProperties:false (src/jesse_validator_draft4.erl:405-507)."""
+    from jesse_ray.oracle import validate_row
+
+    s = from_json_schema(
+        {"properties": {"meta": {
+            "type": "object",
+            "properties": {"lang": {"type": "string"}},
+            "patternProperties": {"^x_": {"minimum": 0}},
+            "additionalProperties": False,
+        }}},
+        key_column=None,
+    )
+    c = compile_spec(s)
+    typ = pa.struct([("lang", pa.string()), ("x_score", pa.int64()), ("rogue", pa.int64())])
+    t = pa.table({"meta": pa.array(
+        [{"lang": "en", "x_score": 3, "rogue": None},
+         {"lang": "en", "x_score": -1, "rogue": None}], type=typ)})
+    errs = sorted(_errors(c, t))
+    # rogue is undeclared (x_score is pattern-declared) → every present
+    # row fails additionalProperties; row 1 also fails the pattern schema
+    assert errs == sorted([
+        (("meta",), E.NO_EXTRA_PROPERTIES_ALLOWED),
+        (("meta",), E.NO_EXTRA_PROPERTIES_ALLOWED),
+        (("meta", "x_score"), E.NOT_IN_RANGE),
+    ])
+    # oracle parity (dict rows carry all struct keys, as Arrow rows do)
+    rows = [{"meta": {"lang": "en", "x_score": 3, "rogue": None}},
+            {"meta": {"lang": "en", "x_score": -1, "rogue": None}}]
+    want = sorted((tuple(p), e) for r in rows for _d, p, e, _v in validate_row(s, r))
+    assert errs == want
