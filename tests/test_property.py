@@ -232,3 +232,53 @@ def test_engine_matches_oracle_round2_keywords(rows):
         for d, p, e, _val in validate_row(SPEC2, r):
             want.add((d, p, e))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# nested struct properties / patternProperties / required fuzz
+
+
+NESTED_SPEC = None
+NESTED_COMPILED = None
+
+
+def _nested():
+    global NESTED_SPEC, NESTED_COMPILED
+    if NESTED_SPEC is None:
+        from jesse_ray.spec import from_json_schema
+
+        NESTED_SPEC = from_json_schema(
+            {"properties": {"meta": {
+                "type": "object",
+                "properties": {"lang": {"type": "string", "pattern": "^[a-z]{2}$"},
+                               "score": {"minimum": 0, "maximum": 10}},
+                "patternProperties": {"^x_": {"type": "integer", "multipleOf": 2}},
+                "required": ["lang"],
+            }}},
+            key_column=None,
+        )
+        NESTED_COMPILED = compile_spec(NESTED_SPEC)
+    return NESTED_SPEC, NESTED_COMPILED
+
+
+_NESTED_TYP = pa.struct([("lang", pa.string()), ("score", pa.int64()), ("x_a", pa.int64())])
+
+nested_meta_st = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({
+        "lang": st.one_of(st.none(), st.sampled_from(["en", "EN", "e", "de", "xyz"])),
+        "score": st.one_of(st.none(), st.integers(min_value=-3, max_value=13)),
+        "x_a": st.one_of(st.none(), st.integers(min_value=-4, max_value=5)),
+    }),
+)
+
+
+@given(st.lists(nested_meta_st, min_size=1, max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_nested_struct_matches_oracle(vals):
+    spec, compiled = _nested()
+    t = pa.table({"meta": pa.array(vals, type=_NESTED_TYP)})
+    v = compiled.check_batch(t)
+    got = sorted((tuple(v["path"][i].as_py()), v["error"][i].as_py()) for i in range(v.num_rows))
+    want = sorted((p, e) for val in vals for _d, p, e, _x in validate_row(spec, {"meta": val}))
+    assert got == want
