@@ -537,22 +537,120 @@ class CompiledSpec:
                     continue
                 ok &= ~present | self._spec_valid_mask(sub, fa)
         if not cs.additional_props_allowed:
-            declared = set((cs.properties or {}).keys())
-            pats = [re.compile(p) for p in (cs.pattern_props or {})]
-            extra = [
-                f.name for f in arr.type
-                if f.name not in declared and not any(rx.search(f.name) for rx in pats)
-            ]
-            if extra:
-                ok &= ~_np_mask(pc.is_valid(arr), n)
+            ok &= ~self._struct_extra_props_mask(cs, arr)
         return ok
 
-    def _spec_fail_atoms(self, cs: ColumnSpec, arr: pa.Array) -> list[tuple[str, np.ndarray]]:
+    def _walk_struct(self, arr: pa.Array, gate: np.ndarray, cs: ColumnSpec,
+                     base_path: list[str], out) -> None:
+        """Recursive nested-object violation emission: appends
+        (idx_array, value_json, path, atom) entries to ``out`` for every
+        violation under a struct value array.  ``gate`` marks rows whose
+        value (and every ancestor) is present."""
+        targets: list[tuple[str, ColumnSpec]] = list((cs.properties or {}).items())
+        for pat, sub in (cs.pattern_props or {}).items():
+            rx = re.compile(pat)
+            targets.extend((f.name, sub) for f in arr.type if rx.search(f.name))
+        for name, sub in targets:
+            fa, fpresent = self._struct_field(arr, name)
+            if fa is None:
+                continue
+            g = gate & fpresent
+            if g.any():
+                self._emit_value_violations(fa, g, sub, base_path + [name], out)
+        for prop in cs.required_props or []:
+            _fa, fpresent = self._struct_field(arr, prop)
+            idx = np.flatnonzero(gate & ~fpresent)
+            if len(idx):
+                out[0].append(idx)
+                out[1].extend(["null"] * len(idx))
+                out[2].extend([base_path + [prop]] * len(idx))
+                out[3].extend([E.MISSING_REQUIRED_PROPERTY] * len(idx))
+        if not cs.additional_props_allowed:
+            bad = gate & self._struct_extra_props_mask(cs, arr)
+            idx = np.flatnonzero(bad)
+            if len(idx):
+                declared = set((cs.properties or {}).keys())
+                pats = [re.compile(p) for p in (cs.pattern_props or {})]
+                extra = sorted(
+                    f.name for f in arr.type
+                    if f.name not in declared and not any(rx.search(f.name) for rx in pats)
+                )
+                val = _json_val({"extraProperties": extra})
+                out[0].append(idx)
+                out[1].extend([val] * len(idx))
+                out[2].extend([base_path] * len(idx))
+                out[3].extend([E.NO_EXTRA_PROPERTIES_ALLOWED] * len(idx))
+
+    def _emit_value_violations(self, arr: pa.Array, gate: np.ndarray, cs: ColumnSpec,
+                               path: list[str], out) -> None:
+        """Violations of one (gated) value array against ``cs``, with
+        per-element descent into object-form items and recursion into
+        nested structs — items / struct-props are excluded from the
+        coarse fail-atom roll-up and handled here with full paths."""
+        for atom, mask in self._spec_fail_atoms(cs, arr, skip_items=True, skip_struct=True):
+            idx = np.flatnonzero(gate & mask)
+            if len(idx):
+                out[0].append(idx)
+                out[1].extend(self._values_json(arr, idx))
+                out[2].extend([path] * len(idx))
+                out[3].extend([atom] * len(idx))
+        is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+        if is_list and cs.items is not None:
+            flat, parent, item_idx, _cnt = _list_layout(arr)
+            if len(parent):
+                item_ok = self._spec_valid_mask(cs.items, flat)
+                item_ok |= ~_np_mask(pc.is_valid(flat), len(flat))
+                bad = np.flatnonzero(~item_ok)
+                bad = bad[gate[parent[bad]]]
+                if len(bad):
+                    atom = (
+                        E.NOT_IN_RANGE
+                        if (cs.items.minimum is not None or cs.items.maximum is not None)
+                        else E.NOT_SCHEMA_VALID
+                    )
+                    vals = flat.take(pa.array(bad, type=pa.int64())).to_pylist()
+                    out[0].append(parent[bad].astype(np.int64))
+                    out[1].extend([_json_val(v) for v in vals])
+                    out[2].extend([path + [str(int(item_idx[b]))] for b in bad])
+                    out[3].extend([atom] * len(bad))
+        if pa.types.is_struct(arr.type) and (
+            cs.properties or cs.required_props or cs.pattern_props
+            or not cs.additional_props_allowed
+        ):
+            self._walk_struct(arr, gate, cs, path, out)
+
+    def _struct_extra_props_mask(self, cs: ColumnSpec, arr: pa.Array) -> np.ndarray:
+        """True where a struct row CARRIES (non-null — null ≡ absent, the
+        engine's presence convention) a field not declared by properties
+        or matched by a patternProperties regex."""
+        n = len(arr)
+        declared = set((cs.properties or {}).keys())
+        pats = [re.compile(p) for p in (cs.pattern_props or {})]
+        parent = _np_mask(pc.is_valid(arr), n)
+        bad = np.zeros(n, dtype=bool)
+        for f in arr.type:
+            if f.name in declared or any(rx.search(f.name) for rx in pats):
+                continue
+            _fa, fpresent = self._struct_field(arr, f.name)
+            bad |= parent & fpresent
+        return bad
+
+    def _spec_fail_atoms(
+        self,
+        cs: ColumnSpec,
+        arr: pa.Array,
+        *,
+        skip_items: bool = False,
+        skip_struct: bool = False,
+    ) -> list[tuple[str, np.ndarray]]:
         """Per-keyword (error_atom, fail_mask) pairs for one sub-schema —
         the vectorized analogue of the child error lists jesse collects
         per anyOf attempt (src/jesse_validator_draft4.erl:1156-1179).
         Keyword order mirrors _spec_valid_mask; combinator children are
-        reported as their single combinator atom."""
+        reported as their single combinator atom.  ``skip_items`` /
+        ``skip_struct`` let the nested-struct walker handle those two
+        keyword families itself with full per-element / per-property
+        path descent instead of a coarse roll-up atom."""
         n = len(arr)
         out: list[tuple[str, np.ndarray]] = []
 
@@ -593,7 +691,7 @@ class CompiledSpec:
             dup_rows, _ = _unique_items_dups(arr)
             ok[dup_rows] = False
             add(E.NOT_UNIQUE, ok)
-        if is_list and cs.items is not None:
+        if is_list and cs.items is not None and not skip_items:
             flat, parent, _ii, _cnt = _list_layout(arr)
             ok = np.ones(n, dtype=bool)
             if len(parent):
@@ -642,6 +740,13 @@ class CompiledSpec:
             add(E.NOT_ALLOWED, ~np.full(n, _type_ok(cs.disallow, arr.type), dtype=bool))
         if is_list and cs.contains is not None:
             add(E.DATA_INVALID, self._contains_mask(cs.contains, arr))
+        if (
+            not skip_struct
+            and pa.types.is_struct(arr.type)
+            and (cs.properties or cs.required_props or cs.pattern_props
+                 or not cs.additional_props_allowed)
+        ):
+            add(E.NOT_SCHEMA_VALID, self._struct_props_mask(cs, arr))
         return out
 
     def _positional_bad_rows(self, cs: ColumnSpec, arr: pa.Array):
@@ -1148,109 +1253,23 @@ class CompiledSpec:
             self._add(f"not:{col}", E.NOT_SCHEMA_VALID, [col], {"not": cs.not_.to_fragment()}, not_fn)
 
         if cs.properties or cs.required_props or cs.pattern_props or not cs.additional_props_allowed:
-            # nested object properties on a STRUCT column: one emission
-            # unit per (property, error atom), path gains the property
-            # name — the reference's per-property descent
+            # nested object properties on a STRUCT column: ONE recursive
+            # emission unit per column — the walker descends into nested
+            # structs and list items with full path extension, mirroring
+            # the reference's per-property recursion
             # (src/jesse_validator_draft4.erl:380-400, path convention
             # src/jesse_error.erl:266-271)
-            def _pattern_prop_fn(tbl, col=col, cs=cs):
-                # pattern-matched struct fields validate their pattern's
-                # sub-schema; field set derived from the batch's struct
-                # TYPE (names are static per type)
+            def nested_fn(tbl, col=col, cs=cs):
                 arr, present = self._col_ctx(tbl, col)
                 if arr is None or not pa.types.is_struct(arr.type):
                     return np.array([], dtype=np.int64), [], None
-                out_idx, out_vals, out_paths, out_atoms = [], [], [], []
-                for pat, sub in (cs.pattern_props or {}).items():
-                    rx = re.compile(pat)
-                    for f in arr.type:
-                        if not rx.search(f.name):
-                            continue
-                        fa, fpresent = self._struct_field(arr, f.name)
-                        if fa is None:
-                            continue
-                        for atom, mask in self._spec_fail_atoms(sub, fa):
-                            idx = np.flatnonzero(present & fpresent & mask)
-                            if len(idx) == 0:
-                                continue
-                            out_idx.append(idx)
-                            out_vals.extend(self._values_json(fa, idx))
-                            out_paths.extend([[col, f.name]] * len(idx))
-                            out_atoms.extend([atom] * len(idx))
-                if not out_idx:
+                out = ([], [], [], [])
+                self._walk_struct(arr, present, cs, [col], out)
+                if not out[0]:
                     return np.array([], dtype=np.int64), [], None
-                return np.concatenate(out_idx), out_vals, out_paths, out_atoms
+                return np.concatenate(out[0]), out[1], out[2], out[3]
 
-            if cs.pattern_props:
-                self._add_multi(
-                    f"patProps:{col}", [col],
-                    {"patternProperties": {k: v.to_fragment() for k, v in cs.pattern_props.items()}},
-                    _pattern_prop_fn,
-                )
-            for prop, sub in (cs.properties or {}).items():
-                def prop_fn(tbl, col=col, prop=prop, sub=sub):
-                    arr, present = self._col_ctx(tbl, col)
-                    if arr is None or not pa.types.is_struct(arr.type):
-                        return np.array([], dtype=np.int64), [], None
-                    f, fpresent = self._struct_field(arr, prop)
-                    if f is None:
-                        return np.array([], dtype=np.int64), [], None
-                    fails = self._spec_fail_atoms(sub, f)
-                    if not fails:
-                        return np.array([], dtype=np.int64), [], None
-                    out_idx, out_vals, out_paths, out_atoms = [], [], [], []
-                    for atom, mask in fails:
-                        idx = np.flatnonzero(present & fpresent & mask)
-                        if len(idx) == 0:
-                            continue
-                        out_idx.append(idx)
-                        out_vals.extend(self._values_json(f, idx))
-                        out_paths.extend([[col, prop]] * len(idx))
-                        out_atoms.extend([atom] * len(idx))
-                    if not out_idx:
-                        return np.array([], dtype=np.int64), [], None
-                    # 4-tuple form: each nested keyword failure keeps its
-                    # own error atom (the _add_multi channel)
-                    return np.concatenate(out_idx), out_vals, out_paths, out_atoms
-
-                self._add_multi(
-                    f"props:{col}.{prop}", [col, prop],
-                    {"properties": {prop: sub.to_fragment()}}, prop_fn,
-                )
-            if not cs.additional_props_allowed:
-                def extra_props_fn(tbl, col=col, cs=cs):
-                    arr, present = self._col_ctx(tbl, col)
-                    if arr is None or not pa.types.is_struct(arr.type):
-                        return np.array([], dtype=np.int64), [], None
-                    declared = set((cs.properties or {}).keys())
-                    pats = [re.compile(p) for p in (cs.pattern_props or {})]
-                    extra = sorted(
-                        f.name for f in arr.type
-                        if f.name not in declared and not any(rx.search(f.name) for rx in pats)
-                    )
-                    if not extra:
-                        return np.array([], dtype=np.int64), [], None
-                    idx = np.flatnonzero(present)
-                    val = _json_val({"extraProperties": extra})
-                    return idx, [val] * len(idx), None
-
-                self._add(
-                    f"addProps:{col}", E.NO_EXTRA_PROPERTIES_ALLOWED,
-                    [col], {"additionalProperties": False}, extra_props_fn,
-                )
-            for prop in cs.required_props or []:
-                def req_prop_fn(tbl, col=col, prop=prop):
-                    arr, present = self._col_ctx(tbl, col)
-                    if arr is None or not pa.types.is_struct(arr.type):
-                        return np.array([], dtype=np.int64), [], None
-                    _f, fpresent = self._struct_field(arr, prop)
-                    idx = np.flatnonzero(present & ~fpresent)
-                    return idx, ["null"] * len(idx), None
-
-                self._add(
-                    f"reqProp:{col}.{prop}", E.MISSING_REQUIRED_PROPERTY,
-                    [col, prop], {"required": [prop]}, req_prop_fn,
-                )
+            self._add_multi(f"nested:{col}", [col], frag, nested_fn)
 
     def _build_consistency(self, rule: ConsistencyRule) -> None:
         name = rule.name or f"{rule.kind}:{rule.left}~{rule.right}"

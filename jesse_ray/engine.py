@@ -90,31 +90,51 @@ def filter_valid(
     drops rows failing the spec's broadcast-dimension membership rules
     (jesse's verdict covers every check; the flag is opt-in because the
     plain row filter needs no dimension load)."""
-    rules = None
+    rules_ref = None
     if include_referential and compiled.spec.referential:
         rules = [
             (r.column, _load_allowed_values(r), r.error_atom)
             for r in compiled.spec.referential
         ]
-        big = ray.is_initialized()
-        rules_ref = ray.put(rules) if big else rules
+        rules_ref = ray.put(rules) if ray.is_initialized() else rules
 
-    def keep(batch: pa.Table) -> pa.Table:
-        bad = compiled.invalid_row_mask(batch)
-        if rules is not None:
-            resolved = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) else rules_ref
-            for column, values, _atom in resolved:
-                if column not in batch.column_names:
-                    continue
-                arr = _combine(batch[column])
-                present = _np_mask(pc.is_valid(arr), len(arr))
-                ok = _np_mask(
-                    pc.is_in(arr, value_set=pa.array(sorted(values), type=arr.type)), len(arr)
-                )
-                bad |= present & ~ok
-        return batch.filter(pa.array(~bad))
+    class _Keep:
+        """Closure state: ONLY the compiled spec + the tiny rules ref
+        ride the serialized callable; the dimension values are fetched
+        from plasma once per worker and precompiled to Arrow value
+        sets (the ReferentialChecker discipline)."""
 
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+        def __init__(self, compiled, rules_ref):
+            self._compiled = compiled
+            self._rules_ref = rules_ref
+            self._sets = None  # resolved lazily per worker
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bad = self._compiled.invalid_row_mask(batch)
+            if self._rules_ref is not None:
+                if self._sets is None:
+                    resolved = (
+                        ray.get(self._rules_ref)
+                        if isinstance(self._rules_ref, ray.ObjectRef)
+                        else self._rules_ref
+                    )
+                    self._sets = [
+                        (column, pa.array(sorted(values), type=pa.string()))
+                        for column, values, _atom in resolved
+                    ]
+                for column, value_set in self._sets:
+                    if column not in batch.column_names:
+                        continue
+                    arr = _combine(batch[column])
+                    present = _np_mask(pc.is_valid(arr), len(arr))
+                    ok = _np_mask(pc.is_in(arr, value_set=value_set), len(arr))
+                    bad |= present & ~ok
+            return batch.filter(pa.array(~bad))
+
+    return ds.map_batches(
+        _Keep(compiled, rules_ref),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )
 
 
 # ---------------------------------------------------------------------------

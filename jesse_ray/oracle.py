@@ -153,8 +153,10 @@ def _spec_valid(cs: ColumnSpec, v: Any, dialect: str = "draft4") -> bool:
         if not cs.additional_props_allowed:
             pats = [re.compile(p) for p in (cs.pattern_props or {})]
             if any(
-                k not in (cs.properties or {}) and not any(rx.search(k) for rx in pats)
-                for k in v
+                kv is not None
+                and k not in (cs.properties or {})
+                and not any(rx.search(k) for rx in pats)
+                for k, kv in v.items()
             ):
                 return False
     return True
@@ -290,9 +292,12 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
                         emit([col, *p], e, json.loads(val))
             if not cs.additional_props_allowed:
                 pats = [re.compile(p) for p in (cs.pattern_props or {})]
+                # a None value is an ABSENT property (presence semantics)
                 extra = sorted(
-                    k for k in v
-                    if k not in (cs.properties or {}) and not any(rx.search(k) for rx in pats)
+                    k for k, kv in v.items()
+                    if kv is not None
+                    and k not in (cs.properties or {})
+                    and not any(rx.search(k) for rx in pats)
                 )
                 if extra:
                     emit([col], E.NO_EXTRA_PROPERTIES_ALLOWED, {"extraProperties": extra})

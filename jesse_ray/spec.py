@@ -643,19 +643,23 @@ def _resolve_ref(raw: dict, root: dict, depth: int = 0) -> dict:
     return _resolve_ref(target, root, depth + 1)
 
 
-def _inline_local_refs(node: Any, root: dict, depth: int = 0) -> Any:
+def _inline_local_refs(node: Any, root: dict, ref_depth: int = 0) -> Any:
     """Deep-inline every local ``$ref`` in ``node`` against ``root``
     (used when a remote document is spliced into another schema, whose
     handlers would otherwise resolve the remote's internal pointers
-    against the wrong root)."""
-    if depth > 32:
-        raise E.SchemaInvalidError(E.SCHEMA_INVALID, "$ref recursion too deep")
+    against the wrong root).  ``ref_depth`` counts only REF HOPS, not
+    structural nesting — a deep but ref-free subtree must not trip the
+    recursion guard; cyclic ref graphs still terminate because each
+    resolution bumps the hop count."""
     if isinstance(node, dict):
         if "$ref" in node and isinstance(node["$ref"], str) and node["$ref"].startswith("#"):
-            node = _resolve_ref(node, root, depth)
-        return {k: _inline_local_refs(v, root, depth + 1) for k, v in node.items()}
+            if ref_depth > 32:
+                raise E.SchemaInvalidError(E.SCHEMA_INVALID, "$ref recursion too deep")
+            node = _resolve_ref(node, root, ref_depth)
+            ref_depth += 1
+        return {k: _inline_local_refs(v, root, ref_depth) for k, v in node.items()}
     if isinstance(node, list):
-        return [_inline_local_refs(v, root, depth + 1) for v in node]
+        return [_inline_local_refs(v, root, ref_depth) for v in node]
     return node
 
 

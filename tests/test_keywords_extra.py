@@ -656,18 +656,59 @@ def test_nested_struct_pattern_properties():
     c = compile_spec(s)
     typ = pa.struct([("lang", pa.string()), ("x_score", pa.int64()), ("rogue", pa.int64())])
     t = pa.table({"meta": pa.array(
-        [{"lang": "en", "x_score": 3, "rogue": None},
+        [{"lang": "en", "x_score": 3, "rogue": 7},
          {"lang": "en", "x_score": -1, "rogue": None}], type=typ)})
     errs = sorted(_errors(c, t))
-    # rogue is undeclared (x_score is pattern-declared) → every present
-    # row fails additionalProperties; row 1 also fails the pattern schema
+    # rogue is undeclared (x_score is pattern-declared): row 0 CARRIES it
+    # (non-null) → additionalProperties fails; row 1's rogue is null ≡
+    # absent → only the pattern-schema minimum fires
     assert errs == sorted([
-        (("meta",), E.NO_EXTRA_PROPERTIES_ALLOWED),
         (("meta",), E.NO_EXTRA_PROPERTIES_ALLOWED),
         (("meta", "x_score"), E.NOT_IN_RANGE),
     ])
     # oracle parity (dict rows carry all struct keys, as Arrow rows do)
-    rows = [{"meta": {"lang": "en", "x_score": 3, "rogue": None}},
+    rows = [{"meta": {"lang": "en", "x_score": 3, "rogue": 7}},
             {"meta": {"lang": "en", "x_score": -1, "rogue": None}}]
+    want = sorted((tuple(p), e) for r in rows for _d, p, e, _v in validate_row(s, r))
+    assert errs == want
+
+
+def test_deeply_nested_struct_and_list_descent():
+    """Two-level struct nesting and list items inside nested properties
+    get FULL path descent and the right atoms (regression for the
+    coarse roll-up that missed depth-2 violations entirely)."""
+    from jesse_ray.oracle import validate_row
+
+    s = from_json_schema(
+        {"properties": {"meta": {
+            "type": "object",
+            "properties": {
+                "inner": {"type": "object",
+                          "properties": {"score": {"minimum": 0}}},
+                "tags": {"items": {"minimum": 0}},
+            },
+        }}},
+        key_column=None,
+    )
+    c = compile_spec(s)
+    typ = pa.struct([
+        ("inner", pa.struct([("score", pa.int64())])),
+        ("tags", pa.list_(pa.int64())),
+    ])
+    t = pa.table({"meta": pa.array(
+        [{"inner": {"score": -5}, "tags": [1, -2]},
+         {"inner": {"score": 3}, "tags": []},
+         {"inner": None, "tags": None}], type=typ)})
+    errs = sorted(_errors(c, t))
+    assert errs == sorted([
+        (("meta", "inner", "score"), E.NOT_IN_RANGE),
+        (("meta", "tags", "1"), E.NOT_IN_RANGE),
+    ])
+    # invalid_row_mask agrees (depth-2 violations fail the verdict)
+    assert c.invalid_row_mask(t).tolist() == [True, False, False]
+    # oracle parity
+    rows = [{"meta": {"inner": {"score": -5}, "tags": [1, -2]}},
+            {"meta": {"inner": {"score": 3}, "tags": []}},
+            {"meta": {"inner": None, "tags": None}}]
     want = sorted((tuple(p), e) for r in rows for _d, p, e, _v in validate_row(s, r))
     assert errs == want
