@@ -788,6 +788,66 @@ GROUP BY 1, 2
 """
 
 
+def q_events_nested_struct(sf_dir: str) -> pa.Table:
+    """Nested STRUCT validation through the engine: events packed into a
+    struct column {user_id, value}, validated against a nested object
+    schema (per-property descent: value ≤ 100, user_id ≥ 0, required
+    user_id).  Returns (event_id, path, error) rows."""
+    from jesse_ray.spec import from_json_schema
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        evt = pa.StructArray.from_arrays(
+            [_collect_arr(batch["user_id"]), _collect_arr(batch["value"])],
+            names=["user_id", "value"],
+        )
+        return pa.table({"event_id": batch["event_id"], "evt": evt})
+
+    spec = from_json_schema(
+        {
+            "properties": {"evt": {
+                "type": "object",
+                "properties": {"user_id": {"minimum": 0}, "value": {"maximum": 100}},
+                "required": ["user_id"],
+            }},
+        },
+        key_column="event_id",
+    )
+    packed = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    v = _collect(row_violations(packed, compile_spec(spec)))
+    if v is None or v.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], type=pa.int64()),
+             "path": pa.array([], type=pa.string()),
+             "error": pa.array([], type=pa.string())}
+        )
+    return pa.table(
+        {
+            "event_id": v["doc_id"].cast(pa.int64()),
+            "path": pa.array(["/".join(p) for p in v["path"].to_pylist()], type=pa.string()),
+            "error": v["error"],
+        }
+    ).sort_by([("event_id", "ascending"), ("path", "ascending")])
+
+
+def _collect_arr(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+SQL_EVENTS_NESTED_STRUCT = """
+SELECT event_id, 'evt/value' AS path, 'not_in_range' AS error
+FROM events WHERE value > 100
+UNION ALL
+SELECT event_id, 'evt/user_id', 'not_in_range' FROM events WHERE user_id < 0
+UNION ALL
+SELECT event_id, 'evt/user_id', 'missing_required_property' FROM events WHERE user_id IS NULL
+ORDER BY event_id, path
+"""
+
+
 def q_events_props_sum(sf_dir: str) -> pa.Table:
     """parser_fun analogue (src/jesse.erl:79): a pluggable decode stage
     ahead of the aggregation — here a VECTORIZED JSON-field extraction
@@ -1409,6 +1469,7 @@ def queries() -> dict[str, Callable]:
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
         "events_value_tiers": q_events_value_tiers,
+        "events_nested_struct": q_events_nested_struct,
         "events_props_sum": q_events_props_sum,
         "orders_by_segment": q_orders_by_segment,
         "orders_top10": q_orders_top10,
@@ -1458,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
+        "events_nested_struct": SQL_EVENTS_NESTED_STRUCT,
         "events_props_sum": SQL_EVENTS_PROPS_SUM,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "orders_top10": SQL_ORDERS_TOP10,
