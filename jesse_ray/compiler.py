@@ -566,20 +566,29 @@ class CompiledSpec:
                 out[2].extend([base_path + [prop]] * len(idx))
                 out[3].extend([E.MISSING_REQUIRED_PROPERTY] * len(idx))
         if not cs.additional_props_allowed:
-            bad = gate & self._struct_extra_props_mask(cs, arr)
-            idx = np.flatnonzero(bad)
-            if len(idx):
-                declared = set((cs.properties or {}).keys())
-                pats = [re.compile(p) for p in (cs.pattern_props or {})]
-                extra = sorted(
-                    f.name for f in arr.type
-                    if f.name not in declared and not any(rx.search(f.name) for rx in pats)
-                )
-                val = _json_val({"extraProperties": extra})
-                out[0].append(idx)
-                out[1].extend([val] * len(idx))
-                out[2].extend([base_path] * len(idx))
-                out[3].extend([E.NO_EXTRA_PROPERTIES_ALLOWED] * len(idx))
+            declared = set((cs.properties or {}).keys())
+            pats = [re.compile(p) for p in (cs.pattern_props or {})]
+            extra_fields = [
+                f.name for f in arr.type
+                if f.name not in declared and not any(rx.search(f.name) for rx in pats)
+            ]
+            if extra_fields:
+                masks = {
+                    name: self._struct_field(arr, name)[1] for name in extra_fields
+                }
+                bad = gate & self._struct_extra_props_mask(cs, arr)
+                idx = np.flatnonzero(bad)
+                if len(idx):
+                    out[0].append(idx)
+                    # per-row: only the extras the row actually CARRIES
+                    out[1].extend(
+                        _json_val({"extraProperties": sorted(
+                            name for name in extra_fields if masks[name][i]
+                        )})
+                        for i in idx
+                    )
+                    out[2].extend([base_path] * len(idx))
+                    out[3].extend([E.NO_EXTRA_PROPERTIES_ALLOWED] * len(idx))
 
     def _emit_value_violations(self, arr: pa.Array, gate: np.ndarray, cs: ColumnSpec,
                                path: list[str], out) -> None:

@@ -119,16 +119,13 @@ def filter_valid(
                         else self._rules_ref
                     )
                     self._sets = [
-                        (column, pa.array(sorted(values), type=pa.string()))
+                        (column, _rule_value_set(values))
                         for column, values, _atom in resolved
                     ]
                 for column, value_set in self._sets:
-                    if column not in batch.column_names:
-                        continue
-                    arr = _combine(batch[column])
-                    present = _np_mask(pc.is_valid(arr), len(arr))
-                    ok = _np_mask(pc.is_in(arr, value_set=value_set), len(arr))
-                    bad |= present & ~ok
+                    ref_bad = _membership_bad_mask(batch, column, value_set)
+                    if ref_bad is not None:
+                        bad |= ref_bad
             return batch.filter(pa.array(~bad))
 
     return ds.map_batches(
@@ -308,6 +305,28 @@ def _load_allowed_values(rule: ReferentialRule) -> frozenset:
     return frozenset(dim[rule.dim_column].to_pylist())
 
 
+def _rule_value_set(values) -> pa.Array:
+    """Compile an allowed-values set into the Arrow value_set used by
+    every referential membership check (fused validator, filter_valid).
+    Type is INFERRED so integer dimension keys stay integers; mixed or
+    unhashable sets fall back to their string forms."""
+    try:
+        return pa.array(sorted(values))
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        return pa.array(sorted(str(v) for v in values), type=pa.string())
+
+
+def _membership_bad_mask(batch: pa.Table, column: str, value_set: pa.Array) -> Optional[np.ndarray]:
+    """True where a PRESENT value is outside the dimension (anti-join
+    semantics); None when the column is absent from the batch."""
+    if column not in batch.column_names:
+        return None
+    arr = _combine(batch[column])
+    present = _np_mask(pc.is_valid(arr), len(arr))
+    ok = _np_mask(pc.is_in(arr, value_set=value_set), len(arr))
+    return present & ~ok
+
+
 class ReferentialChecker:
     """Actor-pool stage: membership of a column against a broadcast
     allowed-values dimension (semi/anti-join semantics; anti-join rows
@@ -326,20 +345,19 @@ class ReferentialChecker:
         # (column, pa.Array value_set, error_atom, fragment_json)
         self.compiled_rules = []
         for column, values, error_atom in rules:
-            vs = pa.array(sorted(values), type=pa.string())
-            frag = json.dumps({"enum": sorted(values)}, separators=(",", ":"))
+            vs = _rule_value_set(values)
+            frag = json.dumps({"enum": sorted(values)}, separators=(",", ":"), default=str)
             self.compiled_rules.append((column, vs, error_atom, frag))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_doc, out_path, out_err, out_val, out_frag = [], [], [], [], []
         key_arr = _combine(batch[self.key_column]) if self.key_column in batch.column_names else None
         for column, value_set, error_atom, frag in self.compiled_rules:
-            if column not in batch.column_names:
+            bad = _membership_bad_mask(batch, column, value_set)
+            if bad is None:
                 continue
             arr = _combine(batch[column])
-            present = _np_mask(pc.is_valid(arr), len(arr))
-            ok = _np_mask(pc.is_in(arr, value_set=value_set), len(arr))
-            idx = np.flatnonzero(present & ~ok)
+            idx = np.flatnonzero(bad)
             if len(idx) == 0:
                 continue
             vals = arr.take(pa.array(idx, type=pa.int64())).to_pylist()

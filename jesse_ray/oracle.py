@@ -274,7 +274,7 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
                 pv = v.get(prop)
                 if pv is None:
                     continue
-                nested = TableSpec(key_column=None)
+                nested = TableSpec(key_column=None, dialect=dialect)
                 nested.columns[prop] = sub
                 for _d, p, e, val in validate_row(nested, {prop: pv}):
                     emit([col, *p], e, json.loads(val))
@@ -286,7 +286,7 @@ def validate_row(spec: TableSpec, row: dict[str, Any]) -> list[tuple]:
                 for k, pv in v.items():
                     if pv is None or not rx.search(k):
                         continue
-                    nested = TableSpec(key_column=None)
+                    nested = TableSpec(key_column=None, dialect=dialect)
                     nested.columns[k] = sub
                     for _d, p, e, val in validate_row(nested, {k: pv}):
                         emit([col, *p], e, json.loads(val))

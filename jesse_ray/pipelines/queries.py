@@ -370,11 +370,12 @@ FROM (SELECT count(*) AS cnt FROM {SEQ_SQL} GROUP BY tokens HAVING count(*) > 1)
 
 
 def q_seq_curated(sf_dir: str) -> pd.DataFrame:
-    """Flagship curation pipeline end-to-end: rows passing every
-    row-level check, deduplicated to one row per distinct token payload
-    (keep smallest doc_id).  The SQL twin re-derives both counts AND a
-    checksum of the surviving doc_ids, so the validate→dedup composition
-    is verified exactly."""
+    """Flagship curation pipeline end-to-end: rows passing EVERY check
+    (row-level keywords AND the referential source dimension),
+    deduplicated to one row per distinct token payload (keep smallest
+    doc_id).  The SQL twin re-derives both counts AND a checksum of the
+    surviving doc_ids, so the validate→filter→dedup composition is
+    verified exactly."""
     from jesse_ray.pipelines.curate import curate_sequences
 
     ds = read_sequences(_seq_path(sf_dir))
@@ -799,10 +800,11 @@ def q_events_nested_struct(sf_dir: str) -> pa.Table:
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
+    from jesse_ray.compiler import _combine as _cc
+
     def pack(batch: pa.Table) -> pa.Table:
         evt = pa.StructArray.from_arrays(
-            [_collect_arr(batch["user_id"]), _collect_arr(batch["value"])],
-            names=["user_id", "value"],
+            [_cc(batch["user_id"]), _cc(batch["value"])], names=["user_id", "value"]
         )
         return pa.table({"event_id": batch["event_id"], "evt": evt})
 
@@ -831,10 +833,6 @@ def q_events_nested_struct(sf_dir: str) -> pa.Table:
             "error": v["error"],
         }
     ).sort_by([("event_id", "ascending"), ("path", "ascending")])
-
-
-def _collect_arr(col):
-    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
 SQL_EVENTS_NESTED_STRUCT = """
