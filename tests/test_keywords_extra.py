@@ -712,3 +712,50 @@ def test_deeply_nested_struct_and_list_descent():
             {"meta": {"inner": None, "tags": None}}]
     want = sorted((tuple(p), e) for r in rows for _d, p, e, _v in validate_row(s, r))
     assert errs == want
+
+
+def test_nested_dialect_propagates_to_oracle_and_engine():
+    """Draft-6 leniency must apply INSIDE nested structs on both sides
+    (regression: the oracle's nested descent dropped the dialect)."""
+    from jesse_ray.oracle import validate_row
+
+    s = from_json_schema(
+        {"$schema": "http://json-schema.org/draft-06/schema#",
+         "properties": {"meta": {
+             "type": "object",
+             "properties": {"score": {"type": "integer"}},
+         }}},
+        key_column=None,
+    )
+    c = compile_spec(s)
+    t = pa.table({"meta": pa.array(
+        [{"score": 1.0}, {"score": 1.5}],
+        type=pa.struct([("score", pa.float64())]))})
+    errs = _errors(c, t)
+    assert errs == [(("meta", "score"), E.WRONG_TYPE)]  # only 1.5
+    rows = [{"meta": {"score": 1.0}}, {"meta": {"score": 1.5}}]
+    want = [(tuple(p), e) for r in rows for _d, p, e, _v in validate_row(s, r)]
+    assert errs == want
+
+
+def test_nested_extra_props_per_row_record():
+    """no_extra_properties_allowed value_json lists only the extras the
+    ROW carries (regression: static type-level list)."""
+    import json as _json
+
+    s = from_json_schema(
+        {"properties": {"meta": {
+            "type": "object",
+            "properties": {"lang": {}},
+            "additionalProperties": False,
+        }}},
+        key_column=None,
+    )
+    c = compile_spec(s)
+    typ = pa.struct([("lang", pa.string()), ("r1", pa.int64()), ("r2", pa.int64())])
+    t = pa.table({"meta": pa.array(
+        [{"lang": "en", "r1": 5, "r2": None},
+         {"lang": "en", "r1": 1, "r2": 2}], type=typ)})
+    v = c.check_batch(t)
+    got = sorted(_json.loads(x)["extraProperties"] for x in v["value_json"].to_pylist())
+    assert got == [["r1"], ["r1", "r2"]]
