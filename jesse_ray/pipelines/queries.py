@@ -412,6 +412,32 @@ FROM kept
 """
 
 
+def q_seq_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash split (80/10/10 on doc_id): the assignment
+    parquet is written as a side input and the SQL twin re-derives the
+    per-split counts AND verifies the split is a PARTITION (every row in
+    exactly one split; counts sum to the corpus)."""
+    from jesse_ray.functions.split import add_hash_split
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id"])
+    out = add_hash_split(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    t = _collect(out)
+    pq.write_table(t.sort_by("doc_id"), _sig_parquet_path(sf_dir, "split"))
+    g = t.group_by("split").aggregate([([], "count_all")]).rename_columns(["split", "cnt"])
+    pdf = g.to_pandas().sort_values("split").reset_index(drop=True)
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    return pdf
+
+
+SQL_SEQ_HASH_SPLIT = f"""
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/split_sigs_sf0.01.parquet'))
+SELECT split, CAST(count(*) AS BIGINT) AS cnt FROM s
+GROUP BY split
+HAVING (SELECT count(*) FROM s) = (SELECT count(*) FROM {SEQ_SQL})
+ORDER BY split
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -1451,6 +1477,7 @@ def queries() -> dict[str, Callable]:
         "seq_top_docs_by_source": q_seq_top_docs_by_source,
         "seq_dedup_exact": q_seq_dedup_exact,
         "seq_curated": q_seq_curated,
+        "seq_hash_split": q_seq_hash_split,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
         "seq_val_dependency": q_seq_val_dependency,
@@ -1501,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_top_docs_by_source": SQL_SEQ_TOP_DOCS_BY_SOURCE,
         "seq_dedup_exact": SQL_SEQ_DEDUP_EXACT,
         "seq_curated": SQL_SEQ_CURATED,
+        "seq_hash_split": SQL_SEQ_HASH_SPLIT,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
         "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,

@@ -527,3 +527,26 @@ def test_range_join_left_preserves_int64(ray_session):
     assert out.schema.field("tier_id").type == pa.int64()
     assert out["tier_id"][0].as_py() == big
     assert out["tier_id"][1].as_py() is None
+
+
+def test_hash_split_deterministic_partition(ray_session):
+    from jesse_ray.functions.split import add_hash_split
+
+    tbl = pa.table({"doc_id": [f"d-{i:05d}" for i in range(20_000)]})
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = add_hash_split(ray.data.from_arrow(tbl), "doc_id", fracs).to_pandas()
+    b = add_hash_split(ray.data.from_arrow(tbl), "doc_id", fracs).to_pandas()
+    # deterministic: identical assignment across runs
+    assert a.sort_values("doc_id")["split"].tolist() == b.sort_values("doc_id")["split"].tolist()
+    # a partition: every row exactly one split, proportions near target
+    counts = a["split"].value_counts()
+    assert counts.sum() == len(tbl)
+    assert abs(counts["train"] / len(tbl) - 0.8) < 0.02
+    assert abs(counts["val"] / len(tbl) - 0.1) < 0.02
+    # a different salt derives an independent assignment
+    c = add_hash_split(ray.data.from_arrow(tbl), "doc_id", fracs, salt="v2").to_pandas()
+    same = (a.sort_values("doc_id")["split"].values == c.sort_values("doc_id")["split"].values).mean()
+    assert 0.5 < same < 0.8  # ~sum of squared fractions = 0.66
+
+    with pytest.raises(ValueError):
+        add_hash_split(ray.data.from_arrow(tbl), "doc_id", {"a": 0.5, "b": 0.4})
