@@ -181,3 +181,51 @@ def add_fingerprints(ds: Dataset, text_col: str = "text", *, window: int = 8, ba
         return batch.append_column("fingerprint", pa.array(out, type=pa.uint64()))
 
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# document frequency (vocabulary / IDF building block)
+
+
+def document_frequency_topk(
+    ds: Dataset,
+    *,
+    k: int = 20,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_parts: int = 64,
+    batch_size: int = 16384,
+) -> pa.Table:
+    """Top-k words by DOCUMENT frequency (number of documents containing
+    the word — the IDF denominator of TF-IDF).  Fully vectorized map
+    side: Arrow lowercase + RE2 ``\\W+`` split (DuckDB's regex engine is
+    also RE2, so the oracle twin tokenizes identically) → per-batch
+    distinct (doc, word) via ``group_by`` (exact globally because each
+    document's row lives in exactly one batch) → per-batch word counts.
+    The shuffle then carries (word, partial df) rows on a coarse
+    word-hash partition and the driver merges ≤ n_parts × k candidates
+    (relational.topk_from_partials)."""
+    from jesse_ray.pipelines.relational import _element_parts, topk_from_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(text, ""))
+        words = pc.split_pattern_regex(low, r"\W+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        nonempty = pc.greater(pc.utf8_length(flat), 0)
+        doc = _combine_col(batch[doc_col]).take(parent)
+        pairs = pa.table({"doc": doc, "elem": flat}).filter(nonempty)
+        distinct = pairs.group_by(["doc", "elem"]).aggregate([])
+        g = distinct.select(["elem"]).group_by("elem").aggregate([([], "count_all")])
+        g = g.rename_columns(["elem", "__pc"])
+        return g.append_column("__part", pa.array(_element_parts(g["elem"], n_parts)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return topk_from_partials(partials, k, elem_alias="word", count_alias="df")
+
+
+def _combine_col(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

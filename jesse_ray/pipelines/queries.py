@@ -780,6 +780,118 @@ FROM events ORDER BY event_id
 """
 
 
+SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+
+def q_events_sessions(sf_dir: str) -> pa.Table:
+    """Inactivity-gap sessionization (30 min): one row per (user,
+    session) with event count and duration — coarse-partitioned
+    sessionize operator vs a LAG + windowed-SUM SQL twin."""
+    from jesse_ray.pipelines.relational import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", gap_s=SESSION_GAP_S, order_cols=["event_id"])
+    t = _collect(out)
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "session_id": t["session_id"].cast(pa.int64()),
+            "n_events": t["n_events"].cast(pa.int64()),
+            "duration_us": t["duration_us"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS e,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+  FROM events
+), s AS (
+  SELECT user_id, e,
+         SUM(CASE WHEN pe IS NULL OR e - pe > {SESSION_GAP_S * 1_000_000} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(e) - min(e) AS BIGINT) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_seq_top_tokens(sf_dir: str) -> pa.Table:
+    """Exact corpus-wide top-20 token frequencies (heavy hitters) over
+    the tokenized sequences — two-phase combiner + coarse element-hash
+    shuffle; the driver merges only n_parts × k candidate rows."""
+    from jesse_ray.pipelines.relational import top_k_elements
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+    top = top_k_elements(ds, "tokens", k=20, elem_alias="token", count_alias="cnt")
+    return pa.table(
+        {
+            "token": top["token"].cast(pa.int64()),
+            "cnt": top["cnt"].cast(pa.int64()),
+        }
+    )
+
+
+SQL_SEQ_TOP_TOKENS = f"""
+SELECT CAST(t AS BIGINT) AS token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(tokens) AS t FROM {SEQ_SQL})
+GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20
+"""
+
+
+NTOK_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_seq_ntok_percentiles(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles of n_tok (quantile_disc parity) via the
+    bounded-cardinality two-phase value-count operator."""
+    from jesse_ray.pipelines.relational import exact_discrete_quantiles
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["n_tok"])
+    vals = exact_discrete_quantiles(ds, "n_tok", NTOK_QS)
+    return pa.table(
+        {
+            "q": pa.array(NTOK_QS, type=pa.float64()),
+            "n_tok_q": pa.array([int(v) for v in vals], type=pa.int64()),
+        }
+    )
+
+
+SQL_SEQ_NTOK_PERCENTILES = f"""
+WITH v AS (
+  SELECT quantile_disc(n_tok, [{", ".join(str(q) for q in NTOK_QS)}]) AS a FROM {SEQ_SQL}
+)
+SELECT unnest([{", ".join(str(q) for q in NTOK_QS)}]) AS q,
+       CAST(unnest(a) AS BIGINT) AS n_tok_q
+FROM v
+"""
+
+
+def q_doc_df_topk(sf_dir: str) -> pa.Table:
+    """Top-20 words by DOCUMENT frequency (the IDF denominator):
+    vectorized RE2 tokenization + per-batch distinct-(doc, word) +
+    coarse word-hash shuffle; DuckDB twin tokenizes with the same RE2
+    regex engine."""
+    from jesse_ray.functions.text import document_frequency_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    top = document_frequency_topk(ds, k=20)
+    return pa.table({"word": top["word"], "df": top["df"].cast(pa.int64())})
+
+
+SQL_DOC_DF_TOPK = r"""
+SELECT word, CAST(count(*) AS BIGINT) AS df FROM (
+  SELECT DISTINCT doc_id, w AS word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) AS w FROM documents
+  ) WHERE w <> ''
+) GROUP BY 1 ORDER BY df DESC, word ASC LIMIT 20
+"""
+
+
 VALUE_TIERS = [(0.0, 10.0, "low"), (10.0, 50.0, "mid"), (50.0, 1e9, "high")]
 
 
@@ -1493,6 +1605,10 @@ def queries() -> dict[str, Callable]:
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
+        "events_sessions": q_events_sessions,
+        "seq_top_tokens": q_seq_top_tokens,
+        "seq_ntok_percentiles": q_seq_ntok_percentiles,
+        "doc_df_topk": q_doc_df_topk,
         "events_value_tiers": q_events_value_tiers,
         "events_nested_struct": q_events_nested_struct,
         "events_props_sum": q_events_props_sum,
@@ -1544,6 +1660,10 @@ def oracle_sql() -> dict[str, str]:
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
+        "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,
+        "doc_df_topk": SQL_DOC_DF_TOPK,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_nested_struct": SQL_EVENTS_NESTED_STRUCT,
         "events_props_sum": SQL_EVENTS_PROPS_SUM,

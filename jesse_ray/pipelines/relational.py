@@ -457,3 +457,196 @@ def grouped_topn(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     return partials.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# sessionization / heavy hitters / exact quantiles
+
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def sessionize(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    *,
+    gap_s: float,
+    order_cols: Sequence[str] = (),
+    n_parts: int = 64,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Inactivity-gap sessionization: events of one ``key`` sorted by
+    event time belong to the same session until a gap larger than
+    ``gap_s`` seconds; returns ONE ROW PER SESSION —
+    ``(key, session_id [1-based per key], n_events, duration_us)``.
+
+    The canonical training-data / clickstream operator (SQL shape:
+    LAG + windowed SUM of boundary flags, then GROUP BY session).  Ray
+    Data has no ordered windows; scale discipline mirrors grouped_lag:
+    shuffle on a COARSE hash of the key (≤``n_parts`` groups — per-key
+    groups would pay Ray's per-group overhead O(entities) times), then
+    one vectorized sort + boundary scan per part handles all of its
+    keys; session aggregation completes inside the part because every
+    event of a key lands in the same part.  Gap arithmetic is integer
+    microseconds (epoch_us parity with the DuckDB twin — no float
+    epoch rounding).
+    """
+    gap_us = int(round(gap_s * 1_000_000))
+    order_cols = list(order_cols)
+
+    from jesse_ray.hashutil import hash_partition_pandas
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, [key], n_parts)
+
+    def sessions_many(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, *order_cols], kind="mergesort")
+        e = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys_np = g[key].to_numpy()
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = e[1:] - e[:-1]
+        new_sess = new_key | (gap > gap_us)
+        sid = np.cumsum(new_sess)  # global (within part) session counter
+        # per-key 1-based session index: subtract the counter value at
+        # the key's first session (propagated by a running maximum)
+        base = np.maximum.accumulate(np.where(new_key, sid, 0))
+        session_id = sid - base + 1
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        return pd.DataFrame(
+            {
+                key: keys_np[starts],
+                "session_id": session_id[starts].astype(np.int64),
+                "n_events": (ends - starts + 1).astype(np.int64),
+                "duration_us": (e[ends] - e[starts]).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pandas", batch_size=batch_size)
+        .groupby("__part")
+        .map_groups(sessions_many, batch_format="pandas")
+    )
+
+
+def _element_parts(arr: pa.Array, n_parts: int) -> np.ndarray:
+    """Coarse hash partition of scalar elements (ints: multiply-shift,
+    strings: FNV over the utf8 buffers) — mask, never the div unit."""
+    mask = np.uint64(n_parts - 1)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (v * _GOLDEN) >> np.uint64(33)
+        return (h & mask).astype(np.int32)
+    from jesse_ray.hashutil import hash64_strings
+
+    return (hash64_strings(arr) & mask).astype(np.int32)
+
+
+def topk_from_partials(
+    partials: Dataset,
+    k: int,
+    *,
+    elem_alias: str = "elem",
+    count_alias: str = "cnt",
+) -> pa.Table:
+    """Finish an exact top-k from a partial-counts Dataset with columns
+    ``(elem, __pc, __part)``: per-part merge + per-part top-k (every
+    element lives wholly in one part, so its merged count is its exact
+    global count, and a global top-k element is necessarily in its
+    part's top-k), then a driver merge of the ≤ n_parts × k candidate
+    rows.  Ties break ascending on the element — deterministic."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("elem", sort=False)["__pc"].sum().reset_index()
+        m = m.sort_values(["__pc", "elem"], ascending=[False, True], kind="mergesort").head(k)
+        return m
+
+    per_part = partials.groupby("__part").map_groups(merge, batch_format="pandas")
+    batches = list(per_part.iter_batches(batch_format="pyarrow"))
+    cand = pa.concat_tables(batches) if batches else pa.table({"elem": [], "__pc": []})
+    top = cand.sort_by([("__pc", "descending"), ("elem", "ascending")]).slice(0, k)
+    return top.rename_columns([elem_alias, count_alias])
+
+
+def top_k_elements(
+    ds: Dataset,
+    list_col: str,
+    *,
+    k: int = 20,
+    n_parts: int = 64,
+    elem_alias: str = "elem",
+    count_alias: str = "cnt",
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Exact corpus-wide top-k most frequent list elements (heavy
+    hitters — token-frequency / vocabulary work over a tokenized
+    corpus).  Map side: Arrow ``list_flatten`` + per-batch value counts
+    (the combiner), so the shuffle carries (element, partial count)
+    rows, not raw elements; shuffle on a coarse element-hash partition
+    (≤``n_parts`` groups); driver sees only n_parts × k candidates.
+    """
+    assert n_parts & (n_parts - 1) == 0, "n_parts must be a power of two"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).drop_null()
+        g = pa.table({"elem": flat}).group_by("elem").aggregate([([], "count_all")])
+        g = g.rename_columns(["elem", "__pc"])
+        return g.append_column("__part", pa.array(_element_parts(g["elem"], n_parts)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return topk_from_partials(partials, k, elem_alias=elem_alias, count_alias=count_alias)
+
+
+def exact_discrete_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: Sequence[float],
+    *,
+    batch_size: int = 65536,
+) -> list:
+    """Exact discrete quantiles (DuckDB ``quantile_disc`` parity:
+    ``sorted[max(ceil(q*n) - 1, 0)]``) over a BOUNDED-CARDINALITY
+    column: two-phase value counts — per-batch Arrow ``group_by``
+    combiner, so the driver merges ≤ n_distinct × n_blocks partial
+    rows, never the corpus.  For unbounded/continuous columns use the
+    t-digest sketch (jesse_ray.sketches) instead — this operator is the
+    EXACT path for columns like token counts with a known small domain.
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([col]).group_by(col).aggregate([([], "count_all")])
+        return g.rename_columns([col, "__pc"])
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+        .iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return [None for _ in qs]
+    t = pa.concat_tables(parts)
+    merged = t.group_by(col).aggregate([("__pc", "sum")])
+    vals = merged[col].to_numpy(zero_copy_only=False)
+    cnts = merged["__pc_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        idx = max(math.ceil(q * n) - 1, 0)
+        pos = int(np.searchsorted(cum, idx + 1))
+        out.append(vals[pos].item())
+    return out

@@ -550,3 +550,79 @@ def test_hash_split_deterministic_partition(ray_session):
 
     with pytest.raises(ValueError):
         add_hash_split(ray.data.from_arrow(tbl), "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Sessions split on inactivity gaps strictly greater than gap_s;
+    session ids are 1-based per key; duration is last-first in us."""
+    from jesse_ray.pipelines.relational import sessionize
+
+    def ts(sec):
+        return pa.scalar(sec * 1_000_000, type=pa.timestamp("us"))
+
+    tbl = pa.table(
+        {
+            "user": [1, 1, 1, 1, 2, 2],
+            "ts": pa.array(
+                [0, 10_000_000, 3_610_000_000, 3_620_000_000, 5_000_000, 1_800_000_000 + 5_000_000],
+                type=pa.timestamp("us"),
+            ),
+            "event_id": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    out = (
+        sessionize(ray.data.from_arrow(tbl), "user", "ts", gap_s=1800, order_cols=["event_id"])
+        .to_pandas()
+        .sort_values(["user", "session_id"])
+        .reset_index(drop=True)
+    )
+    got = {(int(r.user), int(r.session_id)): (int(r.n_events), int(r.duration_us)) for r in out.itertuples()}
+    # user 1: events at 0s,10s (one session), then 3610s,3620s (next session)
+    assert got[(1, 1)] == (2, 10_000_000)
+    assert got[(1, 2)] == (2, 10_000_000)
+    # user 2: gap is EXACTLY 1800s -> same session (strictly-greater splits)
+    assert got[(2, 1)] == (2, 1_800_000_000)
+    assert len(got) == 3
+
+
+def test_top_k_elements_exact(ray_session):
+    from jesse_ray.pipelines.relational import top_k_elements
+
+    rows = [[1, 2, 2], [2, 3], [3, 3, 4]] * 50 + [[9]]
+    tbl = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int64()))})
+    top = top_k_elements(ray.data.from_arrow(tbl), "tokens", k=3, elem_alias="token", count_alias="cnt")
+    assert top.column_names == ["token", "cnt"]
+    assert top["token"].to_pylist() == [2, 3, 1]   # 150, 150 (tie -> asc token), 50
+    assert top["cnt"].to_pylist() == [150, 150, 50]
+
+
+def test_exact_discrete_quantiles_matches_duckdb(ray_session):
+    import duckdb
+
+    from jesse_ray.pipelines.relational import exact_discrete_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 200, size=10_000)
+    tbl = pa.table({"n": pa.array(vals, type=pa.int64())})
+    qs = [0.1, 0.25, 0.5, 0.9, 0.999]
+    got = exact_discrete_quantiles(ray.data.from_arrow(tbl), "n", qs)
+    want = duckdb.sql(
+        f"SELECT quantile_disc(n, [{', '.join(map(str, qs))}]) FROM tbl"
+    ).fetchone()[0]
+    assert got == list(want)
+
+
+def test_document_frequency_topk(ray_session):
+    from jesse_ray.functions.text import document_frequency_topk
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            # 'the' appears in all 3 docs (twice in a -> df counts docs, not terms)
+            "text": ["The the cat", "the dog", "THE cat runs"],
+        }
+    )
+    top = document_frequency_topk(ray.data.from_arrow(tbl), k=2)
+    assert top.column_names == ["word", "df"]
+    assert top["word"].to_pylist() == ["the", "cat"]
+    assert top["df"].to_pylist() == [3, 2]
