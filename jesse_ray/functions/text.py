@@ -184,6 +184,102 @@ def add_fingerprints(ds: Dataset, text_col: str = "text", *, window: int = 8, ba
 
 
 # ---------------------------------------------------------------------------
+# repetition stats (Gopher-style quality rules, Rae et al. 2021: documents
+# dominated by a single repeated word/n-gram are low-quality)
+
+
+def add_repetition_stats(ds: Dataset, text_col: str = "text", *, batch_size: int = 4096) -> Dataset:
+    """Per-document repetition features as INTEGERS (exact, no float
+    discipline needed): ``top_word_cnt`` (occurrences of the most
+    frequent word), ``n_words`` (total), ``n_distinct_words``.
+
+    The Gopher-style gate "most frequent word covers ≥ X% of the doc"
+    is then the integer predicate ``100*top_word_cnt >= X*n_words``.
+
+    Vectorized: one space-split per batch (matching DuckDB
+    ``string_split(text, ' ')`` for the oracle twin), per-(doc, word)
+    counts via Arrow's C++ ``Table.group_by``, then numpy segment max /
+    bincount — no per-row Python."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        pairs = pa.table({"p": pa.array(parent, type=pa.int64()), "w": flat})
+        cnt = pairs.group_by(["p", "w"]).aggregate([([], "count_all")])
+        p = cnt["p"].to_numpy(zero_copy_only=False)
+        c = cnt["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top, p, c)
+        n_distinct = np.bincount(p, minlength=n).astype(np.int64)
+        return (
+            batch.append_column("top_word_cnt", pa.array(top, type=pa.int64()))
+            .append_column("n_words", pa.array(n_words, type=pa.int64()))
+            .append_column("n_distinct_words", pa.array(n_distinct, type=pa.int64()))
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# scrubbing / redaction (PII patterns + term blocklists)
+
+#: default PII bank — public, conventional patterns (email / ipv4 /
+#: NANP-style phone).  All RE2-compatible so Arrow and the DuckDB twin
+#: (also RE2) match byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "[PHONE]"),
+]
+
+
+class Scrubber:
+    """Actor-pool redaction stage: a bank of (name, RE2 pattern,
+    replacement) rules applied in order to the text column; per-rule hit
+    counts appended as ``scrub_<name>`` int64 columns and the redacted
+    text as ``<text_col>_scrubbed``.
+
+    Patterns are validated/held once per actor in ``__init__``; per
+    batch the work is two RE2 kernels per rule
+    (``count_substring_regex`` + ``replace_substring_regex``) — no
+    Python row loop.  For a word blocklist pass
+    ``[("block", r"\\b(bad1|bad2)\\b", "[X]")]``."""
+
+    def __init__(self, patterns: list[tuple[str, str, str]] | None = None, text_col: str = "text"):
+        self.patterns = list(patterns) if patterns is not None else list(PII_PATTERNS)
+        self.text_col = text_col
+        for _name, pat, _repl in self.patterns:  # fail fast at actor start
+            re.compile(pat)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch[self.text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        out = txt
+        for name, pat, repl in self.patterns:
+            hits = pc.count_substring_regex(out, pat).cast(pa.int64())
+            out = pc.replace_substring_regex(out, pat, repl)
+            batch = batch.append_column(f"scrub_{name}", hits)
+        return batch.append_column(f"{self.text_col}_scrubbed", out)
+
+    @staticmethod
+    def apply(ds: Dataset, patterns: list[tuple[str, str, str]] | None = None, *,
+              text_col: str = "text", concurrency: int = 4, batch_size: int = 2048) -> Dataset:
+        return ds.map_batches(
+            Scrubber, fn_constructor_args=(patterns, text_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size, concurrency=concurrency,
+        )
+
+
+# ---------------------------------------------------------------------------
 # document frequency (vocabulary / IDF building block)
 
 

@@ -892,6 +892,135 @@ SELECT word, CAST(count(*) AS BIGINT) AS df FROM (
 """
 
 
+def q_doc_decontam(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: documents sharing any 3-gram with the
+    deterministic pseudo-benchmark (docs with doc_id % 17 == 3; their
+    first 3 words are the probe set).  Broadcast hashed-probe membership
+    scan — no shuffle; the twin recomputes the word-boundary n-gram
+    overlap exactly in SQL."""
+    from jesse_ray.functions.decontam import flag_contaminated, probe_hashes
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    mask = pa.array((bench["doc_id"].to_numpy() % 17) == 3)
+    probes_txt = [
+        " ".join((t or "").split(" ")[:3]) for t in bench.filter(mask)["text"].to_pylist()
+    ]
+    probes = probe_hashes(probes_txt, n_words=3)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    flagged = flag_contaminated(ds, probes, n_words=3)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(
+                pc.greater(batch["n_probes"], 0),
+                pa.array((batch["doc_id"].to_numpy() % 17) != 3),
+            )
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_probes": t["n_probes"]})
+
+    return _collect(flagged.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_DECONTAM = """
+WITH bench AS (
+  SELECT DISTINCT array_to_string((string_split(text,' '))[1:3],' ') AS probe
+  FROM documents WHERE doc_id % 17 = 3
+),
+w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE doc_id % 17 != 3),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+2],' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w)
+)
+SELECT doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_probes
+FROM grams g JOIN bench b ON g.gram = b.probe
+GROUP BY doc_id
+"""
+
+
+REPETITION_PCT = 12  # Gopher-style gate: top word covers >= 12% of the doc
+
+
+def q_doc_repetition(sf_dir: str) -> pa.Table:
+    """Repetition quality gate (Gopher rule): documents whose most
+    frequent word covers >= 12% of all words.  Integer columns only —
+    the fraction threshold is the exact integer predicate
+    100*top_cnt >= 12*n_words."""
+    from jesse_ray.functions.text import add_repetition_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rep = add_repetition_stats(ds)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply(batch["top_word_cnt"], 100),
+            pc.multiply(batch["n_words"], REPETITION_PCT),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "top_word_cnt": t["top_word_cnt"],
+                "n_words": t["n_words"],
+                "n_distinct_words": t["n_distinct_words"],
+            }
+        )
+
+    return _collect(rep.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_REPETITION = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS nd
+        FROM c GROUP BY 1)
+SELECT doc_id, CAST(mx AS BIGINT) AS top_word_cnt, n AS n_words,
+       CAST(nd AS BIGINT) AS n_distinct_words
+FROM agg WHERE 100 * mx >= {REPETITION_PCT} * n
+"""
+
+
+SCRUB_BLOCKLIST = r"\b(spark|merge|sort)\b"
+
+
+def q_doc_scrub(sf_dir: str) -> pa.Table:
+    """Redaction stage over a term blocklist (the PII-scrub machinery
+    with a blocklist bank — the corpus has no synthetic PII, so the
+    demo bank is three vocabulary words): per-source documents changed
+    + total redactions; RE2 on both sides so counts match exactly."""
+    from jesse_ray.functions.text import Scrubber
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    scrubbed = Scrubber.apply(ds, [("block", SCRUB_BLOCKLIST, "[X]")], concurrency=2)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        hits = batch["scrub_block"]
+        return pa.table(
+            {
+                "source": batch["source"],
+                "hits": hits,
+                "changed": pc.cast(pc.greater(hits, 0), pa.int64()),
+            }
+        )
+
+    per = scrubbed.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)
+    g = grouped_agg(per, ["source"], sums=["hits", "changed"], count_alias=None)
+    pdf = g.to_pandas().sort_values("source").reset_index(drop=True)
+    pdf = pdf.rename(columns={"sum_hits": "total_hits", "sum_changed": "docs_changed"})
+    pdf["total_hits"] = pdf["total_hits"].astype("int64")
+    pdf["docs_changed"] = pdf["docs_changed"].astype("int64")
+    return pdf[["source", "total_hits", "docs_changed"]]
+
+
+SQL_DOC_SCRUB = rf"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '{SCRUB_BLOCKLIST}'))) AS BIGINT) AS total_hits,
+       CAST(sum(CASE WHEN regexp_matches(text, '{SCRUB_BLOCKLIST}') THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed
+FROM documents GROUP BY source
+"""
+
+
 VALUE_TIERS = [(0.0, 10.0, "low"), (10.0, 50.0, "mid"), (50.0, 1e9, "high")]
 
 
@@ -1609,6 +1738,9 @@ def queries() -> dict[str, Callable]:
         "seq_top_tokens": q_seq_top_tokens,
         "seq_ntok_percentiles": q_seq_ntok_percentiles,
         "doc_df_topk": q_doc_df_topk,
+        "doc_decontam": q_doc_decontam,
+        "doc_repetition": q_doc_repetition,
+        "doc_scrub": q_doc_scrub,
         "events_value_tiers": q_events_value_tiers,
         "events_nested_struct": q_events_nested_struct,
         "events_props_sum": q_events_props_sum,
@@ -1664,6 +1796,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,
         "doc_df_topk": SQL_DOC_DF_TOPK,
+        "doc_decontam": SQL_DOC_DECONTAM,
+        "doc_repetition": SQL_DOC_REPETITION,
+        "doc_scrub": SQL_DOC_SCRUB,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_nested_struct": SQL_EVENTS_NESTED_STRUCT,
         "events_props_sum": SQL_EVENTS_PROPS_SUM,
