@@ -15,7 +15,22 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from jesse_ray.compiler import _combine
-from jesse_ray.hashutil import hash64_strings
+from jesse_ray.hashutil import fmix64, hash64_strings
+
+
+def _key_hash(batch: pa.Table, key: str, salt: str) -> np.ndarray:
+    """fmix64-finalized hash of the (salted) string key column — the
+    shared uniform-fraction generator for splits and sampling.  FNV-1a's
+    high bits avalanche poorly on short sequential keys (measured 84.75%
+    in a nominal 80% split of 20k "d-NNNNN" ids); fmix64 restores
+    uniformity."""
+    arr = _combine(batch[key])
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())
+    arr = pc.fill_null(arr, "")
+    if salt:
+        arr = pc.binary_join_element_wise(pa.array([salt] * len(arr)), arr, "")
+    return fmix64(hash64_strings(arr))
 
 
 def add_hash_split(
@@ -39,26 +54,51 @@ def add_hash_split(
     thresholds = (bounds * float(2**64)).astype(np.float64)
 
     def assign(batch: pa.Table) -> pa.Table:
-        arr = _combine(batch[key])
-        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
-            arr = pc.cast(arr, pa.string())
-        arr = pc.fill_null(arr, "")
-        if salt:
-            arr = pc.binary_join_element_wise(pa.array([salt] * len(arr)), arr, "")
-        h = hash64_strings(arr)
-        # murmur-style finalizer: FNV-1a's high bits avalanche poorly on
-        # short sequential keys (measured 84.75% in a nominal 80% split
-        # of 20k "d-NNNNN" ids); fmix64 restores uniformity
-        with np.errstate(over="ignore"):
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xFF51AFD7ED558CCD)
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xC4CEB9FE1A85EC53)
-            h ^= h >> np.uint64(33)
-        h = h.astype(np.float64)
+        h = _key_hash(batch, key, salt).astype(np.float64)
         idx = np.searchsorted(thresholds, h, side="right")
         idx = np.clip(idx, 0, len(names) - 1)
         split = pa.array(np.asarray(names, dtype=object)[idx], type=pa.string())
         return batch.append_column(out_col, split)
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def stratified_hash_sample(
+    ds: Dataset,
+    key: str,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "source",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic per-stratum downsampling: keep a row iff
+    hash(salt+key)/2^64 < rate(stratum).  The standard corpus-mixing
+    move (up-/down-weight sources into a training mix) as one
+    shuffle-free vectorized filter; deterministic across runs and
+    repartitionings, and a row's fate is independent of the stratum of
+    OTHER rows (append-safe).  Strata absent from ``rates`` use
+    ``default_rate``; change ``salt`` for an independent draw (and note
+    ``salt="sample"`` differs from the split stage's default ``""``, so
+    sampling is independent of split assignment by default)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    names = sorted(rates)
+    thresholds = np.array(
+        [rates[n] * float(2**64) for n in names] + [default_rate * float(2**64)],
+        dtype=np.float64,
+    )
+    names_arr = pa.array(names, type=pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, key, salt).astype(np.float64)
+        strata = _combine(batch[strata_col])
+        if not (pa.types.is_string(strata.type) or pa.types.is_large_string(strata.type)):
+            strata = pc.cast(strata, pa.string())
+        idx = pc.fill_null(pc.index_in(strata, value_set=names_arr), len(names))
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(h < thresholds[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

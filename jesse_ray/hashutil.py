@@ -53,6 +53,20 @@ def hash64_strings_multi(
     return outs
 
 
+def fmix64(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3's 64-bit finalizer (public domain, Appleby): full
+    avalanche for weakly-mixed inputs (FNV high bits, sequential ints).
+    Vectorized, wraparound multiply."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def hash_partition_pandas(df, cols: list[str], n_parts: int = 64, out_col: str = "__part"):
     """Append a coarse hash-partition column (power-of-two ``n_parts``,
     masked — never the division unit) — the shared prologue of every

@@ -438,6 +438,120 @@ ORDER BY split
 """
 
 
+SAMPLE_RATES = {"web": 0.2, "books": 0.5, "code": 0.25, "wiki": 1.0, "forums": 0.0}
+
+
+def q_seq_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-source downsampling (corpus mixing): keep-rate
+    by stratum via the fmix64 hash threshold.  The SQL twin verifies the
+    sample is a true subset (every sampled (doc_id, source) exists in
+    the corpus), that the rate-1.0 stratum is kept in full and the
+    rate-0.0 stratum fully dropped, then re-derives per-source counts
+    from the assignment sidecar."""
+    from jesse_ray.functions.split import stratified_hash_sample
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source"])
+    out = stratified_hash_sample(ds, "doc_id", SAMPLE_RATES, strata_col="source")
+    t = _collect(out)
+    pq.write_table(t.sort_by("doc_id"), _sig_parquet_path(sf_dir, "strat_sample"))
+    g = t.group_by("source").aggregate([([], "count_all")]).rename_columns(["source", "cnt"])
+    pdf = g.to_pandas().sort_values("source").reset_index(drop=True)
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    return pdf
+
+
+SQL_SEQ_STRATIFIED_SAMPLE = f"""
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/strat_sample_sigs_sf0.01.parquet')),
+corpus AS (SELECT * FROM {SEQ_SQL}),
+ok AS (
+  SELECT (SELECT count(*) FROM s WHERE NOT EXISTS (
+            SELECT 1 FROM corpus c
+            WHERE c.doc_id IS NOT DISTINCT FROM s.doc_id
+              AND c.source IS NOT DISTINCT FROM s.source)) = 0
+     AND (SELECT count(*) FROM s WHERE source = 'wiki') =
+         (SELECT count(*) FROM corpus WHERE source = 'wiki')
+     AND (SELECT count(*) FROM s WHERE source = 'forums') = 0 AS good
+)
+SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY source
+HAVING (SELECT good FROM ok)
+ORDER BY source
+"""
+
+
+def q_seq_hll_tokens(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct token ids corpus-wide (HyperLogLog p=12,
+    shuffle-free mergeable partials).  The twin computes the EXACT
+    distinct count in SQL and only yields the engine's estimate row when
+    it is within the sketch's error envelope (±5% >> the ~1.6% stderr)
+    — an out-of-envelope estimate returns zero rows and fails the
+    compare."""
+    from jesse_ray.stages.distinct import hll_distinct
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+    est = int(round(hll_distinct(ds, "tokens", flatten=True, p=12)))
+    t = pa.table({"est": pa.array([est], type=pa.int64())})
+    pq.write_table(t, _sig_parquet_path(sf_dir, "hll_tokens"))
+    return pd.DataFrame({"hll_distinct_tokens": pd.array([est], dtype="int64")})
+
+
+SQL_SEQ_HLL_TOKENS = f"""
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/hll_tokens_sigs_sf0.01.parquet')),
+exact AS (SELECT count(DISTINCT t) AS d FROM (SELECT unnest(tokens) AS t FROM {SEQ_SQL}))
+SELECT CAST(est AS BIGINT) AS hll_distinct_tokens FROM s
+WHERE abs(CAST(est AS DOUBLE) / (SELECT d FROM exact) - 1.0) <= 0.05
+"""
+
+
+KMEANS_K = 8
+
+
+def q_emb_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed k-means (Lloyd, k=8, 5 iterations, deterministic
+    min-key init) over the embeddings table.  Assignments + final
+    centroids land in sidecar parquets; the twin re-verifies the Lloyd
+    fixed-point property IN SQL — every vector's recorded cluster is its
+    true argmin centroid by L2 distance — and only then re-derives the
+    cluster sizes."""
+    from jesse_ray.functions.clustering import kmeans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents, assigned = kmeans(ds, KMEANS_K, n_iters=5)
+    t = _collect(assigned.select_columns(["vec_id", "cluster"]))
+    pq.write_table(t.sort_by("vec_id"), _sig_parquet_path(sf_dir, "kmeans_assign"))
+    cent_t = pa.table(
+        {
+            "cluster": pa.array(range(KMEANS_K), type=pa.int32()),
+            "centroid": pa.array([list(map(float, c)) for c in cents],
+                                 type=pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(cent_t, _sig_parquet_path(sf_dir, "kmeans_cents"))
+    g = t.group_by("cluster").aggregate([([], "count_all")]).rename_columns(["cluster", "size"])
+    pdf = g.to_pandas().sort_values("cluster").reset_index(drop=True)
+    pdf["cluster"] = pdf["cluster"].astype("int64")
+    pdf["size"] = pdf["size"].astype("int64")
+    return pdf
+
+
+SQL_EMB_KMEANS = """
+WITH a AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/kmeans_assign_sigs_sf0.01.parquet')),
+c AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/kmeans_cents_sigs_sf0.01.parquet')),
+d AS (
+  SELECT a.vec_id, a.cluster,
+         min(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c2.centroid AS DOUBLE[]))) AS mind,
+         min(CASE WHEN c2.cluster = a.cluster
+                  THEN list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c2.centroid AS DOUBLE[])) END) AS own
+  FROM a JOIN embeddings e USING (vec_id) CROSS JOIN c c2
+  GROUP BY a.vec_id, a.cluster
+),
+ok AS (SELECT count(*) = 0 AS good FROM d WHERE own > mind + 1e-9)
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS size FROM a
+GROUP BY cluster
+HAVING (SELECT good FROM ok)
+ORDER BY cluster
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -1719,6 +1833,9 @@ def queries() -> dict[str, Callable]:
         "seq_dedup_exact": q_seq_dedup_exact,
         "seq_curated": q_seq_curated,
         "seq_hash_split": q_seq_hash_split,
+        "seq_stratified_sample": q_seq_stratified_sample,
+        "seq_hll_tokens": q_seq_hll_tokens,
+        "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
         "seq_val_dependency": q_seq_val_dependency,
@@ -1777,6 +1894,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_dedup_exact": SQL_SEQ_DEDUP_EXACT,
         "seq_curated": SQL_SEQ_CURATED,
         "seq_hash_split": SQL_SEQ_HASH_SPLIT,
+        "seq_stratified_sample": SQL_SEQ_STRATIFIED_SAMPLE,
+        "seq_hll_tokens": SQL_SEQ_HLL_TOKENS,
+        "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
         "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,

@@ -429,3 +429,70 @@ def drift_report(ref: SketchBundle, new: SketchBundle, *, topk: int = 100,
         "rows_ref": ref.rows,
         "rows_new": new.rows,
     }
+
+
+class HyperLogLog:
+    """HyperLogLog cardinality sketch (Flajolet et al. 2007, with the
+    small-range linear-counting correction from the original paper).
+
+    2^p one-byte registers; fully mergeable (elementwise max), so a
+    corpus-wide distinct count is per-batch partials + the shuffle-free
+    coalescing tree (stages/distinct.py) — no groupby, no sort, ~4 KB
+    per partial at p=12 (relative error ~1.04/sqrt(2^p) ≈ 1.6%).
+
+    Input is PRE-HASHED uint64 values (hashutil / fmix64 upstream);
+    vectorized throughout: the register index is the top ``p`` bits, the
+    rank is the leading-zero count of the remaining bits via exact
+    float64 log2 (valid because 64-p <= 52 bits for p >= 12).
+    """
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12):
+        if not 12 <= p <= 18:
+            raise ValueError("p must be in [12, 18] (rank math needs 64-p <= 52)")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        rank = np.empty(len(h), dtype=np.uint8)
+        zero = w == 0
+        rank[zero] = 64 - self.p + 1
+        nz = ~zero
+        if nz.any():
+            # floor(log2) is exact for ints < 2^53; 64-p <= 52 bits here
+            hsb = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+            rank[nz] = ((64 - self.p) - hsb).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs of different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)  # p >= 7 constant
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))  # 2^-reg, exact
+        raw = alpha * m * m / inv.sum()
+        if raw <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting
+        return raw
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "HyperLogLog":
+        h = cls(raw[0])
+        h.registers = np.frombuffer(raw[1:], dtype=np.uint8).copy()
+        return h
