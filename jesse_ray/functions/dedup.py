@@ -456,50 +456,99 @@ def lsh_candidate_pairs(ds: Dataset, *, num_hashes: int = 64, bands: int = 16,
     return _dedup_pairs(cand)
 
 
-class _JaccardVerifier:
-    """Pair-verification stage: exact shingle Jaccard for candidate pairs.
+def _shingle_blobs(ds: Dataset, key_col: str, shingle_k: int,
+                   keys_filter: pa.Array | None = None) -> Dataset:
+    """(key, blob) rows: each document's UNIQUE-sorted shingle hashes as
+    one binary blob.  Computed distributed and vectorized (one
+    polynomial pass per batch via _batch_shingle_hashes, segment-sorted
+    dedup); ``keys_filter`` (a small broadcast value set of candidate
+    keys — keys, never texts) prunes the stream before shingling."""
 
-    The texts of candidate keys are broadcast ONCE (``ray.put`` of a
-    key→text dict — candidates are rare by assumption, so the dict is
-    small); each worker fetches it on first use.  At corpora where even
-    the candidate set is too big to broadcast, the same verify runs as a
-    double join of the pair stream against the corpus — the semantics
-    here are identical.
-    """
-
-    def __init__(self, texts_ref, shingle_k: int, threshold: float):
-        self._texts_ref = texts_ref
-        self.k = shingle_k
-        self.threshold = threshold
-        self._texts = None
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._texts is None:
-            self._texts = ray.get(self._texts_ref) if isinstance(self._texts_ref, ray.ObjectRef) else self._texts_ref
-        out_l, out_r, out_j = [], [], []
-        for l, r in zip(batch["left"].to_pylist(), batch["right"].to_pylist()):
-            s1 = _shingle_hashes(self._texts.get(l, "") or "", self.k)
-            s2 = _shingle_hashes(self._texts.get(r, "") or "", self.k)
-            inter = len(np.intersect1d(s1, s2, assume_unique=True))
-            j = inter / max(len(s1) + len(s2) - inter, 1)
-            if j >= self.threshold:
-                out_l.append(l)
-                out_r.append(r)
-                out_j.append(j)
+    def build(batch: pa.Table) -> pa.Table:
+        if keys_filter is not None:
+            batch = batch.filter(pc.is_in(batch[key_col], value_set=keys_filter))
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        h, starts = _batch_shingle_hashes(txt, shingle_k)
+        n = batch.num_rows
+        # unique-per-document without a per-doc loop: sort (doc, hash)
+        counts = np.diff(starts)
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((h, seg))
+        hs, ss = h[order], seg[order]
+        keep = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])]) if len(hs) else np.empty(0, bool)
+        hs, ss = hs[keep], ss[keep]
+        ucounts = np.bincount(ss, minlength=n)
+        ustarts = np.concatenate([[0], np.cumsum(ucounts)])
+        blobs = [hs[ustarts[i]:ustarts[i + 1]].tobytes() for i in range(n)]
         return pa.table(
             {
-                "left": pa.array(out_l, type=batch.schema.field("left").type),
-                "right": pa.array(out_r, type=batch.schema.field("right").type),
-                "jaccard": pa.array(out_j, type=pa.float64()),
+                "key": batch[key_col],
+                "blob": pa.array(blobs, type=pa.large_binary()),
             }
         )
 
+    return ds.select_columns([key_col, "text"]).map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _pair_jaccard_from_blobs(left_blob, right_blob, threshold: float):
+    """(keep mask, jaccard) for one batch of blob pairs — C-level
+    intersect1d on precomputed unique-sorted arrays."""
+    n = len(left_blob)
+    jac = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        lb, rb = left_blob[i], right_blob[i]
+        if lb is None or rb is None:
+            continue
+        s1 = np.frombuffer(lb, dtype=np.uint64)
+        s2 = np.frombuffer(rb, dtype=np.uint64)
+        inter = len(np.intersect1d(s1, s2, assume_unique=True))
+        jac[i] = inter / max(len(s1) + len(s2) - inter, 1)
+    return jac >= threshold, jac
+
+
+class _BlobVerifier:
+    """Broadcast-mode pair verification: key→shingle-blob dict rides
+    plasma once (candidates are rare by assumption); the per-pair work
+    is one C-level sorted intersect on PREcomputed blobs (shingling cost
+    was paid once, distributed, in _shingle_blobs)."""
+
+    def __init__(self, blobs_ref, threshold: float):
+        self._blobs_ref = blobs_ref
+        self.threshold = threshold
+        self._blobs = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._blobs is None:
+            self._blobs = ray.get(self._blobs_ref) if isinstance(self._blobs_ref, ray.ObjectRef) else self._blobs_ref
+        lk = batch["left"].to_pylist()
+        rk = batch["right"].to_pylist()
+        lb = [self._blobs.get(k) for k in lk]
+        rb = [self._blobs.get(k) for k in rk]
+        keep, jac = _pair_jaccard_from_blobs(lb, rb, self.threshold)
+        out = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
+        return out.filter(pa.array(keep))
+
 
 def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
-                         shingle_k: int = 5, key_col: str = "doc_id") -> Dataset:
-    """Exact shingle-Jaccard verification of LSH candidates, as a
-    distributed stage over the pair stream (the driver only collects the
-    candidate KEY SET to build the broadcast text lookup)."""
+                         shingle_k: int = 5, key_col: str = "doc_id",
+                         mode: str = "broadcast", n_parts: int = 64) -> Dataset:
+    """Exact shingle-Jaccard verification of LSH candidate pairs.
+
+    ``mode="broadcast"`` (default): the driver collects only the
+    candidate KEY SET; shingle sets are computed distributed/vectorized
+    and broadcast as a key→blob dict (right when candidates are rare —
+    the usual LSH regime).  ``mode="shuffle"``: nothing is materialized
+    on the driver; shingle blobs meet their pairs through two coarse
+    hash-partition cogroups (scale path for adversarial corpora where
+    even the candidate set is huge)."""
+    if mode == "shuffle":
+        return _verify_jaccard_shuffle(ds, pairs, threshold=threshold,
+                                       shingle_k=shingle_k, key_col=key_col, n_parts=n_parts)
     pairs = pairs.materialize()
     key_set: set = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
@@ -511,17 +560,103 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
             batch_format="pyarrow",
         )
     need = pa.array(sorted(key_set))
-    filt = ds.select_columns([key_col, "text"]).map_batches(
-        lambda t: t.filter(pc.is_in(t[key_col], value_set=need)),
-        batch_format="pyarrow",
-    )
-    texts = {}
-    for b in filt.iter_batches(batch_format="pyarrow"):
-        for k, t in zip(b[key_col].to_pylist(), b["text"].to_pylist()):
-            texts[k] = t
-    texts_ref = ray.put(texts) if ray.is_initialized() else texts
-    verifier = _JaccardVerifier(texts_ref, shingle_k, threshold)
+    blobs: dict = {}
+    for b in _shingle_blobs(ds, key_col, shingle_k, keys_filter=need).iter_batches(batch_format="pyarrow"):
+        for k, blob in zip(b["key"].to_pylist(), b["blob"].to_pylist()):
+            blobs[k] = blob
+    blobs_ref = ray.put(blobs) if ray.is_initialized() else blobs
+    verifier = _BlobVerifier(blobs_ref, threshold)
     return pairs.map_batches(verifier.__call__, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _verify_jaccard_shuffle(ds: Dataset, pairs: Dataset, *, threshold: float,
+                            shingle_k: int, key_col: str, n_parts: int = 64) -> Dataset:
+    """Shuffle-mode verify: cogroup-via-union.  Round 1 partitions pair
+    rows by hash(left) together with shingle rows by hash(key) and
+    attaches the LEFT blob per part; round 2 repeats on right.  Driver
+    never sees texts, blobs or pairs; every stage is a bounded
+    (≤ n_parts) coarse shuffle, robust to skew because parts hold MANY
+    keys each."""
+    from jesse_ray.hashutil import fmix64
+
+    blobs = _shingle_blobs(ds, key_col, shingle_k)
+
+    def _part_of(vals: np.ndarray) -> np.ndarray:
+        return (fmix64(vals.astype(np.uint64)) & np.uint64(n_parts - 1)).astype(np.int32)
+
+    def _attach(pair_ds: Dataset, side: str, out_col: str) -> Dataset:
+        """Union pair rows (kind=1, keyed by `side`) with blob rows
+        (kind=0) on one coarse partition column, then per part build the
+        key→blob lookup and annotate the pair rows."""
+
+        def tag_blob(batch: pa.Table) -> pa.Table:
+            keys = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = pa.table(
+                {
+                    "__part": pa.array(_part_of(keys)),
+                    "kind": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                    "key": batch["key"].cast(pa.int64()),
+                    "blob": batch["blob"],
+                }
+            )
+            return t
+
+        def tag_pair(batch: pa.Table) -> pa.Table:
+            keys = batch[side].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {
+                "__part": pa.array(_part_of(keys)),
+                "kind": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+                "key": batch[side].cast(pa.int64()),
+                "blob": pa.nulls(batch.num_rows, type=pa.large_binary()),
+                "left": batch["left"].cast(pa.int64()),
+                "right": batch["right"].cast(pa.int64()),
+            }
+            if "blob_left" in batch.column_names:
+                cols["blob_left"] = batch["blob_left"]
+            return pa.table(cols)
+
+        def pad_blob(batch: pa.Table) -> pa.Table:
+            # align blob rows to the pair schema (null pair columns)
+            cols = {name: batch[name] for name in batch.column_names}
+            cols["left"] = pa.nulls(batch.num_rows, type=pa.int64())
+            cols["right"] = pa.nulls(batch.num_rows, type=pa.int64())
+            if with_prev:
+                cols["blob_left"] = pa.nulls(batch.num_rows, type=pa.large_binary())
+            return pa.table(cols)
+
+        with_prev = "blob_left" in pair_ds.schema().names
+        tagged_pairs = pair_ds.map_batches(tag_pair, batch_format="pyarrow", zero_copy_batch=True)
+        tagged_blobs = blobs.map_batches(tag_blob, batch_format="pyarrow", zero_copy_batch=True) \
+                            .map_batches(pad_blob, batch_format="pyarrow", zero_copy_batch=True)
+        both = tagged_blobs.union(tagged_pairs)
+
+        def cogroup(g: pd.DataFrame) -> pd.DataFrame:
+            is_blob = g["kind"].to_numpy() == 0
+            lut = dict(zip(g.loc[is_blob, "key"], g.loc[is_blob, "blob"]))
+            p = g.loc[~is_blob].copy()
+            p[out_col] = p["key"].map(lambda k: lut.get(k))
+            keep = ["left", "right", out_col] + (["blob_left"] if with_prev else [])
+            return p[keep]
+
+        return both.groupby("__part").map_groups(cogroup, batch_format="pandas")
+
+    step1 = _attach(pairs, "left", "blob_left")
+    step2 = _attach(step1, "right", "blob_right")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lb = batch["blob_left"].to_pylist()
+        rb = batch["blob_right"].to_pylist()
+        keep, jac = _pair_jaccard_from_blobs(lb, rb, threshold)
+        out = pa.table(
+            {
+                "left": batch["left"],
+                "right": batch["right"],
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return step2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -221,6 +221,20 @@ def test_lsh_finds_near_dups_and_verify(ray_session):
     assert abs(float(row["jaccard"].iloc[0]) - want_j) < 1e-12
 
 
+def test_verify_jaccard_shuffle_mode_matches_broadcast(ray_session):
+    """The no-driver-materialization cogroup path must return exactly
+    the broadcast path's verified pairs + jaccard values."""
+    from jesse_ray.functions.dedup import lsh_candidate_pairs, verify_jaccard_pairs
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(len(TEXTS))), "text": TEXTS}))
+    pairs = lsh_candidate_pairs(ds, num_hashes=64, bands=16)
+    bc = verify_jaccard_pairs(ds, pairs, threshold=0.5).to_pandas()
+    sh = verify_jaccard_pairs(ds, pairs, threshold=0.5, mode="shuffle", n_parts=4).to_pandas()
+    key = lambda df: sorted(zip(df["left"], df["right"], df["jaccard"].round(12)))
+    assert key(bc) == key(sh)
+    assert len(bc) > 0
+
+
 def test_exact_dedup(ray_session):
     from jesse_ray.functions.dedup import dedup_exact, exact_duplicate_groups
 
