@@ -163,6 +163,24 @@ def run_bench() -> dict:
     n_curated = curate_sequences(read_sequences(path), _seq_spec()).count()
     queries["curate"] = round(time.time() - t0, 3)
 
+    # HyperLogLog distinct tokens (mergeable sketch, coalescing tree)
+    from jesse_ray.stages.distinct import hll_distinct
+
+    t0 = time.time()
+    _ = hll_distinct(read_sequences(path, columns=["tokens"]), "tokens", flatten=True)
+    queries["hll_tokens"] = round(time.time() - t0, 3)
+
+    # stratified per-source downsampling (hash threshold, shuffle-free)
+    from jesse_ray.functions.split import stratified_hash_sample
+
+    t0 = time.time()
+    _ = stratified_hash_sample(
+        read_sequences(path, columns=["doc_id", "source"]),
+        "doc_id",
+        {"web": 0.2, "books": 0.5, "code": 0.25, "wiki": 1.0, "forums": 0.0},
+    ).count()
+    queries["stratified_sample"] = round(time.time() - t0, 3)
+
     # near-dup pipelines over the driver documents table at this sf
     docs_path = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), sf, "documents.parquet")
     if os.path.exists(docs_path):
@@ -180,6 +198,38 @@ def run_bench() -> dict:
             _rd.read_parquet(docs_path, columns=["doc_id", "text"]), max_hamming=3
         ).count()
         queries["simhash_pairs"] = round(time.time() - t0, 3)
+
+        # benchmark decontamination (broadcast n-gram-hash membership)
+        import pyarrow.parquet as _pq
+
+        from jesse_ray.functions.decontam import flag_contaminated, probe_hashes
+
+        bench_tbl = _pq.read_table(docs_path, columns=["doc_id", "text"])
+        import pyarrow as _pa
+
+        bmask = _pa.array((bench_tbl["doc_id"].to_numpy() % 17) == 3)
+        probes = probe_hashes(
+            [" ".join((t or "").split(" ")[:3]) for t in bench_tbl.filter(bmask)["text"].to_pylist()]
+        )
+        t0 = time.time()
+        _ = flag_contaminated(
+            _rd.read_parquet(docs_path, columns=["doc_id", "text"]), probes
+        ).count()
+        queries["decontam"] = round(time.time() - t0, 3)
+
+    # k-means over the embeddings table at this sf
+    emb_path = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), sf, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        import ray.data as _rd2
+
+        from jesse_ray.functions.clustering import kmeans
+
+        t0 = time.time()
+        _cents, assigned = kmeans(
+            _rd2.read_parquet(emb_path, columns=["vec_id", "embedding"]), 8, n_iters=5
+        )
+        _ = assigned.count()
+        queries["emb_kmeans"] = round(time.time() - t0, 3)
 
     headline = queries["validate_full"]
     out = {

@@ -325,3 +325,99 @@ def document_frequency_topk(
 
 def _combine_col(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model quality scoring (CCNet-style perplexity proxy,
+# Wenzek et al. 2020 — here a unigram model, so the model is a word-count
+# table and the score is exactly SQL-checkable)
+
+
+def unigram_model(ds: Dataset, text_col: str = "text", *, n_parts: int = 64,
+                  batch_size: int = 16384) -> pa.Table:
+    """Corpus-wide word-count table ``(word, cnt)`` — the unigram LM.
+
+    Two-phase: per-batch counts via Arrow's C++ ``group_by`` (combiner),
+    then a coarse word-hash partition merge — the document_frequency
+    shuffle shape.  The FULL vocabulary is returned to the driver: a
+    word vocab is bounded (~1e6-1e8 even for a 100 TB corpus — the
+    standard assumption that makes n-gram LM scoring broadcastable,
+    cf. CCNet), unlike the corpus itself."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = _combine_col(batch[text_col])
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        flat = pc.list_flatten(words)
+        g = pa.table({"word": flat}).group_by("word").aggregate([([], "count_all")])
+        g = g.rename_columns(["word", "__pc"])
+        return g.append_column("__part", pa.array(_element_parts(g["word"], n_parts)))
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("word", sort=False)["__pc"].sum().reset_index()
+        return m.rename(columns={"__pc": "cnt"})
+
+    merged = partials.groupby("__part").map_groups(merge, batch_format="pandas")
+    out = pa.concat_tables(merged.iter_batches(batch_format="pyarrow"))
+    return pa.table({"word": out["word"], "cnt": out["cnt"].cast(pa.int64())})
+
+
+class UnigramScorer:
+    """Per-document mean log-probability under a broadcast unigram
+    model.  The model (word array + logprob array) is ``ray.put`` once;
+    per batch the lookup is one C++ hash probe (``pc.index_in``) and one
+    weighted bincount — no Python per row.  Out-of-vocabulary words get
+    ``ln(1/(total+1))`` (documented add-one floor)."""
+
+    def __init__(self, model_ref, text_col: str, out_col: str):
+        self._model_ref = model_ref
+        self._model = None
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def _resolve(self):
+        import ray
+
+        m = self._model_ref
+        m = ray.get(m) if not isinstance(m, tuple) else m
+        words, lp, oov = m
+        self._model = (words, lp, oov)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._model is None:
+            self._resolve()
+        words_arr, lp, oov = self._model
+        text = _combine_col(batch[self.text_col])
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        idx = pc.fill_null(pc.index_in(flat, value_set=words_arr), len(lp) - 1)
+        w_lp = lp[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        # oov slot is appended at lp[-1]
+        sums = np.bincount(parent, weights=w_lp, minlength=n)
+        cnts = np.maximum(np.bincount(parent, minlength=n), 1)
+        return batch.append_column(self.out_col, pa.array(sums / cnts, type=pa.float64()))
+
+
+def add_unigram_logprob(ds: Dataset, model: pa.Table, *, text_col: str = "text",
+                        out_col: str = "mean_lp", batch_size: int = 4096) -> Dataset:
+    """Score every document with the mean ln P(word) under ``model``
+    (a ``(word, cnt)`` table from :func:`unigram_model`)."""
+    import ray
+
+    cnt = model["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = cnt.sum()
+    lp = np.log(cnt / total)
+    oov = np.log(1.0 / (total + 1.0))
+    words = _combine_col(model["word"])
+    payload = (words, np.concatenate([lp, [oov]]), oov)
+    ref = ray.put(payload) if ray.is_initialized() else payload
+    return ds.map_batches(
+        UnigramScorer(ref, text_col, out_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )

@@ -67,6 +67,22 @@ def fmix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def fmix64_inplace(h: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """In-place fmix64 using a caller-provided shift scratch (same
+    length) — zero allocations, for hot paths that must avoid the
+    sandbox's fresh-large-allocation page-fault tax."""
+    with np.errstate(over="ignore"):
+        np.right_shift(h, np.uint64(33), out=tmp)
+        np.bitwise_xor(h, tmp, out=h)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        np.right_shift(h, np.uint64(33), out=tmp)
+        np.bitwise_xor(h, tmp, out=h)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        np.right_shift(h, np.uint64(33), out=tmp)
+        np.bitwise_xor(h, tmp, out=h)
+    return h
+
+
 def hash_partition_pandas(df, cols: list[str], n_parts: int = 64, out_col: str = "__part"):
     """Append a coarse hash-partition column (power-of-two ``n_parts``,
     masked — never the division unit) — the shared prologue of every

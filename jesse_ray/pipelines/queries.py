@@ -1135,6 +1135,40 @@ FROM documents GROUP BY source
 """
 
 
+def q_doc_unigram_lp(sf_dir: str) -> pa.Table:
+    """CCNet-style LM quality scoring with a unigram model: phase 1
+    builds the corpus word-count model (combiner + coarse word-hash
+    merge), phase 2 broadcasts it and scores every document's mean
+    ln P(word) in one hash-probe + weighted-bincount pass.  The twin
+    recomputes both phases exactly in SQL."""
+    from jesse_ray.functions.text import add_unigram_logprob, unigram_model
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    model = unigram_model(ds)
+    scored = add_unigram_logprob(ds, model)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "mean_lp": pc.round(batch["mean_lp"], 2),
+            }
+        )
+
+    return _collect(scored.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_UNIGRAM_LP = """
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+cnt AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM cnt),
+lp AS (SELECT word, ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)) AS l FROM cnt)
+SELECT w.doc_id, round(avg(l), 2) AS mean_lp
+FROM w JOIN lp USING (word)
+GROUP BY w.doc_id
+"""
+
+
 VALUE_TIERS = [(0.0, 10.0, "low"), (10.0, 50.0, "mid"), (50.0, 1e9, "high")]
 
 
@@ -1858,6 +1892,7 @@ def queries() -> dict[str, Callable]:
         "doc_decontam": q_doc_decontam,
         "doc_repetition": q_doc_repetition,
         "doc_scrub": q_doc_scrub,
+        "doc_unigram_lp": q_doc_unigram_lp,
         "events_value_tiers": q_events_value_tiers,
         "events_nested_struct": q_events_nested_struct,
         "events_props_sum": q_events_props_sum,
@@ -1919,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontam": SQL_DOC_DECONTAM,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_scrub": SQL_DOC_SCRUB,
+        "doc_unigram_lp": SQL_DOC_UNIGRAM_LP,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_nested_struct": SQL_EVENTS_NESTED_STRUCT,
         "events_props_sum": SQL_EVENTS_PROPS_SUM,

@@ -42,16 +42,42 @@ def _merge_rows(sk: Dataset, p: int, *, fan_in: int = 64, levels: int = 3) -> Hy
     return merged if merged is not None else HyperLogLog(p)
 
 
-def _column_hashes(col, flatten: bool) -> np.ndarray:
+# persistent per-process scratch: this box erratically pays a ~30x
+# first-touch page-fault tax on fresh multi-MB allocations (measured —
+# a single 104 MB astype took 13 s while the arithmetic kernels on the
+# same data took <0.2 s), so the hash walk streams fixed-size chunks
+# through two reused 8 MB buffers instead of materializing casts.
+_CHUNK = 1 << 20
+_scratch: dict[str, np.ndarray] = {}
+
+
+def _bufs(n: int) -> tuple[np.ndarray, np.ndarray]:
+    if "h" not in _scratch:
+        _scratch["h"] = np.empty(_CHUNK, dtype=np.uint64)
+        _scratch["t"] = np.empty(_CHUNK, dtype=np.uint64)
+    return _scratch["h"][:n], _scratch["t"][:n]
+
+
+def _add_column_hashes(hll: HyperLogLog, col, flatten: bool) -> None:
+    from jesse_ray.hashutil import fmix64_inplace
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if flatten:
         col = pc.list_flatten(col)
     col = col.drop_null()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        return fmix64(hash64_strings(col))
-    vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-    return fmix64(vals)
+        for s in range(0, len(col), _CHUNK):
+            h = hash64_strings(col.slice(s, _CHUNK))
+            _t = _bufs(len(h))[1]
+            hll.add_hashes(fmix64_inplace(h, _t))
+        return
+    vals = col.to_numpy(zero_copy_only=False)  # zero-copy for non-null ints
+    for s in range(0, len(vals), _CHUNK):
+        c = vals[s : s + _CHUNK]
+        h, t = _bufs(len(c))
+        np.copyto(h, c, casting="unsafe")
+        hll.add_hashes(fmix64_inplace(h, t))
 
 
 def hll_distinct(
@@ -62,14 +88,14 @@ def hll_distinct(
     p: int = 12,
     fan_in: int = 64,
     levels: int = 3,
-    batch_size: int = 65536,
+    batch_size: int = 16384,
 ) -> float:
     """Approximate COUNT(DISTINCT column) (or of the flattened list
     elements with ``flatten=True``).  Relative error ~1.04/sqrt(2^p)."""
 
     def build(batch: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
-        h.add_hashes(_column_hashes(batch[column], flatten))
+        _add_column_hashes(h, batch[column], flatten)
         return _one_row(h)
 
     sk = ds.select_columns([column]).map_batches(
