@@ -120,3 +120,39 @@ def test_scrubber_blocklist(ray_session):
 def test_scrubber_rejects_bad_pattern():
     with pytest.raises(Exception):
         Scrubber([("bad", "(unclosed", "[X]")])
+
+
+def test_unigram_logprob_matches_naive(ray_session):
+    import math
+
+    from jesse_ray.functions.text import add_unigram_logprob, unigram_model
+
+    texts = ["a a b", "b c", "a c c c"]
+    ds = _ds({"doc_id": [0, 1, 2], "text": texts})
+    model = unigram_model(ds)
+    got = pa.concat_tables(
+        add_unigram_logprob(ds, model).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+
+    all_words = [w for t in texts for w in t.split(" ")]
+    total = len(all_words)
+    cnt = Counter(all_words)
+    for i, t in enumerate(texts):
+        want = sum(math.log(cnt[w] / total) for w in t.split(" ")) / len(t.split(" "))
+        assert abs(got["mean_lp"][i].as_py() - want) < 1e-12
+    # model table is the exact count table
+    m = {w: c for w, c in zip(model["word"].to_pylist(), model["cnt"].to_pylist())}
+    assert m == dict(cnt)
+
+
+def test_unigram_oov_floor(ray_session):
+    from jesse_ray.functions.text import add_unigram_logprob, unigram_model
+    import math
+
+    train = _ds({"doc_id": [0], "text": ["a b a"]})
+    model = unigram_model(train)
+    test = _ds({"doc_id": [0], "text": ["zzz"]})
+    got = pa.concat_tables(
+        add_unigram_logprob(test, model).iter_batches(batch_format="pyarrow")
+    )
+    assert abs(got["mean_lp"][0].as_py() - math.log(1.0 / 4.0)) < 1e-12  # 1/(total+1)
