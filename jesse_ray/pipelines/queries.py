@@ -1135,6 +1135,85 @@ FROM documents GROUP BY source
 """
 
 
+def q_orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
+    """Large x large repartition join (neither side broadcastable at
+    scale): lineitem ⋈ orders on orderkey through the coarse-partition
+    cogroup, then revenue per order priority via the two-phase grouped
+    agg."""
+    from jesse_ray.pipelines.relational import grouped_agg, hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(line, orders, on="o_orderkey", how="inner")
+    g = grouped_agg(joined, ["o_orderpriority"], sums=["revenue"])
+    pdf = g.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    pdf["revenue"] = pdf["sum_revenue"].round(2)
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    return pdf[["o_orderpriority", "cnt", "revenue"]]
+
+
+SQL_ORDERS_LINEITEM_JOIN = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_events_asof_login(sf_dir: str) -> pa.Table:
+    """AS-OF join: every non-signup event picks the user's most recent
+    signup at-or-before its timestamp (backward inclusive).  DuckDB's
+    native ASOF LEFT JOIN is the oracle."""
+    from jesse_ray.pipelines.relational import asof_join
+
+    def _split(want_login: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], "signup")
+            return batch.filter(m if want_login else pc.invert(m))
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+        ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    left = _split(False)
+    right = _split(True)
+    joined = asof_join(
+        left, right, by="user_id", left_ts="ts", right_ts="ts", right_cols=["ts"]
+    )
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "last_signup_ts": batch["ts_r"],
+            }
+        )
+
+    return _collect(joined.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_EVENTS_ASOF_LOGIN = """
+SELECT l.event_id, l.user_id, r.ts AS last_signup_ts
+FROM (SELECT * FROM events WHERE event_type != 'signup') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_doc_unigram_lp(sf_dir: str) -> pa.Table:
     """CCNet-style LM quality scoring with a unigram model: phase 1
     builds the corpus word-count model (combiner + coarse word-hash
@@ -1893,6 +1972,8 @@ def queries() -> dict[str, Callable]:
         "doc_repetition": q_doc_repetition,
         "doc_scrub": q_doc_scrub,
         "doc_unigram_lp": q_doc_unigram_lp,
+        "orders_lineitem_join": q_orders_lineitem_join,
+        "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
         "events_nested_struct": q_events_nested_struct,
         "events_props_sum": q_events_props_sum,
@@ -1955,6 +2036,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_scrub": SQL_DOC_SCRUB,
         "doc_unigram_lp": SQL_DOC_UNIGRAM_LP,
+        "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
+        "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_nested_struct": SQL_EVENTS_NESTED_STRUCT,
         "events_props_sum": SQL_EVENTS_PROPS_SUM,

@@ -650,3 +650,156 @@ def exact_discrete_quantiles(
         pos = int(np.searchsorted(cum, idx + 1))
         out.append(vals[pos].item())
     return out
+
+
+# ---------------------------------------------------------------------------
+# large x large joins (neither side broadcastable)
+
+
+def _arrow_types(ds: Dataset) -> dict[str, pa.DataType]:
+    """Column name -> Arrow type, robust to lazily-filtered datasets
+    whose ``schema(fetch_if_missing=True)`` can return None (empty first
+    block): fall back to the schema of the first batch (an EMPTY
+    filtered batch still carries its schema)."""
+    s = ds.schema(fetch_if_missing=True)
+    if s is not None:
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=256):
+        return {f.name: f.type for f in b.schema}
+    raise ValueError("cannot infer the schema of an empty dataset")
+
+
+def _tag_side(ds: Dataset, key_col: str, kind: int, types: dict[str, "pa.DataType"],
+              n_parts: int) -> Dataset:
+    """Align one side to the union schema (missing columns -> TYPED
+    nulls, so e.g. a timestamp column survives the pandas round-trip as
+    datetime64/NaT instead of degrading to object/None), add ``__kind``
+    and the coarse ``__part`` from the key hash."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        parts = _element_parts(batch[key_col], n_parts)
+        cols: dict = {"__part": pa.array(parts), "__kind": pa.array(np.full(batch.num_rows, kind, dtype=np.int8))}
+        for c, typ in types.items():
+            cols[c] = batch[c] if c in batch.column_names else pa.nulls(batch.num_rows, type=typ)
+        return pa.table(cols)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    right_suffix: str = "_r",
+    n_parts: int = 64,
+) -> Dataset:
+    """Distributed join where NEITHER side fits a broadcast: cogroup via
+    union — both sides are tagged with a coarse hash partition of the
+    key (``_element_parts`` — mask, never the div unit), unioned, and
+    each of the ≤ ``n_parts`` parts performs one C-level ``pd.merge``
+    over its complete key slice.  Matching keys always share a part, so
+    the result is exact; skew is bounded because a part holds MANY keys.
+    ``how``: inner / left / semi / anti (semi/anti return left columns
+    only, one row per surviving left row).
+
+    This is the repartition-join complement to :func:`broadcast_join`
+    (Ray Data has no native large-large join; ``Dataset.join`` variants
+    materialize or broadcast).  Right columns colliding with left names
+    get ``right_suffix``.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    ltypes = _arrow_types(left)
+    rtypes = _arrow_types(right)
+    lnames = list(ltypes)
+    rnames = list(rtypes)
+    # pre-rename colliding right columns (except the key)
+    ren = {c: (c + right_suffix if c in lnames and c != on else c) for c in rnames}
+    if any(k != v for k, v in ren.items()):
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([ren[c] for c in batch.column_names])
+
+        right = right.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+        rtypes = {ren[c]: t for c, t in rtypes.items()}
+        rnames = list(rtypes)
+    types = dict(ltypes)
+    types.update({c: t for c, t in rtypes.items() if c != on})
+    tagged = _tag_side(left, on, 0, types, n_parts).union(
+        _tag_side(right, on, 1, types, n_parts)
+    )
+    rval_cols = [c for c in rnames if c != on]
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["__kind"] == 0][lnames]
+        rt = g[g["__kind"] == 1][[on] + rval_cols]
+        if how == "semi":
+            return lt[lt[on].isin(set(rt[on]))]
+        if how == "anti":
+            return lt[~lt[on].isin(set(rt[on]))]
+        return lt.merge(rt, on=on, how=how)
+
+    return tagged.groupby("__part").map_groups(join_part, batch_format="pandas")
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    right_suffix: str = "_r",
+    n_parts: int = 64,
+) -> Dataset:
+    """AS-OF join: each left row picks the LATEST right row of the same
+    ``by`` entity with ``right_ts <= left_ts`` (backward, inclusive —
+    DuckDB ``ASOF LEFT JOIN ON l.by = r.by AND l.ts >= r.ts`` parity).
+    Unmatched left rows survive with nulls.
+
+    Same cogroup-via-union shuffle as :func:`hash_join` keyed on the
+    entity hash; each coarse part runs one C-level ``pd.merge_asof``
+    over its complete entity slice (sorted once per part).  No global
+    sort: only per-part sorts of bounded slices."""
+    ltypes = _arrow_types(left)
+    rtypes_src = _arrow_types(right)
+    lnames = list(ltypes)
+    right_cols = list(right_cols)
+    ren = {c: (c + right_suffix if c in lnames else c) for c in right_cols + [right_ts]}
+    sel_right = [by, right_ts] + [c for c in right_cols if c != right_ts]
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        t = batch.select(sel_right)
+        return t.rename_columns([by] + [ren.get(c, c) for c in sel_right[1:]])
+
+    right_p = right.map_batches(prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    rnames = [ren.get(c, c) for c in sel_right[1:]]
+    types = dict(ltypes)
+    types.update({ren.get(c, c): rtypes_src[c] for c in sel_right[1:]})
+    tagged = _tag_side(left, by, 0, types, n_parts).union(
+        _tag_side(right_p, by, 1, types, n_parts)
+    )
+    rts = ren.get(right_ts, right_ts)
+    # explicit output schema: an all-unmatched part would otherwise
+    # infer its right columns as Arrow `null` type and poison the
+    # dataset-level schema union
+    out_schema = pa.schema([(c, types[c]) for c in lnames + rnames])
+
+    def join_part(g: pd.DataFrame) -> pa.Table:
+        lt = g[g["__kind"] == 0][lnames].sort_values(left_ts, kind="mergesort")
+        rt = g[g["__kind"] == 1][[by] + rnames].sort_values(rts, kind="mergesort")
+        if rt.empty:
+            # left rows already carry TYPED null right columns from the
+            # union padding — just select them
+            out = g[g["__kind"] == 0][lnames + rnames].sort_values(left_ts, kind="mergesort")
+        else:
+            out = pd.merge_asof(
+                lt, rt, left_on=left_ts, right_on=rts, by=by, direction="backward"
+            )[lnames + rnames]
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return tagged.groupby("__part").map_groups(join_part, batch_format="pandas")

@@ -1,0 +1,128 @@
+"""hash_join / asof_join tests (cogroup-via-union repartition joins)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from jesse_ray.pipelines.relational import asof_join, hash_join
+
+
+def _pdf(ds) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+def _mk(rng, n, keys):
+    return pd.DataFrame(
+        {
+            "k": rng.choice(keys, size=n),
+            "v": rng.integers(0, 1000, size=n),
+        }
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_matches_pandas(ray_session, how):
+    rng = np.random.default_rng(5)
+    left = _mk(rng, 300, np.arange(50)).rename(columns={"v": "lv"})
+    right = _mk(rng, 200, np.arange(30, 80)).rename(columns={"v": "rv"})
+    got = _pdf(
+        hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            how=how,
+            n_parts=8,
+        )
+    )
+    if how in ("semi", "anti"):
+        mask = left["k"].isin(set(right["k"]))
+        want = left[mask if how == "semi" else ~mask]
+        assert sorted(map(tuple, got[["k", "lv"]].values.tolist())) == sorted(
+            map(tuple, want[["k", "lv"]].values.tolist())
+        )
+    else:
+        want = left.merge(right, on="k", how=how)
+        gk = sorted(map(tuple, got[["k", "lv", "rv"]].fillna(-1).values.tolist()))
+        wk = sorted(map(tuple, want[["k", "lv", "rv"]].fillna(-1).values.tolist()))
+        assert gk == wk
+
+
+def test_hash_join_suffixes_colliding_columns(ray_session):
+    left = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+    right = pd.DataFrame({"k": [1, 2], "v": [100, 200]})
+    got = _pdf(
+        hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", n_parts=2)
+    ).sort_values("k")
+    assert sorted(got.columns) == ["k", "v", "v_r"]
+    assert got["v_r"].tolist() == [100, 200]
+
+
+def test_hash_join_rejects_bad_how(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
+    with pytest.raises(ValueError):
+        hash_join(ds, ds, on="k", how="outer")
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    rng = np.random.default_rng(9)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame(
+        {
+            "ent": rng.integers(0, 20, size=n_l),
+            "ts": rng.integers(0, 10_000, size=n_l),
+            "lv": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ent": rng.integers(0, 25, size=n_r),  # some entities have no right rows
+            "ts": rng.integers(0, 10_000, size=n_r),
+            "rv": np.arange(n_r) * 10,
+        }
+    )
+    got = _pdf(
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="ent",
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["ts", "rv"],
+            n_parts=4,
+        )
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").rename(columns={"ts": "ts_r", "rv": "rv"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="ent",
+        direction="backward",
+    )
+    g = got.sort_values("lv").reset_index(drop=True)
+    w = want.sort_values("lv").reset_index(drop=True)
+    assert g["lv"].tolist() == w["lv"].tolist()
+    assert g["ts_r"].fillna(-1).tolist() == w["ts_r"].fillna(-1).tolist()
+    assert g["rv"].fillna(-1).tolist() == w["rv"].fillna(-1).tolist()
+
+
+def test_asof_join_inclusive_ties(ray_session):
+    left = pd.DataFrame({"ent": [1, 1], "ts": [5, 3], "lv": [0, 1]})
+    right = pd.DataFrame({"ent": [1, 1], "ts": [5, 2], "rv": [50, 20]})
+    got = _pdf(
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="ent",
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["ts", "rv"],
+            n_parts=2,
+        )
+    ).sort_values("lv")
+    # ts=5 matches the equal-ts right row (inclusive); ts=3 falls back to ts=2
+    assert got["rv"].tolist() == [50, 20]
