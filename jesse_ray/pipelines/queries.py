@@ -1135,6 +1135,65 @@ FROM documents GROUP BY source
 """
 
 
+PACK_CHUNK = 4096
+
+
+def q_seq_pack_offsets(sf_dir: str) -> pa.Table:
+    """Sequence packing (concat-then-chunk): every unique valid document
+    gets its global token offset and chunk span in the packed stream
+    (order = doc_id).  Distributed prefix sum over the range-partitioned
+    sort; duplicate doc_ids are excluded first (packing runs on a
+    deduped corpus by contract — the twin excludes them identically)."""
+    from jesse_ray.functions.pack import pack_offsets
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"])
+
+    # duplicate keys (small set) via the same two-phase count the engine
+    # uses, collected and broadcast as an exclusion filter
+    dup_tbl = _collect(duplicate_keys(read_sequences(_seq_path(sf_dir), columns=["doc_id"]), "doc_id"))
+    dups = pa.array(sorted(set(dup_tbl["doc_id"].to_pylist()))) if dup_tbl is not None and dup_tbl.num_rows else None
+
+    if dups is not None:
+        def drop_dups(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=dups)))
+
+        ds = ds.map_batches(drop_dups, batch_format="pyarrow", zero_copy_batch=True)
+
+    packed = pack_offsets(ds, chunk_len=PACK_CHUNK)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "offset": batch["offset"],
+                "first_chunk": batch["first_chunk"],
+                "last_chunk": batch["last_chunk"],
+            }
+        )
+
+    return _collect(packed.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SEQ_PACK_OFFSETS = f"""
+WITH uniq AS (
+  SELECT doc_id, n_tok FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND n_tok > 0
+    AND doc_id NOT IN (SELECT doc_id FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+                       GROUP BY doc_id HAVING count(*) > 1)
+),
+s AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM uniq
+)
+SELECT doc_id, off AS "offset",
+       CAST(off // {PACK_CHUNK} AS BIGINT) AS first_chunk,
+       CAST((off + n_tok - 1) // {PACK_CHUNK} AS BIGINT) AS last_chunk
+FROM s
+"""
+
+
 def q_orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
     """Large x large repartition join (neither side broadcastable at
     scale): lineitem ⋈ orders on orderkey through the coarse-partition
@@ -1948,6 +2007,7 @@ def queries() -> dict[str, Callable]:
         "seq_hash_split": q_seq_hash_split,
         "seq_stratified_sample": q_seq_stratified_sample,
         "seq_hll_tokens": q_seq_hll_tokens,
+        "seq_pack_offsets": q_seq_pack_offsets,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2012,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_hash_split": SQL_SEQ_HASH_SPLIT,
         "seq_stratified_sample": SQL_SEQ_STRATIFIED_SAMPLE,
         "seq_hll_tokens": SQL_SEQ_HLL_TOKENS,
+        "seq_pack_offsets": SQL_SEQ_PACK_OFFSETS,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

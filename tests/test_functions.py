@@ -640,3 +640,69 @@ def test_document_frequency_topk(ray_session):
     assert top.column_names == ["word", "df"]
     assert top["word"].to_pylist() == ["the", "cat"]
     assert top["df"].to_pylist() == [3, 2]
+
+
+def test_pack_offsets_basic(ray_session):
+    from jesse_ray.functions.pack import pack_offsets
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "c", "b", "d"],
+            "n_tok": pa.array([3, 5, 4, 2], type=pa.int32()),
+        }
+    )
+    out = pack_offsets(
+        ray.data.from_arrow(tbl), chunk_len=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # sorted order a(3) b(4) c(5) d(2) → offsets 0, 3, 7, 12
+    assert out["offset"].tolist() == [0, 3, 7, 12]
+    assert out["first_chunk"].tolist() == [0, 0, 1, 3]
+    # spans: a=[0,2]→chunk0; b=[3,6]→chunks 0-1; c=[7,11]→1-2; d=[12,13]→3
+    assert out["last_chunk"].tolist() == [0, 1, 2, 3]
+
+
+def test_pack_offsets_drops_null_and_empty(ray_session):
+    from jesse_ray.functions.pack import pack_offsets
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", None, "b", "c"],
+            "n_tok": pa.array([2, 9, 0, None], type=pa.int32()),
+        }
+    )
+    out = pack_offsets(ray.data.from_arrow(tbl), chunk_len=8).to_pandas()
+    assert sorted(out["doc_id"]) == ["a"]
+    assert out["offset"].tolist() == [0]
+
+
+def test_pack_offsets_many_blocks_prefix_sum(ray_session):
+    """Prefix sum must be correct across many sorted blocks."""
+    import numpy as np
+
+    from jesse_ray.functions.pack import pack_offsets
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    ids = [f"doc-{i:06d}" for i in rng.permutation(n)]
+    toks = rng.integers(1, 50, size=n)
+    tbl = pa.table({"doc_id": ids, "n_tok": pa.array(toks, type=pa.int32())})
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    out = pack_offsets(ds, chunk_len=1024).to_pandas().sort_values("doc_id")
+    # oracle: exclusive cumsum over doc_id order
+    order = np.argsort(np.array(ids))
+    want = np.concatenate([[0], np.cumsum(np.array(toks)[order])[:-1]])
+    assert out["offset"].to_numpy().tolist() == want.tolist()
+    assert (out["first_chunk"].to_numpy() == want // 1024).all()
+
+
+def test_pack_offsets_duplicates_within_block(ray_session):
+    """Duplicate keys that land in ONE sorted block (Ray's range
+    partitioner co-locates equal keys) still pack contiguously; the
+    straddle guard in pack_offsets only fires if equal keys ever split
+    across blocks, where the global order would be ill-defined."""
+    from jesse_ray.functions.pack import pack_offsets
+
+    tbl = pa.table({"doc_id": ["x"] * 2000, "n_tok": pa.array([1] * 2000, type=pa.int32())})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    out = pack_offsets(ds, chunk_len=4).to_pandas()
+    assert sorted(out["offset"].tolist()) == list(range(2000))
