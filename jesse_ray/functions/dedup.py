@@ -887,3 +887,124 @@ def embedding_near_dups(ds: Dataset, *, threshold: float = 0.95, key_col: str = 
     )
     cand = _by_coarse_part(assigned, "bucket").map_groups(verify_many, batch_format="pandas")
     return _dedup_pairs(cand, extra="cosine")
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (RefinedWeb / Falcon-style: drop lines that are
+# repeated across many documents — boilerplate headers, nav bars, cookie
+# banners).  Penedo et al. 2023 (RefinedWeb) §4.2; same two-phase
+# count-then-rewrite shape as the engine's duplicate_keys_hashed.
+
+
+def repeated_lines(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_chars: int = 8,
+    min_docs: int = 2,
+    n_parts: int = 64,
+    batch_size: int = 8192,
+    sep: str = "\n",
+) -> pa.Table:
+    """Lines (``sep``-separated, ``\\n`` by default) of at least
+    ``min_chars`` characters that occur in at least ``min_docs``
+    DISTINCT documents.
+
+    Two-phase exact count: per-batch distinct (doc, line) via Arrow
+    ``group_by`` (exact globally — each document's row lives in exactly
+    one batch), partial counts per line, then a coarse hash-partition
+    shuffle (≤ ``n_parts`` keys, never a groupby on the raw line) and a
+    vectorized per-part merge.  Returns a (line, n_docs) table — the
+    repeated-line set is assumed SMALL relative to the corpus
+    (boilerplate, not content); at 100 TB this table is what you'd feed
+    a bloom/exact broadcast filter, and it is the only thing the driver
+    ever materializes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pc.split_pattern(pc.fill_null(text, ""), sep)
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines)
+        cand = pc.greater_equal(pc.utf8_length(flat), min_chars)
+        doc = batch[doc_col]
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        pairs = pa.table({"doc": doc.take(parent), "line": flat}).filter(cand)
+        distinct = pairs.group_by(["line", "doc"]).aggregate([])
+        g = distinct.select(["line"]).group_by("line").aggregate([([], "count_all")])
+        g = g.rename_columns(["line", "__pc"])
+        h = _hash64_strings(g["line"].combine_chunks() if isinstance(g["line"], pa.ChunkedArray) else g["line"])
+        return g.append_column("__part", pa.array((h & np.uint64(n_parts - 1)).astype(np.int32)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("line", sort=False)["__pc"].sum()
+        agg = agg[agg >= min_docs]
+        return pd.DataFrame({"line": agg.index.to_numpy(), "n_docs": agg.to_numpy().astype(np.int64)})
+
+    out = partials.groupby("__part").map_groups(merge, batch_format="pandas")
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"line": pa.array([], type=pa.string()), "n_docs": pa.array([], type=pa.int64())})
+    return pa.concat_tables([pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b for b in batches])
+
+
+def dedup_lines(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_chars: int = 8,
+    min_docs: int = 2,
+    n_parts: int = 64,
+    batch_size: int = 8192,
+    sep: str = "\n",
+    repeated: pa.Table | None = None,
+) -> Dataset:
+    """Rewrite every document with its cross-document repeated lines
+    removed (keeping original line order); appends ``text_dedup`` and
+    ``n_removed``.  Lines shorter than ``min_chars`` are never removed.
+
+    The repeated-line set is broadcast once (``ray.put``) and the
+    rewrite is a single vectorized pass: split → membership mask
+    (``pc.is_in``) → list rebuild from kept offsets → ``binary_join``.
+    No shuffle in the rewrite; the only exchange is phase 1's coarse
+    count."""
+    if repeated is None:
+        repeated = repeated_lines(
+            ds, text_col=text_col, doc_col=doc_col, min_chars=min_chars,
+            min_docs=min_docs, n_parts=n_parts, batch_size=batch_size, sep=sep,
+        )
+    flagged = repeated["line"].combine_chunks() if isinstance(repeated["line"], pa.ChunkedArray) else repeated["line"]
+    flag_ref = ray.put(flagged) if ray.is_initialized() else flagged
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(flag_ref) if isinstance(flag_ref, ray.ObjectRef) else flag_ref
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pc.split_pattern(pc.fill_null(text, ""), sep)
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        removed = pc.and_(
+            pc.greater_equal(pc.utf8_length(flat), min_chars),
+            pc.is_in(flat, value_set=value_set),
+        ).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        kept_counts = np.bincount(parent[~removed], minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_lines = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat.filter(pa.array(~removed))
+        )
+        joined = pc.fill_null(pc.binary_join(kept_lines, sep), "")
+        n_removed = np.bincount(parent[removed], minlength=n).astype(np.int64)
+        return batch.append_column("text_dedup", joined).append_column(
+            "n_removed", pa.array(n_removed, type=pa.int64())
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

@@ -1094,6 +1094,52 @@ FROM agg WHERE 100 * mx >= {REPETITION_PCT} * n
 """
 
 
+LINE_DEDUP_PCT = 78  # drop "lines" present in >= 78% of distinct docs
+LINE_DEDUP_MIN_CHARS = 4
+
+
+def q_doc_line_dedup(sf_dir: str) -> pa.Table:
+    """Cross-document repeated-line removal (RefinedWeb/Falcon-style
+    boilerplate scrub; Penedo et al. 2023 §4.2): drop every line that
+    appears in >= LINE_DEDUP_PCT % of distinct documents, preserving
+    line order.  The corpus text is single-line, so the catalog query
+    runs the operator at word granularity (sep=" ") — the semantics and
+    both phases (coarse-partition exact count, broadcast rewrite) are
+    identical to the newline case the API defaults to.  Integer-exact
+    threshold: 100*n_docs(line) >= PCT*n_docs."""
+    from jesse_ray.functions.dedup import dedup_lines
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = ds.count()  # parquet metadata count — no scan
+    min_docs = -(-LINE_DEDUP_PCT * n // 100)  # smallest k with 100k >= PCT*n
+    out = dedup_lines(ds, sep=" ", min_chars=LINE_DEDUP_MIN_CHARS, min_docs=min_docs)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "text_dedup", "n_removed"])
+
+    return _collect(out.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_LINE_DEDUP = f"""
+WITH ls AS (
+  SELECT doc_id, string_split(coalesce(text,''), ' ') AS l FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(l) AS line, unnest(range(len(l))) AS idx FROM ls
+),
+rep AS (
+  SELECT line FROM lines WHERE length(line) >= {LINE_DEDUP_MIN_CHARS}
+  GROUP BY line
+  HAVING 100 * count(DISTINCT doc_id) >= {LINE_DEDUP_PCT} * (SELECT count(*) FROM documents)
+)
+SELECT li.doc_id,
+       coalesce(string_agg(CASE WHEN r.line IS NULL THEN li.line END, ' ' ORDER BY li.idx), '') AS text_dedup,
+       CAST(count(*) FILTER (WHERE r.line IS NOT NULL) AS BIGINT) AS n_removed
+FROM lines li LEFT JOIN rep r USING (line)
+GROUP BY li.doc_id
+"""
+
+
 SCRUB_BLOCKLIST = r"\b(spark|merge|sort)\b"
 
 
@@ -2008,6 +2054,7 @@ def queries() -> dict[str, Callable]:
         "seq_stratified_sample": q_seq_stratified_sample,
         "seq_hll_tokens": q_seq_hll_tokens,
         "seq_pack_offsets": q_seq_pack_offsets,
+        "doc_line_dedup": q_doc_line_dedup,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2073,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_stratified_sample": SQL_SEQ_STRATIFIED_SAMPLE,
         "seq_hll_tokens": SQL_SEQ_HLL_TOKENS,
         "seq_pack_offsets": SQL_SEQ_PACK_OFFSETS,
+        "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

@@ -706,3 +706,51 @@ def test_pack_offsets_duplicates_within_block(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(8)
     out = pack_offsets(ds, chunk_len=4).to_pandas()
     assert sorted(out["offset"].tolist()) == list(range(2000))
+
+
+def test_repeated_lines_and_dedup_lines(ray_session):
+    from jesse_ray.functions.dedup import dedup_lines, repeated_lines
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "COOKIE BANNER TEXT\nunique content one\nshort",
+                "COOKIE BANNER TEXT\nunique content two",
+                "totally different\nCOOKIE BANNER TEXT",
+                "",
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    rep = repeated_lines(ds, min_chars=8, min_docs=2)
+    assert rep.to_pydict() == {"line": ["COOKIE BANNER TEXT"], "n_docs": [3]}
+
+    out = dedup_lines(ds, min_chars=8, min_docs=2).to_pandas().sort_values("doc_id")
+    assert out["text_dedup"].tolist() == [
+        "unique content one\nshort",
+        "unique content two",
+        "totally different",
+        "",
+    ]
+    assert out["n_removed"].tolist() == [1, 1, 1, 0]
+
+
+def test_dedup_lines_min_chars_guard(ray_session):
+    """Lines shorter than min_chars are never removed even if repeated
+    everywhere; within-doc repetition alone does not flag a line."""
+    from jesse_ray.functions.dedup import dedup_lines
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["ok\nthe same long line\nthe same long line", "ok\nanother"],
+        }
+    )
+    out = dedup_lines(
+        ray.data.from_arrow(docs), min_chars=4, min_docs=2
+    ).to_pandas().sort_values("doc_id")
+    # "ok" repeats across docs but is < min_chars; the long line repeats
+    # only WITHIN doc 1 (count is per distinct doc) — nothing removed
+    assert out["n_removed"].tolist() == [0, 0]
+    assert out["text_dedup"].tolist() == docs["text"].to_pylist()
