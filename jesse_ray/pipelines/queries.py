@@ -1140,6 +1140,53 @@ GROUP BY li.doc_id
 """
 
 
+PREFIX_KEY_WORDS = 3
+
+
+def q_doc_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Incremental dedup of a new batch against a prior corpus snapshot
+    (bloom-filter prefilter + exact confirm — functions/bloom.py).
+    Snapshot = even doc_ids, new batch = odd doc_ids; the dedup key is
+    the document's first-3-words prefix (a title/URL-key analogue).
+    Bloom has no false negatives and the confirm removes the false
+    positives, so the result is EXACTLY the semi-join the SQL twin
+    computes."""
+    from jesse_ray.functions.bloom import incremental_members
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keyed(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity)
+            )
+            text = t["text"]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            words = pc.split_pattern(pc.fill_null(text, ""), " ")
+            key = pc.binary_join(pc.list_slice(words, 0, PREFIX_KEY_WORDS), " ")
+            return pa.table({"doc_id": t["doc_id"], "key": key})
+        return f
+
+    snapshot = ds.map_batches(keyed(0), batch_format="pyarrow", zero_copy_batch=True)
+    new = ds.map_batches(keyed(1), batch_format="pyarrow", zero_copy_batch=True)
+    members = incremental_members(new, snapshot.select_columns(["key"]), "key",
+                                  num_bits=1 << 16)
+    return _collect(members)
+
+
+SQL_DOC_INCREMENTAL_DEDUP = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(string_split(coalesce(text,''), ' ')[1:{PREFIX_KEY_WORDS}], ' ') AS key
+  FROM documents
+)
+SELECT d.doc_id, d.key FROM keyed d
+WHERE d.doc_id % 2 = 1
+  AND EXISTS (SELECT 1 FROM keyed s WHERE s.doc_id % 2 = 0 AND s.key = d.key)
+"""
+
+
 SCRUB_BLOCKLIST = r"\b(spark|merge|sort)\b"
 
 
@@ -2055,6 +2102,7 @@ def queries() -> dict[str, Callable]:
         "seq_hll_tokens": q_seq_hll_tokens,
         "seq_pack_offsets": q_seq_pack_offsets,
         "doc_line_dedup": q_doc_line_dedup,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2121,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_hll_tokens": SQL_SEQ_HLL_TOKENS,
         "seq_pack_offsets": SQL_SEQ_PACK_OFFSETS,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
+        "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

@@ -754,3 +754,54 @@ def test_dedup_lines_min_chars_guard(ray_session):
     # only WITHIN doc 1 (count is per distinct doc) — nothing removed
     assert out["n_removed"].tolist() == [0, 0]
     assert out["text_dedup"].tolist() == docs["text"].to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter incremental dedup
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from jesse_ray.functions.bloom import BloomFilter
+
+    b = BloomFilter(1 << 16, 4)
+    keys = pa.array([f"key-{i}" for i in range(5000)])
+    b.add(keys)
+    assert b.contains(keys).all()  # the defining invariant
+    fp = b.contains(pa.array([f"other-{i}" for i in range(5000)])).mean()
+    # m=65536, n=5000, k=4 → (1-e^{-kn/m})^k ≈ 0.5%; allow generous slack
+    assert fp < 0.05
+
+    # round-trip + merge
+    b2 = BloomFilter.from_bytes(b.to_bytes())
+    assert b2.contains(keys).all()
+    c = BloomFilter(1 << 16, 4)
+    c.add(pa.array(["zzz"]))
+    c.merge(b2)
+    assert c.contains(pa.array(["zzz", "key-0"])).all()
+
+
+def test_bloom_param_validation():
+    from jesse_ray.functions.bloom import BloomFilter
+
+    with pytest.raises(ValueError):
+        BloomFilter(1000, 4)  # not a power of two
+    with pytest.raises(ValueError):
+        BloomFilter(1 << 10, 0)
+
+
+def test_incremental_members_exact(ray_session):
+    """bloom prefilter + exact confirm == exact semi-join, including the
+    removal of bloom false positives (tiny filter forces plenty)."""
+    from jesse_ray.functions.bloom import build_bloom, incremental_members
+
+    snap = ray.data.from_arrow(
+        pa.table({"key": [f"k{i}" for i in range(0, 4000, 2)]})
+    ).repartition(8)
+    bloom = build_bloom(snap, "key", num_bits=1 << 12)  # deliberately lossy
+    new = ray.data.from_arrow(
+        pa.table({"key": [f"k{i}" for i in range(4000)], "val": list(range(4000))})
+    ).repartition(4)
+    got = incremental_members(new, snap, "key", bloom=bloom).to_pandas()
+    assert sorted(got["key"]) == sorted(f"k{i}" for i in range(0, 4000, 2))
+    # full-width rows come back, not just keys
+    assert set(got.columns) == {"key", "val"}
