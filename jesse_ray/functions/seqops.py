@@ -1,0 +1,99 @@
+"""Token-sequence shaping ops for pre-tokenized corpora (the
+input_hint's (doc_id, tokens:list<int32>, n_tok) shape): truncation to
+a max length and EOS-append, both fully Arrow-vectorized (list_slice /
+offset surgery — no per-row Python).
+
+These are the pre-packing normalization steps of an LLM training
+pipeline (clip overlong documents, terminate each with EOS before
+concat-then-chunk packing — see functions/pack.py for the packing
+itself)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def truncate_sequences(
+    ds: Dataset,
+    *,
+    max_len: int,
+    tokens_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Clip every token list to its first ``max_len`` elements and
+    recompute ``n_tok`` from the ACTUAL clipped list (not the incoming
+    n_tok column, which the validation suite treats as an assertion
+    target, not ground truth)."""
+    if max_len < 0:
+        raise ValueError("max_len must be >= 0")
+
+    def clip(batch: pa.Table) -> pa.Table:
+        toks = _combine(batch[tokens_col])
+        clipped = pc.list_slice(toks, 0, max_len)
+        n = pc.list_value_length(clipped).cast(pa.int32())
+        out = batch.set_column(batch.schema.get_field_index(tokens_col), tokens_col, clipped)
+        if n_tok_col is not None:
+            if n_tok_col in batch.column_names:
+                out = out.set_column(out.schema.get_field_index(n_tok_col), n_tok_col, n)
+            else:
+                out = out.append_column(n_tok_col, n)
+        return out
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def append_eos(
+    ds: Dataset,
+    *,
+    eos: int,
+    tokens_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Append an EOS token to every sequence — offset surgery on the
+    flat values buffer (one interleaved copy per batch, no Python rows):
+    new_values[new_off[i] : new_off[i+1]-1] = old row i, then EOS."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        toks = _combine(batch[tokens_col])
+        if toks.null_count:
+            toks = pc.fill_null(toks, [])
+        # normalize large_list vs list
+        typ = toks.type
+        value_type = typ.value_type
+        flat = pc.list_flatten(toks)
+        n_rows = len(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        new_off = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=new_off[1:])
+        vals = flat.to_numpy(zero_copy_only=False)
+        new_vals = np.empty(len(vals) + n_rows, dtype=vals.dtype)
+        # positions of the EOS slots are new_off[1:]-1; everything else
+        # is the old values shifted by how many EOS precede them
+        eos_pos = new_off[1:] - 1
+        keep = np.ones(len(new_vals), dtype=bool)
+        keep[eos_pos] = False
+        new_vals[keep] = vals
+        new_vals[eos_pos] = eos
+        arr = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int64()).cast(pa.int32()),
+            pa.array(new_vals, type=value_type),
+        )
+        out = batch.set_column(batch.schema.get_field_index(tokens_col), tokens_col, arr)
+        if n_tok_col is not None:
+            n = pa.array((lens + 1).astype(np.int32), type=pa.int32())
+            if n_tok_col in batch.column_names:
+                out = out.set_column(out.schema.get_field_index(n_tok_col), n_tok_col, n)
+            else:
+                out = out.append_column(n_tok_col, n)
+        return out
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

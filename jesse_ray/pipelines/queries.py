@@ -1140,6 +1140,46 @@ GROUP BY li.doc_id
 """
 
 
+TRUNC_MAX_LEN = 128
+EOS_TOKEN = 50256
+
+
+def q_seq_truncate_eos(sf_dir: str) -> pa.Table:
+    """Pre-packing sequence shaping: clip every token list to
+    TRUNC_MAX_LEN and terminate with EOS (functions/seqops.py — pure
+    Arrow list_slice + offset surgery, zero per-row Python).  Output is
+    checksum-shaped (new length + token sum) so the twin compares exact
+    values without list-representation drift."""
+    from jesse_ray.functions.seqops import append_eos, truncate_sequences
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+    shaped = append_eos(truncate_sequences(ds, max_len=TRUNC_MAX_LEN), eos=EOS_TOKEN)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        off = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum(lens.to_numpy(zero_copy_only=False), out=off[1:])
+        sums = np.add.reduceat(flat, off[:-1]) if len(flat) else np.zeros(len(toks), dtype=np.int64)
+        sums[off[:-1] == off[1:]] = 0  # reduceat quirk on empty segments
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tok_new": lens, "tok_sum": pa.array(sums, type=pa.int64())}
+        )
+
+    return _collect(shaped.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SEQ_TRUNCATE_EOS = f"""
+SELECT doc_id,
+       CAST(least(coalesce(len(tokens), 0), {TRUNC_MAX_LEN}) + 1 AS BIGINT) AS n_tok_new,
+       CAST(coalesce(list_aggregate(tokens[1:{TRUNC_MAX_LEN}], 'sum'), 0) + {EOS_TOKEN} AS BIGINT) AS tok_sum
+FROM {SEQ_SQL}
+"""
+
+
 PREFIX_KEY_WORDS = 3
 
 
@@ -2103,6 +2143,7 @@ def queries() -> dict[str, Callable]:
         "seq_pack_offsets": q_seq_pack_offsets,
         "doc_line_dedup": q_doc_line_dedup,
         "doc_incremental_dedup": q_doc_incremental_dedup,
+        "seq_truncate_eos": q_seq_truncate_eos,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2170,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_offsets": SQL_SEQ_PACK_OFFSETS,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
+        "seq_truncate_eos": SQL_SEQ_TRUNCATE_EOS,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

@@ -805,3 +805,44 @@ def test_incremental_members_exact(ray_session):
     assert sorted(got["key"]) == sorted(f"k{i}" for i in range(0, 4000, 2))
     # full-width rows come back, not just keys
     assert set(got.columns) == {"key", "val"}
+
+
+# ---------------------------------------------------------------------------
+# sequence shaping (truncate / EOS-append)
+
+
+def _collect_arrow(ds):
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches).sort_by("doc_id")
+
+
+def test_truncate_sequences(ray_session):
+    from jesse_ray.functions.seqops import truncate_sequences
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "tokens": pa.array([[1, 2, 3, 4, 5], [7], [], None], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([5, 1, 0, None], type=pa.int32()),
+        }
+    )
+    t = _collect_arrow(truncate_sequences(ray.data.from_arrow(tbl), max_len=3))
+    assert t["tokens"].to_pylist() == [[1, 2, 3], [7], [], None]
+    # n_tok recomputed from the clipped list, null rows stay null
+    assert t["n_tok"].to_pylist() == [3, 1, 0, None]
+
+
+def test_append_eos(ray_session):
+    from jesse_ray.functions.seqops import append_eos
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "tokens": pa.array([[1, 2, 3, 4, 5], [7], [], None], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([5, 1, 0, None], type=pa.int32()),
+        }
+    )
+    e = _collect_arrow(append_eos(ray.data.from_arrow(tbl), eos=99))
+    assert e["tokens"].to_pylist() == [[1, 2, 3, 4, 5, 99], [7, 99], [99], [99]]
+    assert e["n_tok"].to_pylist() == [6, 2, 1, 1]
+    assert e["tokens"].type.value_type == pa.int32()
