@@ -276,18 +276,32 @@ def main() -> None:
         # a corpus big enough (~60 CPU-s of work) that fixed pipeline
         # startup doesn't dominate either measurement
         sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/tmp/jesse_ray_data/scale_6000000")
-        os.environ["BENCH_REPS"] = os.environ.get("BENCH_REPS", "3")
-        r_lo = run_child(lo, sf_dir)
-        r_hi = run_child(hi, sf_dir)
+        # INTERLEAVED rounds: this box's cold-page/div-unit tax comes
+        # and goes on a minutes timescale, so two sequential
+        # min-of-3-in-one-process legs can land in different box phases
+        # and corrupt the ratio in either direction (measured 0.3–2.0
+        # spread).  Alternating lo/hi child processes samples both
+        # levels across the same phases; min-per-level then compares
+        # best-case against best-case.
+        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+        os.environ["BENCH_REPS"] = os.environ.get("BENCH_REPS", "1")
+        runs: dict[int, list[dict]] = {lo: [], hi: []}
+        for _ in range(rounds):
+            runs[lo].append(run_child(lo, sf_dir))
+            runs[hi].append(run_child(hi, sf_dir))
+        r_lo = min(runs[lo], key=lambda r: r["value"])
+        r_hi = min(runs[hi], key=lambda r: r["value"])
         tp_lo = r_lo["rows_per_sec"]
         tp_hi = r_hi["rows_per_sec"]
         eff = (tp_hi / tp_lo) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "metric": f"scaling efficiency (num_cpus {lo} vs {hi}, same input, min of {os.environ['BENCH_REPS']} reps)",
+                    "metric": f"scaling efficiency (num_cpus {lo} vs {hi}, same input, min over {rounds} interleaved rounds)",
                     f"sec_{lo}": r_lo["value"],
                     f"sec_{hi}": r_hi["value"],
+                    f"reps_{lo}": [r["value"] for r in runs[lo]],
+                    f"reps_{hi}": [r["value"] for r in runs[hi]],
                     f"rows_per_sec_{lo}": tp_lo,
                     f"rows_per_sec_{hi}": tp_hi,
                     "rows": r_lo.get("rows"),

@@ -57,11 +57,11 @@ def pack_offsets(
 
     def block_summary(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"first_key": pa.array([], type=pa.string()),
+            return pa.table({"first_key": pa.array([], type=batch[key_col].type),
                              "total": pa.array([], type=pa.int64())})
         return pa.table(
             {
-                "first_key": pa.array([str(batch[key_col][0].as_py())], type=pa.string()),
+                "first_key": pa.array([batch[key_col][0].as_py()], type=batch[key_col].type),
                 "total": pa.array(
                     [int(pc.sum(batch[len_col].cast(pa.int64())).as_py() or 0)], type=pa.int64()
                 ),
@@ -74,7 +74,7 @@ def pack_offsets(
     ).iter_batches(batch_format="pyarrow"):
         summaries.extend(zip(b["first_key"].to_pylist(), b["total"].to_pylist()))
     summaries.sort(key=lambda x: x[0])
-    offsets: dict[str, int] = {}
+    offsets: dict = {}
     acc = 0
     for fk, tot in summaries:
         if fk in offsets:
@@ -95,7 +95,7 @@ def pack_offsets(
                         .append_column("first_chunk", pa.array([], type=pa.int64())) \
                         .append_column("last_chunk", pa.array([], type=pa.int64()))
         table = ray.get(off_ref) if isinstance(off_ref, ray.ObjectRef) else off_ref
-        base = table[str(batch[key_col][0].as_py())]
+        base = table[batch[key_col][0].as_py()]
         n = batch[len_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         local = np.concatenate([[0], np.cumsum(n)[:-1]])
         off = base + local

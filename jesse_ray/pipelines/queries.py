@@ -1140,6 +1140,81 @@ GROUP BY li.doc_id
 """
 
 
+SHUFFLE_SALT = "epoch-0"
+
+
+def q_seq_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic global shuffle (reproducible training order):
+    order = fmix64(hash64(doc_id) ^ salt), executed as one
+    range-partitioned sort; global ranks via the pack_offsets prefix
+    sum (functions/shuffle.py).  Writes the (doc_id, rank,
+    shuffle_hash) sidecar; the SQL twin checks the same three
+    invariants this query returns — the shuffled stream is a
+    PERMUTATION of the corpus (row and distinct-doc counts match the
+    corpus exactly, enforced in the twin by re-counting the corpus),
+    ranks are exactly 0..n-1 (sum check), and rank order is hash order
+    (zero inversions)."""
+    from jesse_ray.functions.shuffle import shuffle_with_ranks
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id"])
+    # shuffle runs on the DEDUPED corpus (duplicate doc_ids hash to the
+    # same shuffle position — same contract as packing; dedup first)
+    dup_tbl = _collect(duplicate_keys(ds, "doc_id"))
+    dups = (
+        pa.array(sorted(set(dup_tbl["doc_id"].to_pylist())))
+        if dup_tbl is not None and dup_tbl.num_rows
+        else None
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch["doc_id"])
+        if dups is not None:
+            keep = pc.and_(keep, pc.invert(pc.is_in(batch["doc_id"], value_set=dups)))
+        return batch.filter(keep)
+
+    out = shuffle_with_ranks(
+        ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id",
+        salt=SHUFFLE_SALT,
+    )
+    t = _collect(out)
+    pq.write_table(t.sort_by("rank"), _sig_parquet_path(sf_dir, "shuffle"))
+
+    ranks = t["rank"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ranks)
+    h = t["shuffle_hash"].to_numpy(zero_copy_only=False)[order]
+    inversions = int((h[:-1] > h[1:]).sum()) if len(h) > 1 else 0
+    return pa.table(
+        {
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "n_docs": pa.array([pc.count_distinct(t["doc_id"]).as_py()], type=pa.int64()),
+            "rank_sum": pa.array([int(ranks.sum())], type=pa.int64()),
+            "inversions": pa.array([inversions], type=pa.int64()),
+        }
+    )
+
+
+SQL_SEQ_SHUFFLE = f"""
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/shuffle_sigs_sf0.01.parquet')),
+ordered AS (SELECT shuffle_hash, rank, lag(shuffle_hash) OVER (ORDER BY rank) AS prev FROM s),
+uniq AS (
+  SELECT doc_id FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+  GROUP BY doc_id HAVING count(*) = 1
+),
+m AS (
+  SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n,
+         CAST((SELECT count(DISTINCT doc_id) FROM s) AS BIGINT) AS n_docs,
+         CAST((SELECT sum(rank) FROM s) AS BIGINT) AS rank_sum,
+         CAST((SELECT count(*) FROM ordered WHERE prev IS NOT NULL AND prev > shuffle_hash) AS BIGINT) AS inversions
+)
+SELECT n, n_docs, rank_sum, inversions FROM m
+WHERE n = (SELECT count(*) FROM uniq)
+  AND n_docs = n
+  AND rank_sum = n * (n - 1) // 2
+  AND NOT EXISTS (SELECT 1 FROM s LEFT JOIN uniq USING (doc_id) WHERE uniq.doc_id IS NULL)
+"""
+
+
 TRUNC_MAX_LEN = 128
 EOS_TOKEN = 50256
 
@@ -2144,6 +2219,7 @@ def queries() -> dict[str, Callable]:
         "doc_line_dedup": q_doc_line_dedup,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "seq_truncate_eos": q_seq_truncate_eos,
+        "seq_shuffle": q_seq_shuffle,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2212,6 +2288,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
         "seq_truncate_eos": SQL_SEQ_TRUNCATE_EOS,
+        "seq_shuffle": SQL_SEQ_SHUFFLE,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

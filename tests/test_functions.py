@@ -846,3 +846,31 @@ def test_append_eos(ray_session):
     assert e["tokens"].to_pylist() == [[1, 2, 3, 4, 5, 99], [7, 99], [99], [99]]
     assert e["n_tok"].to_pylist() == [6, 2, 1, 1]
     assert e["tokens"].type.value_type == pa.int32()
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle
+
+
+def test_shuffle_with_ranks_deterministic(ray_session):
+    from jesse_ray.functions.shuffle import shuffle_with_ranks
+
+    tbl = pa.table({"doc_id": [f"d{i}" for i in range(1000)], "v": list(range(1000))})
+
+    def run(parts, salt):
+        out = shuffle_with_ranks(
+            ray.data.from_arrow(tbl).repartition(parts), "doc_id", salt=salt
+        )
+        return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by("rank")
+
+    a = run(8, "epoch1")
+    # ranks are a permutation of 0..n-1 and follow hash order
+    assert sorted(a["rank"].to_pylist()) == list(range(1000))
+    h = np.array(a["shuffle_hash"].to_pylist(), dtype=np.uint64)
+    assert (h[:-1] <= h[1:]).all()
+    # layout-independent: different partitioning, same global order
+    b = run(3, "epoch1")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    # salt changes the epoch order
+    c = run(8, "epoch2")
+    assert a["doc_id"].to_pylist() != c["doc_id"].to_pylist()
