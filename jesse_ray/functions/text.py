@@ -421,3 +421,31 @@ def add_unigram_logprob(ds: Dataset, model: pa.Table, *, text_col: str = "text",
         UnigramScorer(ref, text_col, out_col),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
     )
+
+
+def normalize_text(
+    ds: Dataset,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_norm",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Canonical text normalization before hashing/dedup (the standard
+    near-dup preprocessing: Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better" normalizes case/punct/space
+    before MinHash): lowercase → non-alphanumerics to spaces →
+    collapse runs of spaces → trim.  All RE2-executable Arrow kernels
+    (DuckDB's regexp engine is also RE2, so the SQL twin normalizes
+    byte-identically)."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(text, ""))
+        stripped = pc.replace_substring_regex(low, r"[^a-z0-9 ]", " ")
+        collapsed = pc.replace_substring_regex(stripped, r" +", " ")
+        trimmed = pc.utf8_trim(collapsed, " ")
+        return batch.append_column(out_col, trimmed)
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

@@ -1140,6 +1140,41 @@ GROUP BY li.doc_id
 """
 
 
+def q_doc_normalize(sf_dir: str) -> pa.Table:
+    """Canonical normalization (lowercase, punct→space, collapse
+    spaces, trim) — the standard pre-hash step of a dedup pipeline
+    (text.normalize_text).  Exact twin: both engines run the same RE2
+    replacements."""
+    from jesse_ray.functions.text import normalize_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = normalize_text(ds)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch["text_norm"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_norm": t,
+                "n_chars_norm": pc.utf8_length(t).cast(pa.int64()),
+            }
+        )
+
+    return _collect(out.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS text_norm
+  FROM documents
+)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars_norm FROM n
+"""
+
+
 SHUFFLE_SALT = "epoch-0"
 
 
@@ -2220,6 +2255,7 @@ def queries() -> dict[str, Callable]:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "seq_truncate_eos": q_seq_truncate_eos,
         "seq_shuffle": q_seq_shuffle,
+        "doc_normalize": q_doc_normalize,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2289,6 +2325,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
         "seq_truncate_eos": SQL_SEQ_TRUNCATE_EOS,
         "seq_shuffle": SQL_SEQ_SHUFFLE,
+        "doc_normalize": SQL_DOC_NORMALIZE,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

@@ -874,3 +874,17 @@ def test_shuffle_with_ranks_deterministic(ray_session):
     # salt changes the epoch order
     c = run(8, "epoch2")
     assert a["doc_id"].to_pylist() != c["doc_id"].to_pylist()
+
+
+def test_normalize_text(ray_session):
+    from jesse_ray.functions.text import normalize_text
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["  Hello, World!!  x ", None, "a\tb\nc -- d"],
+        }
+    )
+    out = normalize_text(ray.data.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    # tabs/newlines are non-alphanumeric → spaces; runs collapse; trim
+    assert out["text_norm"].tolist() == ["hello world x", "", "a b c d"]
