@@ -283,7 +283,7 @@ def main() -> None:
         # spread).  Alternating lo/hi child processes samples both
         # levels across the same phases; min-per-level then compares
         # best-case against best-case.
-        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "5"))
         os.environ["BENCH_REPS"] = os.environ.get("BENCH_REPS", "1")
         runs: dict[int, list[dict]] = {lo: [], hi: []}
         for _ in range(rounds):

@@ -2061,6 +2061,48 @@ ORDER BY 1, 2
 """
 
 
+def q_doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the verified near-dup pair graph
+    (min-label propagation, functions/graph.py) — the transitive-closure
+    step a dedup pipeline needs to pick one canonical doc per cluster.
+    The engine's pairs are written as a parquet side input and the SQL
+    twin computes components from the SAME edges via a recursive
+    reachability CTE + min, so the distributed fixpoint must match the
+    exact closure node-for-node."""
+    from jesse_ray.functions.dedup import ngram_jaccard_dups
+    from jesse_ray.functions.graph import connected_components
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dups(ds, threshold=0.5, num_hashes=64, bands=32).materialize()
+    pq.write_table(
+        _collect(pairs.select_columns(["left", "right"])).sort_by([("left", "ascending"), ("right", "ascending")]),
+        _sig_parquet_path(sf_dir, "ccpairs"),
+    )
+    cc = connected_components(pairs)
+    pdf = cc.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"node": pd.array([], dtype="int64"),
+                             "component": pd.array([], dtype="int64")})
+    return pdf.sort_values("node").reset_index(drop=True)
+
+
+SQL_DOC_DUP_CLUSTERS = """
+WITH RECURSIVE
+e AS (
+  SELECT "left" AS u, "right" AS v
+  FROM read_parquet('/tmp/jesse_ray_data/ccpairs_sigs_sf0.01.parquet')
+),
+sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(node, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.functions.text import add_fingerprints
 
@@ -2256,6 +2298,7 @@ def queries() -> dict[str, Callable]:
         "seq_truncate_eos": q_seq_truncate_eos,
         "seq_shuffle": q_seq_shuffle,
         "doc_normalize": q_doc_normalize,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2326,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_truncate_eos": SQL_SEQ_TRUNCATE_EOS,
         "seq_shuffle": SQL_SEQ_SHUFFLE,
         "doc_normalize": SQL_DOC_NORMALIZE,
+        "doc_dup_clusters": SQL_DOC_DUP_CLUSTERS,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

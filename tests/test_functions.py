@@ -888,3 +888,116 @@ def test_normalize_text(ray_session):
     out = normalize_text(ray.data.from_arrow(tbl)).to_pandas().sort_values("doc_id")
     # tabs/newlines are non-alphanumeric → spaces; runs collapse; trim
     assert out["text_norm"].tolist() == ["hello world x", "", "a b c d"]
+
+
+# ---------------------------------------------------------------------------
+# connected components (functions/graph.py)
+
+
+def _naive_components(edges):
+    """Union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for l, r in edges:
+        if l == r:
+            continue
+        a, b = find(l), find(r)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # canonical min-id label per node
+    out = {}
+    for n in list(parent):
+        root = find(n)
+        out[n] = min(out.get(root, root), root)
+    # second pass: label = min id in component
+    comp_min = {}
+    for n in parent:
+        comp_min.setdefault(find(n), n)
+        comp_min[find(n)] = min(comp_min[find(n)], n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import numpy as np
+
+    from jesse_ray.functions.graph import connected_components
+
+    rng = np.random.default_rng(42)
+    # 300 nodes, sparse random edges -> mix of chains, isolated pairs, mid clusters
+    lefts = rng.integers(0, 300, size=180).tolist()
+    rights = rng.integers(0, 300, size=180).tolist()
+    edges = list(zip(lefts, rights))
+    tbl = pa.table({"left": pa.array(lefts, pa.int64()), "right": pa.array(rights, pa.int64())})
+    got = (
+        connected_components(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .set_index("node")["component"]
+        .to_dict()
+    )
+    want = _naive_components(edges)
+    assert got == want
+
+
+def test_connected_components_distributed_matches_union_find(ray_session):
+    """Force the shuffle-round path (local_threshold=0) on a graph small
+    enough to keep round count low but with chains, cliques and singleton
+    pairs; must agree with union-find ground truth."""
+    import numpy as np
+
+    from jesse_ray.functions.graph import connected_components
+
+    rng = np.random.default_rng(7)
+    lefts = rng.integers(0, 60, size=40).tolist() + [100, 101, 102]  # + a 4-chain
+    rights = rng.integers(0, 60, size=40).tolist() + [101, 102, 103]
+    edges = list(zip(lefts, rights))
+    tbl = pa.table({"left": pa.array(lefts, pa.int64()), "right": pa.array(rights, pa.int64())})
+    got = (
+        connected_components(
+            ray.data.from_arrow(tbl).repartition(2), n_parts=8, local_threshold=0
+        )
+        .to_pandas()
+        .set_index("node")["component"]
+        .to_dict()
+    )
+    want = _naive_components(edges)
+    assert got == want
+
+
+def test_connected_components_long_chain(ray_session):
+    # a 200-node path has eccentricity 199: stresses the pointer-doubling
+    # fixpoint (local path; the distributed loop shares the same math)
+    n = 200
+    tbl = pa.table(
+        {"left": pa.array(list(range(n - 1)), pa.int64()),
+         "right": pa.array(list(range(1, n)), pa.int64())}
+    )
+    from jesse_ray.functions.graph import connected_components
+
+    out = connected_components(ray.data.from_arrow(tbl)).to_pandas()
+    assert sorted(out["node"]) == list(range(n))
+    assert set(out["component"]) == {0}
+
+
+def test_connected_components_empty_and_self_loops(ray_session):
+    from jesse_ray.functions.graph import connected_components
+
+    tbl = pa.table({"left": pa.array([7], pa.int64()), "right": pa.array([7], pa.int64())})
+    out = connected_components(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == 0
+
+
+def test_dedup_by_components(ray_session):
+    from jesse_ray.functions.graph import connected_components, dedup_by_components
+
+    edges = pa.table({"left": pa.array([2, 3, 5], pa.int64()), "right": pa.array([1, 2, 6], pa.int64())})
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 5, 6, 7], pa.int64()), "x": list("abcdef")})
+    cc = connected_components(ray.data.from_arrow(edges))
+    kept = dedup_by_components(ray.data.from_arrow(docs), cc).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 5, 7]
