@@ -1008,3 +1008,182 @@ def dedup_lines(
         )
 
     return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# exact substring-match dedup (ExactSubstr, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better": two
+# documents are duplicates if they share any length->=k verbatim span)
+
+
+_GRAM_MULT2 = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash64 prime2 (odd)
+_FNV_OFFSET2 = np.uint64(0x84222325CBF29CE4)
+_FNV_PRIME2 = np.uint64(0x00000100000001B5)
+
+
+def _gram_hashes128(txt: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """128-bit rolling k-word-gram hashes for a batch of texts.
+
+    Tokenization is the corpus/SQL convention (split on single spaces,
+    decontam._word_lists); each word is hashed with TWO independent
+    FNV walks sharing one pass over the utf8 buffer, and each window
+    combines its k word hashes with two independent shift-add
+    accumulators (wraparound mod 2^64 — no division).  Equal 128-bit
+    keys are treated as equal spans, the same contract as the 128-bit
+    content hash in :func:`add_content_hash` (collision odds ~n^2/2^128).
+
+    Returns (g1, g2, parent_row_index) for every in-document window.
+    """
+    from jesse_ray.functions.decontam import _GRAM_MULT, _word_lists
+
+    from jesse_ray.hashutil import FNV_PRIME, hash64_strings_multi
+
+    flat, parent = _word_lists(txt)
+    wh1, wh2 = hash64_strings_multi(
+        flat, [(_FNV_OFFSET, FNV_PRIME), (_FNV_OFFSET2, _FNV_PRIME2)]
+    )
+    m = len(wh1) - k + 1
+    if m <= 0:
+        e64 = np.empty(0, np.uint64)
+        return e64, e64, np.empty(0, np.int64)
+    acc1 = np.zeros(m, dtype=np.uint64)
+    acc2 = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc1 = acc1 * _GRAM_MULT + wh1[j : m + j]
+            acc2 = acc2 * _GRAM_MULT2 + wh2[j : m + j]
+    valid = parent[:m] == parent[k - 1 :]
+    return acc1[valid], acc2[valid], parent[:m][valid].astype(np.int64)
+
+
+def _substring_windows(
+    ds: Dataset, *, k: int, key_col: str, text_col: str, n_parts: int
+) -> Dataset:
+    """Shared explode stage: one ``(__part, g1, g2, doc)`` row per
+    DISTINCT in-document k-word window (per-document pre-dedup before
+    the shuffle — a window repeated inside one document ships once)."""
+
+    from jesse_ray.hashutil import fmix64
+
+    def windows(batch: pa.Table) -> pa.Table:
+        g1, g2, parent = _gram_hashes128(batch[text_col], k)
+        docs = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)[parent]
+        order = np.lexsort((docs, g2, g1))
+        g1, g2, docs = g1[order], g2[order], docs[order]
+        if len(g1):
+            keep = np.concatenate(
+                [[True], (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1]) | (docs[1:] != docs[:-1])]
+            )
+            g1, g2, docs = g1[keep], g2[keep], docs[keep]
+        return pa.table(
+            {
+                "__part": pa.array((fmix64(g1) & np.uint64(n_parts - 1)).astype(np.int32)),
+                "g1": pa.array(g1),
+                "g2": pa.array(g2),
+                "doc": pa.array(docs),
+            }
+        )
+
+    return ds.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def substring_dup_pairs(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+    bucket_cap: int | None = None,
+) -> Dataset:
+    """All distinct document pairs sharing at least one verbatim k-word
+    window (exact substring-match dedup at word granularity).  Returns a
+    ``(left, right)`` Dataset with ``left < right``.
+
+    Scale design mirrors the LSH stages: per-batch vectorized 128-bit
+    window hashing with per-document pre-dedup (a window repeated inside
+    one document ships once), coarse-partition shuffle on ≤``n_parts``
+    hash values, one vectorized run-walk per part emitting the upper
+    triangle of each >=2-doc window group, then the distributed pair
+    dedup.  ``bucket_cap`` skips windows shared by more than that many
+    documents (skew guard for boilerplate spans — at 100 TB a span in
+    10^5 documents would emit 10^10 pairs; cap and route such spans to
+    the repeated-line scrub or :func:`substring_dup_docs` instead).
+    Default None = exact (the oracle setting)."""
+
+    def pairs_many(g: pd.DataFrame) -> pd.DataFrame:
+        g1 = g["g1"].to_numpy(dtype=np.uint64)
+        g2 = g["g2"].to_numpy(dtype=np.uint64)
+        docs = g["doc"].to_numpy(dtype=np.int64)
+        order = np.lexsort((docs, g2, g1))
+        a, b, d = g1[order], g2[order], docs[order]
+        newrun = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        starts = np.flatnonzero(newrun)
+        ends = np.concatenate([starts[1:], [len(a)]])
+        out_l, out_r = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or (bucket_cap is not None and m > bucket_cap):
+                continue
+            iu = np.triu_indices(m, k=1)
+            out_l.append(d[s:e][iu[0]])
+            out_r.append(d[s:e][iu[1]])
+        if not out_l:
+            return pd.DataFrame({"left": pd.array([], dtype="int64"),
+                                 "right": pd.array([], dtype="int64")})
+        return pd.DataFrame({"left": np.concatenate(out_l), "right": np.concatenate(out_r)})
+
+    exploded = _substring_windows(ds, k=k, key_col=key_col, text_col=text_col, n_parts=n_parts)
+    cand = exploded.groupby("__part").map_groups(pairs_many, batch_format="pandas")
+    return _dedup_pairs(cand)
+
+
+def substring_dup_docs(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> Dataset:
+    """The flagging form: ``(doc_id, n_dup_grams)`` for every document
+    containing at least one k-word window that also appears verbatim in
+    ANOTHER document (``n_dup_grams`` counts its distinct such windows).
+    Pair-free — cost stays linear in corpus windows even when a
+    boilerplate span is shared by millions of documents."""
+
+    def flag_many(g: pd.DataFrame) -> pd.DataFrame:
+        g1 = g["g1"].to_numpy(dtype=np.uint64)
+        g2 = g["g2"].to_numpy(dtype=np.uint64)
+        docs = g["doc"].to_numpy(dtype=np.int64)
+        order = np.lexsort((docs, g2, g1))
+        a, b, d = g1[order], g2[order], docs[order]
+        newrun = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        run_id = np.cumsum(newrun) - 1
+        run_sizes = np.bincount(run_id)
+        # a (gram, doc) row is already unique: run size == #distinct docs
+        dup = run_sizes[run_id] >= 2
+        if not dup.any():
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "n_dup_grams": pd.array([], dtype="int64")})
+        dd = d[dup]
+        uniq, cnt = np.unique(dd, return_counts=True)
+        return pd.DataFrame({"doc_id": uniq, "n_dup_grams": cnt.astype(np.int64)})
+
+    exploded = _substring_windows(ds, k=k, key_col=key_col, text_col=text_col, n_parts=n_parts)
+    per_part = exploded.groupby("__part").map_groups(flag_many, batch_format="pandas")
+
+    # a doc's windows land in many parts: one final coarse fold sums the
+    # per-part counts (keyed on <=n_parts values, vectorized per part)
+    def fold_part(df: pd.DataFrame) -> pd.DataFrame:
+        from jesse_ray.hashutil import hash_partition_pandas
+
+        return hash_partition_pandas(df, ["doc_id"], n_parts)
+
+    def fold(gdf: pd.DataFrame) -> pd.DataFrame:
+        out = gdf.groupby("doc_id", as_index=False)["n_dup_grams"].sum()
+        return out[["doc_id", "n_dup_grams"]]
+
+    return per_part.map_batches(fold_part, batch_format="pandas").groupby("__part").map_groups(
+        fold, batch_format="pandas"
+    )

@@ -97,3 +97,84 @@ def append_eos(
         return out
 
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate
+
+
+def token_vocabulary(ds: Dataset, *, tokens_col: str = "tokens") -> np.ndarray:
+    """Distinct token ids of a (reference) corpus slice, as a sorted
+    numpy array ready to broadcast.
+
+    Map-side uniques shrink each block to its distinct ids before
+    anything leaves the worker; the driver unions the per-block partial
+    vocabularies (bounded by vocabulary size — token id spaces are
+    ~1e5-1e6 even when the corpus is 100 TB, so the driver union is a
+    few MB, never corpus-shaped)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_combine(batch[tokens_col]))
+        u = np.unique(flat.to_numpy(zero_copy_only=False))
+        return pa.table({"token": pa.array(u)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    blocks = [b["token"].to_numpy(zero_copy_only=False)
+              for b in parts.iter_batches(batch_format="pyarrow")]
+    if not blocks:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(blocks))
+
+
+def oov_stats_by_group(
+    ds: Dataset,
+    vocab: np.ndarray,
+    *,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> Dataset:
+    """Vocabulary coverage per group: ``(group, n_oov, n_tok)`` where
+    ``n_oov`` counts token occurrences outside ``vocab``.  The curation
+    metric behind "how much of source X does my tokenizer/reference
+    vocabulary actually cover".
+
+    ``vocab`` is broadcast once (``ray.put``); each batch does one
+    vectorized sorted-membership probe (np.isin over the flattened
+    Arrow buffer) and emits per-group PARTIAL sums, so the final
+    groupby shuffles a handful of rows per block — group cardinality is
+    assumed small (sources/languages), exactly like grouped_agg."""
+    import ray as _ray
+
+    vocab = np.sort(np.asarray(vocab))
+    ref = _ray.put(vocab) if _ray.is_initialized() else vocab
+
+    class Partial:
+        def __init__(self):
+            v = ref
+            self.vocab = _ray.get(v) if isinstance(v, _ray.ObjectRef) else v
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = _combine(batch[tokens_col])
+            flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+            parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            vocab = self.vocab.astype(flat.dtype, copy=False)
+            oov = ~np.isin(flat, vocab)
+            groups = batch[group_col].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(groups, return_inverse=True)
+            n_tok = np.bincount(inv[parent], minlength=len(uniq)) if len(parent) else np.zeros(len(uniq), np.int64)
+            n_oov = np.bincount(inv[parent[oov]], minlength=len(uniq)) if len(parent) else np.zeros(len(uniq), np.int64)
+            return pa.table(
+                {
+                    group_col: pa.array(uniq),
+                    "n_oov": pa.array(n_oov.astype(np.int64)),
+                    "n_tok": pa.array(n_tok.astype(np.int64)),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(Partial, batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=(1, 8))
+    return partials.groupby(group_col).aggregate(
+        Sum("n_oov", alias_name="n_oov"), Sum("n_tok", alias_name="n_tok")
+    )

@@ -267,6 +267,44 @@ FROM {SEQ_SQL} GROUP BY source
 """
 
 
+def q_seq_oov(sf_dir: str) -> pa.Table:
+    """Vocabulary coverage: token occurrences outside the 'books'
+    reference vocabulary, per source.  Vocab built distributedly
+    (map-side uniques, driver union — bounded by vocab size), broadcast
+    once, then one sorted-membership probe per batch with per-group
+    partial sums (seqops.token_vocabulary / oov_stats_by_group)."""
+    from jesse_ray.functions.seqops import oov_stats_by_group, token_vocabulary
+
+    ref = read_sequences(_seq_path(sf_dir), columns=["source", "tokens"])
+    vocab = token_vocabulary(
+        ref.filter(expr="source == 'books'"), tokens_col="tokens"
+    )
+    out = oov_stats_by_group(
+        read_sequences(_seq_path(sf_dir), columns=["source", "tokens"]), vocab
+    )
+    t = _collect(out)
+    return pa.table(
+        {
+            "source": t["source"],
+            "n_oov": t["n_oov"].cast(pa.int64()),
+            "n_tok": t["n_tok"].cast(pa.int64()),
+        }
+    ).sort_by("source")
+
+
+SQL_SEQ_OOV = f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(tokens) AS t FROM {SEQ_SQL} WHERE source = 'books'
+),
+f AS (SELECT source, unnest(tokens) AS t FROM {SEQ_SQL})
+SELECT source,
+       CAST(count(*) FILTER (WHERE v.t IS NULL) AS BIGINT) AS n_oov,
+       CAST(count(*) AS BIGINT) AS n_tok
+FROM f LEFT JOIN vocab v ON f.t = v.t
+GROUP BY source ORDER BY source
+"""
+
+
 def q_seq_distinct_tokens_by_source(sf_dir: str) -> pa.Table:
     """KVC @distinctUnionOfArrays analogue: distinct token ids per
     source (map-side flatten+unique, shuffle carries distinct pairs)."""
@@ -891,6 +929,41 @@ SELECT event_id, user_id,
          LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1
        ) AS BIGINT) AS prev_event_id
 FROM events ORDER BY event_id
+"""
+
+
+def q_events_rolling(sf_dir: str) -> pa.Table:
+    """Per-user trailing 1-hour rolling SUM/COUNT of event value (ANSI
+    RANGE frame incl. equal-ts peers) via the coarse-partitioned
+    grouped_rolling operator — banded prefix-sum frames, no per-key
+    Python."""
+    from jesse_ray.pipelines.relational import grouped_rolling
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = grouped_rolling(ds, "user_id", "ts", "value", window_us=3_600_000_000)
+    t = _collect(out)
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "roll_sum": t["roll_sum"].cast(pa.float64()),
+            "roll_cnt": t["roll_cnt"].cast(pa.int64()),
+        }
+    ).sort_by("event_id")
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id, user_id,
+       SUM(value) OVER w AS roll_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+ORDER BY event_id
 """
 
 
@@ -1550,6 +1623,75 @@ GROUP BY w.doc_id
 """
 
 
+def q_doc_ccnet_buckets(sf_dir: str) -> pa.Table:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document with the corpus unigram LM, cut the score distribution at
+    exact terciles, and label head/middle/tail.  Composes three
+    existing distributed stages — unigram model build + broadcast
+    scoring, exact discrete quantiles over the milli-quantized score
+    (bounded-cardinality two-phase), and a small grouped count — and
+    the twin re-derives all three in SQL."""
+    from jesse_ray.functions.text import add_unigram_logprob, unigram_model
+    from jesse_ray.pipelines.relational import exact_discrete_quantiles, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    model = unigram_model(ds)
+    scored = add_unigram_logprob(ds, model)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        lp_m = pc.cast(pc.round(pc.multiply(batch["mean_lp"], 1000.0)), pa.int64())
+        return pa.table({"source": batch["source"], "lp_m": lp_m})
+
+    q = scored.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+    q = q.materialize()  # two consumers: quantile pass + bucket count
+    c1, c2 = exact_discrete_quantiles(q, "lp_m", [1 / 3, 2 / 3])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch["lp_m"].to_numpy(zero_copy_only=False)
+        lab = np.where(v > c2, "head", np.where(v > c1, "middle", "tail"))
+        return pa.table({"source": batch["source"], "bucket": pa.array(lab)})
+
+    out = grouped_agg(
+        q.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "bucket"],
+    )
+    t = _collect(out)
+    return pa.table(
+        {
+            "source": t["source"],
+            "bucket": t["bucket"],
+            "cnt": t["cnt"].cast(pa.int64()),
+        }
+    ).sort_by([("source", "ascending"), ("bucket", "ascending")])
+
+
+SQL_DOC_CCNET_BUCKETS = """
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+cnt AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM cnt),
+lp AS (SELECT word, ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)) AS l FROM cnt),
+doc AS (
+  SELECT w.doc_id, CAST(round(avg(l) * 1000) AS BIGINT) AS lp_m
+  FROM w JOIN lp USING (word) GROUP BY w.doc_id
+),
+cuts AS (
+  SELECT quantile_disc(lp_m, [0.3333333333333333, 0.6666666666666666]) AS c FROM doc
+),
+b AS (
+  SELECT d.doc_id,
+         CASE WHEN d.lp_m > c[2] THEN 'head'
+              WHEN d.lp_m > c[1] THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM doc d, cuts
+)
+SELECT s.source, b.bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM b JOIN documents s USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 VALUE_TIERS = [(0.0, 10.0, "low"), (10.0, 50.0, "mid"), (50.0, 1e9, "high")]
 
 
@@ -2103,6 +2245,35 @@ SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
 """
 
 
+def q_doc_substring_dups(sf_dir: str) -> pd.DataFrame:
+    """Exact substring-match dedup (ExactSubstr, Lee et al. 2022): every
+    document pair sharing a verbatim 8-word window.  The SQL twin is
+    fully independent — it re-derives the pairs from the raw documents
+    table by exact string-equality of word 8-grams, so the engine's
+    128-bit rolling-hash pipeline must reproduce exact-match truth."""
+    from jesse_ray.functions.dedup import substring_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pdf = substring_dup_pairs(ds, k=8).to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"left": pd.array([], dtype="int64"),
+                             "right": pd.array([], dtype="int64")})
+    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+
+
+SQL_DOC_SUBSTRING_DUPS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)
+)
+SELECT a.doc_id AS "left", b.doc_id AS "right"
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.functions.text import add_fingerprints
 
@@ -2299,6 +2470,10 @@ def queries() -> dict[str, Callable]:
         "seq_shuffle": q_seq_shuffle,
         "doc_normalize": q_doc_normalize,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_substring_dups": q_doc_substring_dups,
+        "events_rolling": q_events_rolling,
+        "seq_oov": q_seq_oov,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2370,6 +2545,10 @@ def oracle_sql() -> dict[str, str]:
         "seq_shuffle": SQL_SEQ_SHUFFLE,
         "doc_normalize": SQL_DOC_NORMALIZE,
         "doc_dup_clusters": SQL_DOC_DUP_CLUSTERS,
+        "doc_substring_dups": SQL_DOC_SUBSTRING_DUPS,
+        "events_rolling": SQL_EVENTS_ROLLING,
+        "seq_oov": SQL_SEQ_OOV,
+        "doc_ccnet_buckets": SQL_DOC_CCNET_BUCKETS,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

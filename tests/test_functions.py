@@ -1001,3 +1001,161 @@ def test_dedup_by_components(ray_session):
     cc = connected_components(ray.data.from_arrow(edges))
     kept = dedup_by_components(ray.data.from_arrow(docs), cc).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 5, 7]
+
+
+# ---------------------------------------------------------------------------
+# exact substring-match dedup (functions/dedup.py ExactSubstr family)
+
+
+def _naive_gram_sets(texts, k):
+    out = {}
+    for doc_id, t in texts.items():
+        ws = (t or "").split(" ")
+        out[doc_id] = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+    return out
+
+
+def test_substring_dup_pairs_matches_naive(ray_session):
+    from jesse_ray.functions.dedup import substring_dup_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a different opening but jumps over the lazy dog too",   # shares 4-gram with 1
+        3: "completely unrelated words here nothing shared at all",
+        4: "the quick brown fox sleeps all day long",               # shares 4-gram with 1 only
+        5: "over the lazy dog",                                     # shares with 1 and 2
+        6: "short",                                                 # < k words
+    }
+    k = 4
+    want = set()
+    grams = _naive_gram_sets(texts, k)
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if grams[a] & grams[b]:
+                want.add((a, b))
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array([texts[i] for i in ids])}
+    )
+    got = substring_dup_pairs(
+        ray.data.from_arrow(tbl).repartition(3), k=k
+    ).to_pandas()
+    got_pairs = set(zip(got["left"], got["right"]))
+    assert got_pairs == want
+    assert all(l < r for l, r in got_pairs)
+
+
+def test_substring_dup_docs_matches_naive(ray_session):
+    from jesse_ray.functions.dedup import substring_dup_docs
+
+    texts = {
+        10: "alpha beta gamma delta epsilon zeta",
+        11: "prefix words alpha beta gamma delta suffix",   # shares "alpha beta gamma delta"? k=3 windows
+        12: "nothing in common with the others at all",
+        13: "alpha beta gamma delta epsilon zeta",          # exact dup of 10
+    }
+    k = 3
+    grams = _naive_gram_sets(texts, k)
+    want = {}
+    for d, gs in grams.items():
+        others = set().union(*(g for dd, g in grams.items() if dd != d))
+        n = len(gs & others)
+        if n:
+            want[d] = n
+    tbl = pa.table(
+        {"doc_id": pa.array(sorted(texts), pa.int64()),
+         "text": pa.array([texts[i] for i in sorted(texts)])}
+    )
+    got = (
+        substring_dup_docs(ray.data.from_arrow(tbl).repartition(2), k=k)
+        .to_pandas()
+        .set_index("doc_id")["n_dup_grams"]
+        .to_dict()
+    )
+    assert got == want
+
+
+def test_substring_dup_pairs_bucket_cap(ray_session):
+    from jesse_ray.functions.dedup import substring_dup_pairs
+
+    # one boilerplate window shared by 5 docs; cap=3 suppresses its pairs
+    texts = {i: f"unique{i} filler the shared boilerplate span here" for i in range(5)}
+    tbl = pa.table(
+        {"doc_id": pa.array(sorted(texts), pa.int64()),
+         "text": pa.array([texts[i] for i in sorted(texts)])}
+    )
+    k = 5
+    uncapped = substring_dup_pairs(ray.data.from_arrow(tbl), k=k).to_pandas()
+    assert len(uncapped) == 10  # 5 choose 2
+    capped = substring_dup_pairs(ray.data.from_arrow(tbl), k=k, bucket_cap=3).to_pandas()
+    assert len(capped) == 0
+
+
+# ---------------------------------------------------------------------------
+# per-entity trailing-window rolling aggregate (relational.grouped_rolling)
+
+
+def test_grouped_rolling_matches_naive(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from jesse_ray.pipelines.relational import grouped_rolling
+
+    rng = np.random.default_rng(11)
+    n = 400
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, size=n),
+            # coarse second grid => plenty of equal-ts peers per user
+            "ts": base + rng.integers(0, 3000, size=n).astype("timedelta64[s]").astype("timedelta64[us]"),
+            "value": rng.normal(size=n),
+        }
+    )
+    w_us = 600 * 1_000_000  # 10-minute trailing window
+    got = (
+        grouped_rolling(
+            ray.data.from_pandas(df).repartition(4),
+            "user_id", "ts", "value", window_us=w_us, n_parts=8,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # naive RANGE-frame semantics: all rows of the key with ts in
+    # [t - w, t], INCLUDING equal-ts rows later in any ordering
+    want_sum, want_cnt = [], []
+    for _, row in df.iterrows():
+        m = (df["user_id"] == row["user_id"]) & (df["ts"] <= row["ts"]) & (
+            df["ts"] >= row["ts"] - pd.Timedelta(microseconds=w_us)
+        )
+        want_sum.append(df.loc[m, "value"].sum())
+        want_cnt.append(int(m.sum()))
+    want = df.assign(roll_sum=want_sum, roll_cnt=want_cnt).sort_values("event_id").reset_index(drop=True)
+    assert (got["roll_cnt"].to_numpy() == want["roll_cnt"].to_numpy()).all()
+    assert np.allclose(got["roll_sum"].to_numpy(), want["roll_sum"].to_numpy())
+
+
+def test_token_vocabulary_and_oov(ray_session):
+    from jesse_ray.functions.seqops import oov_stats_by_group, token_vocabulary
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["ref", "ref", "web", "web"]),
+            "tokens": pa.array([[1, 2, 3], [2, 4], [1, 9, 9, 4], []],
+                               type=pa.list_(pa.int32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    vocab = token_vocabulary(ds.filter(expr="source == 'ref'"))
+    assert vocab.tolist() == [1, 2, 3, 4]
+    out = (
+        oov_stats_by_group(ds, vocab)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert out.loc["ref", "n_oov"] == 0 and out.loc["ref", "n_tok"] == 5
+    assert out.loc["web", "n_oov"] == 2 and out.loc["web", "n_tok"] == 4
