@@ -1021,7 +1021,9 @@ _FNV_OFFSET2 = np.uint64(0x84222325CBF29CE4)
 _FNV_PRIME2 = np.uint64(0x00000100000001B5)
 
 
-def _gram_hashes128(txt: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _gram_hashes128(
+    txt: pa.Array, k: int, *, return_flat: bool = False
+):
     """128-bit rolling k-word-gram hashes for a batch of texts.
 
     Tokenization is the corpus/SQL convention (split on single spaces,
@@ -1032,7 +1034,11 @@ def _gram_hashes128(txt: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.n
     keys are treated as equal spans, the same contract as the 128-bit
     content hash in :func:`add_content_hash` (collision odds ~n^2/2^128).
 
-    Returns (g1, g2, parent_row_index) for every in-document window.
+    Returns (g1, g2, parent_row_index) for every in-document window;
+    with ``return_flat=True`` additionally returns (flat_start_idx,
+    flat_words, word_parent) — the window's start offset in the
+    batch-flattened word array, the flattened words themselves, and
+    every word's row index (for span-rewrite stages).
     """
     from jesse_ray.functions.decontam import _GRAM_MULT, _word_lists
 
@@ -1045,7 +1051,10 @@ def _gram_hashes128(txt: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.n
     m = len(wh1) - k + 1
     if m <= 0:
         e64 = np.empty(0, np.uint64)
-        return e64, e64, np.empty(0, np.int64)
+        empty = (e64, e64, np.empty(0, np.int64))
+        if return_flat:
+            return (*empty, np.empty(0, np.int64), flat, parent)
+        return empty
     acc1 = np.zeros(m, dtype=np.uint64)
     acc2 = np.zeros(m, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -1053,7 +1062,10 @@ def _gram_hashes128(txt: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.n
             acc1 = acc1 * _GRAM_MULT + wh1[j : m + j]
             acc2 = acc2 * _GRAM_MULT2 + wh2[j : m + j]
     valid = parent[:m] == parent[k - 1 :]
-    return acc1[valid], acc2[valid], parent[:m][valid].astype(np.int64)
+    out = (acc1[valid], acc2[valid], parent[:m][valid].astype(np.int64))
+    if return_flat:
+        return (*out, np.flatnonzero(valid).astype(np.int64), flat, parent)
+    return out
 
 
 def _substring_windows(
@@ -1187,3 +1199,134 @@ def substring_dup_docs(
     return per_part.map_batches(fold_part, batch_format="pandas").groupby("__part").map_groups(
         fold, batch_format="pandas"
     )
+
+
+def dup_span_grams(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> Dataset:
+    """Phase 1 of span removal: every k-word gram that appears in >= 2
+    DISTINCT documents, with its keeper (the min doc id containing it).
+    Output ``(g1, g2, keeper)`` — bounded by the duplicated-span volume
+    (a small fraction of corpus windows by the same argument as
+    repeated_lines' broadcast set), never the corpus."""
+
+    def keepers_many(g: pd.DataFrame) -> pd.DataFrame:
+        g1 = g["g1"].to_numpy(dtype=np.uint64)
+        g2 = g["g2"].to_numpy(dtype=np.uint64)
+        docs = g["doc"].to_numpy(dtype=np.int64)
+        order = np.lexsort((docs, g2, g1))
+        a, b, d = g1[order], g2[order], docs[order]
+        newrun = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        run_id = np.cumsum(newrun) - 1
+        sizes = np.bincount(run_id)
+        starts = np.flatnonzero(newrun)
+        dup = sizes >= 2  # rows are distinct (gram, doc): size == n docs
+        if not dup.any():
+            return pd.DataFrame({"g1": pd.array([], dtype="uint64"),
+                                 "g2": pd.array([], dtype="uint64"),
+                                 "keeper": pd.array([], dtype="int64")})
+        s = starts[dup]
+        # sorted by (g1, g2, doc): the first row of each run is min doc
+        return pd.DataFrame({"g1": a[s], "g2": b[s], "keeper": d[s]})
+
+    exploded = _substring_windows(ds, k=k, key_col=key_col, text_col=text_col, n_parts=n_parts)
+    return exploded.groupby("__part").map_groups(keepers_many, batch_format="pandas")
+
+
+def remove_dup_spans(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+    batch_size: int = 8192,
+    dup_grams: pa.Table | None = None,
+) -> Dataset:
+    """The removal form of ExactSubstr dedup (Lee et al. 2022 §3):
+    rewrite every document with its cross-document duplicated k-word
+    spans removed, keeping the copy in the keeper document (min doc id
+    containing the span — a deterministic stand-in for the paper's
+    arbitrary surviving occurrence).  Appends ``text_scrubbed`` and
+    ``n_removed`` (words dropped).
+
+    Phase 2 broadcasts the dup-gram table once (``ray.put``) and
+    rewrites in a single shuffle-free pass: recompute window hashes per
+    batch (vectorized), probe the sorted dup set, mark covered word
+    positions with a difference array + cumsum, and rebuild the kept
+    words with Arrow list offsets + ``binary_join`` — the same rewrite
+    machinery as :func:`dedup_lines`.  Within-document repeats of a
+    span that no OTHER document shares are kept (per-doc pre-dedup in
+    phase 1 makes them invisible by design)."""
+    if dup_grams is None:
+        parts = list(
+            dup_span_grams(
+                ds, k=k, key_col=key_col, text_col=text_col, n_parts=n_parts
+            ).iter_batches(batch_format="pyarrow")
+        )
+        dup_grams = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"g1": pa.array([], pa.uint64()),
+                           "g2": pa.array([], pa.uint64()),
+                           "keeper": pa.array([], pa.int64())})
+        )
+    G1 = dup_grams["g1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    G2 = dup_grams["g2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    KP = dup_grams["keeper"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((G2, G1))
+    G1, G2, KP = G1[order], G2[order], KP[order]
+    bundle = (G1, G2, KP)
+    ref = ray.put(bundle) if ray.is_initialized() else bundle
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        g1s, g2s, kps = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        g1, g2, gparent, gstart, flat, parent = _gram_hashes128(
+            batch[text_col], k, return_flat=True
+        )
+        docs_all = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        covered = np.zeros(len(flat), dtype=bool)
+        if len(g1) and len(g1s):
+            lo = np.searchsorted(g1s, g1, side="left")
+            hi = np.searchsorted(g1s, g1, side="right")
+            # primary path: unique g1 in the dup set (the overwhelming case)
+            one = hi - lo == 1
+            lo_c = np.minimum(lo, len(g1s) - 1)
+            hit = one & (g2s[lo_c] == g2) & (g1s[lo_c] == g1)
+            keeper = np.where(hit, kps[lo_c], -1)
+            # rare path: several dup grams share a g1 prefix — scan the run
+            multi = np.flatnonzero(hi - lo > 1)
+            for i in multi:
+                for j in range(lo[i], hi[i]):
+                    if g2s[j] == g2[i]:
+                        hit[i] = True
+                        keeper[i] = kps[j]
+                        break
+            remove = hit & (docs_all[gparent] != keeper)
+            if remove.any():
+                diff = np.zeros(len(flat) + 1, dtype=np.int32)
+                np.add.at(diff, gstart[remove], 1)
+                np.add.at(diff, gstart[remove] + k, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        kept_counts = np.bincount(parent[~covered], minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_words = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat.filter(pa.array(~covered))
+        )
+        joined = pc.fill_null(pc.binary_join(kept_words, " "), "")
+        n_removed = np.bincount(parent[covered], minlength=n).astype(np.int64)
+        return batch.append_column("text_scrubbed", joined).append_column(
+            "n_removed", pa.array(n_removed, type=pa.int64())
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

@@ -2274,6 +2274,58 @@ ORDER BY 1, 2
 """
 
 
+def q_doc_span_scrub(sf_dir: str) -> pa.Table:
+    """ExactSubstr REMOVAL (Lee et al. 2022 §3): rewrite every document
+    with its cross-document duplicated 8-word spans removed (keeper =
+    min doc id).  The twin re-derives keeper assignment, per-position
+    span coverage, and the word-level rewrite entirely in SQL from the
+    raw documents view."""
+    from jesse_ray.functions.dedup import remove_dup_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = remove_dup_spans(ds, k=8)
+    t = _collect(out.select_columns(["doc_id", "text_scrubbed", "n_removed"]))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "text_scrubbed": t["text_scrubbed"],
+            "n_removed": t["n_removed"].cast(pa.int64()),
+        }
+    ).sort_by("doc_id")
+
+
+SQL_DOC_SPAN_SCRUB = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+occ AS (
+  SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)
+),
+gd AS (
+  SELECT gram, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT o.doc_id, o.i + off AS pos
+  FROM occ o JOIN gd USING (gram), unnest(generate_series(0, 7)) AS t(off)
+  WHERE o.doc_id != gd.keeper
+),
+words AS (
+  SELECT doc_id, i AS pos, ws[i] AS word
+  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+),
+kept AS (
+  SELECT wo.doc_id,
+         coalesce(string_agg(wo.word, ' ' ORDER BY wo.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS text_scrubbed,
+         CAST(count(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT) AS n_removed
+  FROM words wo LEFT JOIN cov c ON c.doc_id = wo.doc_id AND c.pos = wo.pos
+  GROUP BY wo.doc_id
+)
+SELECT doc_id, text_scrubbed, n_removed FROM kept ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.functions.text import add_fingerprints
 
@@ -2474,6 +2526,7 @@ def queries() -> dict[str, Callable]:
         "events_rolling": q_events_rolling,
         "seq_oov": q_seq_oov,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "doc_span_scrub": q_doc_span_scrub,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2549,6 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": SQL_EVENTS_ROLLING,
         "seq_oov": SQL_SEQ_OOV,
         "doc_ccnet_buckets": SQL_DOC_CCNET_BUCKETS,
+        "doc_span_scrub": SQL_DOC_SPAN_SCRUB,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

@@ -1159,3 +1159,50 @@ def test_token_vocabulary_and_oov(ray_session):
     )
     assert out.loc["ref", "n_oov"] == 0 and out.loc["ref", "n_tok"] == 5
     assert out.loc["web", "n_oov"] == 2 and out.loc["web", "n_tok"] == 4
+
+
+def test_remove_dup_spans_matches_naive(ray_session):
+    from jesse_ray.functions.dedup import remove_dup_spans
+
+    k = 3
+    texts = {
+        1: "aa bb cc dd ee ff",            # keeper of "aa bb cc", "bb cc dd" (vs 2)
+        2: "xx aa bb cc dd yy",            # loses the shared spans
+        3: "no overlap at all here",
+        4: "aa bb cc",                     # exact window also in 1 and 2 -> removed (keeper 1)
+    }
+    ids = sorted(texts)
+
+    # naive reference: grams per doc, dup grams (>=2 distinct docs) with
+    # min-doc keeper, every occurrence in non-keeper docs masks its span
+    grams = {}
+    for d in ids:
+        ws = texts[d].split(" ")
+        grams[d] = {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+    keeper = {}
+    for d in ids:
+        for g in grams[d]:
+            docs = [x for x in ids if g in grams[x]]
+            if len(docs) >= 2:
+                keeper[g] = min(docs)
+    want = {}
+    for d in ids:
+        ws = texts[d].split(" ")
+        cov = [False] * len(ws)
+        for i in range(len(ws) - k + 1):
+            g = " ".join(ws[i:i + k])
+            if g in keeper and keeper[g] != d:
+                for j in range(i, i + k):
+                    cov[j] = True
+        want[d] = (" ".join(w for w, c in zip(ws, cov) if not c), sum(cov))
+
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([texts[i] for i in ids])})
+    out = (
+        remove_dup_spans(ray.data.from_arrow(tbl).repartition(2), k=k)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for d in ids:
+        assert out.loc[d, "text_scrubbed"] == want[d][0], d
+        assert out.loc[d, "n_removed"] == want[d][1], d
