@@ -47,7 +47,7 @@ def run_bench() -> dict:
     from jesse_ray.compiler import compile_spec
     from jesse_ray.engine import validate_dataset
     from jesse_ray.pipelines.queries import _seq_spec
-    from jesse_ray.sources import read_sequences
+    from jesse_ray.sources import read_sequences, read_table
     from jesse_ray.stages import sketch_dataset
 
     base = os.path.basename(SF_DIR.rstrip("/"))
@@ -190,14 +190,28 @@ def run_bench() -> dict:
 
         t0 = time.time()
         n_mh = lsh_candidate_pairs(
-            _rd.read_parquet(docs_path, columns=["doc_id", "text"]), num_hashes=64, bands=16
+            read_table(docs_path, columns=["doc_id", "text"]), num_hashes=64, bands=16
         ).count()
         queries["minhash_pairs"] = round(time.time() - t0, 3)
         t0 = time.time()
         n_sh = simhash_near_dups(
-            _rd.read_parquet(docs_path, columns=["doc_id", "text"]), max_hamming=3
+            read_table(docs_path, columns=["doc_id", "text"]), max_hamming=3
         ).count()
         queries["simhash_pairs"] = round(time.time() - t0, 3)
+
+        # exact substring-match dedup (pairs) + duplicated-span removal
+        from jesse_ray.functions.dedup import remove_dup_spans, substring_dup_pairs
+
+        t0 = time.time()
+        _ = substring_dup_pairs(
+            read_table(docs_path, columns=["doc_id", "text"]), k=8
+        ).count()
+        queries["substring_pairs"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _ = remove_dup_spans(
+            read_table(docs_path, columns=["doc_id", "text"]), k=8
+        ).count()
+        queries["span_scrub"] = round(time.time() - t0, 3)
 
         # benchmark decontamination (broadcast n-gram-hash membership)
         import pyarrow.parquet as _pq
@@ -213,7 +227,7 @@ def run_bench() -> dict:
         )
         t0 = time.time()
         _ = flag_contaminated(
-            _rd.read_parquet(docs_path, columns=["doc_id", "text"]), probes
+            read_table(docs_path, columns=["doc_id", "text"]), probes
         ).count()
         queries["decontam"] = round(time.time() - t0, 3)
 
@@ -226,7 +240,7 @@ def run_bench() -> dict:
 
         t0 = time.time()
         _cents, assigned = kmeans(
-            _rd2.read_parquet(emb_path, columns=["vec_id", "embedding"]), 8, n_iters=5
+            read_table(emb_path, columns=["vec_id", "embedding"]), 8, n_iters=5
         )
         _ = assigned.count()
         queries["emb_kmeans"] = round(time.time() - t0, 3)

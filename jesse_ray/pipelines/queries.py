@@ -44,7 +44,7 @@ from jesse_ray.pipelines.relational import (
     grouped_count_distinct,
     tumbling_window,
 )
-from jesse_ray.sources import read_sequences
+from jesse_ray.sources import read_sequences, read_table
 from jesse_ray.spec import ColumnSpec, ConsistencyRule, TableSpec, sequences_spec
 
 SEQ_SQL = "read_parquet('/tmp/jesse_ray_data/sf0.01/sequences.parquet')"
@@ -552,7 +552,7 @@ def q_emb_kmeans(sf_dir: str) -> pd.DataFrame:
     cluster sizes."""
     from jesse_ray.functions.clustering import kmeans
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cents, assigned = kmeans(ds, KMEANS_K, n_iters=5)
     t = _collect(assigned.select_columns(["vec_id", "cluster"]))
     pq.write_table(t.sort_by("vec_id"), _sig_parquet_path(sf_dir, "kmeans_assign"))
@@ -711,7 +711,7 @@ ORDER BY doc_id
 
 def q_events_users_per_type(sf_dir: str) -> pa.Table:
     """Exact grouped count-distinct (two-phase dedup shuffle)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     out = grouped_count_distinct(ds, ["event_type"], "user_id")
     t = _collect(out)
     return pa.table(
@@ -734,7 +734,7 @@ def q_doc_langs_by_source(sf_dir: str) -> pa.Table:
     the distinct (source, lang) pairs of the documents table."""
     from jesse_ray.pipelines.relational import grouped_distinct_values
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
     t = _collect(grouped_distinct_values(ds, ["source"], "lang"))
     return t.sort_by([("source", "ascending"), ("lang", "ascending")])
 
@@ -775,7 +775,7 @@ def q_doc_val_nchars(sf_dir: str) -> pa.Table:
     """Consistency rule n_chars == utf8_len(text) via the engine."""
     from jesse_ray import errors as E
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
     spec = TableSpec(key_column="doc_id")
     spec.consistency.append(
         ConsistencyRule(kind="str_len_eq", left="text", right="n_chars", error_atom=E.WRONG_LENGTH)
@@ -792,7 +792,7 @@ SELECT doc_id, 'wrong_length' AS error FROM documents WHERE length(text) != n_ch
 
 
 def q_doc_lang_enum(sf_dir: str) -> pa.Table:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     spec = TableSpec(key_column="doc_id")
     spec.columns["lang"] = ColumnSpec(enum=DOC_LANGS)
     v = _collect(row_violations(ds, compile_spec(spec)))
@@ -812,7 +812,7 @@ SELECT doc_id, lang, 'not_in_enum' AS error FROM documents WHERE lang NOT IN ({D
 
 
 def q_doc_token_counts(sf_dir: str) -> pa.Table:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
         ws = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(pa.int64())
@@ -827,7 +827,7 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM docu
 
 
 def q_doc_quality_counts(sf_dir: str) -> pa.Table:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def qual(batch: pa.Table) -> pa.Table:
         txt = batch["text"]
@@ -853,7 +853,7 @@ FROM documents
 
 
 def q_events_window(sf_dir: str) -> pa.Table:
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
     t = _collect(out)
     return pa.table(
@@ -880,7 +880,7 @@ def q_events_sliding(sf_dir: str) -> pa.Table:
     windows; per (event_type, window) count + value sum."""
     from jesse_ray.pipelines.relational import sliding_window
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = sliding_window(ds, "ts", window_s=7200, slide_s=3600, keys=["event_type"], sums=["value"])
     t = _collect(out)
     return pa.table(
@@ -911,7 +911,7 @@ def q_events_lag(sf_dir: str) -> pa.Table:
     ts, event_id) via the coarse-partitioned grouped_lag operator."""
     from jesse_ray.pipelines.relational import grouped_lag
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
     out = grouped_lag(ds, "user_id", ["ts", "event_id"], "event_id", alias="prev_event_id")
     t = _collect(out)
     return pa.table(
@@ -939,7 +939,7 @@ def q_events_rolling(sf_dir: str) -> pa.Table:
     Python."""
     from jesse_ray.pipelines.relational import grouped_rolling
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     out = grouped_rolling(ds, "user_id", "ts", "value", window_us=3_600_000_000)
@@ -976,7 +976,7 @@ def q_events_sessions(sf_dir: str) -> pa.Table:
     sessionize operator vs a LAG + windowed-SUM SQL twin."""
     from jesse_ray.pipelines.relational import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
     out = sessionize(ds, "user_id", "ts", gap_s=SESSION_GAP_S, order_cols=["event_id"])
     t = _collect(out)
     return pa.table(
@@ -1065,7 +1065,7 @@ def q_doc_df_topk(sf_dir: str) -> pa.Table:
     regex engine."""
     from jesse_ray.functions.text import document_frequency_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     top = document_frequency_topk(ds, k=20)
     return pa.table({"word": top["word"], "df": top["df"].cast(pa.int64())})
 
@@ -1094,7 +1094,7 @@ def q_doc_decontam(sf_dir: str) -> pa.Table:
     ]
     probes = probe_hashes(probes_txt, n_words=3)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     flagged = flag_contaminated(ds, probes, n_words=3)
 
     def hits(batch: pa.Table) -> pa.Table:
@@ -1135,7 +1135,7 @@ def q_doc_repetition(sf_dir: str) -> pa.Table:
     100*top_cnt >= 12*n_words."""
     from jesse_ray.functions.text import add_repetition_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rep = add_repetition_stats(ds)
 
     def gate(batch: pa.Table) -> pa.Table:
@@ -1182,7 +1182,7 @@ def q_doc_line_dedup(sf_dir: str) -> pa.Table:
     threshold: 100*n_docs(line) >= PCT*n_docs."""
     from jesse_ray.functions.dedup import dedup_lines
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n = ds.count()  # parquet metadata count — no scan
     min_docs = -(-LINE_DEDUP_PCT * n // 100)  # smallest k with 100k >= PCT*n
     out = dedup_lines(ds, sep=" ", min_chars=LINE_DEDUP_MIN_CHARS, min_docs=min_docs)
@@ -1220,7 +1220,7 @@ def q_doc_normalize(sf_dir: str) -> pa.Table:
     replacements."""
     from jesse_ray.functions.text import normalize_text
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = normalize_text(ds)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -1376,7 +1376,7 @@ def q_doc_incremental_dedup(sf_dir: str) -> pa.Table:
     computes."""
     from jesse_ray.functions.bloom import incremental_members
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def keyed(parity: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -1421,7 +1421,7 @@ def q_doc_scrub(sf_dir: str) -> pa.Table:
     from jesse_ray.functions.text import Scrubber
     from jesse_ray.pipelines.relational import grouped_agg
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
     scrubbed = Scrubber.apply(ds, [("block", SCRUB_BLOCKLIST, "[X]")], concurrency=2)
 
     def per_doc(batch: pa.Table) -> pa.Table:
@@ -1517,7 +1517,7 @@ def q_orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
     agg."""
     from jesse_ray.pipelines.relational import grouped_agg, hash_join
 
-    orders = ray.data.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
 
@@ -1527,7 +1527,7 @@ def q_orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
         )
         return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
 
-    line = ray.data.read_parquet(
+    line = read_table(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1559,7 +1559,7 @@ def q_events_asof_login(sf_dir: str) -> pa.Table:
             m = pc.equal(batch["event_type"], "signup")
             return batch.filter(m if want_login else pc.invert(m))
 
-        return ray.data.read_parquet(
+        return read_table(
             f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
         ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1597,7 +1597,7 @@ def q_doc_unigram_lp(sf_dir: str) -> pa.Table:
     recomputes both phases exactly in SQL."""
     from jesse_ray.functions.text import add_unigram_logprob, unigram_model
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     model = unigram_model(ds)
     scored = add_unigram_logprob(ds, model)
 
@@ -1634,7 +1634,7 @@ def q_doc_ccnet_buckets(sf_dir: str) -> pa.Table:
     from jesse_ray.functions.text import add_unigram_logprob, unigram_model
     from jesse_ray.pipelines.relational import exact_discrete_quantiles, grouped_agg
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
     model = unigram_model(ds)
@@ -1701,7 +1701,7 @@ def q_events_value_tiers(sf_dir: str) -> pa.Table:
     grouped count+sum per (event_type, tier)."""
     from jesse_ray.pipelines.relational import broadcast_range_join
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     tiers = pd.DataFrame(VALUE_TIERS, columns=["lo", "hi", "tier"])
     joined = broadcast_range_join(ds, tiers, value_col="value", lo_col="lo", hi_col="hi")
     out = grouped_agg(joined.select_columns(["event_type", "tier", "value"]),
@@ -1734,7 +1734,7 @@ def q_events_nested_struct(sf_dir: str) -> pa.Table:
     user_id).  Returns (event_id, path, error) rows."""
     from jesse_ray.spec import from_json_schema
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -1788,7 +1788,7 @@ def q_events_props_sum(sf_dir: str) -> pa.Table:
     """parser_fun analogue (src/jesse.erl:79): a pluggable decode stage
     ahead of the aggregation — here a VECTORIZED JSON-field extraction
     (RE2 kernel) instead of per-row json.loads."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def decode(batch: pa.Table) -> pa.Table:
         k = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?[0-9]+)')
@@ -1816,7 +1816,7 @@ FROM events GROUP BY event_type
 
 
 def q_orders_by_segment(sf_dir: str) -> pa.Table:
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
@@ -1845,7 +1845,7 @@ def q_lineitem_pricing(sf_dir: str) -> pa.Table:
     """TPC-H Q1-style wide aggregate with a pushed-down date filter."""
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pads.field("l_shipdate") <= pads.scalar(np.datetime64("1998-09-02T00:00:00", "us")),
@@ -1895,7 +1895,7 @@ GROUP BY l_returnflag, l_linestatus
 def q_orders_top10(sf_dir: str) -> pa.Table:
     """Distributed sort + limit (ds.sort is a range-partitioned shuffle;
     the limit consumes only the first partitions)."""
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -1934,7 +1934,7 @@ def q_emb_validate(sf_dir: str) -> pd.DataFrame:
     through the compiled engine."""
     from jesse_ray.spec import CustomCheck
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     spec = TableSpec(key_column="vec_id")
     spec.columns["embedding"] = ColumnSpec(required=True, min_items=64, max_items=64)
     spec.custom_checks.append(
@@ -1969,7 +1969,7 @@ def q_emb_topk(sf_dir: str) -> pd.DataFrame:
         .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
         .to_pylist()[0]
     )
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = cosine_topk(ds, np.asarray([qvec]), k=10, concurrency=(1, 2))
     return pd.DataFrame(
         {
@@ -2006,8 +2006,8 @@ def q_drift_report(sf_dir: str) -> pd.DataFrame:
     sf = testgen.sf_name_of(sf_dir)
     testgen.generate(sf)
     d = testgen.corpus_dir(sf)
-    ref = ray.data.read_parquet(str(d / "drift_reference.parquet"))
-    new = ray.data.read_parquet(str(d / "drift_drifted.parquet"))
+    ref = read_table(str(d / "drift_reference.parquet"))
+    new = read_table(str(d / "drift_drifted.parquet"))
     rep = drift_check(ref, new)
     rep_self = drift_check(ref, ref)
     return pd.DataFrame(
@@ -2040,7 +2040,7 @@ SELECT 'ref_vs_self',
 def q_doc_langid(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.functions.text import LangId
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = LangId.apply(ds, concurrency=(1, 2))
     pdf = out.to_pandas()[["doc_id", "lang_pred"]]
     return pdf.sort_values("doc_id").reset_index(drop=True)
@@ -2092,7 +2092,7 @@ def q_doc_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     recomputation in tests/test_functions.py."""
     from jesse_ray.functions.dedup import lsh_candidate_pairs, minhash_signatures
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = minhash_signatures(ds, num_hashes=64)
     pq.write_table(
         _collect(sigs.select_columns(["doc_id", "minhash"])).sort_by("doc_id"),
@@ -2127,7 +2127,7 @@ def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     strict ground truth for the distributed blocking + verify."""
     from jesse_ray.functions.dedup import simhash_near_dups, simhash_signatures
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = simhash_signatures(ds)
     pq.write_table(
         _collect(sigs.select_columns(["doc_id", "simhash"])).sort_by("doc_id"),
@@ -2160,7 +2160,7 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     at bands=32)."""
     from jesse_ray.functions.dedup import _shingle_hashes, ngram_jaccard_dups
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -2214,7 +2214,7 @@ def q_doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.functions.dedup import ngram_jaccard_dups
     from jesse_ray.functions.graph import connected_components
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = ngram_jaccard_dups(ds, threshold=0.5, num_hashes=64, bands=32).materialize()
     pq.write_table(
         _collect(pairs.select_columns(["left", "right"])).sort_by([("left", "ascending"), ("right", "ascending")]),
@@ -2253,7 +2253,7 @@ def q_doc_substring_dups(sf_dir: str) -> pd.DataFrame:
     128-bit rolling-hash pipeline must reproduce exact-match truth."""
     from jesse_ray.functions.dedup import substring_dup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pdf = substring_dup_pairs(ds, k=8).to_pandas()
     if pdf.empty:
         return pd.DataFrame({"left": pd.array([], dtype="int64"),
@@ -2282,7 +2282,7 @@ def q_doc_span_scrub(sf_dir: str) -> pa.Table:
     raw documents view."""
     from jesse_ray.functions.dedup import remove_dup_spans
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = remove_dup_spans(ds, k=8)
     t = _collect(out.select_columns(["doc_id", "text_scrubbed", "n_removed"]))
     return pa.table(
@@ -2329,7 +2329,7 @@ SELECT doc_id, text_scrubbed, n_removed FROM kept ORDER BY doc_id
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.functions.text import add_fingerprints
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = add_fingerprints(ds).to_pandas()[["doc_id", "fingerprint"]]
     out["fingerprint"] = out["fingerprint"].astype("uint64")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -2353,7 +2353,7 @@ def q_emb_near_dups(sf_dir: str) -> pd.DataFrame:
     target the ≥0.9 regime — see embedding_near_dups docstring)."""
     from jesse_ray.functions.dedup import embedding_near_dups
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     pdf = embedding_near_dups(ds, threshold=0.5, n_tables=16, n_bits=2).to_pandas()
     if pdf.empty:
         return pd.DataFrame({"left": pd.array([], dtype="int64"), "right": pd.array([], dtype="int64"), "cosine": pd.array([], dtype="float64")})
@@ -2384,7 +2384,7 @@ def q_emb_ivf_topk(sf_dir: str) -> pd.DataFrame:
         .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
         .to_pylist()[0]
     )
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ivf_topk(ds, np.asarray([qvec]), k=10, n_centroids=8, n_probe=6)
     return pd.DataFrame(
         {"rank": out["rank"].astype("int64"), "vec_id": out["vec_id"].astype("int64")}
@@ -2418,7 +2418,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.functions.multimodal import decode_features, sample_frames
 
     path = _ensure_media_parquet()
-    ds = ray.data.read_parquet(path)
+    ds = read_table(path)
     out = decode_features(ds, fake=True, concurrency=(1, 2))
 
     def featlen(batch: pa.Table) -> pa.Table:
@@ -2431,7 +2431,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
 
     feats = _collect(out.map_batches(featlen, batch_format="pyarrow")).to_pandas()
 
-    frames = sample_frames(ray.data.read_parquet(path), n_frames=4, fake=True, concurrency=(1, 2))
+    frames = sample_frames(read_table(path), n_frames=4, fake=True, concurrency=(1, 2))
     fcnt = (
         _collect(frames)
         .group_by("media_id")

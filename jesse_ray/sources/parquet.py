@@ -67,6 +67,27 @@ def read_sequences(
     )
 
 
+def read_table(
+    path: str | Sequence[str],
+    *,
+    columns: Optional[list[str]] = None,
+    override_num_blocks: Optional[int] = None,
+    **kw,
+) -> Dataset:
+    """Generic pruned parquet read with row-group-aligned blocks — the
+    same SplitBlocks-fusion fix as :func:`read_sequences` for the side
+    tables (documents/events/embeddings/TPC-H).  An unfused
+    ``ReadParquet->SplitBlocks(64)`` read of a small table measured
+    5.4 s where the fused read takes ~0.1 s (it serializes the read into
+    one task and round-trips every downstream stage through 64 tiny
+    plasma blocks)."""
+    if override_num_blocks is None:
+        override_num_blocks = _row_group_blocks(path)
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=override_num_blocks, **kw
+    )
+
+
 def read_corpus(
     path: str | Sequence[str],
     *,
