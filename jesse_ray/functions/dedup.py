@@ -337,9 +337,14 @@ class MinHasher:
         self.k = shingle_k
         self.num_hashes = num_hashes
 
+    def _grams(self, arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """Gram-hash source — overridden by TokenMinHasher to hash token
+        k-grams instead of byte shingles; the minhash math is shared."""
+        return _batch_shingle_hashes(arr, self.k)
+
     def signatures(self, arr: pa.Array) -> np.ndarray:
         """(num_hashes, n_docs) uint64 signature matrix."""
-        flat, starts = _batch_shingle_hashes(arr, self.k)
+        flat, starts = self._grams(arr)
         n = len(starts) - 1
         sig = np.empty((self.num_hashes, n), dtype=np.uint64)
         chunk = 16  # bound the (chunk × n_shingles) temp at ~40 MB/256k shingles
@@ -413,8 +418,17 @@ def lsh_candidate_pairs(ds: Dataset, *, num_hashes: int = 64, bands: int = 16,
     one band value collects a huge fraction of documents.
     """
     assert num_hashes % bands == 0
-    rpb = num_hashes // bands
     sigs = minhash_signatures(ds.select_columns([key_col, "text"]), num_hashes=num_hashes, **kw)
+    return _lsh_pairs_from_sigs(sigs, num_hashes=num_hashes, bands=bands,
+                                key_col=key_col, bucket_cap=bucket_cap)
+
+
+def _lsh_pairs_from_sigs(sigs: Dataset, *, num_hashes: int, bands: int,
+                         key_col: str, bucket_cap: int | None) -> Dataset:
+    """Shared LSH banding → bucket shuffle → within-bucket pairs →
+    distributed pair dedup, over any Dataset carrying a ``minhash``
+    signature column (text shingles or token grams)."""
+    rpb = num_hashes // bands
 
     def explode(batch: pa.Table) -> pa.Table:
         col = batch["minhash"]
@@ -1330,3 +1344,119 @@ def remove_dup_spans(
 
     return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# token-sequence near-dup dedup (MinHash-LSH over the PRE-TOKENIZED
+# corpus — the input_hint's (doc_id, tokens:list<int32>) shape; no text)
+
+
+def _batch_token_gram_hashes(col, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-token-gram hashes for every sequence in a list<int>
+    Arrow array — the token analogue of _batch_shingle_hashes: each
+    element is avalanche-mixed (fmix64(token+1)) and windows combine
+    with one polynomial pass over the batch-flattened stream; windows
+    crossing sequence boundaries are dropped by the same gather.
+    Sequences shorter than ``k`` (incl. null/empty) get one zero-padded
+    hash.  Returns (hashes, starts) with len(starts) = n_seqs + 1."""
+    from jesse_ray.hashutil import fmix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    elem = fmix64(flat.astype(np.uint64) + np.uint64(1))
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    counts = np.maximum(lens - k + 1, 1).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    out = np.zeros(int(starts[-1]), dtype=np.uint64)
+
+    N = len(elem)
+    if N >= k:
+        W = N - k + 1
+        h = np.zeros(W, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = h * _POLY_B + elem[j : j + W]
+        long_mask = lens >= k
+        if long_mask.any():
+            cnt_long = (lens[long_mask] - k + 1).astype(np.int64)
+            src0 = offsets[:-1][long_mask]
+            dst0 = starts[:-1][long_mask]
+            total = int(cnt_long.sum())
+            rel = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt_long)])[:-1], cnt_long
+            )
+            out[np.repeat(dst0, cnt_long) + rel] = h[np.repeat(src0, cnt_long) + rel]
+    short_idx = np.flatnonzero(lens < k)
+    with np.errstate(over="ignore"):
+        for i in short_idx:
+            hv = np.uint64(0)
+            for e in elem[offsets[i] : offsets[i + 1]]:
+                hv = hv * _POLY_B + e
+            out[starts[i]] = hv * _POLY_B ** np.uint64(k - lens[i])
+    return out, starts
+
+
+class TokenMinHasher(MinHasher):
+    """MinHash signatures over token k-grams of pre-tokenized sequences
+    (shares MinHasher's vectorized a·x+b mod 2^61-1 bank and per-worker
+    scratch discipline; only the gram source differs)."""
+
+    def __init__(self, num_hashes: int = 64, gram_k: int = 8, seed: int = 1234,
+                 tokens_col: str = "tokens"):
+        super().__init__(num_hashes=num_hashes, shingle_k=gram_k, seed=seed)
+        self.tokens_col = tokens_col
+
+    def _grams(self, arr) -> tuple[np.ndarray, np.ndarray]:
+        return _batch_token_gram_hashes(arr, self.k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = self.signatures(batch[self.tokens_col])  # (H, n)
+        lists = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.T.reshape(-1).astype(np.int64)), self.num_hashes
+        )
+        return batch.append_column("minhash", lists.cast(pa.list_(pa.int64())))
+
+
+def token_minhash_signatures(ds: Dataset, *, num_hashes: int = 64, gram_k: int = 8,
+                             tokens_col: str = "tokens", batch_size: int = 1024) -> Dataset:
+    return ds.map_batches(
+        TokenMinHasher(num_hashes=num_hashes, gram_k=gram_k, tokens_col=tokens_col).__call__,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
+def token_lsh_candidate_pairs(
+    ds: Dataset,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    gram_k: int = 8,
+    key_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    bucket_cap: int | None = None,
+    batch_size: int = 1024,
+) -> Dataset:
+    """Near-dup candidate pairs over PRE-TOKENIZED sequences: token-gram
+    MinHash + LSH banding, same shuffle discipline as the text path
+    (coarse bucket partitions, within-run pairs, distributed dedup)."""
+    assert num_hashes % bands == 0
+
+    def drop_null_keys(batch: pa.Table) -> pa.Table:
+        # a row with a null key can't be reported as a pair member (the
+        # validation layer flags it separately); it would also poison
+        # the within-run key sort for string keys
+        return batch.filter(pc.is_valid(batch[key_col]))
+
+    sigs = token_minhash_signatures(
+        ds.select_columns([key_col, tokens_col]).map_batches(
+            drop_null_keys, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        num_hashes=num_hashes, gram_k=gram_k, tokens_col=tokens_col,
+        batch_size=batch_size,
+    )
+    return _lsh_pairs_from_sigs(sigs, num_hashes=num_hashes, bands=bands,
+                                key_col=key_col, bucket_cap=bucket_cap)

@@ -2083,6 +2083,68 @@ def _sig_parquet_path(sf_dir: str, kind: str) -> str:
     return f"/tmp/jesse_ray_data/{kind}_sigs_{base}.parquet"
 
 
+def q_seq_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-dup candidate pairs over the PRE-TOKENIZED sequences corpus
+    (token-gram MinHash + LSH banding, no text anywhere — the
+    input_hint's native shape).  Same oracle scheme as the text path:
+    the signatures ride a parquet sidecar and the twin re-derives the
+    banding (16 bands x 4 hashes, self-join on band equality)."""
+    from jesse_ray.functions.dedup import token_lsh_candidate_pairs, token_minhash_signatures
+    from jesse_ray.hashutil import hash64_strings
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+
+    # the corpus has no cross-key token near-dups, which would make the
+    # twin vacuous (0 == 0) — plant a deterministic ~0.8% of rows as
+    # one-token-truncated copies under a derived key, so the banding +
+    # bucket-shuffle + pair machinery produces a real, checkable set
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        valid = pc.is_valid(ids).to_numpy(zero_copy_only=False)
+        h = hash64_strings(pc.fill_null(ids, ""))
+        sel = np.flatnonzero(valid & ((h & np.uint64(127)) == 0))
+        if len(sel) == 0:
+            return batch
+        dup_ids, dup_toks = [], []
+        toks = batch["tokens"]
+        for i in sel.tolist():
+            dup_ids.append(ids[i].as_py() + "~dup")
+            dup_toks.append((toks[i].as_py() or [])[:-1])
+        planted = pa.table(
+            {"doc_id": pa.array(dup_ids, type=ids.type),
+             "tokens": pa.array(dup_toks, type=batch.schema.field("tokens").type)}
+        )
+        return pa.concat_tables([batch.select(["doc_id", "tokens"]), planted])
+
+    ds = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    sigs = token_minhash_signatures(ds, num_hashes=64, gram_k=8)
+    pq.write_table(
+        _collect(sigs.select_columns(["doc_id", "minhash"])).sort_by("doc_id"),
+        _sig_parquet_path(sf_dir, "tokmh"),
+    )
+    pairs = token_lsh_candidate_pairs(ds, num_hashes=64, bands=16, gram_k=8)
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"left": pd.array([], dtype="str"), "right": pd.array([], dtype="str")})
+    return pdf[["left", "right"]].sort_values(["left", "right"]).reset_index(drop=True)
+
+
+SQL_SEQ_MINHASH_PAIRS = """
+WITH sig AS (
+  SELECT doc_id, minhash
+  FROM read_parquet('/tmp/jesse_ray_data/tokmh_sigs_sf0.01.parquet')
+), bands AS (
+  SELECT doc_id, b, list_slice(minhash, b*4 + 1, b*4 + 4) AS band
+  FROM sig, generate_series(0, 15) t(b)
+)
+SELECT a.doc_id AS "left", b.doc_id AS "right"
+FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_doc_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """LSH candidate pairs, plus a signatures parquet the oracle reads:
     the SQL twin re-derives the banding from the SAME signatures (unnest
@@ -2527,6 +2589,7 @@ def queries() -> dict[str, Callable]:
         "seq_oov": q_seq_oov,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "doc_span_scrub": q_doc_span_scrub,
+        "seq_minhash_pairs": q_seq_minhash_pairs,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2603,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_oov": SQL_SEQ_OOV,
         "doc_ccnet_buckets": SQL_DOC_CCNET_BUCKETS,
         "doc_span_scrub": SQL_DOC_SPAN_SCRUB,
+        "seq_minhash_pairs": SQL_SEQ_MINHASH_PAIRS,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

@@ -1206,3 +1206,66 @@ def test_remove_dup_spans_matches_naive(ray_session):
     for d in ids:
         assert out.loc[d, "text_scrubbed"] == want[d][0], d
         assert out.loc[d, "n_removed"] == want[d][1], d
+
+
+# ---------------------------------------------------------------------------
+# token-sequence MinHash + LSH (dedup.TokenMinHasher et al.)
+
+
+def test_token_minhash_signature_matches_naive(ray_session):
+    import numpy as np
+
+    from jesse_ray.functions.dedup import (
+        _MERSENNE, TokenMinHasher, _batch_token_gram_hashes,
+    )
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 500, size=n).astype(np.int32).tolist()
+            for n in (30, 8, 7, 0, 1, 64)]
+    col = pa.array(seqs, type=pa.list_(pa.int32()))
+    mh = TokenMinHasher(num_hashes=16, gram_k=8)
+    sig = mh.signatures(col)  # (16, n)
+    # batching/boundary parity: the batched signature must equal the
+    # signature of each sequence hashed alone (windows never leak
+    # across sequence boundaries; short/empty sequences well-defined)
+    for d in range(len(seqs)):
+        single = mh.signatures(pa.array([seqs[d]], type=pa.list_(pa.int32())))
+        assert (sig[:, d] == single[:, 0]).all(), d
+    # gram-level sanity: identical prefixes share window hashes, and a
+    # sequence's grams are position-independent (pure content hashes)
+    flat, starts = _batch_token_gram_hashes(col, 8)
+    g0 = flat[starts[0]:starts[1]]
+    g5 = flat[starts[5]:starts[6]]
+    solo = _batch_token_gram_hashes(pa.array([seqs[5]], type=pa.list_(pa.int32())), 8)[0]
+    assert (g5 == solo).all()
+    assert len(g0) == len(seqs[0]) - 7 and len(g5) == len(seqs[5]) - 7
+
+
+def test_token_lsh_finds_exact_dups(ray_session):
+    import numpy as np
+
+    from jesse_ray.functions.dedup import token_lsh_candidate_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 1000, size=120).astype(np.int32).tolist()
+    rows = []
+    for i in range(40):
+        rows.append((i, rng.integers(0, 1000, size=100).astype(np.int32).tolist()))
+    rows.append((100, base))
+    rows.append((101, base))            # exact dup of 100
+    near = list(base)
+    near[5] = 7                          # one-token edit
+    rows.append((102, near))
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32()))})
+    pairs = (
+        token_lsh_candidate_pairs(ray.data.from_arrow(tbl).repartition(3),
+                                  num_hashes=64, bands=16)
+        .to_pandas()
+    )
+    got = set(zip(pairs["left"], pairs["right"]))
+    assert (100, 101) in got
+    # the one-edit near-dup shares 112/113 grams: some band must collide
+    assert (100, 102) in got and (101, 102) in got
+    # random 100-token sequences share no grams: no spurious pairs
+    assert all(l >= 100 for l, r in got)
