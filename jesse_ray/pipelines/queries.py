@@ -2013,9 +2013,11 @@ def q_drift_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         [
             {"pair": "ref_vs_drifted", "rows_ref": rep["rows_ref"], "rows_new": rep["rows_new"],
-             "ks_drifted": rep["ks_drifted"], "chi2_drifted": rep["chi2_drifted"]},
+             "ks_drifted": rep["ks_drifted"], "chi2_drifted": rep["chi2_drifted"],
+             "psi_drifted": rep["psi_drifted"], "psi_tokens_drifted": rep["psi_tokens_drifted"]},
             {"pair": "ref_vs_self", "rows_ref": rep_self["rows_ref"], "rows_new": rep_self["rows_new"],
-             "ks_drifted": rep_self["ks_drifted"], "chi2_drifted": rep_self["chi2_drifted"]},
+             "ks_drifted": rep_self["ks_drifted"], "chi2_drifted": rep_self["chi2_drifted"],
+             "psi_drifted": rep_self["psi_drifted"], "psi_tokens_drifted": rep_self["psi_tokens_drifted"]},
         ]
     ).astype({"rows_ref": "int64", "rows_new": "int64"})
 
@@ -2028,12 +2030,13 @@ SQL_DRIFT_REPORT = f"""
 SELECT 'ref_vs_drifted' AS pair,
        (SELECT count(*) FROM {DRIFT_SQL})::BIGINT AS rows_ref,
        (SELECT count(*) FROM read_parquet('/tmp/jesse_ray_data/sf0.01/drift_drifted.parquet'))::BIGINT AS rows_new,
-       TRUE AS ks_drifted, TRUE AS chi2_drifted
+       TRUE AS ks_drifted, TRUE AS chi2_drifted,
+       TRUE AS psi_drifted, TRUE AS psi_tokens_drifted
 UNION ALL
 SELECT 'ref_vs_self',
        (SELECT count(*) FROM {DRIFT_SQL})::BIGINT,
        (SELECT count(*) FROM {DRIFT_SQL})::BIGINT,
-       FALSE, FALSE
+       FALSE, FALSE, FALSE, FALSE
 """
 
 

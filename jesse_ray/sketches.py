@@ -414,11 +414,42 @@ class SketchBundle:
         )
 
 
+def psi_deciles(ref: TDigest, new: TDigest, *, bins: int = 10,
+                eps: float = 1e-6) -> float:
+    """Population stability index over ``bins`` reference-quantile bins
+    (the standard scorecard-monitoring drift metric: PSI = Σ (p−q)·ln(p/q);
+    industry convention flags > 0.2 as a significant shift, 0.1–0.2 as
+    moderate).  Bin edges come from the REFERENCE digest's quantiles, so
+    the reference mass is ~1/bins per bin by construction and the new
+    corpus's mass per bin comes from its digest CDF at the same edges."""
+    edges = np.array([ref.quantile(i / bins) for i in range(1, bins)])
+    ref_cdf = np.concatenate([[0.0], ref.cdf(edges), [1.0]])
+    new_cdf = np.concatenate([[0.0], new.cdf(edges), [1.0]])
+    p = np.maximum(np.diff(ref_cdf), eps)
+    q = np.maximum(np.diff(new_cdf), eps)
+    p, q = p / p.sum(), q / q.sum()
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def psi_freq(ref: FreqVector, new: FreqVector, *, eps: float = 1e-9) -> float:
+    """PSI over the full token-frequency vectors (ids unseen on both
+    sides clamp to the same eps and contribute exactly 0)."""
+    p = ref.counts.astype(np.float64)
+    q = new.counts.astype(np.float64)
+    p = np.maximum(p / max(p.sum(), 1.0), eps)
+    q = np.maximum(q / max(q.sum(), 1.0), eps)
+    p, q = p / p.sum(), q / q.sum()
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
 def drift_report(ref: SketchBundle, new: SketchBundle, *, topk: int = 100,
-                 ks_alpha: float = 0.01, chi2_alpha: float = 0.01) -> dict:
+                 ks_alpha: float = 0.01, chi2_alpha: float = 0.01,
+                 psi_threshold: float = 0.2) -> dict:
     ks = ks_statistic(ref.digest, new.digest)
     ksp = ks_pvalue(ks, ref.rows, new.rows)
     c2, c2p = chi2_topk(ref.freq, new.freq, k=topk)
+    psi = psi_deciles(ref.digest, new.digest)
+    psi_tok = psi_freq(ref.freq, new.freq)
     return {
         "ks_stat": ks,
         "ks_pvalue": ksp,
@@ -426,6 +457,10 @@ def drift_report(ref: SketchBundle, new: SketchBundle, *, topk: int = 100,
         "chi2_stat": c2,
         "chi2_pvalue": c2p,
         "chi2_drifted": bool(c2p < chi2_alpha),
+        "psi": psi,
+        "psi_drifted": bool(psi > psi_threshold),
+        "psi_tokens": psi_tok,
+        "psi_tokens_drifted": bool(psi_tok > psi_threshold),
         "rows_ref": ref.rows,
         "rows_new": new.rows,
     }

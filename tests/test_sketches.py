@@ -118,3 +118,27 @@ def test_bundle_roundtrip_and_report():
     assert b1.rows == 10_000
     rep = drift_report(b1, SketchBundle.from_bytes(b1.to_bytes()))
     assert not rep["ks_drifted"] and not rep["chi2_drifted"]
+
+
+def test_psi_metrics():
+    import numpy as np
+
+    from jesse_ray.sketches import SketchBundle, drift_report, psi_deciles, psi_freq
+
+    rng = np.random.default_rng(1)
+    a, b = SketchBundle.empty(2000), SketchBundle.empty(2000)
+    a.add_batch(rng.lognormal(5.0, 1.0, 30000), rng.integers(0, 2000, 60000))
+    b.add_batch(rng.lognormal(5.6, 1.0, 30000), (rng.zipf(1.3, 60000) % 2000))
+    rep = drift_report(a, b)
+    assert rep["psi_drifted"] and rep["psi_tokens_drifted"]
+    assert rep["psi"] > 0.2 and rep["psi_tokens"] > 0.2
+    # identity: PSI of a bundle against itself is exactly zero
+    assert psi_deciles(a.digest, a.digest) == 0.0
+    assert psi_freq(a.freq, a.freq) == 0.0
+    rep_self = drift_report(a, a)
+    assert not rep_self["psi_drifted"] and not rep_self["psi_tokens_drifted"]
+    # a small mean shift scores below the 0.2 significance bar but above 0
+    c = SketchBundle.empty(2000)
+    c.add_batch(rng.lognormal(5.05, 1.0, 30000), rng.integers(0, 2000, 60000))
+    small = psi_deciles(a.digest, c.digest)
+    assert 0.0 < small < 0.2
