@@ -102,3 +102,60 @@ def stratified_hash_sample(
         return batch.filter(pa.array(h < thresholds[idx]))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def temperature_rates(
+    counts: dict[str, int], *, temperature: float = 2.0, budget_frac: float = 0.5
+) -> dict[str, float]:
+    """Per-stratum keep rates for TEMPERATURE-scaled corpus mixing (the
+    multilingual-training recipe, e.g. mT5 / Arivazhagan et al. 2019:
+    sample stratum s with probability ∝ p_s^(1/T), flattening the size
+    distribution so low-resource strata are upweighted).  Given the
+    stratum row counts and a total budget of ``budget_frac * N`` rows,
+    rate_s = min(1, B * q_s / n_s) with q ∝ (n/N)^(1/T).
+
+    Driver-side pure float64 math over ~#strata values (strata are
+    sources/languages — small by nature).  Rates capped at 1.0 mean the
+    realized total can undershoot the budget (standard single-pass
+    behavior; iterate with a higher budget_frac if exactness matters)."""
+    names = sorted(counts)
+    n = np.array([counts[s] for s in names], dtype=np.float64)
+    total = n.sum()
+    if total == 0:
+        return {s: 0.0 for s in names}
+    q = (n / total) ** (1.0 / temperature)
+    q /= q.sum()
+    budget = budget_frac * total
+    rates = np.minimum(1.0, budget * q / np.maximum(n, 1.0))
+    return dict(zip(names, rates.tolist()))
+
+
+def mixture_sample(
+    ds: Dataset,
+    key: str,
+    *,
+    strata_col: str = "source",
+    temperature: float = 2.0,
+    budget_frac: float = 0.5,
+    salt: str = "sample",
+    batch_size: int = 65536,
+) -> tuple[Dataset, dict[str, float]]:
+    """Temperature-mixed deterministic downsample: one tiny grouped
+    count (combiner partials, ≤#strata rows shuffled), driver-side rate
+    derivation, then the shuffle-free hash-threshold filter.  Returns
+    (sampled dataset, the rates used)."""
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    cnt = grouped_agg(ds.select_columns([strata_col]), [strata_col])
+    counts = {}
+    for b in cnt.iter_batches(batch_format="pyarrow"):
+        for s, c in zip(b[strata_col].to_pylist(), b["cnt"].to_pylist()):
+            if s is None:
+                continue  # null stratum: no rate -> default_rate 0.0 (dropped)
+            counts[s] = counts.get(s, 0) + int(c)
+    rates = temperature_rates(counts, temperature=temperature, budget_frac=budget_frac)
+    return (
+        stratified_hash_sample(ds, key, rates, strata_col=strata_col,
+                               salt=salt, batch_size=batch_size),
+        rates,
+    )

@@ -516,6 +516,54 @@ ORDER BY source
 """
 
 
+def q_seq_temperature_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled corpus mixing (T=2, half-corpus budget): tiny
+    grouped count → driver rate derivation → shuffle-free hash-threshold
+    sample.  The twin re-derives the rates in SQL from the corpus
+    counts, checks the sample is a true subset AND that every stratum's
+    kept count adheres to its derived rate (±5% + 50), then re-counts
+    the sample sidecar per source."""
+    from jesse_ray.functions.split import mixture_sample
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source"])
+    out, _rates = mixture_sample(ds, "doc_id", temperature=2.0, budget_frac=0.5)
+    t = _collect(out)
+    pq.write_table(t.sort_by("doc_id"), _sig_parquet_path(sf_dir, "temp_sample"))
+    g = t.group_by("source").aggregate([([], "count_all")]).rename_columns(["source", "cnt"])
+    pdf = g.to_pandas().sort_values("source").reset_index(drop=True)
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    return pdf
+
+
+SQL_SEQ_TEMPERATURE_SAMPLE = f"""
+WITH corpus AS (SELECT doc_id, source FROM {SEQ_SQL}),
+n AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM corpus WHERE source IS NOT NULL GROUP BY source),
+tot AS (SELECT sum(n) AS N FROM n),
+qs AS (SELECT source, n, pow(n / (SELECT N FROM tot), 0.5) AS q FROM n),
+qn AS (SELECT sum(q) AS Q FROM qs),
+r AS (
+  SELECT source, n,
+         least(1.0, 0.5 * (SELECT N FROM tot) * (q / (SELECT Q FROM qn)) / greatest(n, 1.0)) AS rate
+  FROM qs
+),
+s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/temp_sample_sigs_sf0.01.parquet')),
+k AS (SELECT source, CAST(count(*) AS DOUBLE) AS kept FROM s GROUP BY source),
+chk AS (
+  SELECT bool_and(abs(coalesce(k.kept, 0) - r.rate * r.n) <= 0.05 * r.n + 50) AS good
+  FROM r LEFT JOIN k USING (source)
+),
+sub AS (
+  SELECT count(*) = 0 AS good FROM s WHERE NOT EXISTS (
+    SELECT 1 FROM corpus c
+    WHERE c.doc_id IS NOT DISTINCT FROM s.doc_id
+      AND c.source IS NOT DISTINCT FROM s.source)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY source
+HAVING (SELECT good FROM chk) AND (SELECT good FROM sub)
+ORDER BY source
+"""
+
+
 def q_seq_hll_tokens(sf_dir: str) -> pd.DataFrame:
     """Approximate distinct token ids corpus-wide (HyperLogLog p=12,
     shuffle-free mergeable partials).  The twin computes the EXACT
@@ -2593,6 +2641,7 @@ def queries() -> dict[str, Callable]:
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "doc_span_scrub": q_doc_span_scrub,
         "seq_minhash_pairs": q_seq_minhash_pairs,
+        "seq_temperature_sample": q_seq_temperature_sample,
         "emb_kmeans": q_emb_kmeans,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
@@ -2670,6 +2719,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ccnet_buckets": SQL_DOC_CCNET_BUCKETS,
         "doc_span_scrub": SQL_DOC_SPAN_SCRUB,
         "seq_minhash_pairs": SQL_SEQ_MINHASH_PAIRS,
+        "seq_temperature_sample": SQL_SEQ_TEMPERATURE_SAMPLE,
         "emb_kmeans": SQL_EMB_KMEANS,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,

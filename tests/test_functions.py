@@ -1269,3 +1269,39 @@ def test_token_lsh_finds_exact_dups(ray_session):
     assert (100, 102) in got and (101, 102) in got
     # random 100-token sequences share no grams: no spurious pairs
     assert all(l >= 100 for l, r in got)
+
+
+def test_temperature_rates_and_mixture_sample(ray_session):
+    import numpy as np
+
+    from jesse_ray.functions.split import mixture_sample, temperature_rates
+
+    counts = {"big": 8000, "mid": 1500, "small": 500}
+    rates = temperature_rates(counts, temperature=2.0, budget_frac=0.5)
+    # flattening: the small stratum keeps a LARGER fraction than the big one
+    assert rates["small"] > rates["mid"] > rates["big"]
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+    # capped strata undershoot the budget (documented single-pass behavior)
+    expected = sum(rates[s] * counts[s] for s in counts)
+    assert expected <= 0.5 * sum(counts.values()) + 1e-6
+    # budget is met exactly when no stratum caps at 1.0
+    counts2 = {"big": 5000, "mid": 3000, "small": 2000}
+    rates2 = temperature_rates(counts2, temperature=2.0, budget_frac=0.5)
+    assert all(r < 1.0 for r in rates2.values())
+    expected2 = sum(rates2[s] * counts2[s] for s in counts2)
+    assert abs(expected2 - 0.5 * sum(counts2.values())) < 1e-6
+    # T=1 is proportional sampling: every stratum keeps the same rate
+    r1 = temperature_rates(counts, temperature=1.0, budget_frac=0.5)
+    assert np.allclose(list(r1.values()), 0.5)
+
+    rng = np.random.default_rng(5)
+    src = np.concatenate([np.full(n, s) for s, n in counts.items()])
+    tbl = pa.table({"doc_id": pa.array([f"d{i}" for i in range(len(src))]),
+                    "source": pa.array(src)})
+    sampled, used = mixture_sample(
+        ray.data.from_arrow(tbl).repartition(4), "doc_id",
+        temperature=2.0, budget_frac=0.5,
+    )
+    got = sampled.to_pandas().groupby("source").size().to_dict()
+    for s, n in counts.items():
+        assert abs(got.get(s, 0) - used[s] * n) <= 0.05 * n + 30, s
