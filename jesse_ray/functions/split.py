@@ -104,6 +104,49 @@ def stratified_hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
 
+def fixed_size_sample(
+    ds: Dataset,
+    key: str,
+    k: int,
+    *,
+    strata_col: str = "source",
+    salt: str = "fixed",
+    hash_col: str | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic FIXED-COUNT per-stratum sample: keep the ``k`` rows
+    with the smallest ``fmix64(hash64(salt + key))`` in each stratum —
+    the bottom-k-by-hash trick (a deterministic reservoir: the selected
+    set is a uniform k-subset, stable across runs and repartitionings,
+    and appending new rows only ever swaps members at the hash boundary,
+    never reshuffles survivors wholesale).
+
+    One map stage computes the hash; the per-group bottom-k is
+    :func:`~jesse_ray.pipelines.relational.grouped_topn` ascending —
+    map-side local bottom-k per batch, so the shuffle carries at most
+    k × strata × blocks rows.  Pass ``hash_col`` to keep the hash in the
+    output (e.g. for an audit sidecar); ties on the hash break by key.
+    """
+    from jesse_ray.pipelines.relational import grouped_topn
+
+    col = hash_col or "__fs_hash"
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, key, salt)
+        # shift into int64 order-preservingly (Arrow sort on uint64 is
+        # fine too, but int64 keeps the sidecar parquet DuckDB-friendly)
+        signed = (h - np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column(col, pa.array(signed, type=pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    out = grouped_topn(hashed, [strata_col], col, k, descending=False, tiebreak=key)
+    if hash_col is None:
+        def drop(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns([col])
+        out = out.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+    return out
+
+
 def temperature_rates(
     counts: dict[str, int], *, temperature: float = 2.0, budget_frac: float = 0.5
 ) -> dict[str, float]:

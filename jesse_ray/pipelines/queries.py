@@ -2603,6 +2603,122 @@ SELECT error, cnt FROM v WHERE cnt > 0 ORDER BY error
 """
 
 
+def q_seq_ntok_quantiles_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact PER-GROUP discrete quantiles (p50/p90/p99 of n_tok per
+    source) — the grouped analogue of seq_ntok_percentiles, two-phase
+    (group, value) counts so the driver merges bounded partials only.
+    DuckDB ``quantile_disc`` is the oracle (same ceil-rank formula)."""
+    from jesse_ray.pipelines.relational import grouped_discrete_quantiles
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+    t = grouped_discrete_quantiles(ds, "source", "n_tok", [0.5, 0.9, 0.99])
+    pdf = t.to_pandas()
+    for c in ("p50", "p90", "p99"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_SEQ_NTOK_QUANTILES_BY_SOURCE = f"""
+SELECT source,
+       CAST(quantile_disc(n_tok, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_tok, 0.90) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_tok, 0.99) AS BIGINT) AS p99
+FROM {SEQ_SQL}
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_orders_no_recent_lineitem(sf_dir: str) -> pd.DataFrame:
+    """ANTI join through the large×large repartition cogroup: orders
+    with NO lineitem shipped on/after 1995-06-01, counted per priority
+    (the retention/exclusion query shape — 'rows with no match in the
+    other table').  SQL twin: NOT EXISTS."""
+    from jesse_ray.pipelines.relational import grouped_agg, hash_join
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    cutoff = pa.scalar(pd.Timestamp("1995-06-01"), type=pa.timestamp("us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["l_shipdate"], cutoff)
+        return pa.table({"o_orderkey": batch.filter(keep)["l_orderkey"]})
+
+    line = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    kept = hash_join(orders, line, on="o_orderkey", how="anti")
+    g = grouped_agg(kept, ["o_orderpriority"])
+    pdf = g.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    return pdf[["o_orderpriority", "cnt"]]
+
+
+SQL_ORDERS_NO_RECENT_LINEITEM = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= TIMESTAMP '1995-06-01'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+FIXED_SAMPLE_K = 50
+
+
+def q_seq_fixed_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic FIXED-COUNT per-source sample (bottom-k by fmix64
+    hash — a deterministic reservoir).  The engine writes BOTH the
+    full-corpus hash sidecar and its selected rows; the twin re-derives
+    the bottom-k-per-stratum selection from the hashes with a SQL window
+    and requires exact set equality before re-counting the sample."""
+    from jesse_ray.functions.split import _key_hash, fixed_size_sample
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source"])
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, "doc_id", "fixed")
+        signed = (h - np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("h", pa.array(signed, type=pa.int64()))
+
+    full = _collect(ds.map_batches(with_hash, batch_format="pyarrow", zero_copy_batch=True))
+    pq.write_table(full.sort_by("h"), _sig_parquet_path(sf_dir, "fixed_all"))
+
+    out = fixed_size_sample(ds, "doc_id", FIXED_SAMPLE_K, strata_col="source")
+    t = _collect(out)
+    pq.write_table(t.sort_by("doc_id"), _sig_parquet_path(sf_dir, "fixed_sel"))
+    g = t.group_by("source").aggregate([([], "count_all")]).rename_columns(["source", "cnt"])
+    pdf = g.to_pandas().sort_values("source").reset_index(drop=True)
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    return pdf
+
+
+SQL_SEQ_FIXED_SAMPLE = f"""
+WITH allh AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/fixed_all_sigs_sf0.01.parquet')),
+sel AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+    FROM allh
+  ) WHERE rn <= {FIXED_SAMPLE_K}
+),
+eng AS (SELECT doc_id, source FROM read_parquet('/tmp/jesse_ray_data/fixed_sel_sigs_sf0.01.parquet')),
+chk AS (
+  SELECT (SELECT count(*) FROM (SELECT * FROM sel EXCEPT SELECT * FROM eng)) = 0
+     AND (SELECT count(*) FROM (SELECT * FROM eng EXCEPT SELECT * FROM sel)) = 0
+     AND (SELECT count(*) FROM allh) = (SELECT count(*) FROM {SEQ_SQL}) AS good
+)
+SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM eng GROUP BY source
+HAVING (SELECT good FROM chk)
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2661,6 +2777,9 @@ def queries() -> dict[str, Callable]:
         "events_sessions": q_events_sessions,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_ntok_percentiles": q_seq_ntok_percentiles,
+        "seq_ntok_quantiles_by_source": q_seq_ntok_quantiles_by_source,
+        "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
+        "seq_fixed_sample": q_seq_fixed_sample,
         "doc_df_topk": q_doc_df_topk,
         "doc_decontam": q_doc_decontam,
         "doc_repetition": q_doc_repetition,
@@ -2739,6 +2858,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,
+        "seq_ntok_quantiles_by_source": SQL_SEQ_NTOK_QUANTILES_BY_SOURCE,
+        "orders_no_recent_lineitem": SQL_ORDERS_NO_RECENT_LINEITEM,
+        "seq_fixed_sample": SQL_SEQ_FIXED_SAMPLE,
         "doc_df_topk": SQL_DOC_DF_TOPK,
         "doc_decontam": SQL_DOC_DECONTAM,
         "doc_repetition": SQL_DOC_REPETITION,

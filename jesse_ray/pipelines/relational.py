@@ -714,6 +714,74 @@ def exact_discrete_quantiles(
     return out
 
 
+def grouped_discrete_quantiles(
+    ds: Dataset,
+    group_col: str,
+    col: str,
+    qs: Sequence[float],
+    *,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Exact PER-GROUP discrete quantiles (DuckDB ``quantile_disc``
+    parity: ``sorted[max(ceil(q*n) - 1, 0)]`` within each group) over a
+    bounded-cardinality value column — the grouped analogue of
+    :func:`exact_discrete_quantiles`.
+
+    Two-phase: per-batch Arrow ``group_by([group, value])`` combiner, so
+    the driver merges ≤ n_groups × n_distinct × n_blocks partial count
+    rows, never the corpus.  NULL values are dropped (SQL aggregate
+    semantics); a NULL group is a real group (SQL GROUP BY semantics).
+    Output: one row per group with a ``p<q*100>`` column per quantile in
+    the value column's native type.
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, col]).filter(pc.is_valid(batch[col]))
+        g = t.group_by([group_col, col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, col, "__pc"])
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+        .iter_batches(batch_format="pyarrow")
+    )
+    names = [group_col] + [f"p{round(q * 100):d}" for q in qs]
+    if not parts:
+        return pa.table({n: pa.array([]) for n in names})
+    t = pa.concat_tables(parts)
+    merged = t.group_by([group_col, col]).aggregate([("__pc", "sum")])
+    merged = merged.sort_by([(group_col, "ascending"), (col, "ascending")])
+    keys = _combine(merged[group_col])
+    vals = merged[col]
+    cnts = merged["__pc_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # group boundaries over the sorted (group, value) runs
+    change = np.zeros(len(merged), dtype=bool)
+    change[0] = True
+    a, b = keys.slice(1), keys.slice(0, len(keys) - 1)
+    # null-safe break: value inequality OR a null/non-null transition
+    # (NULL is ONE group per SQL GROUP BY; plain not_equal(null, null)
+    # is null and must not split the null run)
+    neq = pc.or_(
+        pc.fill_null(pc.not_equal(a, b), False),
+        pc.xor(pc.is_null(a), pc.is_null(b)),
+    )
+    change[1:] = neq.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(merged))
+    out_keys, out_cols = [], [[] for _ in qs]
+    for s, e in zip(starts, ends):
+        out_keys.append(s)
+        cum = np.cumsum(cnts[s:e])
+        n = int(cum[-1])
+        for j, q in enumerate(qs):
+            idx = max(math.ceil(q * n) - 1, 0)
+            out_cols[j].append(s + int(np.searchsorted(cum, idx + 1)))
+    cols = {group_col: keys.take(pa.array(out_keys, type=pa.int64()))}
+    for j, name in enumerate(names[1:]):
+        cols[name] = vals.take(pa.array(out_cols[j], type=pa.int64()))
+    return pa.table(cols)
+
+
 # ---------------------------------------------------------------------------
 # large x large joins (neither side broadcastable)
 

@@ -1305,3 +1305,70 @@ def test_temperature_rates_and_mixture_sample(ray_session):
     got = sampled.to_pandas().groupby("source").size().to_dict()
     for s, n in counts.items():
         assert abs(got.get(s, 0) - used[s] * n) <= 0.05 * n + 30, s
+
+
+def test_grouped_discrete_quantiles_matches_duckdb(ray_session):
+    import duckdb
+
+    from jesse_ray.pipelines.relational import grouped_discrete_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    groups = rng.choice(["a", "b", "c", None], size=n, p=[0.5, 0.3, 0.15, 0.05])
+    vals = rng.integers(0, 40, size=n)
+    # true Arrow NULLs (the corpus contract; SQL aggregates ignore them)
+    v = pa.array(vals, type=pa.int64(), mask=rng.random(n) < 0.03)
+    tbl = pa.table({"g": pa.array(groups), "v": v})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = (
+        grouped_discrete_quantiles(ds, "g", "v", [0.25, 0.5, 0.95])
+        .to_pandas()
+        .sort_values("g", na_position="last")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT g, quantile_disc(v, 0.25) AS p25, quantile_disc(v, 0.50) AS p50,
+               quantile_disc(v, 0.95) AS p95
+        FROM tbl GROUP BY g ORDER BY g NULLS LAST
+        """
+    ).df()
+    assert list(got["g"].fillna("~")) == list(want["g"].fillna("~"))
+    for c in ("p25", "p50", "p95"):
+        assert np.allclose(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_fixed_size_sample_bottom_k_by_hash(ray_session):
+    from jesse_ray.functions.split import _key_hash, fixed_size_sample
+
+    n = 3000
+    src = np.array(["s%d" % (i % 4) for i in range(n)], dtype=object)
+    src[:5] = None  # null stratum is a real group
+    ids = np.array(["doc-%05d" % i for i in range(n)], dtype=object)
+    tbl = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    k = 25
+    got = fixed_size_sample(ds, "doc_id", k, strata_col="source").to_pandas()
+    # deterministic: a second run over a different partitioning matches
+    got2 = (
+        fixed_size_sample(ray.data.from_arrow(tbl).repartition(13), "doc_id", k,
+                          strata_col="source")
+        .to_pandas()
+    )
+    key = lambda df: sorted(zip(df["doc_id"].fillna("~"), df["source"].fillna("~")))
+    assert key(got) == key(got2)
+    # exactly min(k, group size) rows per stratum
+    sizes = got.groupby("source", dropna=False).size()
+    full = pd.Series(src).groupby(pd.Series(src), dropna=False).size()
+    for g, c in sizes.items():
+        want_n = min(k, int(full.loc[g] if g == g else (pd.Series(src).isna()).sum()))
+        assert c == want_n, (g, c, want_n)
+    # selection IS the bottom-k by the engine hash (independent re-derivation)
+    h = _key_hash(tbl, "doc_id", "fixed")
+    ref = pd.DataFrame({"doc_id": ids, "source": src, "h": h})
+    want = (
+        ref.sort_values(["h", "doc_id"])
+        .groupby("source", dropna=False)
+        .head(k)
+    )
+    assert key(got) == key(want)
