@@ -226,6 +226,84 @@ def add_repetition_stats(ds: Dataset, text_col: str = "text", *, batch_size: int
     return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
 
+#: Gopher stop words (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", §A1.1: a doc
+#: must contain ≥2 of these to pass the quality filter).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def add_gopher_stats(
+    ds: Dataset,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as
+    INTEGER-EXACT per-document stats plus the combined ``gopher_pass``
+    gate:
+
+    - ``n_words`` in [min_words, max_words] (space-split, DuckDB
+      ``string_split(text, ' ')`` parity — same convention as
+      :func:`add_repetition_stats`);
+    - mean word length in [min,max]: the integer predicate
+      ``min*n_words <= sum_word_len <= max*n_words``;
+    - symbol-to-word ratio ≤ 0.1 for ``#`` and ``...`` (the ellipsis
+      form): ``10*n_sym <= n_words``;
+    - ≥80% of words contain an alphabetic character:
+      ``10*n_alpha_words >= 8*n_words``;
+    - ≥2 Gopher stop words present (:data:`GOPHER_STOPWORDS`).
+
+    All stats are exact integers so the SQL twin hashes identically (no
+    float discipline).  Vectorized: one split per batch, flat-word
+    regex/hash-probe kernels + ``np.bincount`` per rule — no per-row
+    Python."""
+    stop_arr = pa.array(GOPHER_STOPWORDS, type=pa.string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        words = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        sum_word_len = np.bincount(parent, weights=wlen, minlength=n).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(zero_copy_only=False)
+        n_alpha = np.bincount(parent, weights=alpha, minlength=n).astype(np.int64)
+        stop = pc.is_in(pc.utf8_lower(flat), value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parent, weights=stop, minlength=n).astype(np.int64)
+        n_sym = (
+            pc.count_substring(txt, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+            + pc.count_substring(txt, "...").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ok = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (min_mean_word_len * n_words <= sum_word_len)
+            & (sum_word_len <= max_mean_word_len * n_words)
+            & (10 * n_sym <= n_words)
+            & (10 * n_alpha >= 8 * n_words)
+            & (n_stop >= 2)
+        )
+        return (
+            batch.append_column("n_words", pa.array(n_words, type=pa.int64()))
+            .append_column("sum_word_len", pa.array(sum_word_len, type=pa.int64()))
+            .append_column("n_alpha_words", pa.array(n_alpha, type=pa.int64()))
+            .append_column("n_stop_words", pa.array(n_stop, type=pa.int64()))
+            .append_column("n_sym", pa.array(n_sym, type=pa.int64()))
+            .append_column("gopher_pass", pa.array(ok.astype(np.int64), type=pa.int64()))
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # scrubbing / redaction (PII patterns + term blocklists)
 

@@ -588,6 +588,90 @@ WHERE abs(CAST(est AS DOUBLE) / (SELECT d FROM exact) - 1.0) <= 0.05
 """
 
 
+TDIGEST_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_seq_tdigest_ntok(sf_dir: str) -> pd.DataFrame:
+    """t-digest quantile estimates over n_tok (mergeable tree partials,
+    Dunning's sketch as a first-class query, not just drift plumbing).
+    The twin holds the estimates to the sketch's actual guarantee — RANK
+    error: the true CDF at each estimate must be within ±0.02 of the
+    requested q (t-digest's edge-biased rank error is ≪ that at
+    compression 200) — and only then emits the sidecar estimates."""
+    from jesse_ray.stages.drift import sketch_dataset
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["n_tok", "tokens"])
+    bundle = sketch_dataset(ds)
+    est = [float(bundle.digest.quantile(q)) for q in TDIGEST_QS]
+    t = pa.table(
+        {
+            "q": pa.array(TDIGEST_QS, type=pa.float64()),
+            "est": pa.array(est, type=pa.float64()),
+        }
+    )
+    pq.write_table(t, _sig_parquet_path(sf_dir, "tdigest_ntok"))
+    return pd.DataFrame({"q": TDIGEST_QS, "est": [round(e, 4) for e in est]})
+
+
+SQL_SEQ_TDIGEST_NTOK = f"""
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/tdigest_ntok_sigs_sf0.01.parquet')),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {SEQ_SQL} WHERE n_tok IS NOT NULL),
+chk AS (
+  SELECT bool_and(abs(
+           (SELECT count(*) FROM {SEQ_SQL} WHERE n_tok <= s.est) / (SELECT n FROM tot)
+           - s.q) <= 0.02) AS good
+  FROM s
+)
+SELECT q, round(est, 4) AS est FROM s
+WHERE (SELECT good FROM chk)
+ORDER BY q
+"""
+
+
+CMS_PROBE_TOKENS = list(range(16))
+
+
+def q_seq_cms_tokens(sf_dir: str) -> pd.DataFrame:
+    """Count-min point-frequency estimates for 16 probe token ids
+    (Cormode-Muthukrishnan sketch as a first-class query).  The twin
+    enforces the CMS guarantee in SQL — exact ≤ est ≤ exact + 2e/w·N
+    (w=16384, N = total token occurrences) — before emitting the
+    estimates."""
+    from jesse_ray.stages.drift import sketch_dataset
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["n_tok", "tokens"])
+    bundle = sketch_dataset(ds)
+    keys = np.array(CMS_PROBE_TOKENS, dtype=np.int64)
+    est = bundle.cmin.query(keys).astype(np.int64)
+    t = pa.table(
+        {
+            "token": pa.array(keys, type=pa.int64()),
+            "est": pa.array(est, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, _sig_parquet_path(sf_dir, "cms_tokens"))
+    return pd.DataFrame({"token": keys, "est": est})
+
+
+SQL_SEQ_CMS_TOKENS = f"""
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/cms_tokens_sigs_sf0.01.parquet')),
+flat AS (SELECT unnest(tokens) AS t FROM {SEQ_SQL}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM flat),
+ex AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt FROM flat
+       WHERE t BETWEEN 0 AND 15 GROUP BY t),
+j AS (SELECT s.token, s.est, coalesce(ex.cnt, 0) AS cnt
+      FROM s LEFT JOIN ex ON s.token = ex.token),
+chk AS (
+  SELECT bool_and(est >= cnt AND
+                  est <= cnt + 2 * 2.718281828 / 16384.0 * (SELECT total FROM n)) AS good
+  FROM j
+)
+SELECT token, CAST(est AS BIGINT) AS est FROM s
+WHERE (SELECT good FROM chk)
+ORDER BY token
+"""
+
+
 KMEANS_K = 8
 
 
@@ -2668,6 +2752,49 @@ ORDER BY o_orderpriority
 """
 
 
+def q_doc_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher document-quality rule set (Rae et al. 2021 §A1.1) as
+    integer-exact per-document stats + the combined pass gate; the twin
+    recomputes every rule in SQL from the raw text (same space-split and
+    RE2 semantics)."""
+    from jesse_ray.functions.text import add_gopher_stats
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = add_gopher_stats(ds)
+    cols = ["doc_id", "n_words", "sum_word_len", "n_alpha_words",
+            "n_stop_words", "n_sym", "gopher_pass"]
+    pdf = _collect(out.select_columns(cols)).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_GOPHER_RULES = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+         CAST(length(t) - (len(string_split(t, ' ')) - 1) AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(string_split(t, ' '),
+                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(string_split(t, ' '),
+                              w -> list_contains(['the','be','to','of','and','that','have','with'],
+                                                 lower(w)))) AS BIGINT) AS n_stop_words,
+         CAST((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_sym
+  FROM base
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_words, n_sym,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+            AND 10 * n_sym <= n_words
+            AND 10 * n_alpha_words >= 8 * n_words
+            AND n_stop_words >= 2 AS BIGINT) AS gopher_pass
+FROM stats
+ORDER BY doc_id
+"""
+
+
 FIXED_SAMPLE_K = 50
 
 
@@ -2780,6 +2907,9 @@ def queries() -> dict[str, Callable]:
         "seq_ntok_quantiles_by_source": q_seq_ntok_quantiles_by_source,
         "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
         "seq_fixed_sample": q_seq_fixed_sample,
+        "doc_gopher_rules": q_doc_gopher_rules,
+        "seq_tdigest_ntok": q_seq_tdigest_ntok,
+        "seq_cms_tokens": q_seq_cms_tokens,
         "doc_df_topk": q_doc_df_topk,
         "doc_decontam": q_doc_decontam,
         "doc_repetition": q_doc_repetition,
@@ -2861,6 +2991,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_ntok_quantiles_by_source": SQL_SEQ_NTOK_QUANTILES_BY_SOURCE,
         "orders_no_recent_lineitem": SQL_ORDERS_NO_RECENT_LINEITEM,
         "seq_fixed_sample": SQL_SEQ_FIXED_SAMPLE,
+        "doc_gopher_rules": SQL_DOC_GOPHER_RULES,
+        "seq_tdigest_ntok": SQL_SEQ_TDIGEST_NTOK,
+        "seq_cms_tokens": SQL_SEQ_CMS_TOKENS,
         "doc_df_topk": SQL_DOC_DF_TOPK,
         "doc_decontam": SQL_DOC_DECONTAM,
         "doc_repetition": SQL_DOC_REPETITION,

@@ -1372,3 +1372,50 @@ def test_fixed_size_sample_bottom_k_by_hash(ray_session):
         .head(k)
     )
     assert key(got) == key(want)
+
+
+def test_gopher_stats_matches_naive(ray_session):
+    from jesse_ray.functions.text import GOPHER_STOPWORDS, add_gopher_stats
+
+    texts = [
+        "the cat sat on the mat with a hat and that is that",  # many stopwords
+        "short",
+        "",
+        None,
+        "### symbols ... everywhere ### ... #",
+        "a b c d e " * 20,  # 1-char words: mean word length too low
+        ("the quick brown fox jumps over all of those lazy dogs and cats with glee "
+         * 5),
+        "12345 67890 " * 30,  # no alphabetic words
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": pa.array(texts, type=pa.string())})
+    )
+    got = add_gopher_stats(ds, min_words=10).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import re as _re
+
+    for i, t in enumerate(texts):
+        t = t or ""
+        words = t.split(" ")
+        n_words = len(words)
+        sum_wl = sum(len(w) for w in words)
+        n_alpha = sum(1 for w in words if _re.search("[A-Za-z]", w))
+        n_stop = sum(1 for w in words if w.lower() in GOPHER_STOPWORDS)
+        n_sym = t.count("#") + t.count("...")
+        row = got.iloc[i]
+        assert row["n_words"] == n_words, i
+        assert row["sum_word_len"] == sum_wl, i
+        assert row["n_alpha_words"] == n_alpha, i
+        assert row["n_stop_words"] == n_stop, i
+        assert row["n_sym"] == n_sym, i
+        ok = (
+            10 <= n_words <= 100_000
+            and 3 * n_words <= sum_wl <= 10 * n_words
+            and 10 * n_sym <= n_words
+            and 10 * n_alpha >= 8 * n_words
+            and n_stop >= 2
+        )
+        assert row["gopher_pass"] == int(ok), i
+    # the long stopword-rich doc passes; the numeric and 1-char docs fail
+    assert got.loc[6, "gopher_pass"] == 1
+    assert got.loc[5, "gopher_pass"] == 0 and got.loc[7, "gopher_pass"] == 0
