@@ -501,6 +501,120 @@ def add_unigram_logprob(ds: Dataset, model: pa.Table, *, text_col: str = "text",
     )
 
 
+def _batch_bigrams(batch: pa.Table, text_col: str):
+    """(w1, w2, parent) arrays of consecutive-word pairs per document —
+    one split + two zero-copy slices, no per-row Python."""
+    text = _combine_col(batch[text_col])
+    words = pc.split_pattern(pc.fill_null(text, ""), " ")
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    if len(flat) < 2:
+        empty = pa.array([], type=pa.string())
+        return empty, empty, np.empty(0, dtype=np.int64)
+    same = pa.array(parent[1:] == parent[:-1])
+    w1 = flat.slice(0, len(flat) - 1).filter(same)
+    w2 = flat.slice(1).filter(same)
+    return w1, w2, parent[:-1][parent[1:] == parent[:-1]]
+
+
+def bigram_model(ds: Dataset, text_col: str = "text", *, n_parts: int = 64,
+                 batch_size: int = 16384) -> pa.Table:
+    """Corpus-wide bigram-count table ``(w1, w2, cnt)`` — the bigram LM
+    (the KenLM-style n-gram scoring shape, n=2 so the model stays an
+    exactly-SQL-checkable count table).  Same two-phase build as
+    :func:`unigram_model`: per-batch Arrow ``group_by`` combiner, coarse
+    key-hash partition merge; the bigram vocabulary is bounded (the
+    standard n-gram-LM broadcastability assumption), unlike the corpus."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w1, w2, _ = _batch_bigrams(batch, text_col)
+        g = pa.table({"w1": w1, "w2": w2}).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["w1", "w2", "__pc"])
+        key = pc.binary_join_element_wise(g["w1"], g["w2"], "\x1f")
+        return g.append_column("__part", pa.array(_element_parts(key, n_parts)))
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["w1", "w2"], sort=False)["__pc"].sum().reset_index()
+        return m.rename(columns={"__pc": "cnt"})
+
+    merged = partials.groupby("__part").map_groups(merge, batch_format="pandas")
+    out = pa.concat_tables(merged.iter_batches(batch_format="pyarrow"))
+    return pa.table({"w1": out["w1"], "w2": out["w2"], "cnt": out["cnt"].cast(pa.int64())})
+
+
+class BigramScorer:
+    """Per-document mean conditional log-probability
+    ``mean ln P(w_i | w_{i-1})`` under a broadcast bigram model, where
+    ``P(w2|w1) = cnt(w1,w2) / cnt(w1,*)`` (prefix-count denominator, so
+    the conditionals normalize).  One hash probe (``pc.index_in`` on the
+    joined key) + one weighted bincount per batch; unseen bigrams score
+    the documented floor ``ln(1/(total_bigrams+1))``.  Documents with
+    no bigrams (< 2 words) score 0.0."""
+
+    def __init__(self, model_ref, text_col: str, out_col: str):
+        self._model_ref = model_ref
+        self._model = None
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def _resolve(self):
+        import ray
+
+        m = self._model_ref
+        self._model = ray.get(m) if not isinstance(m, tuple) else m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._model is None:
+            self._resolve()
+        keys_arr, lp, floor = self._model
+        w1, w2, parent = _batch_bigrams(batch, self.text_col)
+        n = batch.num_rows
+        if len(w1):
+            key = pc.binary_join_element_wise(w1, w2, "\x1f")
+            idx = pc.fill_null(pc.index_in(key, value_set=keys_arr), len(lp) - 1)
+            b_lp = lp[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+            sums = np.bincount(parent, weights=b_lp, minlength=n)
+            cnts = np.bincount(parent, minlength=n)
+        else:
+            sums = np.zeros(n)
+            cnts = np.zeros(n, dtype=np.int64)
+        mean = sums / np.maximum(cnts, 1)
+        return batch.append_column(self.out_col, pa.array(mean, type=pa.float64()))
+
+
+def add_bigram_logprob(ds: Dataset, model: pa.Table, *, text_col: str = "text",
+                       out_col: str = "mean_lp2", batch_size: int = 4096) -> Dataset:
+    """Score every document with its mean bigram conditional logprob
+    under ``model`` (a ``(w1, w2, cnt)`` table from
+    :func:`bigram_model`).  The per-prefix totals are derived from the
+    model itself on the driver (one small group_by over the model)."""
+    import ray
+
+    pfx = model.group_by("w1").aggregate([("cnt", "sum")])
+    cnt = model["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = cnt.sum()
+    p_idx = pc.index_in(model["w1"], value_set=_combine_col(pfx["w1"]))
+    p_cnt = pfx["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.float64)[
+        p_idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    ]
+    lp = np.log(cnt / p_cnt)
+    floor = np.log(1.0 / (total + 1.0))
+    keys = pc.binary_join_element_wise(
+        _combine_col(model["w1"]), _combine_col(model["w2"]), "\x1f"
+    )
+    payload = (keys, np.concatenate([lp, [floor]]), floor)
+    ref = ray.put(payload) if ray.is_initialized() else payload
+    return ds.map_batches(
+        BigramScorer(ref, text_col, out_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )
+
+
 def normalize_text(
     ds: Dataset,
     text_col: str = "text",

@@ -1755,6 +1755,46 @@ GROUP BY w.doc_id
 """
 
 
+def q_doc_bigram_lp(sf_dir: str) -> pa.Table:
+    """Bigram-LM quality scoring (KenLM-shaped, n=2 so it stays exactly
+    SQL-checkable): phase 1 builds the corpus bigram-count model
+    (combiner + coarse key-hash merge), phase 2 broadcasts it and scores
+    every document's mean ln P(w_i | w_{i-1}) with prefix-count
+    denominators in one hash-probe + weighted-bincount pass.  The twin
+    recomputes model and scores entirely in SQL."""
+    from jesse_ray.functions.text import add_bigram_logprob, bigram_model
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    model = bigram_model(ds)
+    scored = add_bigram_logprob(ds, model)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "mean_lp2": pc.round(batch["mean_lp2"], 2),
+            }
+        )
+
+    return _collect(scored.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_BIGRAM_LP = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM w),
+bg AS (
+  SELECT p1.doc_id, p1.word AS w1, p2.word AS w2
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+),
+cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+pfx AS (SELECT w1, sum(c) AS p FROM cnt GROUP BY 1),
+lp AS (SELECT w1, w2, ln(CAST(c AS DOUBLE) / p) AS l FROM cnt JOIN pfx USING (w1)),
+sc AS (SELECT bg.doc_id, avg(l) AS m FROM bg JOIN lp USING (w1, w2) GROUP BY 1)
+SELECT d.doc_id, round(coalesce(sc.m, 0.0), 2) AS mean_lp2
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_doc_ccnet_buckets(sf_dir: str) -> pa.Table:
     """CCNet-style quality bucketing (Wenzek et al. 2020): score every
     document with the corpus unigram LM, cut the score distribution at
@@ -2915,6 +2955,7 @@ def queries() -> dict[str, Callable]:
         "doc_repetition": q_doc_repetition,
         "doc_scrub": q_doc_scrub,
         "doc_unigram_lp": q_doc_unigram_lp,
+        "doc_bigram_lp": q_doc_bigram_lp,
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
@@ -2999,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_scrub": SQL_DOC_SCRUB,
         "doc_unigram_lp": SQL_DOC_UNIGRAM_LP,
+        "doc_bigram_lp": SQL_DOC_BIGRAM_LP,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

@@ -1419,3 +1419,53 @@ def test_gopher_stats_matches_naive(ray_session):
     # the long stopword-rich doc passes; the numeric and 1-char docs fail
     assert got.loc[6, "gopher_pass"] == 1
     assert got.loc[5, "gopher_pass"] == 0 and got.loc[7, "gopher_pass"] == 0
+
+
+def test_bigram_model_and_scoring_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    from jesse_ray.functions.text import add_bigram_logprob, bigram_model
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a log",
+        "single",
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(3)
+    model = bigram_model(ds)
+
+    # naive model
+    bcnt = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bcnt[(a, b)] += 1
+    got_model = {
+        (r["w1"], r["w2"]): r["cnt"] for r in model.to_pylist()
+    }
+    assert got_model == dict(bcnt)
+
+    pfx = Counter()
+    for (a, _b), c in bcnt.items():
+        pfx[a] += c
+    total = sum(bcnt.values())
+    floor = math.log(1.0 / (total + 1.0))
+
+    scored = (
+        add_bigram_logprob(ds, model).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        lps = [math.log(bcnt[(a, b)] / pfx[a]) for a, b in zip(ws, ws[1:])]
+        want = sum(lps) / len(lps) if lps else 0.0
+        assert abs(scored.loc[i, "mean_lp2"] - want) < 1e-12, i
+
+    # unseen bigrams in NEW text hit the documented floor
+    new = ray.data.from_arrow(pa.table({"doc_id": [99], "text": ["zebra quark"]}))
+    s2 = add_bigram_logprob(new, model).to_pandas()
+    assert abs(s2.loc[0, "mean_lp2"] - floor) < 1e-12
