@@ -382,17 +382,8 @@ def document_frequency_topk(
     from jesse_ray.pipelines.relational import _element_parts, topk_from_partials
 
     def partial(batch: pa.Table) -> pa.Table:
-        text = batch[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        low = pc.utf8_lower(pc.fill_null(text, ""))
-        words = pc.split_pattern_regex(low, r"\W+")
-        flat = pc.list_flatten(words)
-        parent = pc.list_parent_indices(words)
-        nonempty = pc.greater(pc.utf8_length(flat), 0)
-        doc = _combine_col(batch[doc_col]).take(parent)
-        pairs = pa.table({"doc": doc, "elem": flat}).filter(nonempty)
-        distinct = pairs.group_by(["doc", "elem"]).aggregate([])
+        doc, flat, _parent = _doc_words(batch, text_col, doc_col)
+        distinct = pa.table({"doc": doc, "elem": flat}).group_by(["doc", "elem"]).aggregate([])
         g = distinct.select(["elem"]).group_by("elem").aggregate([([], "count_all")])
         g = g.rename_columns(["elem", "__pc"])
         return g.append_column("__part", pa.array(_element_parts(g["elem"], n_parts)))
@@ -403,6 +394,132 @@ def document_frequency_topk(
 
 def _combine_col(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _doc_words(batch: pa.Table, text_col: str, doc_col: str):
+    """(doc, word, parent) arrays under the df/tf-idf tokenization
+    convention: lowercase, RE2 ``\\W+`` split, empty tokens dropped
+    (DuckDB's regexp engine is also RE2 — twins tokenize identically)."""
+    text = _combine_col(batch[text_col])
+    low = pc.utf8_lower(pc.fill_null(text, ""))
+    words = pc.split_pattern_regex(low, r"\W+")
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words)
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    doc = _combine_col(batch[doc_col]).take(parent)
+    return doc.filter(nonempty), flat.filter(nonempty), parent.filter(nonempty)
+
+
+def document_frequencies(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_parts: int = 64,
+    batch_size: int = 16384,
+) -> pa.Table:
+    """FULL ``(word, df)`` document-frequency table (the IDF model for
+    TF-IDF scoring) — :func:`document_frequency_topk` without the top-k
+    cut.  Same two-phase shape: per-batch distinct (doc, word) then word
+    counts (exact globally because a document's row lives in exactly one
+    batch), coarse word-hash partition merge; the word vocabulary is
+    bounded, so returning it to the driver is the standard broadcastable
+    -model assumption (cf. :func:`unigram_model`)."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc, flat, _parent = _doc_words(batch, text_col, doc_col)
+        distinct = pa.table({"doc": doc, "word": flat}).group_by(["doc", "word"]).aggregate([])
+        g = distinct.select(["word"]).group_by("word").aggregate([([], "count_all")])
+        g = g.rename_columns(["word", "__pc"])
+        return g.append_column("__part", pa.array(_element_parts(g["word"], n_parts)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("word", sort=False)["__pc"].sum().reset_index()
+        return m.rename(columns={"__pc": "df"})
+
+    merged = partials.groupby("__part").map_groups(merge, batch_format="pandas")
+    out = pa.concat_tables(merged.iter_batches(batch_format="pyarrow"))
+    return pa.table({"word": out["word"], "df": out["df"].cast(pa.int64())})
+
+
+class TfIdfTopTerm:
+    """Per-document top TF-IDF term under a broadcast (word, idf)
+    model: per-batch tf via one Arrow ``group_by``, one hash probe for
+    idf, then a vectorized per-document argmax (sort + run-length first
+    row — no per-row Python).  Scores are rounded to 6 decimals BEFORE
+    ranking so the ordering is reproducible across engines (ties break
+    by word ascending)."""
+
+    def __init__(self, model_ref, text_col: str, doc_col: str):
+        self._model_ref = model_ref
+        self._model = None
+        self.text_col = text_col
+        self.doc_col = doc_col
+
+    def _resolve(self):
+        import ray
+
+        m = self._model_ref
+        self._model = ray.get(m) if not isinstance(m, tuple) else m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._model is None:
+            self._resolve()
+        words_arr, idf = self._model
+        doc, flat, parent = _doc_words(batch, self.text_col, self.doc_col)
+        tf = pa.table({"p": parent, "doc": doc, "word": flat}).group_by(
+            ["p", "doc", "word"]
+        ).aggregate([([], "count_all")])
+        idx = pc.index_in(tf["word"], value_set=words_arr)
+        w_idf = np.where(
+            idx.is_valid().to_numpy(zero_copy_only=False),
+            idf[pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)],
+            0.0,  # out-of-model words carry no signal
+        )
+        score = tf["count_all"].to_numpy(zero_copy_only=False).astype(np.float64) * w_idf
+        t = pa.table(
+            {
+                "doc_id": tf["doc"],
+                "top_word": tf["word"],
+                "score": pa.array(np.round(score, 6), type=pa.float64()),
+                "__p": tf["p"],
+            }
+        ).sort_by([("__p", "ascending"), ("score", "descending"), ("top_word", "ascending")])
+        if t.num_rows == 0:
+            return t.drop_columns(["__p"])
+        p = _combine_col(t["__p"]).to_numpy(zero_copy_only=False)
+        first = np.zeros(len(p), dtype=bool)
+        first[0] = True
+        first[1:] = p[1:] != p[:-1]
+        return t.filter(pa.array(first)).drop_columns(["__p"])
+
+
+def add_tfidf_top_term(
+    ds: Dataset,
+    df_table: pa.Table,
+    n_docs: int,
+    *,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Top TF-IDF term per document: ``score = tf(w, d) * ln(N / df(w))``
+    with ``df_table`` from :func:`document_frequencies` broadcast once.
+    Documents with no words under the tokenization drop out (same as the
+    SQL twin's join)."""
+    import ray
+
+    df = df_table["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    idf = np.log(float(n_docs) / df)
+    payload = (_combine_col(df_table["word"]), idf)
+    ref = ray.put(payload) if ray.is_initialized() else payload
+    return ds.map_batches(
+        TfIdfTopTerm(ref, text_col, doc_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1795,6 +1795,48 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_doc_tfidf_top(sf_dir: str) -> pd.DataFrame:
+    """Top TF-IDF term per document: phase 1 builds the full (word, df)
+    model (distinct-per-doc combiner + coarse word-hash merge), phase 2
+    broadcasts idf = ln(N/df) and takes each document's argmax of
+    tf·idf (score rounded to 6 decimals before ranking on BOTH sides;
+    ties break by word).  The twin recomputes df, idf, tf and the
+    ranked pick entirely in SQL with the identical RE2 tokenization."""
+    from jesse_ray.functions.text import add_tfidf_top_term, document_frequencies
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df_table = document_frequencies(ds)
+    n_docs = ds.count()
+    out = add_tfidf_top_term(ds, df_table, n_docs)
+    pdf = _collect(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pdf["score"] = pdf["score"].round(6)
+    return pdf
+
+
+SQL_DOC_TFIDF_TOP = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                            x -> len(x) > 0)) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS score
+  FROM tf JOIN df USING (word)
+),
+r AS (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+  FROM sc
+)
+SELECT doc_id, word AS top_word, score FROM r WHERE rn = 1
+"""
+
+
 def q_doc_ccnet_buckets(sf_dir: str) -> pa.Table:
     """CCNet-style quality bucketing (Wenzek et al. 2020): score every
     document with the corpus unigram LM, cut the score distribution at
@@ -2956,6 +2998,7 @@ def queries() -> dict[str, Callable]:
         "doc_scrub": q_doc_scrub,
         "doc_unigram_lp": q_doc_unigram_lp,
         "doc_bigram_lp": q_doc_bigram_lp,
+        "doc_tfidf_top": q_doc_tfidf_top,
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
@@ -3041,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_scrub": SQL_DOC_SCRUB,
         "doc_unigram_lp": SQL_DOC_UNIGRAM_LP,
         "doc_bigram_lp": SQL_DOC_BIGRAM_LP,
+        "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

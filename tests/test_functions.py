@@ -1469,3 +1469,48 @@ def test_bigram_model_and_scoring_matches_naive(ray_session):
     new = ray.data.from_arrow(pa.table({"doc_id": [99], "text": ["zebra quark"]}))
     s2 = add_bigram_logprob(new, model).to_pandas()
     assert abs(s2.loc[0, "mean_lp2"] - floor) < 1e-12
+
+
+def test_tfidf_top_term_matches_naive(ray_session):
+    import math
+    import re as _re
+    from collections import Counter
+
+    from jesse_ray.functions.text import add_tfidf_top_term, document_frequencies
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana durian",
+        "Apple! cherry? cherry... elderberry",
+        "unique words only here",
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(2)
+
+    def toks(t):
+        return [w for w in _re.split(r"\W+", (t or "").lower()) if w]
+
+    df = Counter()
+    for t in texts:
+        df.update(set(toks(t)))
+    got_df = {r["word"]: r["df"] for r in document_frequencies(ds).to_pylist()}
+    assert got_df == dict(df)
+
+    n = len(texts)
+    out = (
+        add_tfidf_top_term(ds, document_frequencies(ds), n)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        t = texts[int(row["doc_id"])]
+        tf = Counter(toks(t))
+        scored = sorted(
+            ((round(c * math.log(n / df[w]), 6), w) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        assert row["top_word"] == scored[0][1], row["doc_id"]
+        assert abs(row["score"] - scored[0][0]) < 1e-9
+    # the empty doc drops out entirely
+    assert set(out["doc_id"]) == {0, 1, 2, 3}
