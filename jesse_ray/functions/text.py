@@ -304,6 +304,56 @@ def add_gopher_stats(
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
 
+def add_dup_line_stats(
+    ds: Dataset,
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    max_dup_char_frac_pct: int = 20,
+    batch_size: int = 4096,
+) -> Dataset:
+    """WITHIN-document duplicate-line stats (the Gopher/MassiveText
+    "fraction of characters in duplicate lines" repetition rule — Rae et
+    al. 2021 §A1.1 — complementing the CROSS-document scrub in
+    ``dedup.dedup_lines``): per document, the number of line instances
+    whose value occurs ≥2 times in that document and the characters they
+    cover, all as exact integers; ``dup_line_pass`` is the integer gate
+    ``100*chars_dup <= pct*chars_total``.
+
+    ``sep`` parameterizes line granularity (use ``" "`` for single-line
+    corpora — word granularity, same semantics).  Vectorized: one split,
+    one Arrow ``group_by([doc, line])`` with count+char sums, then
+    ``np.bincount`` per doc."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txt = _combine_col(batch[text_col])
+        lines = pc.split_pattern(pc.fill_null(txt, ""), sep)
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines)
+        n = batch.num_rows
+        g = pa.table(
+            {"p": parent, "line": flat, "len": pc.utf8_length(flat).cast(pa.int64())}
+        ).group_by(["p", "line"]).aggregate([("len", "sum"), ([], "count_all")])
+        p = g["p"].to_numpy(zero_copy_only=False)
+        cnt = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = g["len_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = cnt >= 2
+        n_lines = np.bincount(p, weights=cnt, minlength=n).astype(np.int64)
+        n_dup = np.bincount(p[dup], weights=cnt[dup], minlength=n).astype(np.int64)
+        c_tot = np.bincount(p, weights=chars, minlength=n).astype(np.int64)
+        c_dup = np.bincount(p[dup], weights=chars[dup], minlength=n).astype(np.int64)
+        ok = 100 * c_dup <= max_dup_char_frac_pct * c_tot
+        return (
+            batch.append_column("n_lines", pa.array(n_lines, type=pa.int64()))
+            .append_column("n_dup_lines", pa.array(n_dup, type=pa.int64()))
+            .append_column("chars_total", pa.array(c_tot, type=pa.int64()))
+            .append_column("chars_dup", pa.array(c_dup, type=pa.int64()))
+            .append_column("dup_line_pass", pa.array(ok.astype(np.int64), type=pa.int64()))
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # scrubbing / redaction (PII patterns + term blocklists)
 

@@ -2877,6 +2877,40 @@ ORDER BY doc_id
 """
 
 
+def q_doc_dup_line_stats(sf_dir: str) -> pd.DataFrame:
+    """Within-document duplicate-line repetition stats (Gopher
+    'fraction of characters in duplicate lines' rule; word granularity
+    because the corpus text is single-line) — exact integers + the
+    integer-predicate gate, fully re-derived in SQL."""
+    from jesse_ray.functions.text import add_dup_line_stats
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = add_dup_line_stats(ds, sep=" ")
+    cols = ["doc_id", "n_lines", "n_dup_lines", "chars_total", "chars_dup", "dup_line_pass"]
+    pdf = _collect(out.select_columns(cols)).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_DUP_LINE_STATS = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS line FROM documents
+),
+g AS (
+  SELECT doc_id, line, count(*) AS c, sum(length(line)) AS chars
+  FROM l GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       CAST(sum(chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN c >= 2 THEN chars ELSE 0 END) AS BIGINT) AS chars_dup,
+       CAST(100 * sum(CASE WHEN c >= 2 THEN chars ELSE 0 END)
+            <= 20 * sum(chars) AS BIGINT) AS dup_line_pass
+FROM g GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 FIXED_SAMPLE_K = 50
 
 
@@ -2999,6 +3033,7 @@ def queries() -> dict[str, Callable]:
         "doc_unigram_lp": q_doc_unigram_lp,
         "doc_bigram_lp": q_doc_bigram_lp,
         "doc_tfidf_top": q_doc_tfidf_top,
+        "doc_dup_line_stats": q_doc_dup_line_stats,
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
@@ -3085,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_unigram_lp": SQL_DOC_UNIGRAM_LP,
         "doc_bigram_lp": SQL_DOC_BIGRAM_LP,
         "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
+        "doc_dup_line_stats": SQL_DOC_DUP_LINE_STATS,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

@@ -1514,3 +1514,35 @@ def test_tfidf_top_term_matches_naive(ray_session):
         assert abs(row["score"] - scored[0][0]) < 1e-9
     # the empty doc drops out entirely
     assert set(out["doc_id"]) == {0, 1, 2, 3}
+
+
+def test_dup_line_stats_matches_naive(ray_session):
+    from collections import Counter
+
+    from jesse_ray.functions.text import add_dup_line_stats
+
+    texts = [
+        "a\nb\na\nc\na",        # 'a' x3 duplicated
+        "x\ny\nz",              # no dups
+        "",                     # one empty line
+        None,
+        "dd\ndd",               # all chars duplicated -> gate fails at 20%
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": pa.array(texts, type=pa.string())})
+    )
+    got = add_dup_line_stats(ds, sep="\n").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        lines = (t or "").split("\n")
+        cnt = Counter(lines)
+        n_dup = sum(c for c in cnt.values() if c >= 2)
+        chars_tot = sum(len(l) for l in lines)
+        chars_dup = sum(len(l) * c for l, c in cnt.items() if c >= 2)
+        row = got.iloc[i]
+        assert row["n_lines"] == len(lines), i
+        assert row["n_dup_lines"] == n_dup, i
+        assert row["chars_total"] == chars_tot, i
+        assert row["chars_dup"] == chars_dup, i
+        assert row["dup_line_pass"] == int(100 * chars_dup <= 20 * chars_tot), i
+    assert got.loc[0, "dup_line_pass"] == 0 and got.loc[4, "dup_line_pass"] == 0
+    assert got.loc[1, "dup_line_pass"] == 1
