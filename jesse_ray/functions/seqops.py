@@ -99,6 +99,76 @@ def append_eos(
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
 
+def chunk_sequences(
+    ds: Dataset,
+    *,
+    max_len: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    chunk_col: str = "chunk_id",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Context-window chunking: split every token sequence into chunks
+    of ``max_len`` starting at 0, stride, 2·stride, … (``stride``
+    defaults to ``max_len`` — non-overlapping; a smaller stride gives
+    the standard overlapping-window training prep for long documents).
+    1→many row expansion; all other columns are carried through
+    (``take``), ``chunk_id`` is the 0-based window index and ``n_tok``
+    is recomputed per chunk.  Empty/null sequences produce no chunks.
+
+    Fully vectorized offset surgery: per batch, one ``np.repeat`` row
+    expansion, one fancy gather over the flat values buffer, one
+    ``ListArray.from_arrays`` — no per-row Python.  The expansion factor
+    is bounded by ``⌈len/stride⌉``, so block sizes stay predictable (at
+    100 TB pick batch_size so batch × ⌈max_seq/stride⌉ fits the heap).
+    """
+    if max_len <= 0:
+        raise ValueError("max_len must be > 0")
+    stride = max_len if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be > 0")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        toks = _combine(batch[tokens_col])
+        if toks.null_count:
+            toks = pc.fill_null(toks, [])
+        value_type = toks.type.value_type
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.where(lens > 0, (lens - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        row_idx = np.repeat(np.arange(len(lens)), n_chunks)
+        cstart_excl = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_id = np.arange(total) - np.repeat(cstart_excl, n_chunks)
+        start = chunk_id * stride
+        chunk_len = np.minimum(max_len, lens[row_idx] - start)
+        row_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        abs_start = row_off[row_idx] + start
+        new_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(chunk_len, out=new_off[1:])
+        vals = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        idx = (
+            np.arange(int(new_off[-1]))
+            - np.repeat(new_off[:-1], chunk_len)
+            + np.repeat(abs_start, chunk_len)
+        )
+        arr = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int64()).cast(pa.int32()),
+            pa.array(vals[idx], type=value_type),
+        )
+        out = batch.take(pa.array(row_idx, type=pa.int64()))
+        out = out.set_column(out.schema.get_field_index(tokens_col), tokens_col, arr)
+        if n_tok_col is not None:
+            n = pa.array(chunk_len.astype(np.int32), type=pa.int32())
+            if n_tok_col in out.column_names:
+                out = out.set_column(out.schema.get_field_index(n_tok_col), n_tok_col, n)
+            else:
+                out = out.append_column(n_tok_col, n)
+        return out.append_column(chunk_col, pa.array(chunk_id, type=pa.int64()))
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # vocabulary coverage / OOV rate
 

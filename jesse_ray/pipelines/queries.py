@@ -2911,6 +2911,70 @@ ORDER BY doc_id
 """
 
 
+CHUNK_MAX_LEN, CHUNK_STRIDE = 512, 384
+
+
+def q_seq_chunks(sf_dir: str) -> pd.DataFrame:
+    """Context-window chunking (max_len=512, stride=384 — overlapping
+    windows, the long-document training prep): every sequence explodes
+    into ⌈len/stride⌉ chunks via one vectorized offset-surgery pass.
+    The twin re-derives every chunk with a lateral generate_series +
+    1-based list slice in SQL and compares per-chunk length, token sum
+    and end tokens (the list-content checksum convention)."""
+    from jesse_ray.functions.seqops import chunk_sequences
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+    out = chunk_sequences(ds, max_len=CHUNK_MAX_LEN, stride=CHUNK_STRIDE)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = pc.list_flatten(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        sums = np.add.reduceat(vals, off[:-1]) if len(vals) else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "chunk_id": batch["chunk_id"],
+                "n_tok": batch["n_tok"].cast(pa.int64()),
+                "tok_sum": pa.array(sums, type=pa.int64()),
+                "first_tok": pa.array(vals[off[:-1]], type=pa.int64()),
+                "last_tok": pa.array(vals[off[1:] - 1], type=pa.int64()),
+            }
+        )
+
+    pdf = _collect(out.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    return pdf.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+SQL_SEQ_CHUNKS = f"""
+WITH s AS (
+  SELECT doc_id, tokens, len(tokens) AS n FROM {SEQ_SQL}
+  WHERE tokens IS NOT NULL AND len(tokens) > 0
+),
+st AS (
+  SELECT doc_id, tokens, n,
+         unnest(range(0, CAST(n AS BIGINT), {CHUNK_STRIDE})) AS s
+  FROM s
+),
+c AS (
+  SELECT doc_id,
+         s // {CHUNK_STRIDE} AS chunk_id,
+         tokens[s + 1 : least(s + {CHUNK_MAX_LEN}, n)] AS chunk
+  FROM st
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_tok,
+       CAST(list_sum(chunk) AS BIGINT) AS tok_sum,
+       CAST(chunk[1] AS BIGINT) AS first_tok,
+       CAST(chunk[len(chunk)] AS BIGINT) AS last_tok
+FROM c
+"""
+
+
 FIXED_SAMPLE_K = 50
 
 
@@ -3034,6 +3098,7 @@ def queries() -> dict[str, Callable]:
         "doc_bigram_lp": q_doc_bigram_lp,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_dup_line_stats": q_doc_dup_line_stats,
+        "seq_chunks": q_seq_chunks,
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
@@ -3121,6 +3186,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_lp": SQL_DOC_BIGRAM_LP,
         "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
         "doc_dup_line_stats": SQL_DOC_DUP_LINE_STATS,
+        "seq_chunks": SQL_SEQ_CHUNKS,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

@@ -1546,3 +1546,41 @@ def test_dup_line_stats_matches_naive(ray_session):
         assert row["dup_line_pass"] == int(100 * chars_dup <= 20 * chars_tot), i
     assert got.loc[0, "dup_line_pass"] == 0 and got.loc[4, "dup_line_pass"] == 0
     assert got.loc[1, "dup_line_pass"] == 1
+
+
+def test_chunk_sequences_matches_naive(ray_session):
+    from jesse_ray.functions.seqops import chunk_sequences
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 100, size=n).tolist() for n in [0, 1, 5, 7, 8, 9, 23, 64]]
+    seqs.append(None)
+    tbl = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(len(seqs))],
+            "tokens": pa.array(seqs, type=pa.list_(pa.int32())),
+            "src": ["s"] * len(seqs),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = (
+        chunk_sequences(ds, max_len=8, stride=5)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for i, s in enumerate(seqs):
+        s = s or []
+        for c, start in enumerate(range(0, len(s), 5)):
+            want.append((f"d{i}", c, s[start : start + 8]))
+    got_rows = [
+        (r["doc_id"], r["chunk_id"], list(r["tokens"])) for _, r in got.iterrows()
+    ]
+    assert sorted(got_rows) == sorted(want)
+    # carried columns + recomputed n_tok
+    assert (got["src"] == "s").all()
+    assert (got["n_tok"] == got["tokens"].map(len)).all()
+    # non-overlapping default: stride = max_len partitions the sequence
+    got2 = chunk_sequences(ds, max_len=8).to_pandas()
+    total = sum(len(s or []) for s in seqs)
+    assert got2["n_tok"].sum() == total
