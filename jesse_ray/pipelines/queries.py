@@ -2911,6 +2911,49 @@ ORDER BY doc_id
 """
 
 
+def q_seq_psi_by_source(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-source PSI drift of n_tok against the whole corpus
+    (deciles at exact discrete quantiles, eps=1e-9 guard) — the
+    oracle-checkable complement of the sketch-based drift_report.  The
+    twin re-derives cuts, bins, and the PSI sum entirely in SQL."""
+    from jesse_ray.stages.drift import exact_psi_by_group
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+    t = exact_psi_by_group(ds, "source", "n_tok", bins=10)
+    pdf = t.to_pandas()
+    pdf["psi"] = pdf["psi"].round(4)
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_SEQ_PSI_BY_SOURCE = f"""
+WITH nn AS (
+  SELECT source, CAST(n_tok AS DOUBLE) AS x FROM {SEQ_SQL}
+  WHERE n_tok IS NOT NULL AND source IS NOT NULL
+),
+cuts AS (
+  SELECT unnest(quantile_disc(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS c FROM nn
+),
+b AS (SELECT source, (SELECT count(*) FROM cuts WHERE c < x) AS bin FROM nn),
+ref AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cr FROM b GROUP BY bin),
+tot AS (SELECT sum(cr) AS n FROM ref),
+g AS (SELECT source, bin, CAST(count(*) AS DOUBLE) AS cs FROM b GROUP BY 1, 2),
+ns AS (SELECT source, sum(cs) AS n_s FROM g GROUP BY 1),
+combos AS (
+  SELECT s.source, r.bin, r.cr FROM (SELECT DISTINCT source FROM b) s CROSS JOIN ref r
+),
+p AS (
+  SELECT combos.source,
+         coalesce(g.cs, 0) / ns.n_s AS ps,
+         combos.cr / (SELECT n FROM tot) AS pr
+  FROM combos
+  LEFT JOIN g ON g.source = combos.source AND g.bin = combos.bin
+  JOIN ns ON ns.source = combos.source
+)
+SELECT source, round(sum((ps - pr) * ln((ps + 1e-9) / (pr + 1e-9))), 4) AS psi
+FROM p GROUP BY source ORDER BY source
+"""
+
+
 CHUNK_MAX_LEN, CHUNK_STRIDE = 512, 384
 
 
@@ -3099,6 +3142,7 @@ def queries() -> dict[str, Callable]:
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_dup_line_stats": q_doc_dup_line_stats,
         "seq_chunks": q_seq_chunks,
+        "seq_psi_by_source": q_seq_psi_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
@@ -3187,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
         "doc_dup_line_stats": SQL_DOC_DUP_LINE_STATS,
         "seq_chunks": SQL_SEQ_CHUNKS,
+        "seq_psi_by_source": SQL_SEQ_PSI_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

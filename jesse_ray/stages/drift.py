@@ -98,6 +98,78 @@ def sketch_dataset(
     return merge_sketch_rows(sk, fan_in=fan_in, levels=levels, vocab=vocab)
 
 
+def exact_psi_by_group(
+    ds: Dataset,
+    group_col: str,
+    col: str,
+    *,
+    bins: int = 10,
+    eps: float = 1e-9,
+    batch_size: int = 65536,
+) -> "pa.Table":
+    """EXACT population-stability-index drift per group: bin ``col`` at
+    the corpus's exact discrete deciles (quantile cuts at 1/bins …
+    (bins-1)/bins), then PSI of each group's bin distribution against
+    the whole corpus:
+
+        psi(g) = Σ_b (p_g,b − p_ref,b) · ln((p_g,b + eps)/(p_ref,b + eps))
+
+    This is the deterministic, oracle-checkable complement of the
+    sketch-based :func:`jesse_ray.sketches.psi_deciles` (which bins at
+    t-digest-approximated deciles): two small passes — exact corpus
+    quantiles (bounded-cardinality two-phase) and a (group, bin) count
+    shuffle of ≤ groups × bins × blocks combiner rows.  NULL values and
+    NULL groups are excluded (SQL aggregate semantics)."""
+    from jesse_ray.pipelines.relational import exact_discrete_quantiles
+
+    def valid_rows(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, col])
+        return t.filter(pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[col])))
+
+    # cuts and counts both over the SAME population (non-null group AND
+    # value), or the reference distribution would include rows the
+    # per-group distributions can't
+    ds = ds.map_batches(valid_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    qs = [i / bins for i in range(1, bins)]
+    cuts = np.array(
+        [c for c in exact_discrete_quantiles(ds, col, qs, batch_size=batch_size) if c is not None],
+        dtype=np.float64,
+    )
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        t = batch
+        x = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, x, side="left")  # = #cuts strictly < x
+        g = pa.table({group_col: t[group_col], "bin": pa.array(b, type=pa.int64())})
+        out = g.group_by([group_col, "bin"]).aggregate([([], "count_all")])
+        return out.rename_columns([group_col, "bin", "__pc"])
+
+    parts = list(
+        ds.map_batches(bin_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+        .iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return pa.table({group_col: pa.array([]), "psi": pa.array([], type=pa.float64())})
+    merged = (
+        pa.concat_tables(parts).group_by([group_col, "bin"]).aggregate([("__pc", "sum")]).to_pandas()
+    )
+    # pivot to groups × (bins observed corpus-wide), zero-filled
+    pivot = merged.pivot_table(
+        index=group_col, columns="bin", values="__pc_sum", fill_value=0, aggfunc="sum"
+    ).sort_index()
+    counts = pivot.to_numpy(dtype=np.float64)
+    ref = counts.sum(axis=0)
+    p_ref = ref / ref.sum()
+    p_g = counts / np.maximum(counts.sum(axis=1, keepdims=True), 1.0)
+    psi = ((p_g - p_ref) * np.log((p_g + eps) / (p_ref + eps))).sum(axis=1)
+    return pa.table(
+        {
+            group_col: pa.array(list(pivot.index)),
+            "psi": pa.array(psi, type=pa.float64()),
+        }
+    )
+
+
 def drift_check(
     ref_ds: Dataset,
     new_ds: Dataset,

@@ -1584,3 +1584,44 @@ def test_chunk_sequences_matches_naive(ray_session):
     got2 = chunk_sequences(ds, max_len=8).to_pandas()
     total = sum(len(s or []) for s in seqs)
     assert got2["n_tok"].sum() == total
+
+
+def test_exact_psi_by_group(ray_session):
+    import math
+
+    from jesse_ray.stages.drift import exact_psi_by_group
+
+    rng = np.random.default_rng(7)
+    # groups a,b ~ same distribution; group c shifted
+    vals = np.concatenate([
+        rng.integers(0, 100, 4000),
+        rng.integers(0, 100, 4000),
+        rng.integers(60, 200, 2000),
+    ])
+    grp = np.array(["a"] * 4000 + ["b"] * 4000 + ["c"] * 2000, dtype=object)
+    tbl = pa.table({"g": pa.array(grp), "v": pa.array(vals, type=pa.int64())})
+    got = exact_psi_by_group(ray.data.from_arrow(tbl).repartition(5), "g", "v").to_pandas()
+    psi = dict(zip(got["g"], got["psi"]))
+    # identically-distributed groups score (nearly) the same; the
+    # shifted group scores far higher.  (All three are vs the CORPUS
+    # reference, which c's shift perturbs, so a/b needn't be ~0.)
+    assert abs(psi["a"] - psi["b"]) < 0.05
+    assert psi["c"] > psi["a"] + 1.0
+
+    # naive recomputation (same decile/eps convention)
+    import duckdb
+
+    cuts = duckdb.sql(
+        "SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) FROM tbl"
+    ).fetchone()[0]
+    cuts = np.array(cuts, dtype=np.float64)
+    bins = np.searchsorted(cuts, vals.astype(np.float64), side="left")
+    nb = bins.max() + 1
+    ref = np.bincount(bins, minlength=nb).astype(float)
+    p_ref = ref / ref.sum()
+    for g in ("a", "b", "c"):
+        m = grp == g
+        cg = np.bincount(bins[m], minlength=nb).astype(float)
+        pg = cg / cg.sum()
+        want = float(((pg - p_ref) * np.log((pg + 1e-9) / (p_ref + 1e-9))).sum())
+        assert math.isclose(psi[g], want, rel_tol=1e-9), g
