@@ -1460,3 +1460,91 @@ def token_lsh_candidate_pairs(
     )
     return _lsh_pairs_from_sigs(sigs, num_hashes=num_hashes, bands=bands,
                                 key_col=key_col, bucket_cap=bucket_cap)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: cluster-then-exact-cosine (SemDeDup)
+
+
+def semantic_near_dups(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 5,
+    cluster_cap: int = 4096,
+    block: int = 1024,
+    batch_size: int = 4096,
+) -> tuple[np.ndarray, Dataset, Dataset]:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" — method only):
+    k-means-cluster the embeddings, then report exact cosine near-dup
+    pairs WITHIN each cluster.  The cluster count is the scale knob —
+    SemDeDup runs k ∝ N/⟨cluster size⟩, so the per-cluster dense pass
+    stays O(⟨cluster size⟩²), never O(N²).
+
+    Returns ``(centroids, assigned, pairs)``: the (k, dim) centroid
+    matrix, the input with ``cluster`` appended (for audit sidecars),
+    and a Dataset of ``(left, right, cosine)`` with ``left < right`` by
+    key.  Per-cluster work is one blocked matmul over unit-normalized
+    vectors (``block`` rows at a time, so peak memory is
+    block × cluster_size doubles); a cluster larger than ``cluster_cap``
+    raises — at that size the right move is a larger k, not a bigger
+    dense pass.  ``groupby("cluster")`` here is a ≤k-group shuffle; for
+    k ≫ 64 route through a coarse hash of the cluster id (the
+    `_dedup_pairs` discipline) instead of one group per cluster.
+    """
+    from jesse_ray.functions.clustering import _mat, kmeans
+
+    cents, assigned = kmeans(
+        ds, k, vec_col=vec_col, key_col=key_col, n_iters=n_iters, batch_size=batch_size
+    )
+    sel = assigned.select_columns([key_col, vec_col, "cluster"])
+    key_type = None
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8):
+        key_type = b.schema.field(key_col).type
+        break
+
+    def pairs_in(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "left": pa.array([], type=key_type),
+                "right": pa.array([], type=key_type),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        if n > cluster_cap:
+            raise ValueError(
+                f"cluster of {n} rows exceeds cluster_cap={cluster_cap}; "
+                "increase k (SemDeDup scales k with the corpus)"
+            )
+        x = _mat(g[vec_col])
+        norms = np.sqrt((x * x).sum(axis=1))
+        x = x / np.maximum(norms, 1e-12)[:, None]
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        cols = np.arange(n)
+        outs = []
+        for i0 in range(0, n, block):
+            sims = x[i0 : i0 + block] @ x.T
+            valid = cols[None, :] > (np.arange(i0, min(i0 + block, n))[:, None])
+            ii, jj = np.nonzero((sims >= threshold) & valid)
+            if len(ii):
+                a, b = keys[ii + i0], keys[jj]
+                outs.append(
+                    pa.table(
+                        {
+                            "left": pa.array(np.minimum(a, b), type=key_type),
+                            "right": pa.array(np.maximum(a, b), type=key_type),
+                            "cosine": pa.array(sims[ii, jj], type=pa.float64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs) if outs else empty
+
+    pairs = sel.groupby("cluster").map_groups(pairs_in, batch_format="pyarrow")
+    return cents, assigned, pairs

@@ -722,6 +722,62 @@ ORDER BY cluster
 """
 
 
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_emb_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup composite (cluster-then-exact-cosine within clusters):
+    k-means over the embeddings, then exact near-dup pairs inside each
+    cluster only.  The twin re-verifies the Lloyd fixed point from the
+    sidecars, then re-derives EVERY within-cluster pair ≥ threshold in
+    SQL from the assignment sidecar — the engine's pair set must match
+    exactly.  (Threshold 0.4 because the synthetic embeddings are
+    near-uniform — max pairwise cosine ≈0.51; production SemDeDup runs
+    ≥0.95 with k ∝ corpus.)"""
+    from jesse_ray.functions.dedup import semantic_near_dups
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents, assigned, pairs = semantic_near_dups(
+        ds, k=KMEANS_K, threshold=SEMDEDUP_THRESHOLD
+    )
+    a = _collect(assigned.select_columns(["vec_id", "cluster"]))
+    pq.write_table(a.sort_by("vec_id"), _sig_parquet_path(sf_dir, "semdedup_assign"))
+    cent_t = pa.table(
+        {
+            "cluster": pa.array(range(KMEANS_K), type=pa.int32()),
+            "centroid": pa.array([list(map(float, c)) for c in cents],
+                                 type=pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(cent_t, _sig_parquet_path(sf_dir, "semdedup_cents"))
+    pdf = _collect(pairs).to_pandas()
+    pdf["cosine"] = pdf["cosine"].round(4)
+    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+
+
+SQL_EMB_SEMDEDUP = f"""
+WITH a AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/semdedup_assign_sigs_sf0.01.parquet')),
+c AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/semdedup_cents_sigs_sf0.01.parquet')),
+d AS (
+  SELECT a.vec_id, a.cluster,
+         min(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c2.centroid AS DOUBLE[]))) AS mind,
+         min(CASE WHEN c2.cluster = a.cluster
+                  THEN list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c2.centroid AS DOUBLE[])) END) AS own
+  FROM a JOIN embeddings e USING (vec_id) CROSS JOIN c c2
+  GROUP BY a.vec_id, a.cluster
+),
+ok AS (SELECT count(*) = 0 AS good FROM d WHERE own > mind + 1e-9)
+SELECT la.vec_id AS "left", rb.vec_id AS "right",
+       round(CAST(list_cosine_similarity(el.embedding, er.embedding) AS DOUBLE), 4) AS cosine
+FROM a la JOIN a rb ON la.cluster = rb.cluster AND la.vec_id < rb.vec_id
+JOIN embeddings el ON el.vec_id = la.vec_id
+JOIN embeddings er ON er.vec_id = rb.vec_id
+WHERE list_cosine_similarity(el.embedding, er.embedding) >= {SEMDEDUP_THRESHOLD}
+  AND (SELECT good FROM ok)
+ORDER BY 1, 2
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -3109,6 +3165,7 @@ def queries() -> dict[str, Callable]:
         "seq_minhash_pairs": q_seq_minhash_pairs,
         "seq_temperature_sample": q_seq_temperature_sample,
         "emb_kmeans": q_emb_kmeans,
+        "emb_semdedup": q_emb_semdedup,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
         "seq_val_dependency": q_seq_val_dependency,
@@ -3198,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_minhash_pairs": SQL_SEQ_MINHASH_PAIRS,
         "seq_temperature_sample": SQL_SEQ_TEMPERATURE_SAMPLE,
         "emb_kmeans": SQL_EMB_KMEANS,
+        "emb_semdedup": SQL_EMB_SEMDEDUP,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
         "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,

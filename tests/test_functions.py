@@ -1625,3 +1625,47 @@ def test_exact_psi_by_group(ray_session):
         pg = cg / cg.sum()
         want = float(((pg - p_ref) * np.log((pg + 1e-9) / (p_ref + 1e-9))).sum())
         assert math.isclose(psi[g], want, rel_tol=1e-9), g
+
+
+def test_semantic_near_dups_matches_naive(ray_session):
+    from jesse_ray.functions.dedup import semantic_near_dups
+
+    rng = np.random.default_rng(9)
+    # three tight blobs + noise: near-dups live inside blobs
+    blobs = rng.normal(size=(3, 16))
+    vecs, ids = [], []
+    for i in range(120):
+        b = blobs[i % 3]
+        vecs.append(b + rng.normal(scale=0.05, size=16))
+        ids.append(i)
+    x = np.asarray(vecs)
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in x], type=pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    thr = 0.99
+    cents, assigned, pairs = semantic_near_dups(ds, k=3, threshold=thr)
+    got = pairs.to_pandas()
+    got_set = set(zip(got["left"], got["right"]))
+
+    # naive: same-ENGINE-cluster pairs above threshold (float32 storage
+    # round-trip matters, so recompute from the arrow table)
+    xs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    xn = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+    cl = dict(zip(*[assigned.to_pandas()[c] for c in ("vec_id", "cluster")]))
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cl[i] == cl[j] and float(xn[i] @ xn[j]) >= thr:
+                want.add((i, j))
+    assert got_set == want
+    assert len(want) > 50  # blob members really do pair up
+    # cosine values are the true cosines
+    for _, r in got.iterrows():
+        assert abs(r["cosine"] - float(xn[int(r["left"])] @ xn[int(r["right"])])) < 1e-9
+
+    # oversized-cluster guard
+    with pytest.raises(Exception):
+        _c, _a, p2 = semantic_near_dups(ds, k=3, threshold=0.5, cluster_cap=10)
+        p2.to_pandas()
