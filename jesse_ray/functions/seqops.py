@@ -248,3 +248,80 @@ def oov_stats_by_group(
     return partials.groupby(group_col).aggregate(
         Sum("n_oov", alias_name="n_oov"), Sum("n_tok", alias_name="n_tok")
     )
+
+
+def token_pair_counts(
+    ds: Dataset,
+    *,
+    k: int = 20,
+    tokens_col: str = "tokens",
+    n_parts: int = 64,
+    batch_size: int = 16384,
+) -> pa.Table:
+    """Exact top-k ADJACENT token-pair counts — one iteration of the
+    BPE merge loop (count every within-sequence bigram of token ids,
+    pick the most frequent pairs).  Tokenizer training over a 100 TB
+    pre-tokenized corpus is exactly this loop, so the shuffle
+    discipline matters: the map side collapses each block to distinct
+    (packed pair, partial count) rows (the combiner), pairs are packed
+    into ONE int64 key (a<<32 | b — token ids are int32, so the pack is
+    lossless and its ascending order IS the (a, b) lexicographic
+    tiebreak), and the shuffle moves only those partials on a coarse
+    pair-hash partition.  Every pair key lives wholly in one part, so
+    per-part top-k then a driver merge of ≤ n_parts × k candidate rows
+    is globally exact (relational.topk_from_partials discipline).
+
+    Pairs containing a negative token id are excluded (the corpora use
+    dense non-negative vocab ids; negatives are the validation suite's
+    out-of-range sentinels, and packing them would alias).  Nulls: a
+    null/empty token list contributes no pairs.
+    """
+    from jesse_ray.pipelines.relational import _element_parts, topk_from_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "elem": pa.array([], type=pa.int64()),
+                "__pc": pa.array([], type=pa.int64()),
+                "__part": pa.array([], type=pa.int32()),
+            }
+        )
+        toks = _combine(batch[tokens_col])
+        values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if len(values) < 2:
+            return empty
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        # valid pair start positions: j and j+1 in the same list.  Mark
+        # each list's [start, end-1) run via a diff array — vectorized,
+        # no per-row loop, robust to empty/null lists (end-start < 2).
+        s, e = off[:-1], off[1:]
+        ok = (e - s) >= 2
+        d = np.zeros(len(values) + 1, dtype=np.int32)
+        np.add.at(d, s[ok], 1)
+        np.add.at(d, e[ok] - 1, -1)
+        valid = np.cumsum(d[:-1])[:-1] > 0
+        valid &= (values[:-1] >= 0) & (values[1:] >= 0)
+        packed = ((values[:-1] << np.int64(32)) | values[1:])[valid]
+        if not len(packed):
+            return empty
+        uk, cnt = np.unique(packed, return_counts=True)
+        keys = pa.array(uk, type=pa.int64())
+        return pa.table(
+            {
+                "elem": keys,
+                "__pc": pa.array(cnt.astype(np.int64)),
+                "__part": pa.array(_element_parts(keys, n_parts)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=batch_size)
+    top = topk_from_partials(partials, k, elem_alias="packed", count_alias="cnt")
+    packed = top["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "a": pa.array((packed >> 32).astype(np.int32)),
+            "b": pa.array((packed & 0xFFFFFFFF).astype(np.int32)),
+            "cnt": top["cnt"].cast(pa.int64()),
+        }
+    )

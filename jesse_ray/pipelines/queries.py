@@ -1218,6 +1218,41 @@ GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20
 """
 
 
+def q_seq_bpe_pairs(sf_dir: str) -> pa.Table:
+    """One BPE merge iteration: exact top-20 adjacent token-pair counts
+    across the corpus (tokenizer-training inner loop).  Map side packs
+    each bigram into one int64 and emits per-block distinct-pair
+    partials; the shuffle carries only (pair, count) rows on a coarse
+    pair-hash partition (per-part top-k is globally exact).  Pairs with
+    a negative id (the corpus's out-of-range sentinels) are excluded on
+    both sides."""
+    from jesse_ray.functions.seqops import token_pair_counts
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+    top = token_pair_counts(ds, k=20)
+    return pa.table(
+        {
+            "a": top["a"].cast(pa.int64()),
+            "b": top["b"].cast(pa.int64()),
+            "cnt": top["cnt"],
+        }
+    )
+
+
+SQL_SEQ_BPE_PAIRS = f"""
+WITH idx AS (
+  SELECT generate_subscripts(tokens, 1) AS i, tokens FROM {SEQ_SQL}
+)
+SELECT CAST(tokens[i] AS BIGINT) AS a, CAST(tokens[i+1] AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM idx
+WHERE i < len(tokens) AND tokens[i] >= 0 AND tokens[i+1] >= 0
+GROUP BY 1, 2
+ORDER BY cnt DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+
 NTOK_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3183,6 +3218,7 @@ def queries() -> dict[str, Callable]:
         "events_lag": q_events_lag,
         "events_sessions": q_events_sessions,
         "seq_top_tokens": q_seq_top_tokens,
+        "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_ntok_percentiles": q_seq_ntok_percentiles,
         "seq_ntok_quantiles_by_source": q_seq_ntok_quantiles_by_source,
         "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
@@ -3273,6 +3309,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lag": SQL_EVENTS_LAG,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
+        "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,
         "seq_ntok_quantiles_by_source": SQL_SEQ_NTOK_QUANTILES_BY_SOURCE,
         "orders_no_recent_lineitem": SQL_ORDERS_NO_RECENT_LINEITEM,

@@ -1669,3 +1669,32 @@ def test_semantic_near_dups_matches_naive(ray_session):
     with pytest.raises(Exception):
         _c, _a, p2 = semantic_near_dups(ds, k=3, threshold=0.5, cluster_cap=10)
         p2.to_pandas()
+
+
+def test_token_pair_counts_matches_naive(ray_session):
+    from collections import Counter
+
+    from jesse_ray.functions.seqops import token_pair_counts
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        n = int(rng.integers(0, 12))
+        toks = [int(t) for t in rng.integers(0, 9, size=n)]
+        if i % 37 == 0 and n >= 2:
+            toks[1] = -3  # sentinel id: pairs touching it are excluded
+        rows.append(toks)
+    rows.append([])  # empty list contributes nothing
+    tbl = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    want = Counter()
+    for toks in rows:
+        for x, y in zip(toks, toks[1:]):
+            if x >= 0 and y >= 0:
+                want[(x, y)] += 1
+    k = 7
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    got = token_pair_counts(ds, k=k).to_pandas()
+    assert [((a, b), c) for a, b, c in zip(got["a"], got["b"], got["cnt"])] == order
