@@ -808,3 +808,45 @@ def normalize_text(
         return batch.append_column(out_col, trimmed)
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def add_char_entropy(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    out_col: str = "char_entropy",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-document Shannon entropy over CODEPOINTS (bits/char) — the
+    classic cheap gibberish/boilerplate filter (low entropy = repeated
+    filler, very high = random noise).
+
+    Vectorized with no per-row Python: the batch's UTF-8 bytes are read
+    straight off the Arrow values buffer (one slice, one ``decode`` +
+    ``utf-32-le`` re-encode per BATCH — both single C passes), per-doc
+    codepoint counts come from the Arrow ``utf8_length`` kernel, and
+    per-(doc, codepoint) counting is one ``np.unique`` over
+    ``doc_idx << 21 | codepoint`` packed keys (codepoints < 0x110000
+    fit in 21 bits).  Empty/null text scores 0.0."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(_combine_col(batch[text_col]), "")
+        n = len(text)
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.zeros(n, dtype=np.float64)
+        if lens.sum() > 0:
+            offs = np.frombuffer(text.buffers()[1], dtype=np.int32)
+            data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+            b0, b1 = offs[text.offset], offs[text.offset + n]
+            cps = np.frombuffer(
+                data[b0:b1].tobytes().decode("utf-8").encode("utf-32-le"),
+                dtype=np.uint32,
+            ).astype(np.int64)
+            parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+            uk, cnt = np.unique((parent << np.int64(21)) | cps, return_counts=True)
+            doc = (uk >> np.int64(21)).astype(np.int64)
+            p = cnt / lens[doc]
+            np.add.at(out, doc, -p * np.log2(p))
+        return batch.append_column(out_col, pa.array(out, type=pa.float64()))
+
+    return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

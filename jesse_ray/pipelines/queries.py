@@ -1040,6 +1040,45 @@ FROM documents
 """
 
 
+
+def q_doc_char_entropy(sf_dir: str) -> pa.Table:
+    """Per-document codepoint Shannon entropy (bits/char) — the cheap
+    gibberish/boilerplate filter.  Engine decodes each batch's Arrow
+    UTF-8 buffer once and counts (doc, codepoint) pairs with one packed
+    np.unique; the twin re-derives the same entropy per document from a
+    per-character unnest (DuckDB's regex split is codepoint-aware, so
+    both sides count codepoints)."""
+    from jesse_ray.functions.text import add_char_entropy
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = add_char_entropy(ds)
+
+    def out(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.utf8_length(pc.fill_null(batch["text"], "")), 0)
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "char_entropy": pc.round(b["char_entropy"], 6),
+            }
+        )
+
+    return _collect(scored.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+  FROM documents WHERE text <> ''
+),
+cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch WHERE c <> '' GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1)
+SELECT cnt.doc_id, round(-sum((n/t) * log2(n/t)), 6) AS char_entropy
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY cnt.doc_id
+"""
+
+
 def q_events_window(sf_dir: str) -> pa.Table:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
@@ -3213,6 +3252,7 @@ def queries() -> dict[str, Callable]:
         "doc_lang_enum": q_doc_lang_enum,
         "doc_token_counts": q_doc_token_counts,
         "doc_quality_counts": q_doc_quality_counts,
+        "doc_char_entropy": q_doc_char_entropy,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -3304,6 +3344,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_enum": SQL_DOC_LANG_ENUM,
         "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
         "doc_quality_counts": SQL_DOC_QUALITY_COUNTS,
+        "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,

@@ -1698,3 +1698,24 @@ def test_token_pair_counts_matches_naive(ray_session):
 
     got = token_pair_counts(ds, k=k).to_pandas()
     assert [((a, b), c) for a, b, c in zip(got["a"], got["b"], got["cnt"])] == order
+
+
+def test_add_char_entropy_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    from jesse_ray.functions.text import add_char_entropy
+
+    texts = ["aab", "abcd", "", None, "héé€", "aaaa", "the quick brown fox", "日本語のテキスト日本"]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": pa.array(texts, type=pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = add_char_entropy(ds).to_pandas().sort_values("doc_id")
+
+    for i, t in enumerate(texts):
+        t = t or ""
+        if not t:
+            want = 0.0
+        else:
+            c = Counter(t)
+            want = -sum((n / len(t)) * math.log2(n / len(t)) for n in c.values())
+        assert abs(got["char_entropy"].iloc[i] - want) < 1e-12, (i, t)
