@@ -850,3 +850,90 @@ def add_char_entropy(
         return batch.append_column(out_col, pa.array(out, type=pa.float64()))
 
     return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def dsir_log_ratio_model(
+    target: Dataset,
+    source: Dataset,
+    *,
+    text_col: str = "text",
+) -> pa.Table:
+    """DSIR importance-weight model (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — method only):
+    per-word ``log_ratio = ln p_target(w) - ln p_source(w)`` with add-1
+    smoothing over the UNION vocabulary.  Both sides are built with the
+    :func:`unigram_model` two-phase shuffle (combiner before the coarse
+    word-hash merge); the driver-side outer join is over the bounded
+    vocabulary, never the corpus.  DSIR proper hashes n-grams into 2^k
+    buckets to bound the feature space; with a bounded word vocab the
+    exact-word variant is the same estimator and stays SQL-checkable."""
+    ct = unigram_model(target, text_col)
+    cs = unigram_model(source, text_col)
+    t = ct.to_pandas().set_index("word")["cnt"]
+    s = cs.to_pandas().set_index("word")["cnt"]
+    vocab = t.index.union(s.index)
+    tc = t.reindex(vocab, fill_value=0).to_numpy(dtype=np.float64)
+    sc = s.reindex(vocab, fill_value=0).to_numpy(dtype=np.float64)
+    T, S, V = tc.sum(), sc.sum(), float(len(vocab))
+    lr = np.log((tc + 1.0) / (T + V)) - np.log((sc + 1.0) / (S + V))
+    return pa.table(
+        {
+            "word": pa.array(vocab, type=pa.string()),
+            "log_ratio": pa.array(lr, type=pa.float64()),
+            # OOV floor for words in neither side (possible when scoring
+            # a third corpus): both numerators are the +1 smoothing mass.
+            "__oov": pa.array(np.full(len(vocab), np.log(1.0 / (T + V)) - np.log(1.0 / (S + V)))),
+        }
+    )
+
+
+class DsirScorer:
+    """Per-document DSIR importance log-weight under a broadcast
+    (word, log_ratio) model: sum of log_ratio over word OCCURRENCES
+    (DSIR's feature-count dot product).  One ``pc.index_in`` hash probe
+    + one weighted bincount per batch — no Python per row."""
+
+    def __init__(self, model_ref, text_col: str, out_col: str):
+        self._model_ref = model_ref
+        self._model = None
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._model is None:
+            import ray
+
+            m = self._model_ref
+            self._model = ray.get(m) if not isinstance(m, tuple) else m
+        words_arr, lr = self._model
+        text = _combine_col(batch[self.text_col])
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(pc.index_in(flat, value_set=words_arr), len(lr) - 1)
+        w_lr = lr[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        sums = np.bincount(parent, weights=w_lr, minlength=batch.num_rows)
+        return batch.append_column(self.out_col, pa.array(sums, type=pa.float64()))
+
+
+def add_dsir_weight(
+    ds: Dataset,
+    model: pa.Table,
+    *,
+    text_col: str = "text",
+    out_col: str = "dsir_lw",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Score every document with its DSIR importance log-weight under
+    ``model`` (from :func:`dsir_log_ratio_model`); the model is
+    broadcast once (``ray.put``), resolved once per worker."""
+    import ray
+
+    lr = model["log_ratio"].to_numpy(zero_copy_only=False).astype(np.float64)
+    oov = float(model["__oov"][0].as_py()) if model.num_rows else 0.0
+    payload = (_combine_col(model["word"]), np.concatenate([lr, [oov]]))
+    ref = ray.put(payload) if ray.is_initialized() else payload
+    return ds.map_batches(
+        DsirScorer(ref, text_col, out_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )

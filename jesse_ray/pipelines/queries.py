@@ -1079,6 +1079,57 @@ GROUP BY cnt.doc_id
 """
 
 
+
+def q_doc_dsir(sf_dir: str) -> pa.Table:
+    """DSIR importance weighting (data selection by importance
+    resampling): unigram importance model built from target = lang 'en'
+    docs vs source = the rest (two two-phase word-count shuffles +
+    bounded-vocab driver join), then every document scored with one
+    broadcast hash probe + weighted bincount.  The twin recomputes BOTH
+    the smoothed log-ratio model and the per-doc occurrence sums
+    entirely in SQL — no sidecars."""
+    from jesse_ray.functions.text import add_dsir_weight, dsir_log_ratio_model
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    target = ds.filter(expr="lang == 'en'")
+    source = ds.filter(expr="lang != 'en'")
+    model = dsir_log_ratio_model(target, source)
+    scored = add_dsir_weight(ds, model)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dsir_lw": pc.round(batch["dsir_lw"], 4),
+            }
+        )
+
+    return _collect(scored.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_DSIR = """
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+t AS (SELECT word, count(*)::DOUBLE AS c FROM w WHERE lang = 'en' GROUP BY 1),
+s AS (SELECT word, count(*)::DOUBLE AS c FROM w WHERE lang <> 'en' GROUP BY 1),
+v AS (
+  SELECT word, coalesce(t.c, 0) AS tc, coalesce(s.c, 0) AS sc
+  FROM t FULL JOIN s USING (word)
+),
+tot AS (
+  SELECT sum(tc) AS T, sum(sc) AS S, count(*)::DOUBLE AS V FROM v
+),
+lr AS (
+  SELECT word, ln((tc + 1.0) / (T + V)) - ln((sc + 1.0) / (S + V)) AS l
+  FROM v, tot
+)
+SELECT w.doc_id, round(sum(l), 4) AS dsir_lw
+FROM w JOIN lr USING (word)
+GROUP BY w.doc_id
+"""
+
+
 def q_events_window(sf_dir: str) -> pa.Table:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
@@ -3253,6 +3304,7 @@ def queries() -> dict[str, Callable]:
         "doc_token_counts": q_doc_token_counts,
         "doc_quality_counts": q_doc_quality_counts,
         "doc_char_entropy": q_doc_char_entropy,
+        "doc_dsir": q_doc_dsir,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -3345,6 +3397,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
         "doc_quality_counts": SQL_DOC_QUALITY_COUNTS,
         "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
+        "doc_dsir": SQL_DOC_DSIR,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,

@@ -1719,3 +1719,36 @@ def test_add_char_entropy_matches_naive(ray_session):
             c = Counter(t)
             want = -sum((n / len(t)) * math.log2(n / len(t)) for n in c.values())
         assert abs(got["char_entropy"].iloc[i] - want) < 1e-12, (i, t)
+
+
+def test_dsir_weights_match_naive(ray_session):
+    import math
+    from collections import Counter
+
+    from jesse_ray.functions.text import add_dsir_weight, dsir_log_ratio_model
+
+    tgt_texts = ["the cat sat", "the dog sat", "cat and dog"]
+    src_texts = ["stock market news", "market crash the", "news news news"]
+    t_tbl = pa.table({"doc_id": [0, 1, 2], "text": tgt_texts})
+    s_tbl = pa.table({"doc_id": [3, 4, 5], "text": src_texts})
+    model = dsir_log_ratio_model(ray.data.from_arrow(t_tbl), ray.data.from_arrow(s_tbl))
+
+    tc = Counter(w for t in tgt_texts for w in t.split(" "))
+    sc = Counter(w for t in src_texts for w in t.split(" "))
+    vocab = sorted(set(tc) | set(sc))
+    T, S, V = sum(tc.values()), sum(sc.values()), len(vocab)
+    want_lr = {w: math.log((tc[w] + 1) / (T + V)) - math.log((sc[w] + 1) / (S + V)) for w in vocab}
+    got_lr = dict(zip(model["word"].to_pylist(), model["log_ratio"].to_pylist()))
+    assert set(got_lr) == set(want_lr)
+    for w in vocab:
+        assert abs(got_lr[w] - want_lr[w]) < 1e-12, w
+
+    # scoring: occurrence-sum of log-ratios; unseen word gets the OOV floor
+    score_tbl = pa.table({"doc_id": [9, 10], "text": ["the cat UNSEEN", "news market"]})
+    scored = add_dsir_weight(ray.data.from_arrow(score_tbl), model).to_pandas().sort_values("doc_id")
+    oov = math.log(1 / (T + V)) - math.log(1 / (S + V))
+    want0 = want_lr["the"] + want_lr["cat"] + oov
+    want1 = want_lr["news"] + want_lr["market"]
+    assert abs(scored["dsir_lw"].iloc[0] - want0) < 1e-12
+    assert abs(scored["dsir_lw"].iloc[1] - want1) < 1e-12
+    assert want0 > 0 > want1  # targety doc up-weighted, sourcey doc down-weighted
