@@ -1285,6 +1285,38 @@ FROM s GROUP BY 1, 2
 """
 
 
+
+def q_events_funnel(sf_dir: str) -> pa.Table:
+    """Two-step funnel (signup → purchase within 3 days): per user, the
+    first signup and the first purchase at-or-after it inside the
+    window; converted users only.  One coarse user-hash shuffle of the
+    filtered two-type event slice, per-part groupby-min + forward
+    merge_asof (relational.funnel_conversions)."""
+    from jesse_ray.pipelines.relational import funnel_conversions
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    out = funnel_conversions(
+        ds, entity_col="user_id", ts_col="ts", type_col="event_type",
+        step_a="signup", step_b="purchase", within=pd.Timedelta(days=3),
+    )
+    return _collect(out).sort_by("user_id")
+
+
+SQL_EVENTS_FUNNEL = """
+WITH a AS (
+  SELECT user_id, min(ts) AS first_a FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+b AS (
+  SELECT e.user_id, min(e.ts) AS first_b
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= a.first_a
+    AND e.ts <= a.first_a + INTERVAL 3 DAY
+  GROUP BY 1
+)
+SELECT user_id, first_a, first_b FROM a JOIN b USING (user_id)
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -3309,6 +3341,7 @@ def queries() -> dict[str, Callable]:
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
         "events_sessions": q_events_sessions,
+        "events_funnel": q_events_funnel,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_ntok_percentiles": q_seq_ntok_percentiles,
@@ -3402,6 +3435,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
         "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,

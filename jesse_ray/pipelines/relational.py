@@ -933,3 +933,66 @@ def asof_join(
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("__part").map_groups(join_part, batch_format="pandas")
+
+
+def funnel_conversions(
+    events: Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    step_a: str,
+    step_b: str,
+    within: "pd.Timedelta",
+    n_parts: int = 64,
+) -> Dataset:
+    """Two-step funnel: per entity, the FIRST ``step_a`` event and the
+    first ``step_b`` event at-or-after it within ``within`` — the
+    conversion primitive of event analytics (signup→purchase, and in a
+    data-pipeline setting ingest→publish latency).  Emits one row per
+    CONVERTED entity: ``(entity, first_a, first_b)``.
+
+    Scale shape: the map side keeps only step-A/step-B rows and three
+    columns, so the shuffle moves the funnel-relevant slice, not the
+    corpus; the coarse entity-hash partition co-locates each entity's
+    events, and each part runs one C-level groupby-min + forward
+    ``merge_asof`` over its complete entity slice.  No broadcast of a
+    per-entity table (entity cardinality is corpus-scale), no global
+    sort."""
+    types = _arrow_types(events)
+    out_schema = pa.schema(
+        [(entity_col, types[entity_col]), ("first_a", types[ts_col]), ("first_b", types[ts_col])]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kind = batch[type_col]
+        keep = pc.or_(pc.equal(kind, step_a), pc.equal(kind, step_b))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                entity_col: t[entity_col],
+                ts_col: t[ts_col],
+                "__b": pc.equal(t[type_col], step_b),
+                "__part": pa.array(_element_parts(t[entity_col], n_parts)),
+            }
+        )
+
+    slim = events.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part(g: pd.DataFrame) -> pa.Table:
+        a = g[~g["__b"]]
+        b = g[g["__b"]]
+        if a.empty or b.empty:
+            return out_schema.empty_table()
+        fa = a.groupby(entity_col, sort=False)[ts_col].min().reset_index()
+        fa = fa.rename(columns={ts_col: "first_a"}).sort_values("first_a", kind="mergesort")
+        bb = b[[entity_col, ts_col]].rename(columns={ts_col: "first_b"}).sort_values(
+            "first_b", kind="mergesort"
+        )
+        m = pd.merge_asof(
+            fa, bb, left_on="first_a", right_on="first_b", by=entity_col, direction="forward"
+        )
+        m = m[m["first_b"].notna() & (m["first_b"] <= m["first_a"] + within)]
+        return pa.Table.from_pandas(m, schema=out_schema, preserve_index=False)
+
+    return slim.groupby("__part").map_groups(part, batch_format="pandas")

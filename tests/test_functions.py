@@ -1752,3 +1752,45 @@ def test_dsir_weights_match_naive(ray_session):
     assert abs(scored["dsir_lw"].iloc[0] - want0) < 1e-12
     assert abs(scored["dsir_lw"].iloc[1] - want1) < 1e-12
     assert want0 > 0 > want1  # targety doc up-weighted, sourcey doc down-weighted
+
+
+def test_funnel_conversions_matches_naive(ray_session):
+    from jesse_ray.pipelines.relational import funnel_conversions
+
+    rng = np.random.default_rng(21)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for _ in range(600):
+        rows.append(
+            {
+                "user_id": int(rng.integers(0, 40)),
+                "ts": base + pd.Timedelta(seconds=int(rng.integers(0, 30 * 86400))),
+                "event_type": str(rng.choice(["A", "B", "other"])),
+            }
+        )
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(5)
+    within = pd.Timedelta(days=2)
+    got = (
+        funnel_conversions(
+            ds, entity_col="user_id", ts_col="ts", type_col="event_type",
+            step_a="A", step_b="B", within=within,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    want_rows = []
+    for u, g in df.groupby("user_id"):
+        a = g[g["event_type"] == "A"]["ts"]
+        if a.empty:
+            continue
+        fa = a.min()
+        b = g[(g["event_type"] == "B") & (g["ts"] >= fa) & (g["ts"] <= fa + within)]["ts"]
+        if b.empty:
+            continue
+        want_rows.append({"user_id": u, "first_a": fa, "first_b": b.min()})
+    want = pd.DataFrame(want_rows).sort_values("user_id").reset_index(drop=True)
+    assert len(got) == len(want) > 5
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
