@@ -202,3 +202,59 @@ def mixture_sample(
                                salt=salt, batch_size=batch_size),
         rates,
     )
+
+
+def epoch_upsample(
+    ds: Dataset,
+    key: str,
+    weights: dict[str, float],
+    *,
+    strata_col: str = "source",
+    default_weight: float = 1.0,
+    salt: str = "epoch",
+    copy_col: str = "copy_idx",
+    u01_col: str | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic NON-INTEGER-epoch upsampling — the mixing move for
+    high-quality sources trained for >1 epoch (e.g. wiki × 2.5): each
+    row is emitted ``floor(w)`` times plus one more iff
+    ``hash(salt+key)/2^64 < frac(w)``, with ``copy_col`` numbering the
+    copies 0..c-1 (the training loader's dedup/epoch tag).
+
+    Shuffle-free and append-safe like :func:`stratified_hash_sample`
+    (a row's copy count depends only on its own key), expansion is the
+    1→many ``take``-by-repeat surgery (bounded by max weight), and the
+    fate hash uses the shared fmix64 generator, so an up-weighted
+    source's extra-copy subset is exactly a stratified_hash_sample of
+    it.  Set ``u01_col`` to also emit the uniform draw (audit sidecars:
+    a twin can re-derive every copy count from it exactly)."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError("default_weight must be >= 0")
+    names = sorted(weights)
+    warr = np.array([weights[n] for n in names] + [default_weight], dtype=np.float64)
+    names_arr = pa.array(names, type=pa.string())
+
+    def expand(batch: pa.Table) -> pa.Table:
+        u = _key_hash(batch, key, salt).astype(np.float64) / float(2**64)
+        strata = _combine(batch[strata_col])
+        if not (pa.types.is_string(strata.type) or pa.types.is_large_string(strata.type)):
+            strata = pc.cast(strata, pa.string())
+        idx = pc.fill_null(pc.index_in(strata, value_set=names_arr), len(names))
+        w = warr[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        base = np.floor(w).astype(np.int64)
+        copies = base + (u < (w - base))
+        total = int(copies.sum())
+        rows = np.repeat(np.arange(len(copies), dtype=np.int64), copies)
+        starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
+        copy_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, copies)
+        out = batch
+        if u01_col is not None:
+            out = out.append_column(u01_col, pa.array(u, type=pa.float64()))
+        out = out.take(pa.array(rows))
+        return out.append_column(copy_col, pa.array(copy_idx, type=pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

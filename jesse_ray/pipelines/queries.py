@@ -778,6 +778,82 @@ ORDER BY 1, 2
 """
 
 
+
+EPOCH_WEIGHTS = {"src0": 2.5, "src1": 0.0, "src2": 3.0, "src3": 0.25}
+
+
+def q_doc_epoch_upsample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic non-integer-epoch upsampling (train high-quality
+    sources >1 epoch): each doc emitted floor(w) times + 1 more iff its
+    fmix64 u01 < frac(w), copy_idx tagging the copies.  Two sidecars —
+    the per-doc u01 assignment (weights≡1 run of the same op, same
+    salt) and the expanded output — let the twin re-derive EVERY copy
+    count exactly and check copy-index integrity; the query returns
+    per-source (n_docs, n_rows) of the expanded corpus."""
+    from jesse_ray.functions.split import epoch_upsample
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    assign = epoch_upsample(ds, "doc_id", {}, default_weight=1.0, u01_col="u01")
+    pq.write_table(
+        _collect(assign.select_columns(["doc_id", "source", "u01"])).sort_by("doc_id"),
+        _sig_parquet_path(sf_dir, "epoch_u01"),
+    )
+    up = epoch_upsample(ds, "doc_id", EPOCH_WEIGHTS, default_weight=1.0)
+    t = _collect(up)
+    pq.write_table(t.sort_by([("doc_id", "ascending"), ("copy_idx", "ascending")]),
+                   _sig_parquet_path(sf_dir, "epoch_up"))
+    pdf = (
+        t.group_by("source")
+        .aggregate([("doc_id", "count_distinct"), ([], "count_all")])
+        .rename_columns(["source", "n_docs", "n_rows"])
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    pdf["n_rows"] = pdf["n_rows"].astype("int64")
+    return pdf
+
+
+_EPOCH_W_SQL = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(EPOCH_WEIGHTS.items()))
+
+SQL_DOC_EPOCH_UPSAMPLE = f"""
+WITH u AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/epoch_u01_sigs_sf0.01.parquet')),
+up AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/epoch_up_sigs_sf0.01.parquet')),
+w AS (
+  SELECT doc_id, source, u01,
+         CASE source {_EPOCH_W_SQL} ELSE 1.0 END AS wt
+  FROM u
+),
+exp AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS BIGINT)
+           + CASE WHEN u01 < wt - floor(wt) THEN 1 ELSE 0 END AS copies
+  FROM w
+),
+got AS (
+  SELECT doc_id, count(*) AS cnt, min(copy_idx) AS mn, max(copy_idx) AS mx,
+         count(DISTINCT copy_idx) AS dc
+  FROM up GROUP BY 1
+),
+ok AS (
+  SELECT (SELECT count(*) FROM documents) = (SELECT count(*) FROM u)
+     AND (SELECT count(*) FROM u LEFT JOIN documents d USING (doc_id)
+          WHERE d.doc_id IS NULL OR d.source <> u.source) = 0
+     AND (SELECT count(*) FROM exp LEFT JOIN got USING (doc_id)
+          WHERE coalesce(got.cnt, 0) <> exp.copies) = 0
+     AND (SELECT count(*) FROM got LEFT JOIN exp USING (doc_id)
+          WHERE exp.doc_id IS NULL OR got.mn <> 0 OR got.mx <> got.cnt - 1
+             OR got.dc <> got.cnt) = 0 AS good
+)
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM up GROUP BY source
+HAVING (SELECT good FROM ok)
+ORDER BY source
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -3337,6 +3413,7 @@ def queries() -> dict[str, Callable]:
         "doc_quality_counts": q_doc_quality_counts,
         "doc_char_entropy": q_doc_char_entropy,
         "doc_dsir": q_doc_dsir,
+        "doc_epoch_upsample": q_doc_epoch_upsample,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -3431,6 +3508,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_counts": SQL_DOC_QUALITY_COUNTS,
         "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
         "doc_dsir": SQL_DOC_DSIR,
+        "doc_epoch_upsample": SQL_DOC_EPOCH_UPSAMPLE,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,

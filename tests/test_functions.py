@@ -1794,3 +1794,37 @@ def test_funnel_conversions_matches_naive(ray_session):
     want = pd.DataFrame(want_rows).sort_values("user_id").reset_index(drop=True)
     assert len(got) == len(want) > 5
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_epoch_upsample_matches_naive(ray_session):
+    from jesse_ray.functions.split import _key_hash, epoch_upsample
+
+    ids = [f"d{i}" for i in range(200)]
+    srcs = [["wiki", "web", "junk"][i % 3] for i in range(200)]
+    tbl = pa.table({"doc_id": ids, "source": srcs})
+    weights = {"wiki": 2.5, "web": 1.0, "junk": 0.0}
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = epoch_upsample(ds, "doc_id", weights, u01_col="u01").to_pandas()
+
+    u = _key_hash(tbl, "doc_id", "epoch").astype(np.float64) / float(2**64)
+    want = {}
+    for i, (d, s) in enumerate(zip(ids, srcs)):
+        w = weights[s]
+        want[d] = int(np.floor(w)) + int(u[i] < w - np.floor(w))
+    cnt = got.groupby("doc_id").size().to_dict()
+    for d, c in want.items():
+        assert cnt.get(d, 0) == c, d
+    assert set(got["doc_id"]) == {d for d, c in want.items() if c > 0}
+    # copy_idx integrity: 0..c-1 per doc
+    for d, g in got.groupby("doc_id"):
+        assert sorted(g["copy_idx"]) == list(range(want[d]))
+    # wiki really upsampled: ~2.5x its doc count on average
+    n_wiki = sum(1 for s in srcs if s == "wiki")
+    assert n_wiki * 2 <= len(got[got["source"] == "wiki"]) <= n_wiki * 3
+    assert (got[got["source"] == "web"].groupby("doc_id").size() == 1).all()
+    assert len(got[got["source"] == "junk"]) == 0
+    # deterministic across partitionings
+    got2 = epoch_upsample(ray.data.from_arrow(tbl).repartition(9), "doc_id", weights).to_pandas()
+    a = got.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    b = got2.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["doc_id", "source", "copy_idx"]], b)
