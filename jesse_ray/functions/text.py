@@ -937,3 +937,72 @@ def add_dsir_weight(
         DsirScorer(ref, text_col, out_col),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
     )
+
+
+def add_ngram_repetition_stats(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    n_top: int = 2,
+    n_dup: int = 5,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Gopher's n-gram repetition features (Rae et al. 2021 §A1.1) as
+    exact INTEGER character counts (the fraction gates become integer
+    predicates, no float discipline): ``top{n_top}_chars`` = occurrences
+    × char-length of the most frequent ``n_top``-gram (ties on count
+    broken toward the larger coverage), ``dup{n_dup}_chars`` = Σ over
+    ``n_dup``-grams occurring ≥2× of occurrences × char-length, and
+    ``n_chars`` (codepoints of the text, the fraction denominator).
+
+    Vectorized: one space-split per batch, n-gram strings built by
+    ``binary_join_element_wise`` over shifted views of the flat word
+    array (no per-row Python), per-(doc, n-gram) counts via Arrow's C++
+    ``group_by``, then numpy segment max / masked segment sums.  A doc
+    with fewer than n words scores 0."""
+
+    def grams(flat: pa.Array, parent: np.ndarray, n: int):
+        L = len(flat)
+        if L < n:
+            return None, None
+        m = L - n + 1
+        parts = [flat.slice(k, m) for k in range(n - 1)] + [flat.slice(n - 1, m), " "]
+        g = pc.binary_join_element_wise(*parts)
+        ok = parent[: m] == parent[n - 1:]
+        return g.filter(pa.array(ok)), parent[:m][ok]
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txt = _combine_col(batch[text_col])
+        txt = pc.fill_null(txt, "")
+        nrows = batch.num_rows
+        words = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        out = {}
+        for n, kind in ((n_top, "top"), (n_dup, "dup")):
+            col = np.zeros(nrows, dtype=np.int64)
+            g, gp = grams(flat, parent, n)
+            if g is not None and len(g):
+                t = pa.table({"p": pa.array(gp, type=pa.int64()), "g": g})
+                cnt = t.group_by(["p", "g"]).aggregate([([], "count_all")])
+                p = cnt["p"].to_numpy(zero_copy_only=False)
+                c = cnt["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+                nch = pc.utf8_length(cnt["g"]).to_numpy(zero_copy_only=False).astype(np.int64)
+                cover = c * nch
+                if kind == "top":
+                    mc = np.zeros(nrows, dtype=np.int64)
+                    np.maximum.at(mc, p, c)
+                    atmax = c == mc[p]
+                    np.maximum.at(col, p[atmax], cover[atmax])
+                else:
+                    dup = c >= 2
+                    np.add.at(col, p[dup], cover[dup])
+            out[f"{kind}{n}_chars"] = col
+        res = batch.append_column("n_chars", pc.utf8_length(txt).cast(pa.int64()))
+        for name, col in out.items():
+            res = res.append_column(name, pa.array(col, type=pa.int64()))
+        return res
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

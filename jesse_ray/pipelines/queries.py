@@ -1206,6 +1206,48 @@ GROUP BY w.doc_id
 """
 
 
+
+def q_doc_ngram_repetition(sf_dir: str) -> pa.Table:
+    """Gopher n-gram repetition features as exact integers: per doc,
+    the char coverage of the most frequent 2-gram (ties toward larger
+    coverage), the char coverage of all duplicated 5-grams, and the
+    codepoint length (the fraction denominator).  One space-split +
+    shifted-view n-gram join + Arrow group_by per batch; no shuffle
+    (the stats are per-document)."""
+    from jesse_ray.functions.text import add_ngram_repetition_stats
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rep = add_ngram_repetition_stats(ds, n_top=2, n_dup=5)
+    return _collect(
+        rep.select_columns(["doc_id", "n_chars", "top2_chars", "dup5_chars"])
+    ).sort_by("doc_id")
+
+
+SQL_DOC_NGRAM_REPETITION = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a, length(text) AS n_chars FROM documents),
+i2 AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM arr),
+g2 AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS g FROM i2 WHERE i + 1 <= len(a)),
+c2 AS (SELECT doc_id, g, count(*) AS cnt, length(g) AS nch FROM g2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id, max(cnt) AS mc FROM c2 GROUP BY 1),
+t2 AS (
+  SELECT c2.doc_id, max(cnt * nch) AS top2_chars
+  FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id AND c2.cnt = m2.mc
+  GROUP BY 1
+),
+g5 AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS g
+  FROM i2 WHERE i + 4 <= len(a)
+),
+c5 AS (SELECT doc_id, g, count(*) AS cnt, length(g) AS nch FROM g5 GROUP BY 1, 2),
+d5 AS (SELECT doc_id, sum(cnt * nch) AS dup5_chars FROM c5 WHERE cnt >= 2 GROUP BY 1)
+SELECT arr.doc_id, CAST(arr.n_chars AS BIGINT) AS n_chars,
+       CAST(coalesce(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+       CAST(coalesce(d5.dup5_chars, 0) AS BIGINT) AS dup5_chars
+FROM arr LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_events_window(sf_dir: str) -> pa.Table:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
@@ -3414,6 +3456,7 @@ def queries() -> dict[str, Callable]:
         "doc_char_entropy": q_doc_char_entropy,
         "doc_dsir": q_doc_dsir,
         "doc_epoch_upsample": q_doc_epoch_upsample,
+        "doc_ngram_repetition": q_doc_ngram_repetition,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -3509,6 +3552,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
         "doc_dsir": SQL_DOC_DSIR,
         "doc_epoch_upsample": SQL_DOC_EPOCH_UPSAMPLE,
+        "doc_ngram_repetition": SQL_DOC_NGRAM_REPETITION,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,

@@ -1828,3 +1828,46 @@ def test_epoch_upsample_matches_naive(ray_session):
     a = got.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
     b = got2.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["doc_id", "source", "copy_idx"]], b)
+
+
+def test_ngram_repetition_stats_match_naive(ray_session):
+    from collections import Counter
+
+    from jesse_ray.functions.text import add_ngram_repetition_stats
+
+    texts = [
+        "a b a b a b c",          # heavy 2-gram repetition
+        "x y z w v u t s",        # no repetition
+        "p q r s t p q r s t p q r s t",  # duplicated 5-gram
+        "",                        # empty
+        "one",                     # fewer words than n
+        None,
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": pa.array(texts, type=pa.string())})
+    got = (
+        add_ngram_repetition_stats(ray.data.from_arrow(tbl).repartition(2), n_top=2, n_dup=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    for i, t in enumerate(texts):
+        t = t or ""
+        words = t.split(" ")  # ''.split(' ') == [''], matching Arrow/DuckDB split
+
+        def ngrams(n):
+            return Counter(
+                " ".join(words[j : j + n]) for j in range(len(words) - n + 1)
+            ) if len(words) >= n else Counter()
+        c2, c5 = ngrams(2), ngrams(5)
+        if c2:
+            mc = max(c2.values())
+            top2 = max(cnt * len(g) for g, cnt in c2.items() if cnt == mc)
+        else:
+            top2 = 0
+        dup5 = sum(cnt * len(g) for g, cnt in c5.items() if cnt >= 2)
+        row = got.iloc[i]
+        assert row["n_chars"] == len(t), i
+        assert row["top2_chars"] == top2, i
+        assert row["dup5_chars"] == dup5, i
+    assert got["top2_chars"].iloc[0] > 0 and got["dup5_chars"].iloc[2] > 0
