@@ -325,3 +325,88 @@ def token_pair_counts(
             "cnt": top["cnt"].cast(pa.int64()),
         }
     )
+
+
+def apply_bpe_merge(
+    ds: Dataset,
+    *,
+    a: int,
+    b: int,
+    new_id: int,
+    tokens_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    batch_size: int = 16384,
+) -> Dataset:
+    """Apply ONE BPE merge rule corpus-wide: every greedy left-to-right
+    non-overlapping adjacent occurrence of ``(a, b)`` becomes the single
+    token ``new_id``.  With :func:`token_pair_counts` picking the next
+    pair, this is the tokenizer-training iteration (and the tokenizer
+    APPLICATION inner step) as a streaming corpus transform.
+
+    Fully vectorized offset surgery: candidate starts come from one
+    shifted compare over the flat values buffer (masked to within-list
+    positions), the ``a == b`` overlap rule (in ``aaa`` merge positions
+    0-1, not 1-2) is resolved by keeping alternating members of each
+    consecutive-candidate run (for ``a != b`` occurrences can never
+    overlap, so every candidate survives), and the output ListArray is
+    rebuilt from per-list merge counts — no per-row Python.  Null
+    token lists pass through as nulls."""
+    if new_id < 0:
+        raise ValueError("new_id must be >= 0")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        toks = _combine(batch[tokens_col])
+        values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        nv = len(values)
+        if nv >= 2:
+            s, e = off[:-1], off[1:]
+            ok = (e - s) >= 2
+            d = np.zeros(nv + 1, dtype=np.int32)
+            np.add.at(d, s[ok], 1)
+            np.add.at(d, e[ok] - 1, -1)
+            within = np.cumsum(d[:-1])[:-1] > 0
+            cand = within & (values[:-1] == a) & (values[1:] == b)
+            idx = np.flatnonzero(cand)
+        else:
+            idx = np.empty(0, dtype=np.int64)
+        if len(idx) and a == b:
+            # greedy left-to-right: in each run of consecutive candidate
+            # positions keep the 0th, 2nd, ... member
+            new_run = np.empty(len(idx), dtype=bool)
+            new_run[0] = True
+            np.greater(np.diff(idx), 1, out=new_run[1:])
+            run_start = idx[new_run]
+            run_id = np.cumsum(new_run) - 1
+            offset_in_run = idx - run_start[run_id]
+            idx = idx[(offset_in_run & 1) == 0]
+        # rebuild: position k in `idx` takes value new_id, position k+1 drops
+        if len(idx):
+            keep = np.ones(nv, dtype=bool)
+            keep[idx + 1] = False
+            in_slice = np.zeros(nv, dtype=bool)
+            in_slice[off[0] : off[-1]] = True
+            out_vals = values.copy()
+            out_vals[idx] = new_id
+            out_vals = out_vals[keep & in_slice]
+            merged_parent = np.searchsorted(off, idx, side="right") - 1
+            m = np.zeros(len(off) - 1, dtype=np.int64)
+            np.add.at(m, merged_parent, 1)
+            new_lens = (off[1:] - off[:-1]) - m
+        else:
+            out_vals = values[off[0] : off[-1]]
+            new_lens = off[1:] - off[:-1]
+        new_off = np.concatenate([[0], np.cumsum(new_lens)])
+        mask = pc.is_null(toks) if toks.null_count else None
+        arr = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()),
+            pa.array(out_vals, type=toks.type.value_type),
+            mask=mask,
+        )
+        out = batch.set_column(batch.schema.get_field_index(tokens_col), tokens_col, arr)
+        if n_tok_col is not None and n_tok_col in batch.column_names:
+            n = pc.list_value_length(arr).cast(pa.int32())
+            out = out.set_column(out.schema.get_field_index(n_tok_col), n_tok_col, n)
+        return out
+
+    return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

@@ -854,6 +854,104 @@ ORDER BY source
 """
 
 
+
+def q_seq_bpe_step(sf_dir: str) -> pa.Table:
+    """One full BPE TRAINING iteration: count adjacent pairs, pick the
+    most frequent pair with a != b (cnt desc, then (a, b) asc — a != b
+    occurrences can never overlap, so greedy merge = all occurrences),
+    mint new_id = max token id + 1, and apply the merge corpus-wide
+    (seqops.apply_bpe_merge offset surgery).  Output is checksum-shaped
+    per row (new length, token sum, position-weighted sum — the last
+    catches ordering bugs); the twin re-derives the pair choice, the
+    new id, AND the merged sequences entirely in SQL."""
+    from jesse_ray.functions.seqops import apply_bpe_merge, token_pair_counts
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+    pairs = token_pair_counts(ds, k=25).to_pandas()
+    pairs = pairs[pairs["a"] != pairs["b"]]
+    if pairs.empty:
+        raise ValueError("no mergeable pair with a != b in top-25")
+    a, b = int(pairs["a"].iloc[0]), int(pairs["b"].iloc[0])
+
+    def mx(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch["tokens"])
+        m = pc.max(flat).as_py() if len(flat) else None
+        return pa.table({"m": pa.array([m if m is not None else -1], type=pa.int64())})
+
+    parts = _collect(ds.map_batches(mx, batch_format="pyarrow", zero_copy_batch=True))
+    new_id = int(pc.max(parts["m"]).as_py()) + 1
+
+    def nonempty(batch: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(batch["tokens"])
+        return batch.filter(pc.greater(pc.fill_null(lens, 0), 0))
+
+    kept = ds.map_batches(nonempty, batch_format="pyarrow", zero_copy_batch=True)
+    merged = apply_bpe_merge(kept, a=a, b=b, new_id=new_id, n_tok_col=None)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        off = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1], lens)
+        sums = np.add.reduceat(flat, off[:-1]) if len(flat) else np.zeros(len(toks), np.int64)
+        psums = np.add.reduceat(flat * pos, off[:-1]) if len(flat) else np.zeros(len(toks), np.int64)
+        empty = off[:-1] == off[1:]
+        sums[empty] = 0
+        psums[empty] = 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok_new": pa.array(lens, type=pa.int64()),
+                "tok_sum": pa.array(sums, type=pa.int64()),
+                "tok_possum": pa.array(psums, type=pa.int64()),
+            }
+        )
+
+    return _collect(merged.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SEQ_BPE_STEP = f"""
+WITH corpus AS (SELECT * FROM {SEQ_SQL}),
+idx0 AS (SELECT generate_subscripts(tokens, 1) AS i, tokens FROM corpus),
+pair AS (
+  SELECT tokens[i] AS a, tokens[i+1] AS b
+  FROM idx0
+  WHERE i < len(tokens) AND tokens[i] >= 0 AND tokens[i+1] >= 0
+    AND tokens[i] <> tokens[i+1]
+  GROUP BY 1, 2 ORDER BY count(*) DESC, a ASC, b ASC LIMIT 1
+),
+mx AS (SELECT max(t) + 1 AS new_id FROM (SELECT unnest(tokens) AS t FROM corpus)),
+rows_in AS (
+  SELECT row_number() OVER () AS rid, doc_id, tokens
+  FROM corpus WHERE tokens IS NOT NULL AND len(tokens) > 0
+),
+t AS (SELECT rid, doc_id, generate_subscripts(tokens, 1) AS i, tokens FROM rows_in),
+m AS (
+  SELECT rid, doc_id, i,
+         CASE WHEN tokens[i] = (SELECT a FROM pair) AND i < len(tokens)
+                   AND tokens[i+1] = (SELECT b FROM pair)
+              THEN (SELECT new_id FROM mx) ELSE tokens[i] END AS val,
+         (i > 1 AND tokens[i-1] = (SELECT a FROM pair)
+                AND tokens[i] = (SELECT b FROM pair)) AS is_follower
+  FROM t
+),
+sel AS (
+  SELECT rid, doc_id, val,
+         row_number() OVER (PARTITION BY rid ORDER BY i) - 1 AS pos
+  FROM m WHERE NOT is_follower
+)
+SELECT any_value(doc_id) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok_new,
+       CAST(sum(val) AS BIGINT) AS tok_sum,
+       CAST(sum(pos * val) AS BIGINT) AS tok_possum
+FROM sel GROUP BY rid
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -3464,6 +3562,7 @@ def queries() -> dict[str, Callable]:
         "events_funnel": q_events_funnel,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
+        "seq_bpe_step": q_seq_bpe_step,
         "seq_ntok_percentiles": q_seq_ntok_percentiles,
         "seq_ntok_quantiles_by_source": q_seq_ntok_quantiles_by_source,
         "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
@@ -3560,6 +3659,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": SQL_EVENTS_FUNNEL,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
+        "seq_bpe_step": SQL_SEQ_BPE_STEP,
         "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,
         "seq_ntok_quantiles_by_source": SQL_SEQ_NTOK_QUANTILES_BY_SOURCE,
         "orders_no_recent_lineitem": SQL_ORDERS_NO_RECENT_LINEITEM,

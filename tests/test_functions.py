@@ -1871,3 +1871,42 @@ def test_ngram_repetition_stats_match_naive(ray_session):
         assert row["top2_chars"] == top2, i
         assert row["dup5_chars"] == dup5, i
     assert got["top2_chars"].iloc[0] > 0 and got["dup5_chars"].iloc[2] > 0
+
+
+def _naive_bpe_merge(toks, a, b, new_id):
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(new_id)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_apply_bpe_merge_matches_naive(ray_session):
+    from jesse_ray.functions.seqops import apply_bpe_merge
+
+    rng = np.random.default_rng(31)
+    rows = [[1, 2, 1, 2, 2, 1], [2, 1], [1, 2], [2, 2, 2, 2, 2], [], None, [7], [1, 1, 1, 1]]
+    for _ in range(200):
+        rows.append([int(t) for t in rng.integers(0, 4, size=int(rng.integers(0, 15)))])
+    tbl = pa.table({
+        "doc_id": list(range(len(rows))),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) if r is not None else 0 for r in rows], type=pa.int32()),
+    })
+    for a, b in [(1, 2), (2, 2), (1, 1), (3, 0)]:
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = apply_bpe_merge(ds, a=a, b=b, new_id=99)
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+        toks_out = t["tokens"].to_pylist()
+        ntok_out = t["n_tok"].to_pylist()
+        for i, r in enumerate(rows):
+            if r is None:
+                assert toks_out[i] is None, (a, b, i)
+                continue
+            want = _naive_bpe_merge(r, a, b, 99)
+            assert toks_out[i] == want, (a, b, i, r)
+            assert ntok_out[i] == len(want)
