@@ -410,3 +410,53 @@ def apply_bpe_merge(
         return out
 
     return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def length_bucket_stats(
+    ds: Dataset,
+    *,
+    n_tok_col: str = "n_tok",
+    batch_size: int = 65536,
+):
+    """Static length-bucketing plan for training batches: assign every
+    sequence to its power-of-two length bucket and report, per bucket,
+    the sequence count, the real token mass, and the PADDING WASTE
+    (bucket_len × count − tokens) a pad-to-bucket batcher would burn —
+    the number that decides bucket granularity for a packing/padding
+    strategy.  One vectorized bucket computation per batch + the
+    grouped_agg combiner shuffle (≤ ~32 bucket rows move).  Rows with
+    null or negative ``n_tok`` are excluded (validation's job, not the
+    batcher's)."""
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = _combine(batch[n_tok_col])
+        keep = pc.and_(pc.is_valid(n), pc.greater_equal(n, 0))
+        nn = n.filter(keep).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore"):
+            bucket = np.where(nn <= 1, 1, 2 ** np.ceil(np.log2(np.maximum(nn, 1)))).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, type=pa.int64()),
+                n_tok_col: pa.array(nn, type=pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+    agg = grouped_agg(slim, ["bucket"], sums=[n_tok_col], count_alias="n_seqs")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = _combine(batch["bucket"]).to_numpy(zero_copy_only=False)
+        c = _combine(batch["n_seqs"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _combine(batch[f"sum_{n_tok_col}"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(b, type=pa.int64()),
+                "n_seqs": pa.array(c, type=pa.int64()),
+                "sum_tok": pa.array(t, type=pa.int64()),
+                "padding": pa.array(b * c - t, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

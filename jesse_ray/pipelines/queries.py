@@ -952,6 +952,32 @@ FROM sel GROUP BY rid
 """
 
 
+
+def q_seq_length_buckets(sf_dir: str) -> pd.DataFrame:
+    """Length-bucketed batching plan: per power-of-two n_tok bucket, the
+    sequence count, token mass, and padding waste of a pad-to-bucket
+    batcher (seqops.length_bucket_stats — combiner + ≤32-row shuffle)."""
+    from jesse_ray.functions.seqops import length_bucket_stats
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["n_tok"])
+    out = length_bucket_stats(ds).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+SQL_SEQ_LENGTH_BUCKETS = f"""
+WITH b AS (
+  SELECT CASE WHEN n_tok <= 1 THEN 1
+              ELSE CAST(power(2, ceil(log2(n_tok))) AS BIGINT) END AS bucket,
+         CAST(n_tok AS BIGINT) AS n_tok
+  FROM {SEQ_SQL} WHERE n_tok IS NOT NULL AND n_tok >= 0
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(bucket * count(*) - sum(n_tok) AS BIGINT) AS padding
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -3563,6 +3589,7 @@ def queries() -> dict[str, Callable]:
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
+        "seq_length_buckets": q_seq_length_buckets,
         "seq_ntok_percentiles": q_seq_ntok_percentiles,
         "seq_ntok_quantiles_by_source": q_seq_ntok_quantiles_by_source,
         "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
@@ -3660,6 +3687,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,
+        "seq_length_buckets": SQL_SEQ_LENGTH_BUCKETS,
         "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,
         "seq_ntok_quantiles_by_source": SQL_SEQ_NTOK_QUANTILES_BY_SOURCE,
         "orders_no_recent_lineitem": SQL_ORDERS_NO_RECENT_LINEITEM,

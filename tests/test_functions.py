@@ -1910,3 +1910,29 @@ def test_apply_bpe_merge_matches_naive(ray_session):
             want = _naive_bpe_merge(r, a, b, 99)
             assert toks_out[i] == want, (a, b, i, r)
             assert ntok_out[i] == len(want)
+
+
+def test_length_bucket_stats_match_naive(ray_session):
+    from collections import defaultdict
+
+    from jesse_ray.functions.seqops import length_bucket_stats
+
+    rng = np.random.default_rng(41)
+    lens = [0, 1, 2, 3, 4, 5, 1023, 1024, 1025, None, -2] + [int(x) for x in rng.integers(1, 300, 150)]
+    tbl = pa.table({"n_tok": pa.array(lens, type=pa.int32())})
+    got = (
+        length_bucket_stats(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    want = defaultdict(lambda: [0, 0])
+    for n in lens:
+        if n is None or n < 0:
+            continue
+        b = 1 if n <= 1 else 1 << (int(n - 1)).bit_length()
+        want[b][0] += 1
+        want[b][1] += n
+    assert list(got["bucket"]) == sorted(want)
+    for _, r in got.iterrows():
+        c, t = want[r["bucket"]]
+        assert r["n_seqs"] == c and r["sum_tok"] == t
+        assert r["padding"] == r["bucket"] * c - t
