@@ -1559,6 +1559,36 @@ SELECT user_id, first_a, first_b FROM a JOIN b USING (user_id)
 """
 
 
+
+def q_events_winsorized(sf_dir: str) -> pd.DataFrame:
+    """Outlier-robust per-type aggregation: winsorize value at each
+    event_type's exact [p5, p95] discrete quantiles, then sum/count per
+    type (relational.winsorize_by_group — exact grouped quantile bounds
+    broadcast into a vectorized clip stage)."""
+    from jesse_ray.pipelines.relational import grouped_agg, winsorize_by_group
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    clipped = winsorize_by_group(ds, "event_type", "value", q_lo=0.05, q_hi=0.95)
+    agg = grouped_agg(clipped.select_columns(["event_type", "value_w"]),
+                      ["event_type"], sums=["value_w"], count_alias="n")
+    pdf = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["wsum"] = pdf["sum_value_w"].round(2)
+    return pdf[["event_type", "n", "wsum"]]
+
+
+SQL_EVENTS_WINSORIZED = """
+WITH b AS (
+  SELECT event_type, quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(greatest(b.lo, least(e.value, b.hi))), 2) AS wsum
+FROM events e JOIN b USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -3586,6 +3616,7 @@ def queries() -> dict[str, Callable]:
         "events_lag": q_events_lag,
         "events_sessions": q_events_sessions,
         "events_funnel": q_events_funnel,
+        "events_winsorized": q_events_winsorized,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
@@ -3684,6 +3715,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lag": SQL_EVENTS_LAG,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_winsorized": SQL_EVENTS_WINSORIZED,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,

@@ -996,3 +996,56 @@ def funnel_conversions(
         return pa.Table.from_pandas(m, schema=out_schema, preserve_index=False)
 
     return slim.groupby("__part").map_groups(part, batch_format="pandas")
+
+
+def winsorize_by_group(
+    ds: Dataset,
+    group_col: str,
+    col: str,
+    *,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out_col: str | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Per-group winsorization: clip ``col`` to its group's exact
+    [q_lo, q_hi] discrete quantiles (the outlier-robust normalization
+    step before aggregating a heavy-tailed measure).  Phase 1 computes
+    exact per-group bounds via :func:`grouped_discrete_quantiles`
+    (bounded-cardinality value assumption documented there; at 100 TB
+    quantize the measure first or switch the bounds source to the
+    t-digest sketch — the clip stage is unchanged).  Phase 2 broadcasts
+    the tiny (group, lo, hi) table and clips each batch with one hash
+    probe + ``np.clip``.  NULL values stay NULL; rows of groups with no
+    non-null values pass through unclipped."""
+    import ray
+
+    out_col = out_col or f"{col}_w"
+    bounds = grouped_discrete_quantiles(ds, group_col, col, [q_lo, q_hi])
+    lo_name, hi_name = f"p{round(q_lo * 100):d}", f"p{round(q_hi * 100):d}"
+    payload = (
+        _combine(bounds[group_col]),
+        bounds[lo_name].to_numpy(zero_copy_only=False).astype(np.float64),
+        bounds[hi_name].to_numpy(zero_copy_only=False).astype(np.float64),
+    )
+    ref = ray.put(payload) if ray.is_initialized() else payload
+
+    class Clip:
+        def __init__(self):
+            p = ref
+            self.groups, self.lo, self.hi = ray.get(p) if isinstance(p, ray.ObjectRef) else p
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.index_in(_combine(batch[group_col]), value_set=self.groups)
+            present = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            i = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = _combine(batch[col]).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            lo = np.where(present, self.lo[i], -np.inf)
+            hi = np.where(present, self.hi[i], np.inf)
+            clipped = np.clip(v, lo, hi)
+            return batch.append_column(
+                out_col, pa.array(clipped, type=pa.float64(), from_pandas=True)
+            )
+
+    return ds.map_batches(Clip, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=(1, 8))

@@ -1936,3 +1936,31 @@ def test_length_bucket_stats_match_naive(ray_session):
         c, t = want[r["bucket"]]
         assert r["n_seqs"] == c and r["sum_tok"] == t
         assert r["padding"] == r["bucket"] * c - t
+
+
+def test_winsorize_by_group_matches_naive(ray_session):
+    import math
+
+    from jesse_ray.pipelines.relational import winsorize_by_group
+
+    rng = np.random.default_rng(51)
+    groups = [str(g) for g in rng.integers(0, 3, 400)]
+    vals = [float(v) for v in rng.normal(0, 10, 400)]
+    vals[5] = None
+    tbl = pa.table({"g": groups, "v": pa.array(vals, type=pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = winsorize_by_group(ds, "g", "v", q_lo=0.1, q_hi=0.9).to_pandas()
+
+    df = tbl.to_pandas()
+    def qdisc(s, q):
+        s = sorted(s.dropna())
+        return s[max(math.ceil(q * len(s)) - 1, 0)]
+    bounds = {g: (qdisc(sub["v"], 0.1), qdisc(sub["v"], 0.9)) for g, sub in df.groupby("g")}
+    for _, r in got.iterrows():
+        if pd.isna(r["v"]):
+            assert pd.isna(r["v_w"])
+            continue
+        lo, hi = bounds[r["g"]]
+        assert abs(r["v_w"] - min(max(r["v"], lo), hi)) < 1e-12
+    # clipping actually engaged on the tails
+    assert (got["v_w"] != got["v"]).sum() > 20
