@@ -1006,3 +1006,94 @@ def add_ngram_repetition_stats(
         return res
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def ngram_novelty_stats(
+    ds: Dataset,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_parts: int = 64,
+    batch_size: int = 16384,
+) -> Dataset:
+    """Cross-document verbatim-overlap rate: per document, how many of
+    its word ``n``-gram OCCURRENCES are "shared" (the n-gram appears in
+    ≥2 distinct documents) vs total — 1 − shared/total is the novelty
+    fraction used to down-weight boilerplate-heavy documents.
+
+    Scale shape (no broadcast — the n-gram space is NOT
+    vocabulary-bounded): per-batch combiner collapses to distinct
+    (doc, gram, count) rows; shuffle 1 co-locates each gram on a coarse
+    gram-hash partition, where df(gram) = row count (a (doc, gram) pair
+    is globally unique after the combiner because a document's row
+    lives in exactly one batch) and per-doc partials are reduced; 
+    shuffle 2 merges the ≤ n_parts partials per document on a coarse
+    doc-hash partition.  Output: (doc, total_grams, shared_grams)
+    integers.  Docs with < n words have no n-grams and are absent from
+    the output (mirror any SQL twin accordingly)."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(_combine_col(batch[text_col]), "")
+        words = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        L = len(flat)
+        empty = pa.table(
+            {
+                doc_col: pa.array([], type=batch.schema.field(doc_col).type),
+                "g": pa.array([], type=pa.string()),
+                "c": pa.array([], type=pa.int64()),
+                "__part": pa.array([], type=pa.int32()),
+            }
+        )
+        if L < n:
+            return empty
+        m = L - n + 1
+        parts = [flat.slice(k, m) for k in range(n - 1)] + [flat.slice(n - 1, m), " "]
+        g = pc.binary_join_element_wise(*parts)
+        ok = parent[:m] == parent[n - 1 :]
+        g = g.filter(pa.array(ok))
+        gp = parent[:m][ok]
+        if not len(g):
+            return empty
+        doc = _combine_col(batch[doc_col]).take(pa.array(gp))
+        cnt = pa.table({doc_col: doc, "g": g}).group_by([doc_col, "g"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                doc_col: cnt[doc_col],
+                "g": cnt["g"],
+                "c": cnt["count_all"].cast(pa.int64()),
+                "__part": pa.array(_element_parts(cnt["g"], n_parts)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=batch_size)
+
+    def per_gram_part(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_g = g.groupby("g", sort=False)["c"].transform("size")
+        shared = g["c"].where(df_per_g >= 2, 0)
+        out = pd.DataFrame({doc_col: g[doc_col], "total": g["c"], "shared": shared})
+        agg = out.groupby(doc_col, sort=False).sum().reset_index()
+        return agg
+
+    doc_partials = partials.groupby("__part").map_groups(per_gram_part, batch_format="pandas")
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part2", pa.array(_element_parts(batch[doc_col], n_parts))
+        )
+
+    tagged = doc_partials.map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(doc_col, sort=False)[["total", "shared"]].sum().reset_index()
+        return agg.rename(columns={"total": "total_grams", "shared": "shared_grams"})
+
+    return tagged.groupby("__part2").map_groups(merge, batch_format="pandas")

@@ -1372,6 +1372,39 @@ ORDER BY doc_id
 """
 
 
+
+def q_doc_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Cross-document verbatim-overlap rate: per doc, total word
+    3-gram occurrences vs occurrences of 3-grams shared with ≥2
+    distinct docs (text.ngram_novelty_stats — gram-hash shuffle with
+    in-partition df join-back, NO broadcast: the n-gram space is not
+    vocabulary-bounded)."""
+    from jesse_ray.functions.text import ngram_novelty_stats
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ngram_novelty_stats(ds, n=3).to_pandas()
+    out["total_grams"] = out["total_grams"].astype("int64")
+    out["shared_grams"] = out["shared_grams"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_NGRAM_NOVELTY = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+i AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM arr),
+g AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gm
+  FROM i WHERE i + 2 <= len(a)
+),
+df AS (SELECT gm, count(DISTINCT doc_id) AS d FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(coalesce(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS shared_grams
+FROM g JOIN df USING (gm)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def q_events_window(sf_dir: str) -> pa.Table:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
@@ -3611,6 +3644,7 @@ def queries() -> dict[str, Callable]:
         "doc_dsir": q_doc_dsir,
         "doc_epoch_upsample": q_doc_epoch_upsample,
         "doc_ngram_repetition": q_doc_ngram_repetition,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -3710,6 +3744,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir": SQL_DOC_DSIR,
         "doc_epoch_upsample": SQL_DOC_EPOCH_UPSAMPLE,
         "doc_ngram_repetition": SQL_DOC_NGRAM_REPETITION,
+        "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,

@@ -1964,3 +1964,42 @@ def test_winsorize_by_group_matches_naive(ray_session):
         assert abs(r["v_w"] - min(max(r["v"], lo), hi)) < 1e-12
     # clipping actually engaged on the tails
     assert (got["v_w"] != got["v"]).sum() > 20
+
+
+def test_ngram_novelty_stats_match_naive(ray_session):
+    from collections import Counter, defaultdict
+
+    from jesse_ray.functions.text import ngram_novelty_stats
+
+    texts = [
+        "the quick brown fox jumps",
+        "the quick brown dog sits",      # shares "the quick brown"
+        "totally unique sentence here now",
+        "the quick brown fox jumps",     # full dup of doc 0
+        "a b",                            # < 3 words -> absent
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = (
+        ngram_novelty_stats(ray.data.from_arrow(tbl).repartition(3), n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    grams = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        grams[i] = Counter(" ".join(w[j : j + 3]) for j in range(len(w) - 2))
+    docs_per_gram = defaultdict(set)
+    for i, c in grams.items():
+        for g in c:
+            docs_per_gram[g].add(i)
+    want = {}
+    for i, c in grams.items():
+        if not c:
+            continue
+        total = sum(c.values())
+        shared = sum(v for g, v in c.items() if len(docs_per_gram[g]) >= 2)
+        want[i] = (total, shared)
+    assert list(got["doc_id"]) == sorted(want)
+    for _, r in got.iterrows():
+        assert (r["total_grams"], r["shared_grams"]) == want[r["doc_id"]], r["doc_id"]
+    assert want[2] == (3, 0) and want[0][1] == 3  # doc0 fully shared with doc3
