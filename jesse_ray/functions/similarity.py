@@ -172,3 +172,56 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, *, n_centroids: int 
         fn.__call__, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
     return cosine_topk(filtered, q, k, batch_size=batch_size)
+
+
+def random_projection(
+    ds: Dataset,
+    out_dim: int,
+    *,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    batch_size: int = 4096,
+):
+    """Johnson-Lindenstrauss Gaussian random projection (dim → out_dim)
+    — the standard cheap dimensionality reduction in front of ANN /
+    clustering at scale.  The (dim, out_dim) projection matrix is drawn
+    ONCE on the driver from a seeded generator (deterministic across
+    runs and partitionings), scaled by 1/sqrt(out_dim), broadcast via
+    ``ray.put``, and applied as one BLAS matmul per batch.
+
+    Returns ``(projected_dataset, P)`` — the dataset gains ``out_col``
+    (list<double>) and P is returned for audit sidecars (a SQL twin can
+    re-derive every projected coordinate from it)."""
+    import ray
+
+    from jesse_ray.functions.clustering import _mat
+
+    dim = None
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8):
+        m = _mat(b[vec_col])
+        dim = m.shape[1]
+        break
+    if dim is None:
+        raise ValueError("cannot infer embedding dim of an empty dataset")
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((dim, out_dim)) / np.sqrt(out_dim)
+    ref = ray.put(P) if ray.is_initialized() else P
+
+    class Project:
+        def __init__(self):
+            self.P = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _mat(batch[vec_col])
+            y = x @ self.P if x.size else np.zeros((0, self.P.shape[1]))
+            n, d = y.shape
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64), type=pa.int32()),
+                pa.array(y.ravel(), type=pa.float64()),
+            )
+            return batch.append_column(out_col, arr)
+
+    out = ds.map_batches(Project, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=batch_size, concurrency=(1, 8))
+    return out, P

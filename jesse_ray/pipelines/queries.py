@@ -978,6 +978,60 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+
+PROJ_DIM = 8
+
+
+def q_emb_project(sf_dir: str) -> pd.DataFrame:
+    """Gaussian random projection (JL dim reduction, 64→8): seeded
+    driver-drawn matrix broadcast once, one BLAS matmul per batch
+    (similarity.random_projection).  The twin re-derives EVERY projected
+    coordinate in SQL from the exported matrix sidecar (long form:
+    vec_id × output dim)."""
+    from jesse_ray.functions.similarity import random_projection
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out, P = random_projection(ds, PROJ_DIM)
+    dim, od = P.shape
+    ii, jj = np.meshgrid(np.arange(1, dim + 1), np.arange(od), indexing="ij")
+    pq.write_table(
+        pa.table({"i": pa.array(ii.ravel(), type=pa.int32()),
+                  "j": pa.array(jj.ravel(), type=pa.int32()),
+                  "p": pa.array(P.ravel(), type=pa.float64())}),
+        _sig_parquet_path(sf_dir, "proj_matrix"),
+    )
+
+    def longform(batch: pa.Table) -> pa.Table:
+        proj = batch["proj"]
+        if isinstance(proj, pa.ChunkedArray):
+            proj = proj.combine_chunks()
+        n = len(proj)
+        vals = pc.list_flatten(proj).to_numpy(zero_copy_only=False)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, PROJ_DIM), type=pa.int64()),
+                "j": pa.array(np.tile(np.arange(PROJ_DIM, dtype=np.int32), n)),
+                "val": pa.array(np.round(vals, 4), type=pa.float64()),
+            }
+        )
+
+    return _collect(out.map_batches(longform, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+
+
+SQL_EMB_PROJECT = """
+WITH p AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/proj_matrix_sigs_sf0.01.parquet')),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, embedding
+  FROM embeddings
+)
+SELECT e.vec_id, p.j, round(sum(CAST(e.embedding[e.i] AS DOUBLE) * p.p), 4) AS val
+FROM e JOIN p USING (i)
+GROUP BY e.vec_id, p.j
+ORDER BY e.vec_id, p.j
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -3628,6 +3682,7 @@ def queries() -> dict[str, Callable]:
         "seq_temperature_sample": q_seq_temperature_sample,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
+        "emb_project": q_emb_project,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
         "seq_val_dependency": q_seq_val_dependency,
@@ -3728,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_temperature_sample": SQL_SEQ_TEMPERATURE_SAMPLE,
         "emb_kmeans": SQL_EMB_KMEANS,
         "emb_semdedup": SQL_EMB_SEMDEDUP,
+        "emb_project": SQL_EMB_PROJECT,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
         "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,

@@ -2003,3 +2003,24 @@ def test_ngram_novelty_stats_match_naive(ray_session):
     for _, r in got.iterrows():
         assert (r["total_grams"], r["shared_grams"]) == want[r["doc_id"]], r["doc_id"]
     assert want[2] == (3, 0) and want[0][1] == 3  # doc0 fully shared with doc3
+
+
+def test_random_projection_matches_naive(ray_session):
+    from jesse_ray.functions.similarity import random_projection
+
+    rng = np.random.default_rng(61)
+    x = rng.normal(size=(50, 16))
+    tbl = pa.table({
+        "vec_id": list(range(50)),
+        "embedding": pa.array([list(map(float, v)) for v in x], type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out, P = random_projection(ds, 4, seed=123)
+    assert P.shape == (16, 4)
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+    got = np.array(t["proj"].to_pylist())
+    want = np.array(tbl["embedding"].to_pylist(), dtype=np.float64) @ P
+    assert np.allclose(got, want, atol=1e-12)
+    # deterministic: same seed -> same matrix
+    _, P2 = random_projection(ray.data.from_arrow(tbl).repartition(7), 4, seed=123)
+    assert np.array_equal(P, P2)
