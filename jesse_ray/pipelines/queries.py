@@ -1459,6 +1459,56 @@ ORDER BY g.doc_id
 """
 
 
+
+def q_doc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff between two deterministic corpus versions (old =
+    doc_id < 400 with every 5th text amended; new = doc_id >= 100
+    verbatim): per doc, added / removed / changed / unchanged —
+    relational.dataset_diff (slim-to-hash map, one coarse key-hash
+    cogroup, payload never shuffles)."""
+    from jesse_ray.pipelines.relational import dataset_diff
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mk_old(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["doc_id"], 400))
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        is5 = (ids.to_numpy(zero_copy_only=False) % 5) == 0
+        amended = pc.if_else(
+            pa.array(is5),
+            pc.binary_join_element_wise(t["text"], " OLD", ""),
+            t["text"],
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": amended})
+
+    def mk_new(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["doc_id"], 100))
+
+    old = ds.map_batches(mk_old, batch_format="pyarrow", zero_copy_batch=True)
+    new = ds.map_batches(mk_new, batch_format="pyarrow", zero_copy_batch=True)
+    out = dataset_diff(old, new, key_col="doc_id", content_col="text").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' OLD' ELSE text END AS text
+  FROM documents WHERE doc_id < 400
+),
+new AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.doc_id IS NULL THEN 'added'
+            WHEN old.text = new.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL JOIN new USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_events_window(sf_dir: str) -> pa.Table:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
@@ -3700,6 +3750,7 @@ def queries() -> dict[str, Callable]:
         "doc_epoch_upsample": q_doc_epoch_upsample,
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "doc_ngram_novelty": q_doc_ngram_novelty,
+        "doc_snapshot_diff": q_doc_snapshot_diff,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -3801,6 +3852,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_epoch_upsample": SQL_DOC_EPOCH_UPSAMPLE,
         "doc_ngram_repetition": SQL_DOC_NGRAM_REPETITION,
         "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
+        "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,

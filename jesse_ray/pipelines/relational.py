@@ -1049,3 +1049,70 @@ def winsorize_by_group(
 
     return ds.map_batches(Clip, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=(1, 8))
+
+
+def dataset_diff(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key_col: str,
+    content_col: str,
+    n_parts: int = 64,
+) -> Dataset:
+    """Snapshot diff between two corpus versions: per key, classify
+    ``added`` (right only), ``removed`` (left only), ``changed`` (both
+    sides, content differs) or ``unchanged`` — the primitive behind
+    incremental reprocessing ("validate/re-embed only what changed").
+
+    Scale shape: each side is slimmed to (key, content-hash) in the map
+    phase (the 100 TB payload never shuffles — a 64-bit content hash
+    stands in for equality, the standard snapshot-diff proxy), both
+    sides union onto one coarse key-hash shuffle, and each part runs
+    one C-level outer merge.  Keys are assumed unique within each side
+    (corpus-level key uniqueness is the validation suite's
+    `duplicate_keys` job)."""
+    from jesse_ray.hashutil import hash64_strings
+
+    key_type = _arrow_types(left)[key_col]
+
+    def slim(kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            c = batch[content_col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            if not (pa.types.is_string(c.type) or pa.types.is_large_string(c.type)):
+                c = pc.cast(c, pa.string())
+            h = hash64_strings(pc.fill_null(c, "")).view(np.int64)
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    "__h": pa.array(h, type=pa.int64()),
+                    "__kind": pa.array(np.full(batch.num_rows, kind, dtype=np.int8)),
+                    "__part": pa.array(_element_parts(batch[key_col], n_parts)),
+                }
+            )
+
+        return f
+
+    tagged = left.map_batches(slim(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(slim(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out_schema = pa.schema([(key_col, key_type), ("status", pa.string())])
+
+    def classify(g: pd.DataFrame) -> pa.Table:
+        l = g[g["__kind"] == 0][[key_col, "__h"]]
+        r = g[g["__kind"] == 1][[key_col, "__h"]]
+        m = l.merge(r, on=key_col, how="outer", suffixes=("_l", "_r"), indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only",
+            "removed",
+            np.where(
+                m["_merge"] == "right_only",
+                "added",
+                np.where(m["__h_l"] == m["__h_r"], "unchanged", "changed"),
+            ),
+        )
+        out = pd.DataFrame({key_col: m[key_col], "status": status})
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return tagged.groupby("__part").map_groups(classify, batch_format="pandas")

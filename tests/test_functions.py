@@ -2024,3 +2024,27 @@ def test_random_projection_matches_naive(ray_session):
     # deterministic: same seed -> same matrix
     _, P2 = random_projection(ray.data.from_arrow(tbl).repartition(7), 4, seed=123)
     assert np.array_equal(P, P2)
+
+
+def test_dataset_diff_matches_naive(ray_session):
+    from jesse_ray.pipelines.relational import dataset_diff
+
+    old = pa.table({
+        "k": ["a", "b", "c", "d"],
+        "txt": ["1", "2", "3", "4"],
+    })
+    new = pa.table({
+        "k": ["b", "c", "d", "e", "f"],
+        "txt": ["2", "3x", "4", "5", "6"],
+    })
+    got = (
+        dataset_diff(
+            ray.data.from_arrow(old).repartition(2),
+            ray.data.from_arrow(new).repartition(3),
+            key_col="k", content_col="txt",
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = {"a": "removed", "b": "unchanged", "c": "changed", "d": "unchanged",
+            "e": "added", "f": "added"}
+    assert dict(zip(got["k"], got["status"])) == want and len(got) == len(want)
