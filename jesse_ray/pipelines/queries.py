@@ -1726,6 +1726,36 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+DECAY_HALF_LIFE_S = 7 * 86400.0
+
+
+def q_events_decayed_sum(sf_dir: str) -> pd.DataFrame:
+    """Recency-weighted per-type value sum (exponential decay, 7-day
+    half-life, anchored at the corpus max timestamp) —
+    relational.decayed_grouped_sum, a scalar-partial pass + combiner
+    shuffle of ≤ #groups rows."""
+    from jesse_ray.pipelines.relational import decayed_grouped_sum
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = decayed_grouped_sum(
+        ds, group_col="event_type", ts_col="ts", value_col="value",
+        half_life_s=DECAY_HALF_LIFE_S,
+    ).to_pandas()
+    out["decayed_sum"] = out["decayed_sum"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_DECAYED_SUM = f"""
+WITH m AS (SELECT max(ts) AS tmax FROM events)
+SELECT event_type,
+       round(sum(value * exp(-ln(2) * epoch(tmax - ts) / {DECAY_HALF_LIFE_S})), 2) AS decayed_sum
+FROM events, m
+WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -3757,6 +3787,7 @@ def queries() -> dict[str, Callable]:
         "events_sessions": q_events_sessions,
         "events_funnel": q_events_funnel,
         "events_winsorized": q_events_winsorized,
+        "events_decayed_sum": q_events_decayed_sum,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
@@ -3859,6 +3890,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_winsorized": SQL_EVENTS_WINSORIZED,
+        "events_decayed_sum": SQL_EVENTS_DECAYED_SUM,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,

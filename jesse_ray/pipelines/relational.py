@@ -1116,3 +1116,52 @@ def dataset_diff(
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("__part").map_groups(classify, batch_format="pandas")
+
+
+def decayed_grouped_sum(
+    ds: Dataset,
+    *,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_s: float,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Recency-weighted grouped sum: Σ value · 2^(−age/half_life) per
+    group, with age measured from the corpus's max timestamp — the
+    exponential-decay freshness aggregate of feature pipelines.
+
+    Two cheap passes: a per-batch max-timestamp partial (one scalar per
+    block to the driver), then a per-batch weighted partial sum per
+    group (combiner), so the final shuffle carries ≤ #groups rows per
+    block.  Rows with null ts or value are excluded."""
+    import math
+
+    def mx(batch: pa.Table) -> pa.Table:
+        m = pc.max(batch[ts_col].cast(pa.timestamp("us"))).cast(pa.int64()).as_py()
+        return pa.table({"m": pa.array([m if m is not None else -(2**62)], type=pa.int64())})
+
+    parts = list(
+        ds.select_columns([ts_col]).map_batches(
+            mx, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        ).iter_batches(batch_format="pyarrow")
+    )
+    tmax = max(int(pc.max(b["m"]).as_py()) for b in parts)  # µs epoch
+    lam = math.log(2.0) / (half_life_s * 1e6)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch[ts_col]), pc.is_valid(batch[value_col]))
+        t = batch.filter(keep)
+        ts = t[ts_col].cast(pa.timestamp("us"))
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        age = tmax - ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = np.exp(-lam * age.astype(np.float64))
+        v = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        tbl = pa.table({group_col: t[group_col], "__wv": pa.array(w * v, type=pa.float64())})
+        g = tbl.group_by(group_col).aggregate([("__wv", "sum")])
+        return g.rename_columns([group_col, "__ps"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=batch_size)
+    return partials.groupby(group_col).aggregate(Sum("__ps", alias_name="decayed_sum"))

@@ -2048,3 +2048,31 @@ def test_dataset_diff_matches_naive(ray_session):
     want = {"a": "removed", "b": "unchanged", "c": "changed", "d": "unchanged",
             "e": "added", "f": "added"}
     assert dict(zip(got["k"], got["status"])) == want and len(got) == len(want)
+
+
+def test_decayed_grouped_sum_matches_naive(ray_session):
+    import math
+
+    from jesse_ray.pipelines.relational import decayed_grouped_sum
+
+    base = pd.Timestamp("2024-03-01")
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 3, 200)],
+        "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 10 * 86400, 200)],
+        "v": rng.normal(10, 2, 200),
+    })
+    df.loc[3, "v"] = None
+    hl = 2 * 86400.0
+    got = decayed_grouped_sum(
+        ray.data.from_pandas(df).repartition(4),
+        group_col="g", ts_col="ts", value_col="v", half_life_s=hl,
+    ).to_pandas().set_index("g")["decayed_sum"]
+
+    tmax = df["ts"].max()
+    want = {}
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        age = (tmax - sub["ts"]).dt.total_seconds()
+        want[g] = float((sub["v"] * np.exp(-math.log(2) * age / hl)).sum())
+    for g, w in want.items():
+        assert abs(got[g] - w) < 1e-9 * max(1, abs(w)), g
