@@ -1756,6 +1756,31 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def q_events_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-type z-score outlier counts (|z| > 2.5 against the exact
+    group mean / population stddev) — relational.grouped_zscore_outliers
+    two-pass moments+probe."""
+    from jesse_ray.pipelines.relational import grouped_zscore_outliers
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    t = grouped_zscore_outliers(ds, group_col="event_type", value_col="value", z=2.5)
+    return t.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_ZSCORE = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(e.value - s.mu) / s.sd > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN s USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -3788,6 +3813,7 @@ def queries() -> dict[str, Callable]:
         "events_funnel": q_events_funnel,
         "events_winsorized": q_events_winsorized,
         "events_decayed_sum": q_events_decayed_sum,
+        "events_zscore": q_events_zscore,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
@@ -3891,6 +3917,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_winsorized": SQL_EVENTS_WINSORIZED,
         "events_decayed_sum": SQL_EVENTS_DECAYED_SUM,
+        "events_zscore": SQL_EVENTS_ZSCORE,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,

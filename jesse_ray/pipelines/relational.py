@@ -1165,3 +1165,71 @@ def decayed_grouped_sum(
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
                               batch_size=batch_size)
     return partials.groupby(group_col).aggregate(Sum("__ps", alias_name="decayed_sum"))
+
+
+def grouped_zscore_outliers(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    z: float = 2.5,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Per-group z-score outlier counts: exact group mean / population
+    stddev from one combiner pass (Σv, Σv², n partials — ≤ #groups rows
+    shuffle), bounds broadcast back, outliers (|value−µ|/σ > z) counted
+    in a second vectorized pass.  The two-pass moments+probe shape is
+    the feature-normalization workhorse; NULL values are excluded."""
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[value_col]))
+        v = t[value_col].cast(pa.float64())
+        tbl = pa.table({group_col: t[group_col], "__v": v, "__v2": pc.multiply(v, v)})
+        g = tbl.group_by(group_col).aggregate([("__v", "sum"), ("__v2", "sum"), ([], "count_all")])
+        return g.rename_columns([group_col, "__sv", "__sv2", "__n"])
+
+    parts = list(
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size).iter_batches(batch_format="pyarrow")
+    )
+    m = pa.concat_tables(parts).group_by(group_col).aggregate(
+        [("__sv", "sum"), ("__sv2", "sum"), ("__n", "sum")]
+    )
+    sv = m["__sv_sum"].to_numpy(zero_copy_only=False)
+    sv2 = m["__sv2_sum"].to_numpy(zero_copy_only=False)
+    n = m["__n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mu = sv / np.maximum(n, 1)
+    sd = np.sqrt(np.maximum(sv2 / np.maximum(n, 1) - mu * mu, 0.0))
+    payload = (_combine(m[group_col]), mu, sd)
+    ref = ray.put(payload) if ray.is_initialized() else payload
+
+    class Count:
+        def __init__(self):
+            p = ref
+            self.groups, self.mu, self.sd = ray.get(p) if isinstance(p, ray.ObjectRef) else p
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_valid(batch[value_col]))
+            idx = pc.index_in(_combine(t[group_col]), value_set=self.groups)
+            i = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            sd = self.sd[i]
+            zs = np.abs(v - self.mu[i]) / np.where(sd > 0, sd, np.inf)
+            out = pa.table({group_col: t[group_col], "__o": pa.array((zs > z).astype(np.int64))})
+            g = out.group_by(group_col).aggregate([("__o", "sum"), ([], "count_all")])
+            return g.rename_columns([group_col, "__po", "__pn"])
+
+    partials = ds.map_batches(Count, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=batch_size, concurrency=(1, 8))
+    fin = partials.groupby(group_col).aggregate(
+        Sum("__po", alias_name="n_outliers"), Sum("__pn", alias_name="n")
+    )
+    t = pa.concat_tables(fin.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            group_col: t[group_col],
+            "n": t["n"].cast(pa.int64()),
+            "n_outliers": t["n_outliers"].cast(pa.int64()),
+        }
+    )

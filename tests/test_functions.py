@@ -2076,3 +2076,24 @@ def test_decayed_grouped_sum_matches_naive(ray_session):
         want[g] = float((sub["v"] * np.exp(-math.log(2) * age / hl)).sum())
     for g, w in want.items():
         assert abs(got[g] - w) < 1e-9 * max(1, abs(w)), g
+
+
+def test_grouped_zscore_outliers_matches_naive(ray_session):
+    from jesse_ray.pipelines.relational import grouped_zscore_outliers
+
+    rng = np.random.default_rng(81)
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 3, 500)],
+        "v": rng.normal(5, 2, 500),
+    })
+    df.loc[::97, "v"] = 40.0  # planted outliers
+    df.loc[7, "v"] = None
+    got = grouped_zscore_outliers(
+        ray.data.from_pandas(df).repartition(4), group_col="g", value_col="v", z=2.5
+    ).to_pandas().set_index("g")
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        mu, sd = sub["v"].mean(), sub["v"].std(ddof=0)
+        n_out = int((np.abs(sub["v"] - mu) / sd > 2.5).sum())
+        assert got.loc[g, "n"] == len(sub)
+        assert got.loc[g, "n_outliers"] == n_out, g
+    assert got["n_outliers"].sum() > 0
