@@ -231,6 +231,24 @@ def run_bench() -> dict:
         ).count()
         queries["decontam"] = round(time.time() - t0, 3)
 
+    # BPE tokenizer-training iteration over the full tokenized corpus:
+    # adjacent-pair top-k, then apply the winning merge corpus-wide
+    from jesse_ray.functions.seqops import apply_bpe_merge, token_pair_counts
+
+    t0 = time.time()
+    pairs = token_pair_counts(read_sequences(path, columns=["tokens"]), k=25)
+    queries["bpe_pair_counts"] = round(time.time() - t0, 3)
+    pp = pairs.to_pandas()
+    pp = pp[pp["a"] != pp["b"]]
+    if not pp.empty:
+        t0 = time.time()
+        _ = apply_bpe_merge(
+            read_sequences(path, columns=["doc_id", "tokens"]),
+            a=int(pp["a"].iloc[0]), b=int(pp["b"].iloc[0]), new_id=1 << 20,
+            n_tok_col=None,
+        ).count()
+        queries["bpe_apply_merge"] = round(time.time() - t0, 3)
+
     # k-means over the embeddings table at this sf
     emb_path = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), sf, "embeddings.parquet")
     if os.path.exists(emb_path):
