@@ -1509,6 +1509,28 @@ ORDER BY doc_id
 """
 
 
+
+def q_doc_pct_rank(sf_dir: str) -> pd.DataFrame:
+    """Per-source percentile calibration of a raw per-doc feature
+    (n_chars): SQL percent_rank parity incl. min-rank ties
+    (relational.grouped_percent_rank — coarse group-hash co-location,
+    one C-level rank pass per part)."""
+    from jesse_ray.pipelines.relational import grouped_percent_rank
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    out = grouped_percent_rank(ds, group_col="source", value_col="n_chars").to_pandas()
+    out["pct_rank"] = out["pct_rank"].round(6)
+    return out[["doc_id", "source", "pct_rank"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_PCT_RANK = """
+SELECT doc_id, source,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+FROM documents WHERE n_chars IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 def q_events_window(sf_dir: str) -> pa.Table:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
@@ -3806,6 +3828,7 @@ def queries() -> dict[str, Callable]:
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "doc_ngram_novelty": q_doc_ngram_novelty,
         "doc_snapshot_diff": q_doc_snapshot_diff,
+        "doc_pct_rank": q_doc_pct_rank,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -3910,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_repetition": SQL_DOC_NGRAM_REPETITION,
         "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
+        "doc_pct_rank": SQL_DOC_PCT_RANK,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,

@@ -1233,3 +1233,41 @@ def grouped_zscore_outliers(
             "n_outliers": t["n_outliers"].cast(pa.int64()),
         }
     )
+
+
+def grouped_percent_rank(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct_rank",
+    n_parts: int = 64,
+) -> Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``:
+    (min_rank − 1) / (n − 1) within each group, ties sharing the min
+    rank, single-row groups scoring 0 — the rank-calibration move that
+    turns raw quality scores into per-source percentiles.
+
+    Groups are co-located on a coarse group-hash shuffle (≤ n_parts
+    parts, many complete groups per part) and each part computes ranks
+    with ONE C-level pandas groupby-rank over its slice — the
+    grouped_topn discipline; per-group data must fit a worker (true for
+    bounded strata like source/lang; for corpus-sized groups switch to
+    a two-phase value-count rank).  NULL values are dropped (SQL window
+    frames order them separately; callers wanting them should rank a
+    filled column)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[value_col]))
+        return t.append_column("__part", pa.array(_element_parts(t[group_col], n_parts)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__part")
+        r = g.groupby(group_col, sort=False)[value_col].rank(method="min")
+        n = g.groupby(group_col, sort=False)[value_col].transform("size")
+        g[out_col] = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+        return g
+
+    return tagged.groupby("__part").map_groups(rank_part, batch_format="pandas")

@@ -2097,3 +2097,30 @@ def test_grouped_zscore_outliers_matches_naive(ray_session):
         assert got.loc[g, "n"] == len(sub)
         assert got.loc[g, "n_outliers"] == n_out, g
     assert got["n_outliers"].sum() > 0
+
+
+def test_grouped_percent_rank_matches_naive(ray_session):
+    from jesse_ray.pipelines.relational import grouped_percent_rank
+
+    rng = np.random.default_rng(91)
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 4, 300)],
+        "v": rng.integers(0, 20, 300).astype(float),  # ints -> plenty of ties
+    })
+    df.loc[5, "v"] = None
+    df = pd.concat([df, pd.DataFrame({"g": ["solo"], "v": [3.0]})], ignore_index=True)
+    got = grouped_percent_rank(
+        ray.data.from_pandas(df).repartition(4), group_col="g", value_col="v"
+    ).to_pandas()
+
+    sub = df.dropna(subset=["v"])
+    r = sub.groupby("g")["v"].rank(method="min")
+    n = sub.groupby("g")["v"].transform("size")
+    want = np.where(n > 1, (r - 1) / (n - 1), 0.0)
+    wmap = {}
+    for (g, v), w in zip(zip(sub["g"], sub["v"]), want):
+        wmap.setdefault((g, v), w)
+    assert len(got) == len(sub)
+    for _, row in got.iterrows():
+        assert abs(row["pct_rank"] - wmap[(row["g"], row["v"])]) < 1e-12
+    assert got[got["g"] == "solo"]["pct_rank"].iloc[0] == 0.0
