@@ -460,3 +460,141 @@ def length_bucket_stats(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_pmi_topk(
+    ds: Dataset,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    tokens_col: str = "tokens",
+    n_parts: int = 64,
+    batch_size: int = 16384,
+) -> pa.Table:
+    """Collocation mining: top-k adjacent token pairs by PMI
+    ``ln((c_ab/Np) / ((c_a/Nt)(c_b/Nt)))`` among pairs occurring at
+    least ``min_count`` times — the phrase-detection pass of tokenizer
+    and n-gram pipeline work.  ``min_count`` is the scale knob: the
+    driver sees only pairs above it (plus the bounded vocabulary).
+
+    Ranking is float-exact across engines: pairs are ordered by the
+    single IEEE division ``c_ab / (c_a · c_b)`` (monotone in PMI for
+    fixed totals, and exactly rounded from integers, so any SQL twin
+    computing the same division ranks identically), ties by (a, b).
+    Phase A counts unigrams + total valid pairs (sentinel row) with a
+    coarse token-hash merge; phase B reuses the packed-pair combiner
+    of :func:`token_pair_counts`.  Negative ids are excluded like
+    token_pair_counts."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks = _combine(batch[tokens_col])
+        values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        sl = values[off[0] : off[-1]]
+        sl = sl[sl >= 0]
+        uk, cnt = (np.unique(sl, return_counts=True) if len(sl)
+                   else (np.empty(0, np.int64), np.empty(0, np.int64)))
+        # count valid (within-list, non-negative) pair slots -> sentinel -1
+        n_pairs = 0
+        if len(values) >= 2:
+            s, e = off[:-1], off[1:]
+            ok = (e - s) >= 2
+            d = np.zeros(len(values) + 1, dtype=np.int32)
+            np.add.at(d, s[ok], 1)
+            np.add.at(d, e[ok] - 1, -1)
+            valid = np.cumsum(d[:-1])[:-1] > 0
+            valid &= (values[:-1] >= 0) & (values[1:] >= 0)
+            n_pairs = int(valid.sum())
+        tok = np.concatenate([uk, [-1]])
+        c = np.concatenate([cnt, [n_pairs]]).astype(np.int64)
+        arr = pa.array(tok, type=pa.int64())
+        return pa.table(
+            {
+                "token": arr,
+                "__pc": pa.array(c),
+                "__part": pa.array(_element_parts(arr, n_parts)),
+            }
+        )
+
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=batch_size)
+
+    def merge_uni(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False)["__pc"].sum().reset_index()
+
+    uni_m = uni.groupby("__part").map_groups(merge_uni, batch_format="pandas")
+    ut = pa.concat_tables(uni_m.iter_batches(batch_format="pyarrow"))
+    toks = ut["token"].to_numpy(zero_copy_only=False)
+    cs = ut["__pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    np_total = int(cs[toks == -1].sum())
+    mask = toks >= 0
+    toks, cs = toks[mask], cs[mask]
+    nt_total = int(cs.sum())
+    order = np.argsort(toks)
+    toks, cs = toks[order], cs[order]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "elem": pa.array([], type=pa.int64()),
+                "__pc": pa.array([], type=pa.int64()),
+                "__part": pa.array([], type=pa.int32()),
+            }
+        )
+        t = _combine(batch[tokens_col])
+        values = t.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if len(values) < 2:
+            return empty
+        off = t.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        s, e = off[:-1], off[1:]
+        ok = (e - s) >= 2
+        d = np.zeros(len(values) + 1, dtype=np.int32)
+        np.add.at(d, s[ok], 1)
+        np.add.at(d, e[ok] - 1, -1)
+        valid = np.cumsum(d[:-1])[:-1] > 0
+        valid &= (values[:-1] >= 0) & (values[1:] >= 0)
+        packed = ((values[:-1] << np.int64(32)) | values[1:])[valid]
+        if not len(packed):
+            return empty
+        uk, cnt = np.unique(packed, return_counts=True)
+        keys = pa.array(uk, type=pa.int64())
+        return pa.table(
+            {
+                "elem": keys,
+                "__pc": pa.array(cnt.astype(np.int64)),
+                "__part": pa.array(_element_parts(keys, n_parts)),
+            }
+        )
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=batch_size)
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("elem", sort=False)["__pc"].sum().reset_index()
+        return m[m["__pc"] >= min_count]
+
+    pm = pa.concat_tables(
+        pairs.groupby("__part").map_groups(merge_pairs, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if pm.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64())})
+    packed = pm["elem"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_ab = pm["__pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a = packed >> 32
+    b = packed & 0xFFFFFFFF
+    c_a = cs[np.searchsorted(toks, a)]
+    c_b = cs[np.searchsorted(toks, b)]
+    ratio = c_ab / (c_a * c_b).astype(np.float64)
+    ordkey = np.lexsort((b, a, -ratio))[:k]
+    pmi = np.log(ratio[ordkey] * (float(nt_total) * float(nt_total) / float(np_total)))
+    return pa.table(
+        {
+            "a": pa.array(a[ordkey], type=pa.int64()),
+            "b": pa.array(b[ordkey], type=pa.int64()),
+            "cnt": pa.array(c_ab[ordkey], type=pa.int64()),
+            "pmi": pa.array(np.round(pmi, 4), type=pa.float64()),
+        }
+    )

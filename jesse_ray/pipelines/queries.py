@@ -1861,6 +1861,45 @@ LIMIT 20
 """
 
 
+
+def q_seq_pmi_pairs(sf_dir: str) -> pa.Table:
+    """Collocation mining: top-20 adjacent token pairs by PMI among
+    pairs with count ≥ 5 (seqops.token_pmi_topk).  Ranking uses the
+    raw IEEE division c_ab/(c_a·c_b) — exactly rounded from integers on
+    both engines, so order matches bit-for-bit; PMI itself is rounded
+    for display."""
+    from jesse_ray.functions.seqops import token_pmi_topk
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+    return token_pmi_topk(ds, k=20, min_count=5)
+
+
+SQL_SEQ_PMI_PAIRS = f"""
+WITH corpus AS (SELECT * FROM {SEQ_SQL}),
+u AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tokens) AS t FROM corpus) WHERE t >= 0 GROUP BY 1
+),
+nt AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM u),
+idx AS (SELECT generate_subscripts(tokens, 1) AS i, tokens FROM corpus),
+p AS (
+  SELECT CAST(tokens[i] AS BIGINT) AS a, CAST(tokens[i+1] AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM idx WHERE i < len(tokens) AND tokens[i] >= 0 AND tokens[i+1] >= 0
+  GROUP BY 1, 2
+),
+npair AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS v FROM p),
+sel AS (
+  SELECT a, b, c_ab, CAST(c_ab AS DOUBLE) / (ua.c * ub.c) AS ratio
+  FROM p JOIN u ua ON ua.t = p.a JOIN u ub ON ub.t = p.b
+  WHERE c_ab >= 5
+)
+SELECT a, b, c_ab AS cnt,
+       round(ln(ratio * ((SELECT v FROM nt) * (SELECT v FROM nt) / (SELECT v FROM npair))), 4) AS pmi
+FROM sel ORDER BY ratio DESC, a ASC, b ASC LIMIT 20
+"""
+
+
 NTOK_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3841,6 +3880,7 @@ def queries() -> dict[str, Callable]:
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
         "seq_length_buckets": q_seq_length_buckets,
+        "seq_pmi_pairs": q_seq_pmi_pairs,
         "seq_ntok_percentiles": q_seq_ntok_percentiles,
         "seq_ntok_quantiles_by_source": q_seq_ntok_quantiles_by_source,
         "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
@@ -3946,6 +3986,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,
         "seq_length_buckets": SQL_SEQ_LENGTH_BUCKETS,
+        "seq_pmi_pairs": SQL_SEQ_PMI_PAIRS,
         "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,
         "seq_ntok_quantiles_by_source": SQL_SEQ_NTOK_QUANTILES_BY_SOURCE,
         "orders_no_recent_lineitem": SQL_ORDERS_NO_RECENT_LINEITEM,

@@ -2124,3 +2124,32 @@ def test_grouped_percent_rank_matches_naive(ray_session):
     for _, row in got.iterrows():
         assert abs(row["pct_rank"] - wmap[(row["g"], row["v"])]) < 1e-12
     assert got[got["g"] == "solo"]["pct_rank"].iloc[0] == 0.0
+
+
+def test_token_pmi_topk_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    from jesse_ray.functions.seqops import token_pmi_topk
+
+    rng = np.random.default_rng(101)
+    rows = []
+    for _ in range(400):
+        n = int(rng.integers(2, 12))
+        toks = [int(t) for t in rng.integers(0, 6, size=n)]
+        rows.append(toks)
+    rows += [[2, 3] for _ in range(30)]  # strong collocation
+    tbl = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    got = token_pmi_topk(ray.data.from_arrow(tbl).repartition(4), k=5, min_count=5).to_pandas()
+
+    uni = Counter(t for r in rows for t in r)
+    pc_ = Counter((x, y) for r in rows for x, y in zip(r, r[1:]))
+    nt, npair = sum(uni.values()), sum(pc_.values())
+    cand = [(a, b, c, c / (uni[a] * uni[b])) for (a, b), c in pc_.items() if c >= 5]
+    cand.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = cand[:5]
+    assert len(got) == len(want)
+    for row, (a, b, c, r) in zip(got.itertuples(index=False), want):
+        assert (row.a, row.b, row.cnt) == (a, b, c)
+        assert abs(row.pmi - round(math.log(r * (nt * nt / npair)), 4)) < 1e-9
+    assert (got["a"].iloc[0], got["b"].iloc[0]) == (2, 3)
