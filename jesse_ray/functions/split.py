@@ -258,3 +258,65 @@ def epoch_upsample(
         return out.append_column(copy_col, pa.array(copy_idx, type=pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def weighted_sample_k(
+    ds: Dataset,
+    key: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "es",
+    u01_col: str | None = None,
+    es_col: str | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, "Weighted random sampling with a reservoir" —
+    method only): each row gets the key ``u^(1/w)`` with ``u`` the
+    row's fmix64 uniform draw and ``w`` its weight; the k LARGEST keys
+    are exactly a weighted k-sample without replacement.  Replacing the
+    RNG with the shared hash-u01 makes the sample deterministic across
+    runs, repartitionings and appends — the corpus-mixing property all
+    the sampling ops here share.
+
+    One vectorized key pass + the map-side local top-k merge
+    (grouped_topn), so the shuffle carries ≤ k × blocks rows.  Rows
+    with null or non-positive weight are excluded (ES requires w > 0).
+    Set ``u01_col`` / ``es_col`` to keep the draw / key in the output
+    for audit sidecars (a SQL twin re-derives the selection exactly)."""
+    from jesse_ray.pipelines.relational import grouped_topn
+
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    ucol = u01_col or "__es_u"
+    ecol = es_col or "__es_key"
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        w = _combine(batch[weight_col]).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        keep = np.isfinite(w) & (w > 0)
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return (
+                t.append_column(ucol, pa.array([], type=pa.float64()))
+                .append_column(ecol, pa.array([], type=pa.float64()))
+                .append_column("__all", pa.array([], type=pa.int8()))
+            )
+        u = _key_hash(t, key, salt).astype(np.float64) / float(2**64)
+        es = u ** (1.0 / w[keep])
+        return (
+            t.append_column(ucol, pa.array(u, type=pa.float64()))
+            .append_column(ecol, pa.array(es, type=pa.float64()))
+            .append_column("__all", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=batch_size)
+    out = grouped_topn(keyed, ["__all"], ecol, k, descending=True, tiebreak=key)
+
+    drops = ["__all"] + ([] if u01_col else [ucol]) + ([] if es_col else [ecol])
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(drops)
+
+    return out.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)

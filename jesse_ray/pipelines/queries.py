@@ -1032,6 +1032,57 @@ ORDER BY e.vec_id, p.j
 """
 
 
+
+ES_K = 50
+
+
+def q_doc_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted k-sample (weights =
+    n_chars): keep the 50 docs with the largest u^(1/w) keys
+    (split.weighted_sample_k — map-side local top-k, ≤ k×blocks rows
+    shuffled).  The u01 sidecar lets the twin re-derive every selection
+    key and the exact top-k in SQL."""
+    from jesse_ray.functions.split import weighted_sample_k
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    # full-assignment sidecar (k >= corpus): every doc's u01 + ES key,
+    # so the twin re-derives the exact top-k itself
+    assign = weighted_sample_k(ds, "doc_id", "n_chars", 10**9,
+                               u01_col="u01", es_col="es_key")
+    pq.write_table(_collect(assign).sort_by("doc_id"),
+                   _sig_parquet_path(sf_dir, "es_assign"))
+    out = weighted_sample_k(ds, "doc_id", "n_chars", ES_K, u01_col="u01", es_col="es_key")
+    t = _collect(out)
+    pq.write_table(t.sort_by("doc_id"), _sig_parquet_path(sf_dir, "es_sample"))
+    pdf = t.select(["doc_id", "source", "n_chars"]).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_WEIGHTED_SAMPLE = f"""
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/es_sample_sigs_sf0.01.parquet')),
+a AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/es_assign_sigs_sf0.01.parquet')),
+derived AS (
+  SELECT d.doc_id, d.source, d.n_chars, a.u01,
+         pow(a.u01, 1.0 / d.n_chars) AS es_key
+  FROM a JOIN documents d USING (doc_id)
+),
+top AS (
+  SELECT * FROM derived ORDER BY es_key DESC, doc_id ASC LIMIT {ES_K}
+),
+ok AS (
+  SELECT (SELECT count(*) FROM a) =
+           (SELECT count(*) FROM documents WHERE n_chars > 0)
+     AND (SELECT count(*) FROM a JOIN derived USING (doc_id)
+          WHERE abs(a.es_key - derived.es_key) > 1e-12) = 0
+     AND (SELECT count(*) FROM s) = {ES_K}
+     AND (SELECT count(*) FROM s JOIN top USING (doc_id)) = {ES_K}
+         AS good
+)
+SELECT doc_id, source, n_chars FROM top
+WHERE (SELECT good FROM ok)
+ORDER BY doc_id
+"""
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -3864,6 +3915,7 @@ def queries() -> dict[str, Callable]:
         "doc_char_entropy": q_doc_char_entropy,
         "doc_dsir": q_doc_dsir,
         "doc_epoch_upsample": q_doc_epoch_upsample,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "doc_ngram_novelty": q_doc_ngram_novelty,
         "doc_snapshot_diff": q_doc_snapshot_diff,
@@ -3970,6 +4022,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
         "doc_dsir": SQL_DOC_DSIR,
         "doc_epoch_upsample": SQL_DOC_EPOCH_UPSAMPLE,
+        "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
         "doc_ngram_repetition": SQL_DOC_NGRAM_REPETITION,
         "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,

@@ -2153,3 +2153,36 @@ def test_token_pmi_topk_matches_naive(ray_session):
         assert (row.a, row.b, row.cnt) == (a, b, c)
         assert abs(row.pmi - round(math.log(r * (nt * nt / npair)), 4)) < 1e-9
     assert (got["a"].iloc[0], got["b"].iloc[0]) == (2, 3)
+
+
+def test_weighted_sample_k_matches_naive(ray_session):
+    from jesse_ray.functions.split import _key_hash, weighted_sample_k
+
+    rng = np.random.default_rng(111)
+    n = 300
+    tbl = pa.table({
+        "doc_id": [f"d{i}" for i in range(n)],
+        "w": pa.array([float(x) for x in rng.integers(1, 100, n)], type=pa.float64()),
+    })
+    tbl = tbl.set_column(1, "w", pa.array(
+        [0.0 if i == 5 else (None if i == 6 else tbl["w"][i].as_py()) for i in range(n)],
+        type=pa.float64()))
+    k = 20
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = weighted_sample_k(ds, "doc_id", "w", k).to_pandas()
+
+    u = _key_hash(tbl, "doc_id", "es").astype(np.float64) / float(2**64)
+    cand = []
+    for i in range(n):
+        w = tbl["w"][i].as_py()
+        if w is None or w <= 0:
+            continue
+        cand.append((u[i] ** (1.0 / w), f"d{i}"))
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    want = {d for _, d in cand[:k]}
+    assert set(got["doc_id"]) == want and len(got) == k
+    # determinism across partitionings
+    got2 = weighted_sample_k(ray.data.from_arrow(tbl).repartition(9), "doc_id", "w", k).to_pandas()
+    assert set(got2["doc_id"]) == want
+    # heavier rows are overrepresented: mean weight of sample > corpus mean
+    assert got["w"].mean() > 1.1 * tbl["w"].drop_null().to_pandas().mean()
