@@ -232,22 +232,39 @@ def run_bench() -> dict:
         queries["decontam"] = round(time.time() - t0, 3)
 
     # BPE tokenizer-training iteration over the full tokenized corpus:
-    # adjacent-pair top-k, then apply the winning merge corpus-wide
+    # adjacent-pair top-k, then apply the winning merge corpus-wide.
+    # Prime the stage's code path + page pool on a small slice first —
+    # this box's first-touch tax makes cold first runs read 2-4x slow
+    # (same discipline as the validate_full warm-up above).
     from jesse_ray.functions.seqops import apply_bpe_merge, token_pair_counts
 
-    t0 = time.time()
-    pairs = token_pair_counts(read_sequences(path, columns=["tokens"]), k=25)
-    queries["bpe_pair_counts"] = round(time.time() - t0, 3)
+    _ = token_pair_counts(read_sequences(path, columns=["tokens"]).limit(20_000), k=5)
+    _ = apply_bpe_merge(
+        read_sequences(path, columns=["doc_id", "tokens"]).limit(20_000),
+        a=1, b=2, new_id=1 << 20, n_tok_col=None,
+    ).count()
+
+    # min over reps, like the headline: the first full-size touch of a
+    # fresh allocation pattern pays this box's cold-page tax (2-4x)
+    bpe_times = []
+    for _ in range(max(2, min(reps, 2))):
+        t0 = time.time()
+        pairs = token_pair_counts(read_sequences(path, columns=["tokens"]), k=25)
+        bpe_times.append(round(time.time() - t0, 3))
+    queries["bpe_pair_counts"] = min(bpe_times)
     pp = pairs.to_pandas()
     pp = pp[pp["a"] != pp["b"]]
     if not pp.empty:
-        t0 = time.time()
-        _ = apply_bpe_merge(
-            read_sequences(path, columns=["doc_id", "tokens"]),
-            a=int(pp["a"].iloc[0]), b=int(pp["b"].iloc[0]), new_id=1 << 20,
-            n_tok_col=None,
-        ).count()
-        queries["bpe_apply_merge"] = round(time.time() - t0, 3)
+        bpe_times = []
+        for _ in range(max(2, min(reps, 2))):
+            t0 = time.time()
+            _ = apply_bpe_merge(
+                read_sequences(path, columns=["doc_id", "tokens"]),
+                a=int(pp["a"].iloc[0]), b=int(pp["b"].iloc[0]), new_id=1 << 20,
+                n_tok_col=None,
+            ).count()
+            bpe_times.append(round(time.time() - t0, 3))
+        queries["bpe_apply_merge"] = min(bpe_times)
 
     # k-means over the embeddings table at this sf
     emb_path = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), sf, "embeddings.parquet")
