@@ -1854,6 +1854,38 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+def q_events_window_dedup(sf_dir: str) -> pd.DataFrame:
+    """Event-stream debounce dedup: per (user, type) stream, drop
+    repeats whose previous identical-key event is ≤ 30 minutes older
+    (keep the first of each burst); kept/total counts per type
+    (relational.window_dedup_counts — one coarse entity-hash shuffle,
+    per-part lexsort + shifted compare)."""
+    from jesse_ray.pipelines.relational import window_dedup_counts
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+    out = window_dedup_counts(
+        ds, entity_col="user_id", type_col="event_type", ts_col="ts",
+        window=pd.Timedelta(minutes=30),
+    ).to_pandas()
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_WINDOW_DEDUP = """
+WITH x AS (
+  SELECT event_type,
+         ts - lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -3928,6 +3960,7 @@ def queries() -> dict[str, Callable]:
         "events_winsorized": q_events_winsorized,
         "events_decayed_sum": q_events_decayed_sum,
         "events_zscore": q_events_zscore,
+        "events_window_dedup": q_events_window_dedup,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
@@ -4035,6 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         "events_winsorized": SQL_EVENTS_WINSORIZED,
         "events_decayed_sum": SQL_EVENTS_DECAYED_SUM,
         "events_zscore": SQL_EVENTS_ZSCORE,
+        "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,

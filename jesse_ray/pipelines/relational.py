@@ -1271,3 +1271,61 @@ def grouped_percent_rank(
         return g
 
     return tagged.groupby("__part").map_groups(rank_part, batch_format="pandas")
+
+
+def window_dedup_counts(
+    events: Dataset,
+    *,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    window: "pd.Timedelta",
+    n_parts: int = 64,
+) -> Dataset:
+    """Event-stream debounce dedup: within each (entity, type) stream,
+    drop a row when the PREVIOUS identical-key row is at most ``window``
+    older (SQL ``lag`` semantics — keep the first of every burst; a
+    repeat later than the window restarts a burst).  The
+    exactly-once-ish cleanup of telemetry/event feeds.  Returns kept
+    counts per type (``type, n_kept, n_total``) — deterministic even
+    under exact-timestamp ties, where "which row" is ambiguous but "how
+    many" is not.
+
+    One coarse entity-hash shuffle of the 3-column slice; each part
+    sorts its complete entity streams once (lexsort) and evaluates the
+    burst rule with a shifted compare — no per-row Python."""
+    win_us = np.int64(int(window.total_seconds() * 1e6))
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                entity_col: batch[entity_col],
+                type_col: batch[type_col],
+                "__ts": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "__part": pa.array(_element_parts(batch[entity_col], n_parts)),
+            }
+        )
+
+    slimmed = events.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        ent = g[entity_col].to_numpy()
+        typ = g[type_col].to_numpy()
+        ts = g["__ts"].to_numpy()
+        order = np.lexsort((ts, typ, ent))
+        ent, typ, ts = ent[order], typ[order], ts[order]
+        new_run = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_run[1:] = (ent[1:] != ent[:-1]) | (typ[1:] != typ[:-1])
+        keep = new_run.copy()
+        if len(g) > 1:
+            keep[1:] |= (ts[1:] - ts[:-1]) > win_us
+        out = pd.DataFrame({type_col: typ})
+        out["__k"] = keep.astype(np.int64)
+        agg = out.groupby(type_col, sort=False)["__k"].agg(["sum", "size"]).reset_index()
+        return agg.rename(columns={"sum": "n_kept", "size": "n_total"})
+
+    partials = slimmed.groupby("__part").map_groups(part, batch_format="pandas")
+    return partials.groupby(type_col).aggregate(
+        Sum("n_kept", alias_name="n_kept"), Sum("n_total", alias_name="n_total")
+    )

@@ -2186,3 +2186,37 @@ def test_weighted_sample_k_matches_naive(ray_session):
     assert set(got2["doc_id"]) == want
     # heavier rows are overrepresented: mean weight of sample > corpus mean
     assert got["w"].mean() > 1.1 * tbl["w"].drop_null().to_pandas().mean()
+
+
+def test_window_dedup_counts_matches_naive(ray_session):
+    from jesse_ray.pipelines.relational import window_dedup_counts
+
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.default_rng(121)
+    rows = []
+    for _ in range(500):
+        rows.append({
+            "u": int(rng.integers(0, 20)),
+            "t": str(rng.choice(["A", "B"])),
+            "ts": base + pd.Timedelta(seconds=int(rng.integers(0, 86400))),
+        })
+    rows.append(dict(rows[-1]))  # exact duplicate (tie): one kept, one dropped
+    df = pd.DataFrame(rows)
+    win = pd.Timedelta(minutes=20)
+    got = window_dedup_counts(
+        ray.data.from_pandas(df).repartition(4),
+        entity_col="u", type_col="t", ts_col="ts", window=win,
+    ).to_pandas().set_index("t")
+
+    for t, sub in df.groupby("t"):
+        kept = 0
+        for _, s2 in sub.groupby("u"):
+            ts = sorted(s2["ts"])
+            prev = None
+            for x in ts:
+                if prev is None or (x - prev) > win:
+                    kept += 1
+                prev = x
+        assert got.loc[t, "n_total"] == len(sub)
+        assert got.loc[t, "n_kept"] == kept, t
+        assert got.loc[t, "n_kept"] < got.loc[t, "n_total"]
