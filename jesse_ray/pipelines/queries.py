@@ -1886,6 +1886,37 @@ FROM x GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def q_events_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type (grouped HyperLogLog
+    p=12 — ~4 KB mergeable blob per (group, block) instead of the exact
+    operator's full (group, user) shuffle).  Envelope twin: the exact
+    grouped count(DISTINCT) gates each estimate to ±5 %; any
+    out-of-envelope group drops its row and fails the compare."""
+    from jesse_ray.stages.distinct import hll_distinct_by_group
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    t = hll_distinct_by_group(ds, "user_id", "event_type", p=12)
+    pdf = t.to_pandas()
+    pdf["est"] = pdf["estimate"].round().astype("int64")
+    pdf = pdf[["event_type", "est"]].sort_values("event_type").reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   _sig_parquet_path(sf_dir, "hll_users"))
+    return pdf
+
+
+SQL_EVENTS_USERS_HLL = """
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/hll_users_sigs_sf0.01.parquet')),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS d FROM events GROUP BY 1
+)
+SELECT s.event_type, CAST(s.est AS BIGINT) AS est
+FROM s JOIN exact USING (event_type)
+WHERE abs(CAST(s.est AS DOUBLE) / exact.d - 1.0) <= 0.05
+ORDER BY s.event_type
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -3961,6 +3992,7 @@ def queries() -> dict[str, Callable]:
         "events_decayed_sum": q_events_decayed_sum,
         "events_zscore": q_events_zscore,
         "events_window_dedup": q_events_window_dedup,
+        "events_users_hll": q_events_users_hll,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
@@ -4069,6 +4101,7 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_sum": SQL_EVENTS_DECAYED_SUM,
         "events_zscore": SQL_EVENTS_ZSCORE,
         "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
+        "events_users_hll": SQL_EVENTS_USERS_HLL,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,

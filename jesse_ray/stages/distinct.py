@@ -102,3 +102,63 @@ def hll_distinct(
         build, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
     return _merge_rows(sk, p, fan_in=fan_in, levels=levels).estimate()
+
+
+def hll_distinct_by_group(
+    ds: Dataset,
+    col: str,
+    group_col: str,
+    *,
+    p: int = 12,
+    flatten: bool = False,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Approximate distinct count PER GROUP — the scale path for
+    grouped count-distinct over a high-cardinality value column (the
+    exact operator must shuffle every (group, value) pair; this one
+    shuffles a ~4 KB mergeable register blob per (group, block)).
+    Group cardinality is assumed bounded (sources / event types / langs
+    — the grouped_agg assumption).
+
+    Per batch: one value-hash pass, then per-group register folds over
+    the batch's bounded group set; merge = elementwise max per group
+    (one coarse groupby over ≤ groups × blocks blob rows).  Returns
+    (group, estimate float64)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        uniq = pc.unique(groups)
+        out_g, out_b = [], []
+        for gv in uniq:
+            mask = pc.equal(groups, gv) if gv.is_valid else pc.is_null(groups)
+            sub = batch.filter(pc.fill_null(mask, False))
+            h = HyperLogLog(p)
+            _add_column_hashes(h, sub[col], flatten)
+            out_g.append(gv.as_py())
+            out_b.append(h.to_bytes())
+        return pa.table(
+            {
+                group_col: pa.array(out_g, type=groups.type),
+                "hll": pa.array(out_b, type=pa.large_binary()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=batch_size)
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged: HyperLogLog | None = None
+        for raw in g["hll"]:
+            h = HyperLogLog.from_bytes(raw)
+            merged = h if merged is None else merged.merge(h)
+        return pd.DataFrame(
+            {group_col: [g[group_col].iloc[0]], "estimate": [merged.estimate()]}
+        )
+
+    out = partials.groupby(group_col).map_groups(merge, batch_format="pandas")
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table({group_col: t[group_col], "estimate": t["estimate"].cast(pa.float64())})

@@ -2220,3 +2220,26 @@ def test_window_dedup_counts_matches_naive(ray_session):
         assert got.loc[t, "n_total"] == len(sub)
         assert got.loc[t, "n_kept"] == kept, t
         assert got.loc[t, "n_kept"] < got.loc[t, "n_total"]
+
+
+def test_hll_distinct_by_group_envelope(ray_session):
+    from jesse_ray.stages.distinct import hll_distinct_by_group
+
+    rng = np.random.default_rng(131)
+    n = 20000
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 3, n)],
+        "v": rng.integers(0, 5000, n),
+    })
+    got = hll_distinct_by_group(
+        ray.data.from_pandas(df).repartition(5), "v", "g", p=12
+    ).to_pandas().set_index("g")["estimate"]
+    for g, sub in df.groupby("g"):
+        exact = sub["v"].nunique()
+        assert abs(got[g] / exact - 1.0) < 0.05, (g, got[g], exact)
+    # merging partials across partitionings is stable
+    got2 = hll_distinct_by_group(
+        ray.data.from_pandas(df).repartition(11), "v", "g", p=12
+    ).to_pandas().set_index("g")["estimate"]
+    for g in got.index:
+        assert got[g] == got2[g]
