@@ -123,7 +123,7 @@ def run_bench() -> dict:
     if headline_only:
         headline = queries["validate_full"]
         out = {
-            "metric": "full corpus validation wall time (sf0.1 sequences corpus)",
+            "metric": f"full corpus validation wall time ({sf} sequences corpus)",
             "value": headline,
             "unit": "sec",
             "queries": queries,
@@ -282,7 +282,7 @@ def run_bench() -> dict:
 
     headline = queries["validate_full"]
     out = {
-        "metric": "full corpus validation wall time (sf0.1 sequences corpus)",
+        "metric": f"full corpus validation wall time ({sf} sequences corpus)",
         "value": headline,
         "unit": "sec",
         "queries": queries,

@@ -2881,6 +2881,96 @@ FROM events GROUP BY event_type
 """
 
 
+
+Q3_CUTOFF = "1998-06-01"
+
+
+def q_tpch_q3ish(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-shaped composite (shipping-priority top-10): filter the
+    BUILDING segment, two large-x-large hash joins
+    (customer⋈orders⋈lineitem on coarse key-hash cogroups), then the
+    revenue aggregate on a coarse orderkey-hash partition with per-part
+    exact top-10 (each order lives wholly in one part) and a 640-row
+    driver merge — no corpus-wide Ray groupby on the high-cardinality
+    key."""
+    from jesse_ray.pipelines.relational import _element_parts, hash_join
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+    cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_orderdate"], pa.scalar(cutoff)))
+
+    orders = orders.map_batches(o_filter, batch_format="pyarrow", zero_copy_batch=True)
+    cust_k = cust.map_batches(
+        lambda b: b.rename_columns(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    co = hash_join(orders, cust_k, on="o_custkey", how="semi")
+    co_k = co.map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"],
+             "o_orderpriority": b["o_orderpriority"]}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def l_filter(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(l_filter, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, co_k, on="l_orderkey", how="inner")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__p2", pa.array(_element_parts(batch["l_orderkey"], 64)))
+
+    tagged = j.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False)["rev"]
+            .sum().reset_index().rename(columns={"rev": "revenue"})
+        )
+        agg["revenue"] = agg["revenue"].round(2)
+        return agg.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(10)
+
+    cand = tagged.groupby("__p2").map_groups(topn, batch_format="pandas").to_pandas()
+    out = cand.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True],
+        kind="mergesort",
+    ).head(10).reset_index(drop=True)
+    return out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+SQL_TPCH_Q3ISH = f"""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_orders_by_segment(sf_dir: str) -> pa.Table:
     orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     cust = pq.read_table(
@@ -4016,6 +4106,7 @@ def queries() -> dict[str, Callable]:
         "seq_chunks": q_seq_chunks,
         "seq_psi_by_source": q_seq_psi_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
+        "tpch_q3ish": q_tpch_q3ish,
         "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
         "events_nested_struct": q_events_nested_struct,
@@ -4125,6 +4216,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_chunks": SQL_SEQ_CHUNKS,
         "seq_psi_by_source": SQL_SEQ_PSI_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
+        "tpch_q3ish": SQL_TPCH_Q3ISH,
         "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_nested_struct": SQL_EVENTS_NESTED_STRUCT,

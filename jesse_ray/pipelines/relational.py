@@ -608,6 +608,10 @@ def _element_parts(arr: pa.Array, n_parts: int) -> np.ndarray:
         with np.errstate(over="ignore"):
             h = (v * _GOLDEN) >> np.uint64(33)
         return (h & mask).astype(np.int32)
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        # a float/other key would hash differently from the int/string it
+        # round-tripped from (pandas upcasts padded unions) — fail loudly
+        raise TypeError(f"unsupported partition key type {arr.type}; cast to int or string")
     from jesse_ray.hashutil import hash64_strings
 
     return (hash64_strings(arr) & mask).astype(np.int32)
@@ -862,15 +866,25 @@ def hash_join(
         _tag_side(right, on, 1, types, n_parts)
     )
     rval_cols = [c for c in rnames if c != on]
+    # explicit output schema: the pandas union pads each side's missing
+    # columns with NaN, upcasting e.g. int64 to float64; without a cast
+    # back, a downstream hash partition of the SAME key values would
+    # land them on different parts than their int-typed join partners
+    if how in ("semi", "anti"):
+        out_schema = pa.schema([(c, ltypes[c]) for c in lnames])
+    else:
+        out_schema = pa.schema([(c, types[c]) for c in lnames + rval_cols])
 
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+    def join_part(g: pd.DataFrame) -> pa.Table:
         lt = g[g["__kind"] == 0][lnames]
         rt = g[g["__kind"] == 1][[on] + rval_cols]
         if how == "semi":
-            return lt[lt[on].isin(set(rt[on]))]
-        if how == "anti":
-            return lt[~lt[on].isin(set(rt[on]))]
-        return lt.merge(rt, on=on, how=how)
+            out = lt[lt[on].isin(set(rt[on]))]
+        elif how == "anti":
+            out = lt[~lt[on].isin(set(rt[on]))]
+        else:
+            out = lt.merge(rt, on=on, how=how)[lnames + rval_cols]
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("__part").map_groups(join_part, batch_format="pandas")
 
