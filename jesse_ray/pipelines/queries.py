@@ -2971,6 +2971,41 @@ LIMIT 10
 """
 
 
+
+def q_lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP parity: (returnflag, linestatus) leaf sums, per-
+    returnflag subtotals, and the grand total — three combiner-shuffled
+    grouped_agg levels unioned with NULL markers, the OLAP rollup shape
+    without any corpus re-read beyond the three cheap passes."""
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    leaf = grouped_agg(ds, ["l_returnflag", "l_linestatus"], sums=["l_quantity"]).to_pandas()
+    mid = grouped_agg(ds, ["l_returnflag"], sums=["l_quantity"]).to_pandas()
+    top = grouped_agg(ds.map_batches(
+        lambda b: b.append_column("__all", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ), ["__all"], sums=["l_quantity"]).to_pandas().drop(columns="__all")
+    mid["l_linestatus"] = None
+    top["l_returnflag"] = None
+    top["l_linestatus"] = None
+    out = pd.concat([leaf, mid, top], ignore_index=True)
+    out["n"] = out["cnt"].astype("int64")
+    out["sum_qty"] = out["sum_l_quantity"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "n", "sum_qty"]]
+    return out.sort_values(["l_returnflag", "l_linestatus"], na_position="last").reset_index(drop=True)
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
 def q_orders_by_segment(sf_dir: str) -> pa.Table:
     orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     cust = pq.read_table(
@@ -4107,6 +4142,7 @@ def queries() -> dict[str, Callable]:
         "seq_psi_by_source": q_seq_psi_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
         "tpch_q3ish": q_tpch_q3ish,
+        "lineitem_rollup": q_lineitem_rollup,
         "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
         "events_nested_struct": q_events_nested_struct,
@@ -4217,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_psi_by_source": SQL_SEQ_PSI_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "tpch_q3ish": SQL_TPCH_Q3ISH,
+        "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_nested_struct": SQL_EVENTS_NESTED_STRUCT,
