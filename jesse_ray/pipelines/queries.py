@@ -1083,6 +1083,51 @@ WHERE (SELECT good FROM ok)
 ORDER BY doc_id
 """
 
+
+def q_seq_ks_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source KS drift of n_tok against the whole corpus
+    (stages/drift.exact_ks_by_group — one bounded (group, value) count
+    shuffle, integer-cumsum ECDFs).  The deterministic twin of the
+    t-digest KS gate."""
+    from jesse_ray.stages.drift import exact_ks_by_group
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+    t = exact_ks_by_group(ds, "source", "n_tok")
+    pdf = t.to_pandas()
+    pdf["ks"] = pdf["ks"].round(6)
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_SEQ_KS_BY_SOURCE = f"""
+WITH v AS (
+  SELECT source, n_tok FROM {SEQ_SQL}
+  WHERE n_tok IS NOT NULL AND source IS NOT NULL
+),
+gv AS (SELECT source, n_tok, count(*) AS c FROM v GROUP BY 1, 2),
+grid AS (SELECT DISTINCT n_tok FROM v),
+srcs AS (SELECT DISTINCT source FROM v),
+tot_g AS (SELECT source, sum(c) AS t FROM gv GROUP BY 1),
+allv AS (SELECT n_tok, sum(c) AS c FROM gv GROUP BY 1),
+fa AS (
+  SELECT n_tok,
+         CAST(sum(c) OVER (ORDER BY n_tok) AS DOUBLE)
+           / (SELECT sum(c) FROM allv) AS fa
+  FROM allv
+),
+fg AS (
+  SELECT s.source, g.n_tok,
+         CAST(sum(coalesce(gv.c, 0)) OVER (PARTITION BY s.source ORDER BY g.n_tok) AS DOUBLE)
+           / tg.t AS fg
+  FROM srcs s CROSS JOIN grid g
+  LEFT JOIN gv ON gv.source = s.source AND gv.n_tok = g.n_tok
+  JOIN tot_g tg ON tg.source = s.source
+)
+SELECT fg.source, round(max(abs(fg.fg - fa.fa)), 6) AS ks
+FROM fg JOIN fa USING (n_tok)
+GROUP BY fg.source ORDER BY fg.source
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -4140,6 +4185,7 @@ def queries() -> dict[str, Callable]:
         "doc_dup_line_stats": q_doc_dup_line_stats,
         "seq_chunks": q_seq_chunks,
         "seq_psi_by_source": q_seq_psi_by_source,
+        "seq_ks_by_source": q_seq_ks_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
         "tpch_q3ish": q_tpch_q3ish,
         "lineitem_rollup": q_lineitem_rollup,
@@ -4251,6 +4297,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_line_stats": SQL_DOC_DUP_LINE_STATS,
         "seq_chunks": SQL_SEQ_CHUNKS,
         "seq_psi_by_source": SQL_SEQ_PSI_BY_SOURCE,
+        "seq_ks_by_source": SQL_SEQ_KS_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "tpch_q3ish": SQL_TPCH_Q3ISH,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,

@@ -185,3 +185,59 @@ def drift_check(
     ref = sketch_dataset(ref_ds, vocab=vocab, **kw)
     new = sketch_dataset(new_ds, vocab=vocab, **kw)
     return drift_report(ref, new, topk=topk, ks_alpha=ks_alpha, chi2_alpha=chi2_alpha)
+
+
+def exact_ks_by_group(
+    ds: Dataset,
+    group_col: str,
+    col: str,
+    *,
+    batch_size: int = 65536,
+) -> "pa.Table":
+    """EXACT Kolmogorov-Smirnov distance per group against the whole
+    corpus: ``ks(g) = max_v |F_g(v) − F_all(v)|`` over the observed
+    value grid — the deterministic complement of the t-digest KS gate
+    (sketches.ks_distance), for bounded-cardinality value columns.
+
+    One two-phase (group, value) count shuffle (combiner rows ≤ groups
+    × distinct values × blocks); the driver evaluates both ECDFs on the
+    shared sorted grid with integer cumsums (one float division at the
+    end, so any SQL twin computing the same ratios matches bit-for-bit
+    up to the final rounding).  NULL groups/values are excluded."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, col])
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[col])))
+        g = t.group_by([group_col, col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, col, "__pc"])
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size).iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return pa.table({group_col: pa.array([]), "ks": pa.array([], type=pa.float64())})
+    m = pa.concat_tables(parts).group_by([group_col, col]).aggregate([("__pc", "sum")])
+    groups = m[group_col].to_numpy(zero_copy_only=False)
+    vals = m[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+    cnts = m["__pc_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    grid = np.unique(vals)
+    vidx = np.searchsorted(grid, vals)
+    all_counts = np.zeros(len(grid), dtype=np.int64)
+    np.add.at(all_counts, vidx, cnts)
+    fa = np.cumsum(all_counts) / all_counts.sum()
+
+    out_g, out_ks = [], []
+    ug = np.unique(groups)
+    for gv in ug:
+        sel = groups == gv
+        gc = np.zeros(len(grid), dtype=np.int64)
+        np.add.at(gc, vidx[sel], cnts[sel])
+        fg = np.cumsum(gc) / gc.sum()
+        out_g.append(gv)
+        out_ks.append(float(np.abs(fg - fa).max()))
+    return pa.table(
+        {group_col: pa.array(out_g, type=m.schema.field(group_col).type),
+         "ks": pa.array(out_ks, type=pa.float64())}
+    )

@@ -2243,3 +2243,27 @@ def test_hll_distinct_by_group_envelope(ray_session):
     ).to_pandas().set_index("g")["estimate"]
     for g in got.index:
         assert got[g] == got2[g]
+
+
+def test_exact_ks_by_group_matches_naive(ray_session):
+    from jesse_ray.stages.drift import exact_ks_by_group
+
+    rng = np.random.default_rng(141)
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 3, 2000)],
+        "v": rng.integers(0, 50, 2000),
+    })
+    df.loc[df["g"] == "2", "v"] += 25  # group 2 is shifted -> big KS
+    df.loc[3, "v"] = None
+    got = exact_ks_by_group(
+        ray.data.from_pandas(df).repartition(4), "g", "v"
+    ).to_pandas().set_index("g")["ks"]
+
+    sub = df.dropna(subset=["v"])
+    grid = np.sort(sub["v"].unique())
+    fa = np.array([(sub["v"] <= x).mean() for x in grid])
+    for g, gs in sub.groupby("g"):
+        fg = np.array([(gs["v"] <= x).mean() for x in grid])
+        want = np.abs(fg - fa).max()
+        assert abs(got[g] - want) < 1e-12, g
+    assert got["2"] > 0.3 > got["0"]
