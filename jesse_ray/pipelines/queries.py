@@ -1962,6 +1962,46 @@ ORDER BY s.event_type
 """
 
 
+
+def q_events_cast_report(sf_dir: str) -> pd.DataFrame:
+    """TRY_CAST coercion audit before a typed migration: a string
+    column derived deterministically from the corpus (every 7th event
+    is the planted dirt 'N/A', the rest integer cents) is try-cast to
+    int64 per event type (relational.grouped_cast_report — one RE2
+    match + one Arrow cast per batch, combiner partials)."""
+    from jesse_ray.pipelines.relational import grouped_cast_report
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        dirty = (ids.to_numpy(zero_copy_only=False) % 7) == 0
+        cents = pc.cast(pc.trunc(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        s = pc.if_else(pa.array(dirty), pa.scalar("N/A"), pc.cast(cents, pa.string()))
+        return pa.table({"event_type": batch["event_type"], "s": s})
+
+    d = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    t = grouped_cast_report(d, group_col="event_type", col="s")
+    return t.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_CAST_REPORT = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN 'N/A'
+              ELSE CAST(CAST(trunc(value * 100.0) AS BIGINT) AS VARCHAR) END AS s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN TRY_CAST(s AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(coalesce(sum(TRY_CAST(s AS BIGINT)), 0) AS BIGINT) AS sum_cast
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -4163,6 +4203,7 @@ def queries() -> dict[str, Callable]:
         "events_zscore": q_events_zscore,
         "events_window_dedup": q_events_window_dedup,
         "events_users_hll": q_events_users_hll,
+        "events_cast_report": q_events_cast_report,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
@@ -4275,6 +4316,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore": SQL_EVENTS_ZSCORE,
         "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
         "events_users_hll": SQL_EVENTS_USERS_HLL,
+        "events_cast_report": SQL_EVENTS_CAST_REPORT,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,

@@ -1343,3 +1343,59 @@ def window_dedup_counts(
     return partials.groupby(type_col).aggregate(
         Sum("n_kept", alias_name="n_kept"), Sum("n_total", alias_name="n_total")
     )
+
+
+def grouped_cast_report(
+    ds: Dataset,
+    *,
+    group_col: str,
+    col: str,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Schema-migration TRY_CAST report: per group, how many values of a
+    string column parse as int64 and the sum of those that do — the
+    coercion-audit pass before a typed-column migration (the validation
+    engine's job applied to type changes rather than constraints).
+
+    Genuine vectorized try-cast: one RE2 ``^-?\\d+$`` match per batch
+    marks the castable subset, which is then cast in one Arrow kernel —
+    no per-row Python, no exception-driven control flow.  Partials are
+    per-batch (group, n_total, n_fail, sum_cast) combiner rows; the
+    final shuffle carries ≤ #groups rows per block.  NULLs count as
+    cast failures (a typed column can hold them, but TRY_CAST parity
+    with SQL treats NULL input as a NULL result — mirror the twin's
+    convention; here the planted-dirt queries have no NULL strings)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = _combine(batch[col])
+        ok = pc.fill_null(pc.match_substring_regex(s, r"^-?\d+$"), False)
+        v = pc.if_else(ok, s, None)
+        cast = pc.cast(pc.fill_null(v, "0"), pa.int64())
+        cast = pc.if_else(ok, cast, pa.scalar(0, type=pa.int64()))
+        fail = pc.cast(pc.invert(ok), pa.int64())
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "__f": fail,
+                "__s": cast,
+            }
+        )
+        g = t.group_by(group_col).aggregate([("__f", "sum"), ("__s", "sum"), ([], "count_all")])
+        return g.rename_columns([group_col, "__pf", "__ps", "__pn"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=batch_size)
+    fin = partials.groupby(group_col).aggregate(
+        Sum("__pn", alias_name="n_total"),
+        Sum("__pf", alias_name="n_fail"),
+        Sum("__ps", alias_name="sum_cast"),
+    )
+    t = pa.concat_tables(fin.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            group_col: t[group_col],
+            "n_total": t["n_total"].cast(pa.int64()),
+            "n_fail": t["n_fail"].cast(pa.int64()),
+            "sum_cast": t["sum_cast"].cast(pa.int64()),
+        }
+    )

@@ -2267,3 +2267,19 @@ def test_exact_ks_by_group_matches_naive(ray_session):
         want = np.abs(fg - fa).max()
         assert abs(got[g] - want) < 1e-12, g
     assert got["2"] > 0.3 > got["0"]
+
+
+def test_grouped_cast_report_matches_naive(ray_session):
+    from jesse_ray.pipelines.relational import grouped_cast_report
+
+    tbl = pa.table({
+        "g": ["a", "a", "a", "b", "b", "b", "b"],
+        "s": ["12", "-7", "oops", "3", "", "4.5", "00"],
+    })
+    got = grouped_cast_report(
+        ray.data.from_arrow(tbl).repartition(3), group_col="g", col="s"
+    ).to_pandas().set_index("g")
+    assert got.loc["a", "n_total"] == 3 and got.loc["a", "n_fail"] == 1
+    assert got.loc["a", "sum_cast"] == 5          # 12 + (-7)
+    assert got.loc["b", "n_total"] == 4 and got.loc["b", "n_fail"] == 2  # '' and '4.5'
+    assert got.loc["b", "sum_cast"] == 3          # 3 + 0 ('00' parses to 0)
