@@ -1128,6 +1128,36 @@ GROUP BY fg.source ORDER BY fg.source
 """
 
 
+
+def q_seq_mode_by_source(sf_dir: str) -> pd.DataFrame:
+    """Most frequent n_tok per source (grouped mode, ties to the
+    smallest value) — relational.grouped_mode two-phase combiner."""
+    from jesse_ray.pipelines.relational import grouped_mode
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+    t = grouped_mode(ds, "source", "n_tok")
+    pdf = t.to_pandas()
+    pdf["mode"] = pdf["mode"].astype("int64")
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_SEQ_MODE_BY_SOURCE = f"""
+WITH c AS (
+  SELECT source, n_tok, count(*) AS cnt FROM {SEQ_SQL}
+  WHERE source IS NOT NULL AND n_tok IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT source, n_tok, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, n_tok ASC) AS rn
+  FROM c
+)
+SELECT source, CAST(n_tok AS BIGINT) AS mode, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rn = 1 ORDER BY source
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -4227,6 +4257,7 @@ def queries() -> dict[str, Callable]:
         "seq_chunks": q_seq_chunks,
         "seq_psi_by_source": q_seq_psi_by_source,
         "seq_ks_by_source": q_seq_ks_by_source,
+        "seq_mode_by_source": q_seq_mode_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
         "tpch_q3ish": q_tpch_q3ish,
         "lineitem_rollup": q_lineitem_rollup,
@@ -4340,6 +4371,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_chunks": SQL_SEQ_CHUNKS,
         "seq_psi_by_source": SQL_SEQ_PSI_BY_SOURCE,
         "seq_ks_by_source": SQL_SEQ_KS_BY_SOURCE,
+        "seq_mode_by_source": SQL_SEQ_MODE_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "tpch_q3ish": SQL_TPCH_Q3ISH,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,

@@ -1399,3 +1399,52 @@ def grouped_cast_report(
             "sum_cast": t["sum_cast"].cast(pa.int64()),
         }
     )
+
+
+def grouped_mode(
+    ds: Dataset,
+    group_col: str,
+    col: str,
+    *,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Most frequent value of ``col`` per group (profiling / imputation
+    statistic), ties broken toward the smallest value — deterministic
+    SQL parity (``row_number() OVER (... ORDER BY cnt DESC, value)``).
+
+    Two-phase over a bounded-cardinality value column (the
+    grouped_discrete_quantiles assumption): per-batch (group, value)
+    combiner counts, then a driver argmax over the merged
+    ≤ groups × distinct-values rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, col])
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[col])))
+        g = t.group_by([group_col, col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, col, "__pc"])
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size).iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return pa.table({group_col: pa.array([]), "mode": pa.array([]), "cnt": pa.array([], pa.int64())})
+    m = pa.concat_tables(parts).group_by([group_col, col]).aggregate([("__pc", "sum")])
+    m = m.sort_by(
+        [(group_col, "ascending"), ("__pc_sum", "descending"), (col, "ascending")]
+    )
+    groups = m[group_col]
+    keep = np.zeros(m.num_rows, dtype=bool)
+    if m.num_rows:
+        keep[0] = True
+        a, b = groups.slice(1), groups.slice(0, m.num_rows - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), True).to_numpy(zero_copy_only=False)
+        keep[1:] = neq
+    top = m.filter(pa.array(keep))
+    return pa.table(
+        {
+            group_col: top[group_col],
+            "mode": top[col],
+            "cnt": top["__pc_sum"].cast(pa.int64()),
+        }
+    )

@@ -2283,3 +2283,21 @@ def test_grouped_cast_report_matches_naive(ray_session):
     assert got.loc["a", "sum_cast"] == 5          # 12 + (-7)
     assert got.loc["b", "n_total"] == 4 and got.loc["b", "n_fail"] == 2  # '' and '4.5'
     assert got.loc["b", "sum_cast"] == 3          # 3 + 0 ('00' parses to 0)
+
+
+def test_grouped_mode_matches_naive(ray_session):
+    from jesse_ray.pipelines.relational import grouped_mode
+
+    rng = np.random.default_rng(151)
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 4, 800)],
+        "v": rng.integers(0, 10, 800),
+    })
+    df.loc[2, "v"] = None
+    got = grouped_mode(ray.data.from_pandas(df).repartition(5), "g", "v").to_pandas().set_index("g")
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        vc = sub["v"].value_counts()
+        mx = vc.max()
+        want_mode = min(v for v, c in vc.items() if c == mx)
+        assert got.loc[g, "mode"] == want_mode, g
+        assert got.loc[g, "cnt"] == mx, g
