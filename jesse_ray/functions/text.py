@@ -1097,3 +1097,82 @@ def ngram_novelty_stats(
         return agg.rename(columns={"total": "total_grams", "shared": "shared_grams"})
 
     return tagged.groupby("__part2").map_groups(merge, batch_format="pandas")
+
+
+class BackoffScorer:
+    """Per-document mean Stupid-Backoff conditional score (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — method
+    only): seen bigram → ln(c(w1,w2)/c(w1,·)); unseen → ln(0.4 ·
+    c(w2)/N); w2 out of vocabulary → ln(0.4/(N+1)).  Two hash probes +
+    one weighted bincount per batch; docs with < 2 words score 0."""
+
+    def __init__(self, model_ref, text_col: str, out_col: str):
+        self._model_ref = model_ref
+        self._model = None
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._model is None:
+            import ray
+
+            m = self._model_ref
+            self._model = ray.get(m) if not isinstance(m, tuple) else m
+        bg_keys, bg_lp, uni_words, uni_bk, floor = self._model
+        w1, w2, parent = _batch_bigrams(batch, self.text_col)
+        n = batch.num_rows
+        if len(w1):
+            key = pc.binary_join_element_wise(w1, w2, "\x1f")
+            bidx = pc.index_in(key, value_set=bg_keys)
+            hit = pc.is_valid(bidx).to_numpy(zero_copy_only=False)
+            bi = pc.fill_null(bidx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            uidx = pc.index_in(w2, value_set=uni_words)
+            uhit = pc.is_valid(uidx).to_numpy(zero_copy_only=False)
+            ui = pc.fill_null(uidx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lp = np.where(hit, bg_lp[bi], np.where(uhit, uni_bk[ui], floor))
+            sums = np.bincount(parent, weights=lp, minlength=n)
+            cnts = np.bincount(parent, minlength=n)
+        else:
+            sums = np.zeros(n)
+            cnts = np.zeros(n, dtype=np.int64)
+        mean = sums / np.maximum(cnts, 1)
+        return batch.append_column(self.out_col, pa.array(mean, type=pa.float64()))
+
+
+def add_backoff_logprob(
+    ds: Dataset,
+    bigram: pa.Table,
+    unigram: pa.Table,
+    *,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    out_col: str = "mean_sb",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Score documents with the mean Stupid-Backoff conditional under a
+    broadcast (bigram, unigram) model pair — the honest small-scale
+    stand-in for CCNet's KenLM perplexity filter.  Both model tables
+    may come from a DIFFERENT corpus slice than the one scored (the
+    point of backoff)."""
+    import ray
+
+    cnt = bigram["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    pfx = bigram.group_by("w1").aggregate([("cnt", "sum")])
+    p_idx = pc.index_in(bigram["w1"], value_set=_combine_col(pfx["w1"]))
+    p_cnt = pfx["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.float64)[
+        p_idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    ]
+    bg_lp = np.log(cnt / p_cnt)
+    bg_keys = pc.binary_join_element_wise(
+        _combine_col(bigram["w1"]), _combine_col(bigram["w2"]), "\x1f"
+    )
+    ucnt = unigram["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    N = ucnt.sum()
+    uni_bk = np.log(alpha * ucnt / N)
+    floor = float(np.log(alpha / (N + 1.0)))
+    payload = (bg_keys, bg_lp, _combine_col(unigram["word"]), uni_bk, floor)
+    ref = ray.put(payload) if ray.is_initialized() else payload
+    return ds.map_batches(
+        BackoffScorer(ref, text_col, out_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )

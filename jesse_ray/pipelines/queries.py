@@ -1657,6 +1657,63 @@ ORDER BY doc_id
 """
 
 
+
+def q_doc_backoff_lp(sf_dir: str) -> pa.Table:
+    """Stupid-Backoff LM quality scoring: bigram+unigram models trained
+    on the EVEN-doc_id half of the corpus, every document scored with
+    mean ln P_SB(w_i | w_{i-1}) (seen bigram → conditional; unseen →
+    0.4-discounted unigram; OOV → floor).  Training on a half-corpus
+    makes all three branches fire; the twin re-derives models and
+    scores entirely in SQL."""
+    from jesse_ray.functions.text import add_backoff_logprob, bigram_model, unigram_model
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def even_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return batch.filter(pa.array((ids.to_numpy(zero_copy_only=False) % 2) == 0))
+
+    even = ds.map_batches(even_only, batch_format="pyarrow", zero_copy_batch=True)
+    bg = bigram_model(even)
+    uni = unigram_model(even)
+    scored = add_backoff_logprob(ds, bg, uni)
+
+    def out(batch: pa.Table) -> pa.Table:
+        nw = pc.list_value_length(pc.split_pattern(pc.fill_null(batch["text"], ""), " "))
+        t = batch.filter(pc.greater_equal(nw, 2))
+        return pa.table({"doc_id": t["doc_id"], "mean_sb": pc.round(t["mean_sb"], 2)})
+
+    return _collect(scored.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_BACKOFF_LP = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+pos AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM arr),
+bg AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2 FROM pos WHERE i < len(a)),
+bc AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+pfx AS (SELECT w1, sum(c) AS t FROM bc GROUP BY 1),
+uc AS (
+  SELECT word, count(*)::DOUBLE AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE doc_id % 2 = 0 GROUP BY 1
+),
+nt AS (SELECT sum(c) AS t FROM uc),
+sc AS (
+  SELECT bg.doc_id,
+         CASE WHEN bc.c IS NOT NULL THEN ln(bc.c / pfx.t)
+              WHEN u2.c IS NOT NULL THEN ln(0.4 * u2.c / (SELECT t FROM nt))
+              ELSE ln(0.4 / ((SELECT t FROM nt) + 1.0)) END AS lp
+  FROM bg
+  LEFT JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+  LEFT JOIN pfx ON pfx.w1 = bg.w1
+  LEFT JOIN uc u2 ON u2.word = bg.w2
+)
+SELECT doc_id, round(avg(lp), 2) AS mean_sb FROM sc GROUP BY doc_id
+"""
+
+
 def q_events_window(sf_dir: str) -> pa.Table:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = tumbling_window(ds, "ts", window_s=3600, keys=["event_type"], sums=["value"])
@@ -4252,6 +4309,7 @@ def queries() -> dict[str, Callable]:
         "doc_scrub": q_doc_scrub,
         "doc_unigram_lp": q_doc_unigram_lp,
         "doc_bigram_lp": q_doc_bigram_lp,
+        "doc_backoff_lp": q_doc_backoff_lp,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_dup_line_stats": q_doc_dup_line_stats,
         "seq_chunks": q_seq_chunks,
@@ -4366,6 +4424,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_scrub": SQL_DOC_SCRUB,
         "doc_unigram_lp": SQL_DOC_UNIGRAM_LP,
         "doc_bigram_lp": SQL_DOC_BIGRAM_LP,
+        "doc_backoff_lp": SQL_DOC_BACKOFF_LP,
         "doc_tfidf_top": SQL_DOC_TFIDF_TOP,
         "doc_dup_line_stats": SQL_DOC_DUP_LINE_STATS,
         "seq_chunks": SQL_SEQ_CHUNKS,

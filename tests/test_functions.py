@@ -2301,3 +2301,44 @@ def test_grouped_mode_matches_naive(ray_session):
         want_mode = min(v for v, c in vc.items() if c == mx)
         assert got.loc[g, "mode"] == want_mode, g
         assert got.loc[g, "cnt"] == mx, g
+
+
+def test_backoff_logprob_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    from jesse_ray.functions.text import add_backoff_logprob, bigram_model, unigram_model
+
+    train = ["a b a b c", "a b b"]
+    score = ["a b UNK", "c a", "solo"]
+    t_tbl = pa.table({"doc_id": [0, 1], "text": train})
+    s_tbl = pa.table({"doc_id": [0, 1, 2], "text": score})
+    bg = bigram_model(ray.data.from_arrow(t_tbl))
+    uni = unigram_model(ray.data.from_arrow(t_tbl))
+    got = (
+        add_backoff_logprob(ray.data.from_arrow(s_tbl), bg, uni)
+        .to_pandas().sort_values("doc_id")["mean_sb"].to_list()
+    )
+
+    bc = Counter()
+    for t in train:
+        w = t.split(" ")
+        bc.update(zip(w, w[1:]))
+    pfx = Counter()
+    for (w1, _w2), c in bc.items():
+        pfx[w1] += c
+    uc = Counter(w for t in train for w in t.split(" "))
+    N = sum(uc.values())
+
+    def sb(w1, w2):
+        if (w1, w2) in bc:
+            return math.log(bc[(w1, w2)] / pfx[w1])
+        if w2 in uc:
+            return math.log(0.4 * uc[w2] / N)
+        return math.log(0.4 / (N + 1))
+
+    for i, t in enumerate(score):
+        w = t.split(" ")
+        pairs = list(zip(w, w[1:]))
+        want = sum(sb(a, b) for a, b in pairs) / len(pairs) if pairs else 0.0
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
