@@ -2089,6 +2089,33 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+
+def q_events_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition matrix (user-journey Markov counts): per
+    user timeline ordered by (ts, event_id), every adjacent type pair
+    counted corpus-wide (relational.transition_counts — one entity-hash
+    cogroup, per-part lexsort, tiny type×type merge)."""
+    from jesse_ray.pipelines.relational import transition_counts
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    t = transition_counts(ds, entity_col="user_id", type_col="event_type",
+                          ts_col="ts", order_col="event_id")
+    return t.to_pandas().sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH x AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS cnt
+FROM x WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -4291,6 +4318,7 @@ def queries() -> dict[str, Callable]:
         "events_window_dedup": q_events_window_dedup,
         "events_users_hll": q_events_users_hll,
         "events_cast_report": q_events_cast_report,
+        "events_transitions": q_events_transitions,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
@@ -4406,6 +4434,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
         "events_users_hll": SQL_EVENTS_USERS_HLL,
         "events_cast_report": SQL_EVENTS_CAST_REPORT,
+        "events_transitions": SQL_EVENTS_TRANSITIONS,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,

@@ -1448,3 +1448,62 @@ def grouped_mode(
             "cnt": top["__pc_sum"].cast(pa.int64()),
         }
     )
+
+
+def transition_counts(
+    events: Dataset,
+    *,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+    n_parts: int = 64,
+) -> pa.Table:
+    """Per-entity event-type transition counts (the Markov-chain /
+    user-journey mining pass): for each entity's timeline ordered by
+    (ts, order_col), count every adjacent (from_type, to_type) pair
+    corpus-wide.
+
+    One coarse entity-hash shuffle of the 4-column slice; each part
+    lexsorts its complete entity streams once and counts adjacent
+    same-entity pairs vectorized; the final merge is over the tiny
+    type×type matrix (driver-side).  The tiebreak column makes the
+    ordering — and therefore the counts — deterministic under equal
+    timestamps."""
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                entity_col: batch[entity_col],
+                type_col: batch[type_col],
+                "__ts": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "__o": batch[order_col].cast(pa.int64()),
+                "__part": pa.array(_element_parts(batch[entity_col], n_parts)),
+            }
+        )
+
+    slimmed = events.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        ent = g[entity_col].to_numpy()
+        typ = g[type_col].to_numpy()
+        order = np.lexsort((g["__o"].to_numpy(), g["__ts"].to_numpy(), ent))
+        ent, typ = ent[order], typ[order]
+        if len(g) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [], "cnt": []})
+        same = ent[1:] == ent[:-1]
+        out = pd.DataFrame({"from_type": typ[:-1][same], "to_type": typ[1:][same]})
+        agg = out.groupby(["from_type", "to_type"], sort=False).size().reset_index(name="cnt")
+        return agg
+
+    partials = slimmed.groupby("__part").map_groups(part, batch_format="pandas")
+    t = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    m = t.group_by(["from_type", "to_type"]).aggregate([("cnt", "sum")])
+    return pa.table(
+        {"from_type": m["from_type"], "to_type": m["to_type"],
+         "cnt": m["cnt_sum"].cast(pa.int64())}
+    )

@@ -2342,3 +2342,30 @@ def test_backoff_logprob_matches_naive(ray_session):
         pairs = list(zip(w, w[1:]))
         want = sum(sb(a, b) for a, b in pairs) / len(pairs) if pairs else 0.0
         assert abs(got[i] - want) < 1e-12, (i, got[i], want)
+
+
+def test_transition_counts_matches_naive(ray_session):
+    from collections import Counter
+
+    from jesse_ray.pipelines.relational import transition_counts
+
+    rng = np.random.default_rng(161)
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "u": [int(x) for x in rng.integers(0, 15, 400)],
+        "t": [str(x) for x in rng.choice(["A", "B", "C"], 400)],
+        "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 1000, 400)],
+        "eid": list(range(400)),
+    })
+    got = transition_counts(
+        ray.data.from_pandas(df).repartition(4),
+        entity_col="u", type_col="t", ts_col="ts", order_col="eid",
+    ).to_pandas()
+
+    want = Counter()
+    for _, sub in df.groupby("u"):
+        sub = sub.sort_values(["ts", "eid"])
+        for a, b in zip(sub["t"], sub["t"][1:]):
+            want[(a, b)] += 1
+    got_map = {(r.from_type, r.to_type): r.cnt for r in got.itertuples(index=False)}
+    assert got_map == dict(want)
