@@ -2369,3 +2369,45 @@ def test_transition_counts_matches_naive(ray_session):
             want[(a, b)] += 1
     got_map = {(r.from_type, r.to_type): r.cnt for r in got.itertuples(index=False)}
     assert got_map == dict(want)
+
+
+def test_cogroup_ops_survive_hot_entity(ray_session):
+    """Skew guard: one entity owning half the corpus must not break (or
+    mis-count) the cogroup ops — a hot key lands whole in one coarse
+    part and is processed vectorized there."""
+    from jesse_ray.pipelines.relational import (
+        funnel_conversions,
+        transition_counts,
+        window_dedup_counts,
+    )
+
+    rng = np.random.default_rng(171)
+    base = pd.Timestamp("2024-01-01")
+    n = 4000
+    users = np.where(rng.random(n) < 0.5, 7, rng.integers(100, 140, n))
+    df = pd.DataFrame({
+        "u": [int(x) for x in users],
+        "t": [str(x) for x in rng.choice(["A", "B"], n)],
+        "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 10 * 86400, n)],
+        "eid": list(range(n)),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    # transitions: totals must equal sum over users of (events-1)
+    tc = transition_counts(ds, entity_col="u", type_col="t", ts_col="ts", order_col="eid")
+    want_pairs = sum(len(g) - 1 for _, g in df.groupby("u"))
+    assert int(tc.to_pandas()["cnt"].sum()) == want_pairs
+
+    # window dedup: totals preserved, kept <= total
+    wd = window_dedup_counts(ds, entity_col="u", type_col="t", ts_col="ts",
+                             window=pd.Timedelta(hours=1)).to_pandas()
+    assert int(wd["n_total"].sum()) == n
+    assert (wd["n_kept"] <= wd["n_total"]).all()
+
+    # funnel: hot user converts iff naive says so
+    fc = funnel_conversions(ds, entity_col="u", ts_col="ts", type_col="t",
+                            step_a="A", step_b="B", within=pd.Timedelta(days=30)).to_pandas()
+    hot = df[df["u"] == 7]
+    fa = hot[hot["t"] == "A"]["ts"].min()
+    fb = hot[(hot["t"] == "B") & (hot["ts"] >= fa)]["ts"].min()
+    assert (7 in set(fc["u"])) == pd.notna(fb)
