@@ -2116,6 +2116,68 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+def q_events_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of value vs time-of-corpus (days since
+    2024-01-01) per event type, in one combiner pass
+    (relational.grouped_corr).  Inputs are centered to day units so the
+    one-pass moment sums stay well-conditioned (documented caveat)."""
+    from jesse_ray.pipelines.relational import grouped_corr
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    t0 = pd.Timestamp("2024-01-01")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        days = pc.divide(pc.cast(pc.subtract(ts, pa.scalar(int(t0.value // 1000))), pa.float64()),
+                         pa.scalar(86400.0 * 1e6))
+        return pa.table({"event_type": batch["event_type"], "days": days, "value": batch["value"]})
+
+    d = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    t = grouped_corr(d, group_col="event_type", x_col="days", y_col="value")
+    pdf = t.to_pandas()
+    pdf["corr"] = pdf["corr"].round(5)
+    return pdf.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_CORR = """
+SELECT event_type,
+       round(corr(epoch(ts - TIMESTAMP '2024-01-01') / 86400.0, value), 5) AS corr
+FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_seq_global_sort(sf_dir: str) -> pd.DataFrame:
+    """Global sort as a first-class wide op: order the corpus by
+    (n_tok, doc_id) with Ray's distributed sort and checksum the
+    resulting POSITIONS (Σ pos·hash-independent key rank is order-
+    sensitive, so any mis-sort changes the value).  Null n_tok sorts
+    last on both sides."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"])
+    srt = ds.sort(["n_tok", "doc_id"])
+    t = _collect(srt)
+    n = t.num_rows
+    nt = t["n_tok"].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    pos = np.arange(n, dtype=np.float64)
+    chks = np.nansum(pos * nt)
+    return pd.DataFrame({
+        "n_rows": pd.array([n], dtype="int64"),
+        "pos_checksum": pd.array([int(chks)], dtype="int64"),
+    })
+
+
+SQL_SEQ_GLOBAL_SORT = f"""
+WITH s AS (
+  SELECT n_tok, row_number() OVER (ORDER BY n_tok ASC NULLS LAST, doc_id ASC NULLS LAST) - 1 AS pos
+  FROM {SEQ_SQL}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(pos * n_tok) AS BIGINT) AS pos_checksum
+FROM s
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -4319,6 +4381,8 @@ def queries() -> dict[str, Callable]:
         "events_users_hll": q_events_users_hll,
         "events_cast_report": q_events_cast_report,
         "events_transitions": q_events_transitions,
+        "events_corr": q_events_corr,
+        "seq_global_sort": q_seq_global_sort,
         "seq_top_tokens": q_seq_top_tokens,
         "seq_bpe_pairs": q_seq_bpe_pairs,
         "seq_bpe_step": q_seq_bpe_step,
@@ -4435,6 +4499,8 @@ def oracle_sql() -> dict[str, str]:
         "events_users_hll": SQL_EVENTS_USERS_HLL,
         "events_cast_report": SQL_EVENTS_CAST_REPORT,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
+        "events_corr": SQL_EVENTS_CORR,
+        "seq_global_sort": SQL_SEQ_GLOBAL_SORT,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
         "seq_bpe_pairs": SQL_SEQ_BPE_PAIRS,
         "seq_bpe_step": SQL_SEQ_BPE_STEP,

@@ -1507,3 +1507,64 @@ def transition_counts(
         {"from_type": m["from_type"], "to_type": m["to_type"],
          "cnt": m["cnt_sum"].cast(pa.int64())}
     )
+
+
+def grouped_corr(
+    ds: Dataset,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Pearson correlation per group in ONE combiner pass: per-batch
+    partials (n, Σx, Σy, Σxy, Σx², Σy²) shuffle ≤ #groups rows per
+    block; the driver finishes with the population formula
+    ``cov/(σx·σy)``.  Rows with a null in either column are excluded.
+    Callers should center/scale inputs to sane magnitudes first —
+    Σx² in float64 loses precision once x ≫ 1e9 (the classic
+    one-pass-correlation caveat, worth the single pass at 100 TB)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch[x_col]), pc.is_valid(batch[y_col]))
+        t = batch.filter(keep)
+        x = t[x_col].cast(pa.float64())
+        y = t[y_col].cast(pa.float64())
+        tbl = pa.table(
+            {
+                group_col: t[group_col],
+                "__x": x,
+                "__y": y,
+                "__xy": pc.multiply(x, y),
+                "__x2": pc.multiply(x, x),
+                "__y2": pc.multiply(y, y),
+            }
+        )
+        g = tbl.group_by(group_col).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ("__x2", "sum"), ("__y2", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([group_col, "__sx", "__sy", "__sxy", "__sx2", "__sy2", "__pn"])
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size).iter_batches(batch_format="pyarrow")
+    )
+    m = pa.concat_tables(parts).group_by(group_col).aggregate(
+        [("__sx", "sum"), ("__sy", "sum"), ("__sxy", "sum"),
+         ("__sx2", "sum"), ("__sy2", "sum"), ("__pn", "sum")]
+    )
+    n = m["__pn_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = m["__sx_sum"].to_numpy(zero_copy_only=False)
+    sy = m["__sy_sum"].to_numpy(zero_copy_only=False)
+    sxy = m["__sxy_sum"].to_numpy(zero_copy_only=False)
+    sx2 = m["__sx2_sum"].to_numpy(zero_copy_only=False)
+    sy2 = m["__sy2_sum"].to_numpy(zero_copy_only=False)
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sx2 / n - (sx / n) ** 2
+    vy = sy2 / n - (sy / n) ** 2
+    denom = np.sqrt(np.maximum(vx, 0)) * np.sqrt(np.maximum(vy, 0))
+    corr = np.where(denom > 0, cov / denom, np.nan)
+    return pa.table(
+        {group_col: m[group_col], "corr": pa.array(corr, type=pa.float64(), from_pandas=True)}
+    )

@@ -2411,3 +2411,22 @@ def test_cogroup_ops_survive_hot_entity(ray_session):
     fa = hot[hot["t"] == "A"]["ts"].min()
     fb = hot[(hot["t"] == "B") & (hot["ts"] >= fa)]["ts"].min()
     assert (7 in set(fc["u"])) == pd.notna(fb)
+
+
+def test_grouped_corr_matches_naive(ray_session):
+    from jesse_ray.pipelines.relational import grouped_corr
+
+    rng = np.random.default_rng(181)
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 3, 600)],
+        "x": rng.normal(0, 5, 600),
+    })
+    df["y"] = 2.0 * df["x"] + rng.normal(0, 3, 600)
+    df.loc[4, "y"] = None
+    got = grouped_corr(
+        ray.data.from_pandas(df).repartition(4), group_col="g", x_col="x", y_col="y"
+    ).to_pandas().set_index("g")["corr"]
+    for g, sub in df.dropna(subset=["y"]).groupby("g"):
+        want = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(got[g] - want) < 1e-9, g
+        assert got[g] > 0.8
