@@ -3720,6 +3720,66 @@ ORDER BY 1, 2
 """
 
 
+
+def q_doc_cross_decontam(sf_dir: str) -> pd.DataFrame:
+    """Near-dup DECONTAMINATION between splits (the GPT-3-style
+    train-eval overlap scrub): train = even doc_ids, eval = odd; the
+    full LSH + exact-Jaccard near-dup pipeline runs over the union and
+    only cross-split pairs ≥ 0.5 survive — each one an eval doc that
+    leaks (near-verbatim) into train.  The twin re-derives every cross
+    pair exactly from the shingle-set sidecar."""
+    from jesse_ray.functions.dedup import _shingle_hashes, ngram_jaccard_dups
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sets = [np.unique(_shingle_hashes(t or "", 5)) for t in texts]
+        offs = np.concatenate([[0], np.cumsum([len(x) for x in sets])]).astype(np.int64)
+        flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        lists = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, type=pa.uint64()))
+        return pa.table({"doc_id": batch["doc_id"], "shingles": lists})
+
+    pq.write_table(
+        _collect(ds.map_batches(shingle_sets, batch_format="pyarrow")).sort_by("doc_id"),
+        _sig_parquet_path(sf_dir, "shinglesx"),
+    )
+    pdf = ngram_jaccard_dups(ds, threshold=0.5, num_hashes=64, bands=32).to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"eval_doc": pd.array([], dtype="int64"),
+                             "train_doc": pd.array([], dtype="int64"),
+                             "jaccard": pd.array([], dtype="float64")})
+    cross = pdf[(pdf["left"] % 2) != (pdf["right"] % 2)].copy()
+    cross["eval_doc"] = np.where(cross["left"] % 2 == 1, cross["left"], cross["right"]).astype("int64")
+    cross["train_doc"] = np.where(cross["left"] % 2 == 1, cross["right"], cross["left"]).astype("int64")
+    cross["jaccard"] = cross["jaccard"].round(4)
+    return (cross[["eval_doc", "train_doc", "jaccard"]]
+            .sort_values(["eval_doc", "train_doc"]).reset_index(drop=True))
+
+
+SQL_DOC_CROSS_DECONTAM = """
+WITH s AS (
+  SELECT doc_id, shingles FROM read_parquet('/tmp/jesse_ray_data/shinglesx_sigs_sf0.01.parquet')
+), sz AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), e AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), p AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS inter
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT l, r, inter * 1.0 / (sa.n + sb.n - inter) AS jac
+  FROM p JOIN sz sa ON sa.doc_id = p.l JOIN sz sb ON sb.doc_id = p.r
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5 AND (l % 2) <> (r % 2)
+)
+SELECT CASE WHEN l % 2 = 1 THEN l ELSE r END AS eval_doc,
+       CASE WHEN l % 2 = 1 THEN r ELSE l END AS train_doc,
+       round(jac, 4) AS jaccard
+FROM j ORDER BY 1, 2
+"""
+
+
 def q_doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
     """Connected components over the verified near-dup pair graph
     (min-label propagation, functions/graph.py) — the transitive-closure
@@ -4425,6 +4485,7 @@ def queries() -> dict[str, Callable]:
         "doc_langid": q_doc_langid,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_cross_decontam": q_doc_cross_decontam,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "emb_near_dups": q_emb_near_dups,
@@ -4544,6 +4605,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "doc_cross_decontam": SQL_DOC_CROSS_DECONTAM,
         "doc_simhash_pairs": SQL_DOC_SIMHASH_PAIRS,
         "emb_near_dups": SQL_EMB_NEAR_DUPS,
         "emb_ivf_topk": SQL_EMB_IVF_TOPK,
