@@ -1158,6 +1158,39 @@ FROM r WHERE rn = 1 ORDER BY source
 """
 
 
+
+def q_seq_mad_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source robust spread of n_tok: exact discrete median + MAD
+    (relational.grouped_mad — two exact-quantile passes with a
+    broadcast between).  quantile_disc parity on both levels."""
+    from jesse_ray.pipelines.relational import grouped_mad
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+    t = grouped_mad(ds, "source", "n_tok")
+    pdf = t.to_pandas()
+    pdf["median"] = pdf["median"].round(1)
+    pdf["mad"] = pdf["mad"].round(1)
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_SEQ_MAD_BY_SOURCE = f"""
+WITH v AS (
+  SELECT source, CAST(n_tok AS DOUBLE) AS x FROM {SEQ_SQL}
+  WHERE source IS NOT NULL AND n_tok IS NOT NULL
+),
+med AS (SELECT source, quantile_disc(x, 0.5) AS m FROM v GROUP BY 1),
+dev AS (
+  SELECT v.source, abs(v.x - med.m) AS d
+  FROM v JOIN med USING (source)
+)
+SELECT med.source, round(med.m, 1) AS median,
+       round(quantile_disc(dev.d, 0.5), 1) AS mad
+FROM dev JOIN med USING (source)
+GROUP BY med.source, med.m
+ORDER BY med.source
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -4468,6 +4501,7 @@ def queries() -> dict[str, Callable]:
         "seq_psi_by_source": q_seq_psi_by_source,
         "seq_ks_by_source": q_seq_ks_by_source,
         "seq_mode_by_source": q_seq_mode_by_source,
+        "seq_mad_by_source": q_seq_mad_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
         "tpch_q3ish": q_tpch_q3ish,
         "lineitem_rollup": q_lineitem_rollup,
@@ -4587,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_psi_by_source": SQL_SEQ_PSI_BY_SOURCE,
         "seq_ks_by_source": SQL_SEQ_KS_BY_SOURCE,
         "seq_mode_by_source": SQL_SEQ_MODE_BY_SOURCE,
+        "seq_mad_by_source": SQL_SEQ_MAD_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "tpch_q3ish": SQL_TPCH_Q3ISH,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,

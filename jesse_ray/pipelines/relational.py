@@ -1568,3 +1568,51 @@ def grouped_corr(
     return pa.table(
         {group_col: m[group_col], "corr": pa.array(corr, type=pa.float64(), from_pandas=True)}
     )
+
+
+def grouped_mad(
+    ds: Dataset,
+    group_col: str,
+    col: str,
+    *,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Median absolute deviation per group (the robust spread estimate
+    behind outlier gates that survive heavy tails): two exact passes —
+    per-group discrete median (:func:`grouped_discrete_quantiles`),
+    broadcast back, then the discrete median of |value − median| with
+    the same machinery.  Exact for bounded-cardinality value columns
+    (discrete-quantile parity, ``sorted[max(ceil(q·n)−1, 0)]``)."""
+    import ray
+
+    med = grouped_discrete_quantiles(ds, group_col, col, [0.5], batch_size=batch_size)
+    payload = (
+        _combine(med[group_col]),
+        med["p50"].cast(pa.float64()).to_numpy(zero_copy_only=False),
+    )
+    ref = ray.put(payload) if ray.is_initialized() else payload
+
+    class AbsDev:
+        def __init__(self):
+            p = ref
+            self.groups, self.med = ray.get(p) if isinstance(p, ray.ObjectRef) else p
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[col])))
+            idx = pc.index_in(_combine(t[group_col]), value_set=self.groups)
+            i = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            dev = np.abs(v - self.med[i])
+            return pa.table({group_col: t[group_col], "__dev": pa.array(dev, type=pa.float64())})
+
+    devs = ds.map_batches(AbsDev, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=(1, 8))
+    mad = grouped_discrete_quantiles(devs, group_col, "__dev", [0.5], batch_size=batch_size)
+    out = med.join(mad.rename_columns([group_col, "mad"]), keys=group_col)
+    return pa.table(
+        {
+            group_col: out[group_col],
+            "median": out["p50"].cast(pa.float64()),
+            "mad": out["mad"].cast(pa.float64()),
+        }
+    )

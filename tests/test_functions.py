@@ -2430,3 +2430,27 @@ def test_grouped_corr_matches_naive(ray_session):
         want = np.corrcoef(sub["x"], sub["y"])[0, 1]
         assert abs(got[g] - want) < 1e-9, g
         assert got[g] > 0.8
+
+
+def test_grouped_mad_matches_naive(ray_session):
+    import math
+
+    from jesse_ray.pipelines.relational import grouped_mad
+
+    rng = np.random.default_rng(191)
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 3, 500)],
+        "v": rng.integers(0, 100, 500),
+    })
+    df.loc[9, "v"] = None
+    got = grouped_mad(ray.data.from_pandas(df).repartition(4), "g", "v").to_pandas().set_index("g")
+
+    def qdisc(vals, q=0.5):
+        s = sorted(vals)
+        return s[max(math.ceil(q * len(s)) - 1, 0)]
+
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        m = qdisc(sub["v"].astype(float))
+        mad = qdisc((sub["v"].astype(float) - m).abs())
+        assert got.loc[g, "median"] == m, g
+        assert got.loc[g, "mad"] == mad, g
