@@ -1191,6 +1191,42 @@ ORDER BY med.source
 """
 
 
+
+TDG_QS = [0.25, 0.5, 0.9]
+
+
+def q_events_value_tdigest(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-type quantiles of the CONTINUOUS value column via
+    grouped t-digests (distinct.tdigest_quantiles_by_group — the scale
+    path where exact grouped quantiles' bounded-cardinality assumption
+    breaks).  Envelope twin: the true CDF at each estimate must be
+    within ±0.02 of the requested rank, per group."""
+    from jesse_ray.stages.distinct import tdigest_quantiles_by_group
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    t = tdigest_quantiles_by_group(ds, "value", "event_type", TDG_QS)
+    pdf = t.to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   _sig_parquet_path(sf_dir, "tdg_events"))
+    pdf["est"] = pdf["est"].round(4)
+    return pdf
+
+
+SQL_EVENTS_VALUE_TDIGEST = """
+WITH s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/tdg_events_sigs_sf0.01.parquet')),
+tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM events WHERE value IS NOT NULL GROUP BY 1),
+chk AS (
+  SELECT bool_and(abs(
+           (SELECT count(*) FROM events e WHERE e.event_type = s.event_type AND e.value <= s.est)
+             / tot.n - s.q) <= 0.02) AS good
+  FROM s JOIN tot USING (event_type)
+)
+SELECT event_type, q, round(est, 4) AS est FROM s
+WHERE (SELECT good FROM chk)
+ORDER BY event_type, q
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -4472,6 +4508,7 @@ def queries() -> dict[str, Callable]:
         "events_zscore": q_events_zscore,
         "events_window_dedup": q_events_window_dedup,
         "events_users_hll": q_events_users_hll,
+        "events_value_tdigest": q_events_value_tdigest,
         "events_cast_report": q_events_cast_report,
         "events_transitions": q_events_transitions,
         "events_corr": q_events_corr,
@@ -4592,6 +4629,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore": SQL_EVENTS_ZSCORE,
         "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
         "events_users_hll": SQL_EVENTS_USERS_HLL,
+        "events_value_tdigest": SQL_EVENTS_VALUE_TDIGEST,
         "events_cast_report": SQL_EVENTS_CAST_REPORT,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_corr": SQL_EVENTS_CORR,

@@ -162,3 +162,66 @@ def hll_distinct_by_group(
     out = partials.groupby(group_col).map_groups(merge, batch_format="pandas")
     t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
     return pa.table({group_col: t[group_col], "estimate": t["estimate"].cast(pa.float64())})
+
+
+def tdigest_quantiles_by_group(
+    ds: Dataset,
+    col: str,
+    group_col: str,
+    qs,
+    *,
+    compression: int = 200,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Approximate quantiles PER GROUP via mergeable t-digests — the
+    scale path for continuous value columns where the exact grouped
+    quantile operator's bounded-cardinality assumption breaks: each
+    (group, block) contributes one ~2 KB digest blob, merge =
+    centroid-merge per group (the HLL-by-group shuffle shape).  Returns
+    one row per (group, q) with the estimate."""
+    from jesse_ray.sketches import TDigest
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[col])))
+        groups = t[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        uniq = pc.unique(groups)
+        out_g, out_b = [], []
+        for gv in uniq:
+            sub = t.filter(pc.equal(groups, gv))
+            d = TDigest(compression)
+            d.add(sub[col].cast(pa.float64()).to_numpy(zero_copy_only=False))
+            out_g.append(gv.as_py())
+            out_b.append(d.to_bytes())
+        return pa.table(
+            {group_col: pa.array(out_g, type=groups.type),
+             "td": pa.array(out_b, type=pa.large_binary())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=batch_size)
+
+    import pandas as pd
+
+    from jesse_ray.sketches import TDigest as _TD
+
+    qs = list(qs)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged = None
+        for raw in g["td"]:
+            d = _TD.from_bytes(raw)
+            merged = d if merged is None else merged.merge(d)
+        return pd.DataFrame(
+            {group_col: [g[group_col].iloc[0]] * len(qs),
+             "q": qs,
+             "est": [float(merged.quantile(q)) for q in qs]}
+        )
+
+    out = partials.groupby(group_col).map_groups(merge, batch_format="pandas")
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {group_col: t[group_col], "q": t["q"].cast(pa.float64()),
+         "est": t["est"].cast(pa.float64())}
+    )

@@ -2454,3 +2454,21 @@ def test_grouped_mad_matches_naive(ray_session):
         mad = qdisc((sub["v"].astype(float) - m).abs())
         assert got.loc[g, "median"] == m, g
         assert got.loc[g, "mad"] == mad, g
+
+
+def test_tdigest_quantiles_by_group_envelope(ray_session):
+    from jesse_ray.stages.distinct import tdigest_quantiles_by_group
+
+    rng = np.random.default_rng(201)
+    df = pd.DataFrame({
+        "g": [str(x) for x in rng.integers(0, 3, 15000)],
+        "v": rng.normal(10, 4, 15000),
+    })
+    qs = [0.1, 0.5, 0.9]
+    got = tdigest_quantiles_by_group(
+        ray.data.from_pandas(df).repartition(6), "v", "g", qs
+    ).to_pandas()
+    for r in got.itertuples(index=False):
+        sub = df[df["g"] == r.g]["v"]
+        rank = (sub <= r.est).mean()
+        assert abs(rank - r.q) < 0.02, (r.g, r.q, rank)
