@@ -2824,6 +2824,97 @@ FROM s
 """
 
 
+
+E2E_MAX_LEN = 128
+E2E_EOS = testgen.VOCAB  # one past the valid id range
+
+
+def q_seq_e2e_pipeline(sf_dir: str) -> pa.Table:
+    """END-TO-END training-data prep, one oracle-checked composite:
+    validate (row + referential) → payload exact-dedup (curate) →
+    key-dedup (drop colliding doc_ids entirely) → truncate to 128 +
+    EOS-append → deterministic 80/10/10 hash split, keep train →
+    concat-then-chunk packing offsets.  Every stage is one of the
+    catalog's primitives; the twin re-derives the WHOLE chain in SQL
+    (split assignment via the exported sidecar) and compares the final
+    per-document pack layout."""
+    from jesse_ray.functions.pack import pack_offsets
+    from jesse_ray.functions.seqops import append_eos, truncate_sequences
+    from jesse_ray.functions.split import add_hash_split
+    from jesse_ray.pipelines.curate import curate_sequences
+
+    ds = read_sequences(_seq_path(sf_dir))
+    curated = curate_sequences(ds, _seq_spec())
+    dup_tbl = _collect(duplicate_keys(curated.select_columns(["doc_id"]), "doc_id"))
+    dups = (pa.array(sorted(set(dup_tbl["doc_id"].to_pylist())))
+            if dup_tbl is not None and dup_tbl.num_rows else None)
+    if dups is not None:
+        def drop_dups(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=dups)))
+        curated = curated.map_batches(drop_dups, batch_format="pyarrow", zero_copy_batch=True)
+
+    shaped = append_eos(truncate_sequences(curated, max_len=E2E_MAX_LEN), eos=E2E_EOS)
+    split = add_hash_split(shaped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assign = _collect(split.select_columns(["doc_id", "split"]))
+    pq.write_table(assign.sort_by("doc_id"), _sig_parquet_path(sf_dir, "e2e_split"))
+    train = split.filter(expr="split == 'train'").select_columns(["doc_id", "n_tok"])
+    packed = pack_offsets(train, chunk_len=PACK_CHUNK)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok_new": batch["n_tok"].cast(pa.int64()),
+                "offset": batch["offset"],
+                "first_chunk": batch["first_chunk"],
+                "last_chunk": batch["last_chunk"],
+            }
+        )
+
+    return _collect(packed.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SEQ_E2E_PIPELINE = f"""
+WITH clean AS (
+  SELECT doc_id, tokens FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL
+    AND regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+    AND len(tokens) = n_tok
+    AND n_tok BETWEEN 1 AND 2048
+    AND len(tokens) BETWEEN 1 AND 2048
+    AND len(list_filter(tokens, x -> x < 0 OR x >= {testgen.VOCAB})) = 0
+    AND source IS NOT NULL
+    AND source IN ({ALLOWED_SQL})
+),
+kept AS (SELECT min(doc_id) AS doc_id, len(tokens) AS n0 FROM clean GROUP BY tokens),
+uniqk AS (
+  SELECT doc_id, n0 FROM kept
+  WHERE doc_id IN (SELECT doc_id FROM kept GROUP BY doc_id HAVING count(*) = 1)
+),
+shaped AS (SELECT doc_id, least(n0, {E2E_MAX_LEN}) + 1 AS n1 FROM uniqk),
+sp AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/e2e_split_sigs_sf0.01.parquet')),
+ok AS (
+  SELECT (SELECT count(*) FROM sp) = (SELECT count(*) FROM shaped)
+     AND (SELECT count(*) FROM sp LEFT JOIN shaped USING (doc_id)
+          WHERE shaped.doc_id IS NULL) = 0 AS good
+),
+train AS (
+  SELECT shaped.doc_id, n1 FROM shaped JOIN sp USING (doc_id)
+  WHERE sp.split = 'train' AND (SELECT good FROM ok)
+),
+s AS (
+  SELECT doc_id, n1,
+         CAST(coalesce(sum(n1) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM train
+)
+SELECT doc_id, CAST(n1 AS BIGINT) AS n_tok_new, off AS "offset",
+       CAST(off // {PACK_CHUNK} AS BIGINT) AS first_chunk,
+       CAST((off + n1 - 1) // {PACK_CHUNK} AS BIGINT) AS last_chunk
+FROM s
+"""
+
+
 def q_orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
     """Large x large repartition join (neither side broadcastable at
     scale): lineitem ⋈ orders on orderkey through the coarse-partition
@@ -4462,6 +4553,7 @@ def queries() -> dict[str, Callable]:
         "seq_stratified_sample": q_seq_stratified_sample,
         "seq_hll_tokens": q_seq_hll_tokens,
         "seq_pack_offsets": q_seq_pack_offsets,
+        "seq_e2e_pipeline": q_seq_e2e_pipeline,
         "doc_line_dedup": q_doc_line_dedup,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "seq_truncate_eos": q_seq_truncate_eos,
@@ -4583,6 +4675,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_stratified_sample": SQL_SEQ_STRATIFIED_SAMPLE,
         "seq_hll_tokens": SQL_SEQ_HLL_TOKENS,
         "seq_pack_offsets": SQL_SEQ_PACK_OFFSETS,
+        "seq_e2e_pipeline": SQL_SEQ_E2E_PIPELINE,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "doc_incremental_dedup": SQL_DOC_INCREMENTAL_DEDUP,
         "seq_truncate_eos": SQL_SEQ_TRUNCATE_EOS,
