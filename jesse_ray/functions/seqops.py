@@ -598,3 +598,64 @@ def token_pmi_topk(
             "pmi": pa.array(np.round(pmi, 4), type=pa.float64()),
         }
     )
+
+
+def vocab_coverage_curve(
+    ds: Dataset,
+    ks,
+    *,
+    tokens_col: str = "tokens",
+    n_parts: int = 64,
+    batch_size: int = 16384,
+) -> pa.Table:
+    """Vocabulary-sizing curve: for each candidate vocab size k, how
+    many token OCCURRENCES the k most frequent token ids cover (rank
+    ties broken by ascending id) — the coverage/OOV tradeoff curve that
+    picks a tokenizer's vocab size.  Two-phase (token, count) combiner
+    on a coarse token-hash partition; the driver sorts the bounded
+    vocabulary once and reads the cumsum at each k.  Negative ids are
+    excluded (the corpus's out-of-range sentinels).  Returns exact
+    integers (k, covered_cnt, total_cnt)."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _combine(batch[tokens_col])
+        values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        sl = values[off[0] : off[-1]]
+        sl = sl[sl >= 0]
+        if not len(sl):
+            return pa.table({"token": pa.array([], pa.int64()),
+                             "__pc": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int32())})
+        uk, cnt = np.unique(sl, return_counts=True)
+        arr = pa.array(uk, type=pa.int64())
+        return pa.table({"token": arr, "__pc": pa.array(cnt.astype(np.int64)),
+                         "__part": pa.array(_element_parts(arr, n_parts))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=batch_size)
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False)["__pc"].sum().reset_index()
+
+    t = pa.concat_tables(
+        partials.groupby("__part").map_groups(merge, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+    )
+    toks = t["token"].to_numpy(zero_copy_only=False)
+    cnts = t["__pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((toks, -cnts))
+    csum = np.cumsum(cnts[order])
+    total = int(csum[-1]) if len(csum) else 0
+    ks = sorted(int(k) for k in ks)
+    covered = [int(csum[min(k, len(csum)) - 1]) if len(csum) and k > 0 else 0 for k in ks]
+    return pa.table(
+        {
+            "k": pa.array(ks, type=pa.int64()),
+            "covered_cnt": pa.array(covered, type=pa.int64()),
+            "total_cnt": pa.array([total] * len(ks), type=pa.int64()),
+        }
+    )

@@ -2344,6 +2344,34 @@ FROM sel ORDER BY ratio DESC, a ASC, b ASC LIMIT 20
 """
 
 
+
+VOCAB_KS = [100, 1000, 10000]
+
+
+def q_seq_vocab_coverage(sf_dir: str) -> pd.DataFrame:
+    """Vocab-sizing curve: token occurrences covered by the top-k most
+    frequent ids, k in {100, 1k, 10k} (seqops.vocab_coverage_curve —
+    bounded-vocab two-phase counts, integer-exact)."""
+    from jesse_ray.functions.seqops import vocab_coverage_curve
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+    return vocab_coverage_curve(ds, VOCAB_KS).to_pandas()
+
+
+SQL_SEQ_VOCAB_COVERAGE = f"""
+WITH u AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tokens) AS t FROM {SEQ_SQL}) WHERE t >= 0 GROUP BY 1
+),
+r AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t ASC) AS rn FROM u),
+ks AS (SELECT unnest([{", ".join(str(k) for k in VOCAB_KS)}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST((SELECT coalesce(sum(c), 0) FROM r WHERE rn <= ks.k) AS BIGINT) AS covered_cnt,
+       CAST((SELECT sum(c) FROM u) AS BIGINT) AS total_cnt
+FROM ks ORDER BY k
+"""
+
+
 NTOK_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -4610,6 +4638,7 @@ def queries() -> dict[str, Callable]:
         "seq_bpe_step": q_seq_bpe_step,
         "seq_length_buckets": q_seq_length_buckets,
         "seq_pmi_pairs": q_seq_pmi_pairs,
+        "seq_vocab_coverage": q_seq_vocab_coverage,
         "seq_ntok_percentiles": q_seq_ntok_percentiles,
         "seq_ntok_quantiles_by_source": q_seq_ntok_quantiles_by_source,
         "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
@@ -4732,6 +4761,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_bpe_step": SQL_SEQ_BPE_STEP,
         "seq_length_buckets": SQL_SEQ_LENGTH_BUCKETS,
         "seq_pmi_pairs": SQL_SEQ_PMI_PAIRS,
+        "seq_vocab_coverage": SQL_SEQ_VOCAB_COVERAGE,
         "seq_ntok_percentiles": SQL_SEQ_NTOK_PERCENTILES,
         "seq_ntok_quantiles_by_source": SQL_SEQ_NTOK_QUANTILES_BY_SOURCE,
         "orders_no_recent_lineitem": SQL_ORDERS_NO_RECENT_LINEITEM,

@@ -2472,3 +2472,27 @@ def test_tdigest_quantiles_by_group_envelope(ray_session):
         sub = df[df["g"] == r.g]["v"]
         rank = (sub <= r.est).mean()
         assert abs(rank - r.q) < 0.02, (r.g, r.q, rank)
+
+
+def test_vocab_coverage_curve_matches_naive(ray_session):
+    from collections import Counter
+
+    from jesse_ray.functions.seqops import vocab_coverage_curve
+
+    rng = np.random.default_rng(211)
+    rows = [[int(t) for t in rng.zipf(1.5, size=int(rng.integers(0, 20))) if t < 50]
+            for _ in range(300)]
+    rows.append([-1, 3, 3])  # negative excluded
+    tbl = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    got = vocab_coverage_curve(
+        ray.data.from_arrow(tbl).repartition(4), [1, 5, 1000]
+    ).to_pandas().set_index("k")
+
+    cnt = Counter(t for r in rows for t in r if t >= 0)
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    for k in [1, 5, 1000]:
+        want = sum(c for _, c in order[:k])
+        assert got.loc[k, "covered_cnt"] == want, k
+        assert got.loc[k, "total_cnt"] == total
+    assert got.loc[1, "covered_cnt"] < got.loc[5, "covered_cnt"] <= total
