@@ -1227,6 +1227,49 @@ ORDER BY event_type, q
 """
 
 
+
+def q_seq_jsd_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact Jensen-Shannon divergence of each source's token
+    distribution vs the corpus (stages/drift.exact_jsd_by_group —
+    bounded (group, token) count shuffle + closed-form driver pass).
+    The twin evaluates the same closed form in SQL."""
+    from jesse_ray.stages.drift import exact_jsd_by_group
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "tokens"])
+    t = exact_jsd_by_group(ds, "source", "tokens")
+    pdf = t.to_pandas()
+    pdf["jsd"] = pdf["jsd"].round(6)
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_SEQ_JSD_BY_SOURCE = f"""
+WITH gv AS (
+  SELECT source, t, count(*)::DOUBLE AS c
+  FROM (SELECT source, unnest(tokens) AS t FROM {SEQ_SQL} WHERE source IS NOT NULL)
+  WHERE t IS NOT NULL
+  GROUP BY 1, 2
+),
+tg AS (SELECT source, sum(c) AS ts FROM gv GROUP BY 1),
+allv AS (SELECT t, sum(c) AS ct FROM gv GROUP BY 1),
+tot AS (SELECT sum(ct) AS T FROM allv),
+terms AS (
+  SELECT gv.source,
+         gv.c / tg.ts AS p,
+         allv.ct / (SELECT T FROM tot) AS q
+  FROM gv JOIN tg USING (source) JOIN allv USING (t)
+),
+agg AS (
+  SELECT source,
+         sum(p * ln(p / (0.5 * (p + q)))) AS kl_p,
+         sum(q * ln(q / (0.5 * (p + q)))) AS kl_q_in,
+         1.0 - sum(q) AS q_out
+  FROM terms GROUP BY 1
+)
+SELECT source, round(0.5 * kl_p + 0.5 * (kl_q_in + ln(2.0) * q_out), 6) AS jsd
+FROM agg ORDER BY source
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -4658,6 +4701,7 @@ def queries() -> dict[str, Callable]:
         "seq_chunks": q_seq_chunks,
         "seq_psi_by_source": q_seq_psi_by_source,
         "seq_ks_by_source": q_seq_ks_by_source,
+        "seq_jsd_by_source": q_seq_jsd_by_source,
         "seq_mode_by_source": q_seq_mode_by_source,
         "seq_mad_by_source": q_seq_mad_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
@@ -4781,6 +4825,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_chunks": SQL_SEQ_CHUNKS,
         "seq_psi_by_source": SQL_SEQ_PSI_BY_SOURCE,
         "seq_ks_by_source": SQL_SEQ_KS_BY_SOURCE,
+        "seq_jsd_by_source": SQL_SEQ_JSD_BY_SOURCE,
         "seq_mode_by_source": SQL_SEQ_MODE_BY_SOURCE,
         "seq_mad_by_source": SQL_SEQ_MAD_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,

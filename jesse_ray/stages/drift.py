@@ -241,3 +241,72 @@ def exact_ks_by_group(
         {group_col: pa.array(out_g, type=m.schema.field(group_col).type),
          "ks": pa.array(out_ks, type=pa.float64())}
     )
+
+
+def exact_jsd_by_group(
+    ds: Dataset,
+    group_col: str,
+    tokens_col: str,
+    *,
+    batch_size: int = 16384,
+) -> "pa.Table":
+    """EXACT Jensen-Shannon divergence of each group's token
+    distribution against the whole corpus (natural-log JSD ∈ [0, ln 2])
+    — the symmetric, always-finite member of the drift family (PSI, KS,
+    chi-square live alongside).  One two-phase (group, token) count
+    shuffle; the driver evaluates the closed form over the bounded
+    vocabulary:
+
+        jsd(g) = ½ Σ_{t∈g} P ln(P/M) + ½ [Σ_{t∈g} Q ln(Q/M) + ln2 · Q(g∌t)]
+
+    with P the group's distribution, Q the corpus's, M = (P+Q)/2; the
+    last term covers tokens absent from the group, where M = Q/2."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        g = grp.take(parent)
+        t = pa.table({group_col: g, "t": flat}).filter(
+            pc.and_(pc.is_valid(g), pc.is_valid(flat))
+        )
+        out = t.group_by([group_col, "t"]).aggregate([([], "count_all")])
+        return out.rename_columns([group_col, "t", "__pc"])
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size).iter_batches(batch_format="pyarrow")
+    )
+    m = pa.concat_tables(parts).group_by([group_col, "t"]).aggregate([("__pc", "sum")])
+    groups = m[group_col].to_numpy(zero_copy_only=False)
+    toks = m["t"].to_numpy(zero_copy_only=False)
+    cnts = m["__pc_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    grid = np.unique(toks)
+    vidx = np.searchsorted(grid, toks)
+    tot_t = np.zeros(len(grid), dtype=np.int64)
+    np.add.at(tot_t, vidx, cnts)
+    T = tot_t.sum()
+    q_full = tot_t / T
+
+    out_g, out_j = [], []
+    for gv in np.unique(groups):
+        sel = groups == gv
+        Ts = cnts[sel].sum()
+        p = cnts[sel] / Ts
+        q = q_full[vidx[sel]]
+        mmid = 0.5 * (p + q)
+        kl_p = float(np.sum(p * np.log(p / mmid)))
+        kl_q_in = float(np.sum(q * np.log(q / mmid)))
+        q_out = 1.0 - float(q.sum())
+        out_g.append(gv)
+        out_j.append(0.5 * kl_p + 0.5 * (kl_q_in + np.log(2.0) * q_out))
+    return pa.table(
+        {group_col: pa.array(out_g, type=m.schema.field(group_col).type),
+         "jsd": pa.array(out_j, type=pa.float64())}
+    )

@@ -2496,3 +2496,41 @@ def test_vocab_coverage_curve_matches_naive(ray_session):
         assert got.loc[k, "covered_cnt"] == want, k
         assert got.loc[k, "total_cnt"] == total
     assert got.loc[1, "covered_cnt"] < got.loc[5, "covered_cnt"] <= total
+
+
+def test_exact_jsd_by_group_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    from jesse_ray.stages.drift import exact_jsd_by_group
+
+    rng = np.random.default_rng(221)
+    rows, groups = [], []
+    for i in range(300):
+        g = ["a", "b"][i % 2]
+        hi = 10 if g == "a" else 14  # group b has extra tokens -> drift
+        rows.append([int(t) for t in rng.integers(0, hi, size=int(rng.integers(1, 15)))])
+        groups.append(g)
+    tbl = pa.table({"source": groups, "tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    got = exact_jsd_by_group(
+        ray.data.from_arrow(tbl).repartition(4), "source", "tokens"
+    ).to_pandas().set_index("source")["jsd"]
+
+    all_cnt = Counter(t for r in rows for t in r)
+    T = sum(all_cnt.values())
+    for g in ("a", "b"):
+        gc = Counter(t for r, gg in zip(rows, groups) if gg == g for t in r)
+        Ts = sum(gc.values())
+        jsd = 0.0
+        for t in all_cnt:
+            p = gc.get(t, 0) / Ts
+            q = all_cnt[t] / T
+            m = 0.5 * (p + q)
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log(q / m)
+        assert abs(got[g] - jsd) < 1e-12, g
+        assert 0.0 <= got[g] <= math.log(2)
+    assert got["b"] > got["a"] * 0  # both defined; b drifts more
+    assert got["b"] > 0.01
