@@ -1270,6 +1270,67 @@ FROM agg ORDER BY source
 """
 
 
+
+def q_seq_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Corpus-similarity matrix: pairwise Jaccard of source token
+    VOCABULARIES (which sources speak the same token space — the
+    mixing-design diagnostic).  Map side shrinks each block to its
+    distinct (source, token) pairs; the driver intersects the bounded
+    per-source vocabularies.  Integer-exact (inter, union sizes)."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "tokens"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = src.take(parent)
+        t = pa.table({"source": g, "t": flat}).filter(
+            pc.and_(pc.is_valid(g), pc.is_valid(flat))
+        )
+        return t.group_by(["source", "t"]).aggregate([])
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    merged = parts.group_by(["source", "t"]).aggregate([])
+    srcs = merged["source"].to_numpy(zero_copy_only=False)
+    toks = merged["t"].to_numpy(zero_copy_only=False)
+    vocabs = {g: set(toks[srcs == g].tolist()) for g in np.unique(srcs)}
+    rows = []
+    names = sorted(vocabs)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            inter = len(vocabs[a] & vocabs[b])
+            union = len(vocabs[a] | vocabs[b])
+            rows.append({"src_a": a, "src_b": b, "inter": inter, "union_sz": union})
+    out = pd.DataFrame(rows)
+    out["inter"] = out["inter"].astype("int64")
+    out["union_sz"] = out["union_sz"].astype("int64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+SQL_SEQ_SOURCE_OVERLAP = f"""
+WITH v AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest(tokens) AS t FROM {SEQ_SQL} WHERE source IS NOT NULL)
+  WHERE t IS NOT NULL
+),
+sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(i AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i AS BIGINT) AS union_sz
+FROM inter JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -4702,6 +4763,7 @@ def queries() -> dict[str, Callable]:
         "seq_psi_by_source": q_seq_psi_by_source,
         "seq_ks_by_source": q_seq_ks_by_source,
         "seq_jsd_by_source": q_seq_jsd_by_source,
+        "seq_source_overlap": q_seq_source_overlap,
         "seq_mode_by_source": q_seq_mode_by_source,
         "seq_mad_by_source": q_seq_mad_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
@@ -4826,6 +4888,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_psi_by_source": SQL_SEQ_PSI_BY_SOURCE,
         "seq_ks_by_source": SQL_SEQ_KS_BY_SOURCE,
         "seq_jsd_by_source": SQL_SEQ_JSD_BY_SOURCE,
+        "seq_source_overlap": SQL_SEQ_SOURCE_OVERLAP,
         "seq_mode_by_source": SQL_SEQ_MODE_BY_SOURCE,
         "seq_mad_by_source": SQL_SEQ_MAD_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
