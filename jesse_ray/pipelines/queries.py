@@ -1331,6 +1331,52 @@ ORDER BY src_a, src_b
 """
 
 
+
+def q_emb_quantize(sf_dir: str) -> pd.DataFrame:
+    """Int8 embedding quantization (unit-norm + trunc(127·x/‖x‖)) in
+    long form — every code re-derived in SQL from the raw embeddings
+    (trunc, not round: deterministic across engines).  The 4x-memory
+    ANN-prep op (similarity.quantize_embeddings)."""
+    from jesse_ray.functions.similarity import quantize_embeddings
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = quantize_embeddings(ds)
+
+    def longform(batch: pa.Table) -> pa.Table:
+        q = batch["q8"]
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        n = len(q)
+        d = len(q[0]) if n else 0
+        vals = pc.list_flatten(q).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, d), type=pa.int64()),
+                "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int32), n)),
+                "q": pa.array(vals, type=pa.int64()),
+            }
+        )
+
+    return _collect(out.map_batches(longform, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+
+
+SQL_EMB_QUANTIZE = """
+WITH n AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, embedding FROM embeddings
+)
+SELECT e.vec_id, e.i,
+       CAST(trunc(127.0 * CAST(e.embedding[e.i] AS DOUBLE) / greatest(n.nrm, 1e-30)) AS BIGINT) AS q
+FROM e JOIN n USING (vec_id)
+ORDER BY e.vec_id, e.i
+"""
+
+
 def q_seq_val_clean_count(sf_dir: str) -> pd.DataFrame:
     """Rows passing ALL row-level checks (filter_valid end-to-end)."""
     ds = read_sequences(_seq_path(sf_dir))
@@ -4702,6 +4748,7 @@ def queries() -> dict[str, Callable]:
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "emb_project": q_emb_project,
+        "emb_quantize": q_emb_quantize,
         "seq_val_clean_count": q_seq_val_clean_count,
         "seq_val_first_error": q_seq_val_first_error,
         "seq_val_dependency": q_seq_val_dependency,
@@ -4827,6 +4874,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": SQL_EMB_KMEANS,
         "emb_semdedup": SQL_EMB_SEMDEDUP,
         "emb_project": SQL_EMB_PROJECT,
+        "emb_quantize": SQL_EMB_QUANTIZE,
         "seq_val_clean_count": SQL_SEQ_VAL_CLEAN_COUNT,
         "seq_val_first_error": SQL_SEQ_VAL_FIRST_ERROR,
         "seq_val_dependency": SQL_SEQ_VAL_DEPENDENCY,

@@ -2534,3 +2534,30 @@ def test_exact_jsd_by_group_matches_naive(ray_session):
         assert 0.0 <= got[g] <= math.log(2)
     assert got["b"] > got["a"] * 0  # both defined; b drifts more
     assert got["b"] > 0.01
+
+
+def test_quantize_embeddings_matches_naive(ray_session):
+    from jesse_ray.functions.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(231)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    x[3] = 0.0  # zero vector -> all-zero codes
+    tbl = pa.table({
+        "vec_id": list(range(40)),
+        "embedding": pa.array([list(map(float, v)) for v in x], type=pa.list_(pa.float32())),
+    })
+    out = quantize_embeddings(ray.data.from_arrow(tbl).repartition(3))
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+    got = np.array(t["q8"].to_pylist())
+
+    xf = x.astype(np.float64)
+    norms = np.sqrt((xf * xf).sum(axis=1))
+    want = np.trunc(127.0 * xf / np.maximum(norms, 1e-30)[:, None]).astype(np.int8)
+    assert np.array_equal(got, want)
+    assert (got[3] == 0).all()
+    assert np.abs(got).max() <= 127
+    # quantized cosine approximates float cosine
+    a, b = got[0].astype(np.float64), got[1].astype(np.float64)
+    qc = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    fc = xf[0] @ xf[1] / (norms[0] * norms[1])
+    assert abs(qc - fc) < 0.05
