@@ -2397,6 +2397,73 @@ FROM s
 """
 
 
+
+def q_doc_ttr_by_source(sf_dir: str) -> pd.DataFrame:
+    """Lexical diversity per source (type-token ratio ingredients):
+    distinct words vs total word occurrences, integer-exact.  Distinct
+    side = per-batch distinct (source, word) combiner then a global
+    distinct + count; totals = one bincount pass."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        words = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = src.take(parent)
+        t = pa.table({"source": g, "w": flat})
+        distinct = t.group_by(["source", "w"]).aggregate([([], "count_all")])
+        return distinct.rename_columns(["source", "w", "__pc"])
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    merged = parts.group_by(["source", "w"]).aggregate([("__pc", "sum")])
+    agg = merged.group_by("source").aggregate([([], "count_all"), ("__pc_sum", "sum")])
+    pdf = agg.rename_columns(["source", "n_types", "n_tokens"]).to_pandas()
+    pdf["n_types"] = pdf["n_types"].astype("int64")
+    pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_DOC_TTR_BY_SOURCE = """
+SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY source ORDER BY source
+"""
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Temporal seasonality profile: event counts and value sums per
+    hour of day — vectorized hour extraction + the grouped_agg combiner
+    (≤24 rows shuffle)."""
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        hour = pc.hour(batch["ts"].cast(pa.timestamp("us"))).cast(pa.int64())
+        return pa.table({"hour": hour, "value": batch["value"]})
+
+    d = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(d, ["hour"], sums=["value"]).to_pandas()
+    out["n"] = out["cnt"].astype("int64")
+    out["value_sum"] = out["sum_value"].round(2)
+    return out[["hour", "n", "value_sum"]].sort_values("hour").reset_index(drop=True)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -4782,6 +4849,8 @@ def queries() -> dict[str, Callable]:
         "events_value_tdigest": q_events_value_tdigest,
         "events_cast_report": q_events_cast_report,
         "events_transitions": q_events_transitions,
+        "events_hourly": q_events_hourly,
+        "doc_ttr_by_source": q_doc_ttr_by_source,
         "events_corr": q_events_corr,
         "seq_global_sort": q_seq_global_sort,
         "seq_top_tokens": q_seq_top_tokens,
@@ -4908,6 +4977,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_tdigest": SQL_EVENTS_VALUE_TDIGEST,
         "events_cast_report": SQL_EVENTS_CAST_REPORT,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "doc_ttr_by_source": SQL_DOC_TTR_BY_SOURCE,
         "events_corr": SQL_EVENTS_CORR,
         "seq_global_sort": SQL_SEQ_GLOBAL_SORT,
         "seq_top_tokens": SQL_SEQ_TOP_TOKENS,
