@@ -2464,6 +2464,40 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
+
+
+def q_events_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of value (profiling primitive): 20 bins
+    over [0, 500), out-of-range clamped to the edge bins — one
+    vectorized binning pass + the ≤bins-row combiner shuffle."""
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["value"])
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+
+    def binify(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["value"]))
+        v = t["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor((v - HIST_LO) / width).astype(np.int64), 0, HIST_BINS - 1)
+        return pa.table({"bin": pa.array(b, type=pa.int64())})
+
+    d = ds.map_batches(binify, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(d, ["bin"]).to_pandas()
+    out["n"] = out["cnt"].astype("int64")
+    return out[["bin", "n"]].sort_values("bin").reset_index(drop=True)
+
+
+SQL_EVENTS_HISTOGRAM = f"""
+SELECT CAST(least(greatest(floor((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}), 0),
+                  {HIST_BINS - 1}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_seq_top_tokens(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 token frequencies (heavy hitters) over
     the tokenized sequences — two-phase combiner + coarse element-hash
@@ -4850,6 +4884,7 @@ def queries() -> dict[str, Callable]:
         "events_cast_report": q_events_cast_report,
         "events_transitions": q_events_transitions,
         "events_hourly": q_events_hourly,
+        "events_histogram": q_events_histogram,
         "doc_ttr_by_source": q_doc_ttr_by_source,
         "events_corr": q_events_corr,
         "seq_global_sort": q_seq_global_sort,
@@ -4978,6 +5013,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cast_report": SQL_EVENTS_CAST_REPORT,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_histogram": SQL_EVENTS_HISTOGRAM,
         "doc_ttr_by_source": SQL_DOC_TTR_BY_SOURCE,
         "events_corr": SQL_EVENTS_CORR,
         "seq_global_sort": SQL_SEQ_GLOBAL_SORT,
