@@ -212,3 +212,131 @@ def kmeans(
         ds, k, vec_col=vec_col, key_col=key_col, n_iters=n_iters, batch_size=batch_size
     )
     return cents, kmeans_assign(ds, cents, vec_col=vec_col, batch_size=batch_size)
+
+
+def label_centroids(ds: Dataset, *, vec_col: str = "embedding",
+                    label_col: str = "label") -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-label mean vectors: per-batch (label, count, sum-vec)
+    combiner partials, merged on the driver (bounded by
+    n_labels x n_blocks x dim doubles — label spaces are small; the
+    driver never sees corpus rows).  Returns (labels_sorted, centroids)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _mat(batch[vec_col])
+        lab = batch[label_col]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        lab = lab.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), x.shape[1] if x.size else 0), dtype=np.float64)
+        np.add.at(sums, inv, x)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(ul),
+            "n": pa.array(cnt),
+            "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+        })
+
+    blocks = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    t = pa.concat_tables([pa.table(b) for b in blocks])
+    lab = t["label"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    sums = _mat(t["sum"])
+    ul, inv = np.unique(lab, return_inverse=True)
+    tot = np.zeros((len(ul), sums.shape[1]), dtype=np.float64)
+    np.add.at(tot, inv, sums)
+    cnt = np.zeros(len(ul), dtype=np.int64)
+    np.add.at(cnt, inv, n)
+    return ul.astype(np.int64), tot / cnt[:, None]
+
+
+def centroid_outliers(
+    ds: Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Embedding quality control: the k vectors FURTHEST from their own
+    label's centroid, per label (mislabeled / noisy-embedding
+    candidates — the cheap geometric screen run before any manual
+    audit).  Distance ties break on the smaller id — deterministic.
+
+    Two streaming passes: exact centroids via :func:`label_centroids`
+    (combiner partials), then broadcast-once centroids and a per-batch
+    partial top-k per label, so the driver merges at most
+    n_blocks x n_labels x k candidate rows — never the corpus."""
+    labels, cents = label_centroids(ds, vec_col=vec_col, label_col=label_col)
+    ref = ray.put((labels, cents)) if ray.is_initialized() else (labels, cents)
+
+    def _topk_rows(lab, ids, d2, kk):
+        order = np.lexsort((ids, -d2, lab))
+        ls = lab[order]
+        new = np.empty(len(ls), dtype=bool)
+        if len(ls):
+            new[0] = True
+            new[1:] = ls[1:] != ls[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(ls)))
+        pos = np.arange(len(ls)) - np.repeat(starts, sizes)
+        keep = order[pos < kk]
+        return lab[keep], ids[keep], d2[keep]
+
+    class TopDist:
+        # task-mode lazily-resolved broadcast state (the
+        # engine.fused_violations pattern) — no per-run actor pool
+        def __init__(self, r):
+            self._ref = r
+            self.labels = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.labels is None:
+                p = self._ref
+                self.labels, self.cents = ray.get(p) if isinstance(p, ray.ObjectRef) else p
+            x = _mat(batch[vec_col])
+            lab = batch[label_col]
+            if isinstance(lab, pa.ChunkedArray):
+                lab = lab.combine_chunks()
+            lab = lab.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ids = batch[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            ids = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            li = np.searchsorted(self.labels, lab)
+            diff = x - self.cents[li]
+            d2 = np.einsum("ij,ij->i", diff, diff)
+            lab, ids, d2 = _topk_rows(lab, ids, d2, k)
+            return pa.table({
+                "label": pa.array(lab), id_col: pa.array(ids), "d2": pa.array(d2),
+            })
+
+    fn = TopDist(ref)
+    cand = list(
+        ds.map_batches(fn.__call__, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size)
+        .iter_batches(batch_format="pyarrow")
+    )
+    t = pa.concat_tables([pa.table(b) for b in cand])
+    lab = t["label"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    d2 = t["d2"].to_numpy(zero_copy_only=False)
+    lab, ids, d2 = _topk_rows(lab, ids, d2, k)
+    order = np.lexsort((ids, -d2, lab))
+    ls = lab[order]
+    new = np.empty(len(ls), dtype=bool)
+    if len(ls):
+        new[0] = True
+        new[1:] = ls[1:] != ls[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(ls)))
+    rnk = np.arange(len(ls)) - np.repeat(starts, sizes) + 1
+    return pa.table({
+        "label": pa.array(ls),
+        "rnk": pa.array(rnk.astype(np.int64)),
+        id_col: pa.array(ids[order]),
+    })

@@ -659,3 +659,184 @@ def vocab_coverage_curve(
             "total_cnt": pa.array([total] * len(ks), type=pa.int64()),
         }
     )
+
+
+def token_frequency_remap(ds: Dataset, *, tokens_col: str = "tokens"):
+    """Frequency-ranked vocabulary compaction map: token id -> dense new
+    id, most frequent token first (ties break on the smaller token id).
+    The standard embedding-table compaction step before training — hot
+    ids become small ids so the embedding rows that matter sit together.
+
+    Map-side Arrow ``group_by`` count partials shrink each block to
+    (token, partial count) rows; the driver merges partials bounded by
+    vocabulary size x n_blocks (token id spaces are ~1e5-1e6 even at
+    100 TB — the driver never sees corpus-shaped data).  Negative ids
+    (this corpus's out-of-range sentinels) are excluded — they keep
+    their value downstream.
+
+    Returns ``(tokens_sorted, new_ids)`` numpy arrays ready for
+    ``ray.put`` + per-batch ``np.searchsorted`` lookup.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_combine(batch[tokens_col])).drop_null()
+        g = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "__pc"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    blocks = list(parts.iter_batches(batch_format="pyarrow"))
+    if not blocks:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    merged = (
+        pa.concat_tables([pa.table(b) for b in blocks])
+        .group_by("token")
+        .aggregate([("__pc", "sum")])
+    )
+    tok = merged["token"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = merged["__pc_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = tok >= 0
+    tok, cnt = tok[keep], cnt[keep]
+    order = np.lexsort((tok, -cnt))  # cnt desc, token asc
+    new_ids = np.empty(len(tok), dtype=np.int64)
+    new_ids[order] = np.arange(len(tok), dtype=np.int64)
+    srt = np.argsort(tok, kind="stable")
+    return tok[srt], new_ids[srt]
+
+
+def remap_checksums_by_group(
+    ds: Dataset,
+    remap_ref,
+    *,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Apply a token remap corpus-wide and return per-group
+    position-weighted checksums — integer-exact evidence that every
+    token of every sequence was remapped identically to the oracle
+    (sum over positions of ``pos * new_id``; negative sentinel ids pass
+    through unchanged).
+
+    ``remap_ref``: ``ray.put`` handle (or plain tuple) of the
+    ``token_frequency_remap`` result — broadcast once, resolved per
+    worker into a dense id->rank lookup table (token id spaces are
+    dense tokenizer vocabularies; a sparse/huge id space falls back to
+    searchsorted), applied with one gather per batch over the flattened
+    Arrow list values (no per-row Python).  Runs in TASK mode with
+    lazily-resolved state (the engine.fused_violations pattern) — a
+    per-run actor pool costs 10-40 s startup on short jobs.
+
+    The hot loop streams the flattened token array through FIXED-SIZE
+    (~2 MB) per-worker scratch buffers in row-aligned chunks instead of
+    allocating batch-sized temporaries: this box services first-touch
+    page faults at ~5 MB/s in cold phases (measured: one np.take into
+    a fresh 33 MB output = 7 s, warm = 0.03 s — see BASELINE round-2
+    machine findings), so total fresh-page footprint per worker must
+    stay ~10 MB regardless of batch size.  Per chunk the row checksum
+    is two ``np.add.reduceat`` calls against a cached chunk-local ramp:
+    sum_i m_i*(i_local+1) = reduceat(m*ramp) - start_local*reduceat(m).
+    """
+    import ray
+
+    _LUT_MAX = 50_000_000  # dense-LUT cutoff; beyond this, searchsorted
+    _CHUNK = 1 << 18  # tokens per scratch chunk (2 MB int64 buffers)
+
+    class Remap:
+        def __init__(self, ref):
+            self._ref = ref
+            self.tok = None  # resolved lazily per worker
+            self._scratch: dict = {}
+
+        def _resolve(self):
+            p = self._ref
+            self.tok, self.new = ray.get(p) if isinstance(p, ray.ObjectRef) else p
+            self.lut = None
+            if len(self.tok) and int(self.tok[-1]) <= _LUT_MAX:
+                lut = np.full(int(self.tok[-1]) + 1, -1, dtype=np.int64)
+                lut[self.tok] = self.new
+                self.lut = lut
+
+        def _buf(self, name: str, n: int, dtype) -> np.ndarray:
+            b = self._scratch.get(name)
+            if b is None or len(b) < n:
+                b = np.empty(max(n, _CHUNK), dtype=dtype)
+                if name == "ramp":
+                    b[:] = np.arange(1, len(b) + 1, dtype=np.int64)
+                self._scratch[name] = b
+            return b[:n]
+
+        def _chunk_checksums(self, flat: np.ndarray, starts: np.ndarray,
+                             c0: int, c1: int) -> np.ndarray:
+            """Row checksums for the token slice [c0, c1) covering rows
+            whose starts lie in it (row-aligned by construction)."""
+            fc = flat[c0:c1]
+            nv = len(fc)
+            m = self._buf("mapped", nv, np.int64)
+            if self.lut is not None:
+                clip = self._buf("clip", nv, fc.dtype)
+                np.maximum(fc, 0, out=clip)
+                np.take(self.lut, clip, out=m)
+                neg = self._buf("neg", nv, bool)
+                np.less(fc, 0, out=neg)
+                m[neg] = fc[neg]
+            else:
+                m[:] = fc
+                nonneg = fc >= 0
+                m[nonneg] = self.new[np.searchsorted(self.tok, fc[nonneg])]
+            ramp = self._buf("ramp", nv, np.int64)
+            term = self._buf("term", nv, np.int64)
+            np.multiply(m, ramp, out=term)
+            sl = starts - c0  # chunk-local row starts
+            si = np.minimum(sl, nv - 1)  # guard reduceat on empty tail rows
+            a = np.add.reduceat(term, si)
+            bsum = np.add.reduceat(m, si)
+            return a - sl * bsum
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.tok is None:
+                self._resolve()
+            # .values + offset-rebased slicing (the apply_bpe_merge
+            # pattern) so a zero-copy SLICED ListArray stays aligned;
+            # assumes no null list rows (the validated-corpus contract)
+            col = _combine(batch[tokens_col])
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.values[offs[0]: offs[-1]].to_numpy(zero_copy_only=False)
+            starts, ends = offs[:-1] - offs[0], offs[1:] - offs[0]
+            nv = len(flat)
+            n_rows = len(starts)
+            row_sum = np.zeros(n_rows, dtype=np.int64)
+            r0 = 0
+            while r0 < n_rows and nv:
+                # largest r1 with ends[r1-1] - starts[r0] <= _CHUNK,
+                # but always at least one row (rows are small; a row
+                # longer than _CHUNK just grows the scratch once)
+                r1 = int(np.searchsorted(ends, starts[r0] + _CHUNK, side="right"))
+                r1 = max(r1, r0 + 1)
+                c0, c1 = int(starts[r0]), int(ends[r1 - 1])
+                if c1 > c0:
+                    row_sum[r0:r1] = self._chunk_checksums(
+                        flat, starts[r0:r1], c0, c1)
+                row_sum[r0:r1][ends[r0:r1] == starts[r0:r1]] = 0
+                r0 = r1
+            part = pa.table({
+                group_col: batch[group_col],
+                "__ck": pa.array(row_sum, type=pa.int64()),
+            })
+            g = part.group_by(group_col).aggregate([("__ck", "sum"), ([], "count_all")])
+            return g.rename_columns([group_col, "__ck", "__n"])
+
+    fn = Remap(remap_ref)
+    parts = ds.map_batches(fn.__call__, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=batch_size)
+    blocks = list(parts.iter_batches(batch_format="pyarrow"))
+    merged = (
+        pa.concat_tables([pa.table(b) for b in blocks])
+        .group_by(group_col)
+        .aggregate([("__ck", "sum"), ("__n", "sum")])
+    )
+    out = merged.sort_by(group_col)
+    return pa.table({
+        group_col: out[group_col],
+        "n_docs": out["__n_sum"].cast(pa.int64()),
+        "checksum": out["__ck_sum"].cast(pa.int64()),
+    })

@@ -4806,6 +4806,167 @@ ORDER BY source
 """
 
 
+def q_events_click_attribution(sf_dir: str) -> pa.Table:
+    """Distributed NON-EQUI interval join (no shared key between the
+    sides): every purchase event joins the count of click events whose
+    30-minute attribution window [click_ts, click_ts+30min) covers it
+    (relational.interval_count_join — time-bucket replication factor
+    ≤ 2, coarse bucket-hash shuffle, two searchsorted calls per part;
+    the global trailing count that grouped_rolling can't parallelize
+    because there is no partition key)."""
+    from jesse_ray.pipelines.relational import interval_count_join
+
+    WIN_US = 30 * 60 * 1_000_000
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
+    points = ev.filter(lambda r: r["event_type"] == "purchase")
+
+    def to_interval(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "click"))
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_i = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"ts_start": ts_i, "ts_end": pc.add(ts_i, WIN_US)})
+
+    intervals = ev.map_batches(to_interval, batch_format="pyarrow", zero_copy_batch=True)
+    out = interval_count_join(
+        points, intervals,
+        point_col="ts", id_col="event_id",
+        start_col="ts_start", end_col="ts_end",
+        max_len_us=WIN_US, count_alias="n_clicks_30m",
+    )
+    return _collect(out).sort_by("event_id")
+
+
+SQL_EVENTS_CLICK_ATTRIBUTION = """
+SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_30m
+FROM events p LEFT JOIN events c
+  ON c.event_type = 'click' AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
+def q_events_latest_state(sf_dir: str) -> pa.Table:
+    """CDC latest-state compaction (upsert / merge-on-read): the current
+    row per user after applying the event stream as a changelog —
+    greatest (ts, event_id) wins (relational.latest_by_key: per-batch
+    keep-one combiner, coarse key-hash shuffle, vectorized
+    sort+drop_duplicates per part)."""
+    from jesse_ray.pipelines.relational import latest_by_key
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+    out = latest_by_key(ev, "user_id", ["ts", "event_id"])
+    return (
+        _collect(out)
+        .select(["user_id", "ts", "event_type", "value"])
+        .sort_by("user_id")
+    )
+
+
+SQL_EVENTS_LATEST_STATE = """
+SELECT user_id, ts, event_type, value FROM (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_seq_remap_tokens(sf_dir: str) -> pa.Table:
+    """Vocabulary compaction: rank every token id by global frequency
+    (ties → smaller id) and remap the whole corpus old-id → rank;
+    negative sentinel ids pass through.  The embedding-table compaction
+    step before training.  Evidence is integer-exact per-source
+    position-weighted checksums of the REMAPPED sequences — any
+    misranked or misapplied token changes the sum
+    (seqops.token_frequency_remap + remap_checksums_by_group:
+    combiner-partial counts, driver merge bounded by vocab size,
+    broadcast-once remap, one searchsorted per batch)."""
+    from jesse_ray.functions.seqops import (
+        remap_checksums_by_group,
+        token_frequency_remap,
+    )
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens", "source"])
+    tok, new = token_frequency_remap(ds, tokens_col="tokens")
+    ref = ray.put((tok, new)) if ray.is_initialized() else (tok, new)
+    return remap_checksums_by_group(ds, ref, tokens_col="tokens", group_col="source")
+
+
+SQL_SEQ_REMAP_TOKENS = f"""
+WITH counts AS (
+  SELECT t, count(*) AS cnt
+  FROM (SELECT unnest(tokens) AS t FROM {SEQ_SQL})
+  WHERE t >= 0 GROUP BY t
+),
+vocab AS (
+  SELECT t AS token,
+         CAST(row_number() OVER (ORDER BY cnt DESC, t ASC) - 1 AS BIGINT) AS new_id
+  FROM counts
+),
+pos AS (
+  SELECT source, generate_subscripts(tokens, 1) AS i, tokens FROM {SEQ_SQL}
+),
+terms AS (
+  SELECT p.source,
+         CAST(p.i AS BIGINT)
+           * (CASE WHEN p.tokens[p.i] >= 0 THEN v.new_id
+                   ELSE CAST(p.tokens[p.i] AS BIGINT) END) AS term
+  FROM pos p LEFT JOIN vocab v ON v.token = p.tokens[p.i]
+),
+sums AS (SELECT source, CAST(sum(term) AS BIGINT) AS checksum FROM terms GROUP BY source),
+docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM {SEQ_SQL} GROUP BY source)
+SELECT d.source, d.n_docs, COALESCE(s.checksum, 0) AS checksum
+FROM docs d LEFT JOIN sums s ON d.source = s.source
+ORDER BY d.source
+"""
+
+
+def q_emb_outliers(sf_dir: str) -> pa.Table:
+    """Embedding QC: the 5 vectors furthest from their own label's
+    centroid, per label (mislabel / noisy-embedding screen).  Exact
+    centroids from combiner partials, broadcast once; per-batch partial
+    top-k keeps the driver merge at n_blocks × n_labels × k rows
+    (clustering.centroid_outliers).  Output is ids + ranks only —
+    integer-exact for the hash compare."""
+    from jesse_ray.functions.clustering import centroid_outliers
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
+    out = centroid_outliers(ds, vec_col="embedding", label_col="label",
+                            id_col="vec_id", k=5)
+    return pa.table({
+        "label": out["label"].cast(pa.int64()),
+        "rnk": out["rnk"],
+        "vec_id": out["vec_id"],
+    })
+
+
+SQL_EMB_OUTLIERS = """
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (SELECT label, d, avg(x) AS c FROM dims GROUP BY label, d),
+dist AS (
+  SELECT e.vec_id, e.label, sum((e.x - cent.c) * (e.x - cent.c)) AS d2
+  FROM dims e JOIN cent ON e.label = cent.label AND e.d = cent.d
+  GROUP BY e.vec_id, e.label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id ASC) AS BIGINT) AS rnk,
+       vec_id
+FROM dist
+QUALIFY rnk <= 5
+ORDER BY label, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4885,6 +5046,10 @@ def queries() -> dict[str, Callable]:
         "events_transitions": q_events_transitions,
         "events_hourly": q_events_hourly,
         "events_histogram": q_events_histogram,
+        "events_click_attribution": q_events_click_attribution,
+        "events_latest_state": q_events_latest_state,
+        "seq_remap_tokens": q_seq_remap_tokens,
+        "emb_outliers": q_emb_outliers,
         "doc_ttr_by_source": q_doc_ttr_by_source,
         "events_corr": q_events_corr,
         "seq_global_sort": q_seq_global_sort,
@@ -5014,6 +5179,10 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_histogram": SQL_EVENTS_HISTOGRAM,
+        "events_click_attribution": SQL_EVENTS_CLICK_ATTRIBUTION,
+        "events_latest_state": SQL_EVENTS_LATEST_STATE,
+        "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
+        "emb_outliers": SQL_EMB_OUTLIERS,
         "doc_ttr_by_source": SQL_DOC_TTR_BY_SOURCE,
         "events_corr": SQL_EVENTS_CORR,
         "seq_global_sort": SQL_SEQ_GLOBAL_SORT,

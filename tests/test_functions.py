@@ -2561,3 +2561,68 @@ def test_quantize_embeddings_matches_naive(ray_session):
     qc = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     fc = xf[0] @ xf[1] / (norms[0] * norms[1])
     assert abs(qc - fc) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# token_frequency_remap / remap_checksums_by_group
+
+
+def test_token_frequency_remap_rank_and_checksum(ray_session):
+    import ray as _ray
+
+    from jesse_ray.functions.seqops import (
+        remap_checksums_by_group,
+        token_frequency_remap,
+    )
+
+    rows = [
+        {"tokens": [5, 5, 9, -2], "source": "a"},
+        {"tokens": [9, 5], "source": "b"},
+        {"tokens": [], "source": "a"},
+        {"tokens": [7], "source": "b"},
+    ]
+    ds = _ray.data.from_items(rows)
+    tok, new = token_frequency_remap(ds)
+    # counts: 5 -> 3, 9 -> 2, 7 -> 1; negatives excluded
+    assert tok.tolist() == [5, 7, 9]
+    assert new.tolist() == [0, 2, 1]
+    out = remap_checksums_by_group(ds, (tok, new))
+    # a: [0,0,1,-2] -> 1*0+2*0+3*1+4*(-2) = -5 ; empty row adds 0
+    # b: [1,0] -> 1*1+2*0 = 1 ; [2] -> 1*2 = 2 -> 3
+    d = dict(zip(out["source"].to_pylist(), out["checksum"].to_pylist()))
+    assert d == {"a": -5, "b": 3}
+    nd = dict(zip(out["source"].to_pylist(), out["n_docs"].to_pylist()))
+    assert nd == {"a": 2, "b": 2}
+
+
+def test_remap_checksums_chunked_matches_unchunked(ray_session):
+    """The chunked scratch-buffer hot loop must agree with a direct
+    numpy evaluation across chunk boundaries (rows straddle the
+    _CHUNK-aligned cuts by construction of varying row lengths)."""
+    import numpy as _np
+    import ray as _ray
+
+    from jesse_ray.functions.seqops import (
+        remap_checksums_by_group,
+        token_frequency_remap,
+    )
+
+    rng = _np.random.default_rng(3)
+    rows = []
+    for i in range(200):
+        ln = int(rng.integers(0, 40))
+        toks = rng.integers(-3, 50, size=ln).tolist()
+        rows.append({"tokens": toks, "source": f"s{i % 3}"})
+    ds = _ray.data.from_items(rows)
+    tok, new = token_frequency_remap(ds)
+    lut = dict(zip(tok.tolist(), new.tolist()))
+    want: dict[str, int] = {}
+    for r in rows:
+        ck = sum(
+            (pos + 1) * (lut[t] if t >= 0 else t)
+            for pos, t in enumerate(r["tokens"])
+        )
+        want[r["source"]] = want.get(r["source"], 0) + ck
+    out = remap_checksums_by_group(ds, (tok, new), batch_size=16)
+    got = dict(zip(out["source"].to_pylist(), out["checksum"].to_pylist()))
+    assert got == want

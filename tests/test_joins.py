@@ -126,3 +126,94 @@ def test_asof_join_inclusive_ties(ray_session):
     ).sort_values("lv")
     # ts=5 matches the equal-ts right row (inclusive); ts=3 falls back to ts=2
     assert got["rv"].tolist() == [50, 20]
+
+
+# ---------------------------------------------------------------------------
+# interval_count_join / latest_by_key
+
+
+def test_interval_count_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    n_p, n_i = 500, 300
+    g = 1000  # max interval length
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n_p, dtype=np.int64),
+            "t": rng.integers(0, 50_000, size=n_p).astype(np.int64),
+        }
+    )
+    s = rng.integers(0, 50_000, size=n_i).astype(np.int64)
+    ln = rng.integers(1, g + 1, size=n_i).astype(np.int64)
+    iv = pd.DataFrame({"s": s, "e": s + ln})
+
+    from jesse_ray.pipelines.relational import interval_count_join
+
+    got = _pdf(
+        interval_count_join(
+            ray.data.from_pandas(pts),
+            ray.data.from_pandas(iv),
+            point_col="t",
+            id_col="pid",
+            start_col="s",
+            end_col="e",
+            max_len_us=g,
+            count_alias="n",
+            n_parts=8,
+        )
+    ).sort_values("pid").reset_index(drop=True)
+    want = np.array(
+        [((iv["s"].values <= t) & (t < iv["e"].values)).sum() for t in pts["t"]],
+        dtype=np.int64,
+    )
+    assert len(got) == n_p  # left semantics: every point present
+    assert got["n"].tolist() == want.tolist()
+
+
+def test_interval_count_join_rejects_overlong(ray_session):
+    pts = pd.DataFrame({"pid": [1], "t": [5]})
+    iv = pd.DataFrame({"s": [0], "e": [100]})
+    from jesse_ray.pipelines.relational import interval_count_join
+
+    with pytest.raises(Exception):
+        _pdf(
+            interval_count_join(
+                ray.data.from_pandas(pts),
+                ray.data.from_pandas(iv),
+                point_col="t",
+                id_col="pid",
+                start_col="s",
+                end_col="e",
+                max_len_us=10,
+                n_parts=2,
+            )
+        )
+
+
+def test_latest_by_key_matches_pandas(ray_session):
+    rng = np.random.default_rng(12)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, size=n).astype(np.int64),
+            "ts": rng.integers(0, 100, size=n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    from jesse_ray.pipelines.relational import latest_by_key
+
+    got = (
+        _pdf(latest_by_key(ray.data.from_pandas(df), "k", ["ts", "id"], n_parts=8))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "ts", "id"], kind="mergesort")
+        .drop_duplicates(subset=["k"], keep="last")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["id"].tolist() == want["id"].tolist()
+    # int key dtype survives the pandas round-trip (the hash_join fix)
+    assert got["k"].dtype == np.int64

@@ -191,3 +191,65 @@ def test_kmeans_too_few_rows(ray_session):
     )
     with pytest.raises(ValueError):
         kmeans_fit(ds, 3, n_iters=1)
+
+
+# ---------------------------------------------------------------------------
+# centroid_outliers
+
+
+def test_centroid_outliers_matches_numpy(ray_session):
+    rng = np.random.default_rng(21)
+    n, dim = 300, 8
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    lab = rng.integers(0, 5, size=n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+                "label": pa.array(lab),
+            }
+        )
+    )
+    from jesse_ray.functions.clustering import centroid_outliers
+
+    k = 4
+    got = centroid_outliers(ds, vec_col="embedding", label_col="label",
+                            id_col="vec_id", k=k, batch_size=64)
+    # numpy oracle: exact centroid per label, top-k by d2 desc, id asc
+    xd = x.astype(np.float64)
+    rows = []
+    for l in np.unique(lab):
+        m = lab == l
+        c = xd[m].mean(axis=0)
+        d2 = ((xd[m] - c) ** 2).sum(axis=1)
+        ids = np.arange(n)[m]
+        order = np.lexsort((ids, -d2))[:k]
+        for r, i in enumerate(order, 1):
+            rows.append((int(l), r, int(ids[i])))
+    want = sorted(rows)
+    g = list(
+        zip(
+            got["label"].to_pylist(),
+            got["rnk"].to_pylist(),
+            got["vec_id"].to_pylist(),
+        )
+    )
+    assert sorted(g) == want
+
+
+def test_centroid_outliers_fewer_than_k(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], type=pa.int64()),
+                "embedding": pa.array([[0.0, 0.0], [1.0, 1.0]], type=pa.list_(pa.float32())),
+                "label": pa.array([7, 7], type=pa.int64()),
+            }
+        )
+    )
+    from jesse_ray.functions.clustering import centroid_outliers
+
+    got = centroid_outliers(ds, k=5)
+    assert len(got) == 2
+    assert got["rnk"].to_pylist() == [1, 2]
