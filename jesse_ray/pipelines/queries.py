@@ -4967,6 +4967,163 @@ ORDER BY label, rnk
 """
 
 
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+
+
+def q_tpch_q5ish(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-shaped six-table composite (local-supplier revenue by
+    nation): two large-x-large hash joins for the fact chain
+    (orders⋈customer, lineitem⋈orders — coarse key-hash cogroups, never
+    a high-cardinality Ray groupby), broadcast-once Arrow joins for the
+    dims that stay dim-sized at any SF (supplier ~10k rows/SF, nation
+    25, region 5), and the c_nationkey == s_nationkey "local supplier"
+    filter applied per batch after the broadcast.  The final aggregate
+    has <= 25 keys — grouped_agg combiner partials, trivial shuffle."""
+    from jesse_ray.pipelines.relational import grouped_agg, hash_join
+
+    lo = pd.Timestamp(Q5_LO)
+    hi = pd.Timestamp(Q5_HI)
+
+    # driver-side dim prep: nation ⋈ region (25 x 5 rows) → the ASIA
+    # nationkey set + names, shipped inside the broadcast supplier table
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nr = nat.join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    nr = nr.filter(pc.equal(nr["r_name"], "ASIA"))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sup = sup.join(nr.select(["n_nationkey", "n_name"]), keys=["s_nationkey"],
+                   right_keys=["n_nationkey"], join_type="inner")  # ASIA suppliers only
+    sup_ref = ray.put(sup) if ray.is_initialized() else sup
+
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(m)
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]})
+
+    orders = orders.map_batches(o_filter, batch_format="pyarrow", zero_copy_batch=True)
+    cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_k = cust.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    oc = hash_join(orders, cust_k, on="o_custkey", how="inner")
+    oc_k = oc.map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"], "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"], "l_suppkey": batch["l_suppkey"], "rev": rev,
+        })
+
+    li = li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, oc_k, on="l_orderkey", how="inner")
+
+    def sup_join(batch: pa.Table) -> pa.Table:
+        dim = ray.get(sup_ref) if isinstance(sup_ref, ray.ObjectRef) else sup_ref
+        t = batch.join(dim, keys=["l_suppkey"], right_keys=["s_suppkey"], join_type="inner")
+        t = t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"]))
+        return pa.table({"n_name": t["n_name"], "rev": t["rev"]})
+
+    j = j.map_batches(sup_join, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(grouped_agg(j, ["n_name"], sums=["rev"], count_alias=None))
+    if out is None or out.num_rows == 0:
+        return pa.table({"n_name": pa.array([], type=pa.string()),
+                         "revenue": pa.array([], type=pa.float64())})
+    return pa.table({
+        "n_name": out["n_name"],
+        "revenue": pc.round(out["sum_rev"], 2),
+    }).sort_by([("revenue", "descending"), ("n_name", "ascending")])
+
+
+SQL_TPCH_Q5ISH = f"""
+SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{Q5_LO}' AND o_orderdate < TIMESTAMP '{Q5_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_tpch_q14ish(sf_dir: str) -> pa.Table:
+    """TPC-H Q14-shaped promo-revenue share per ship month: one
+    large-x-medium hash join (lineitem⋈part — part is 1/30 of lineitem
+    at every SF, NOT broadcast-safe at 100 TB, so it rides the same
+    coarse key-hash cogroup as the fact side), then a <=84-key monthly
+    grouped_agg of (promo_rev, rev) combiner partials and the share
+    ratio computed on the collected driver rows."""
+    from jesse_ray.pipelines.relational import grouped_agg, hash_join
+
+    part = read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    part_k = part.map_batches(
+        lambda b: b.rename_columns(["l_partkey", "p_type"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        sd = batch["l_shipdate"]
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        ym = pc.add(
+            pc.multiply(pc.year(sd).cast(pa.int64()), pa.scalar(100, type=pa.int64())),
+            pc.month(sd).cast(pa.int64()),
+        )
+        return pa.table({"l_partkey": batch["l_partkey"], "ym": ym, "rev": rev})
+
+    li = li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, part_k, on="l_partkey", how="inner")
+
+    def promo(batch: pa.Table) -> pa.Table:
+        is_promo = pc.equal(batch["p_type"], "PROMO")
+        prev = pc.if_else(is_promo, batch["rev"], pa.scalar(0.0))
+        return pa.table({"ym": batch["ym"], "rev": batch["rev"], "promo_rev": prev})
+
+    j = j.map_batches(promo, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(grouped_agg(j, ["ym"], sums=["rev", "promo_rev"], count_alias=None))
+    rev = out["sum_rev"].to_numpy(zero_copy_only=False)
+    prev = out["sum_promo_rev"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "ym": out["ym"].cast(pa.int64()),
+        "promo_share": pa.array(np.round(100.0 * prev / rev, 6)),
+        "revenue": pc.round(out["sum_rev"], 2),
+    }).sort_by("ym")
+
+
+SQL_TPCH_Q14ISH = """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ym
+ORDER BY ym
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5050,6 +5207,8 @@ def queries() -> dict[str, Callable]:
         "events_latest_state": q_events_latest_state,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q14ish": q_tpch_q14ish,
         "doc_ttr_by_source": q_doc_ttr_by_source,
         "events_corr": q_events_corr,
         "seq_global_sort": q_seq_global_sort,
@@ -5183,6 +5342,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_state": SQL_EVENTS_LATEST_STATE,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
+        "tpch_q5ish": SQL_TPCH_Q5ISH,
+        "tpch_q14ish": SQL_TPCH_Q14ISH,
         "doc_ttr_by_source": SQL_DOC_TTR_BY_SOURCE,
         "events_corr": SQL_EVENTS_CORR,
         "seq_global_sort": SQL_SEQ_GLOBAL_SORT,

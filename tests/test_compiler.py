@@ -120,6 +120,17 @@ def test_unique_items_cross_numeric():
     assert _errors(c, tbl) == [(("t",), E.NOT_UNIQUE)] * 2
 
 
+def test_unique_items_null_elements_numeric():
+    # null == null in the reference's deep equality (src/jesse_lib.erl:219-261):
+    # the numeric fast path must not let [null, null, 5] slip through via
+    # the NaN != NaN float cast (round-2 advisory finding)
+    c = compile_spec(_spec_one("t", ColumnSpec(unique_items=True)))
+    tbl = pa.table({
+        "t": pa.array([[None, None, 5], [None, 3], [1, 2]], type=pa.list_(pa.int64()))
+    })
+    assert _errors(c, tbl) == [(("t",), E.NOT_UNIQUE)]  # only the double-null row
+
+
 def test_items_subspec_paths_and_atoms():
     # per-element range with 0-based index paths (src/jesse_error.erl:85-92)
     cs = ColumnSpec(items=ColumnSpec(minimum=0, maximum=9))
