@@ -260,3 +260,126 @@ def quantize_embeddings(
 
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def pq_fit(
+    ds: Dataset,
+    *,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_iters: int = 5,
+    batch_size: int = 4096,
+) -> np.ndarray:
+    """Train a product-quantization codebook: split the vector into
+    ``m`` contiguous subspaces and run Lloyd k-means (``k`` centroids)
+    in EVERY subspace simultaneously — one streaming pass per
+    iteration computes the (m*k, sub_dim) sum/count partials for all
+    subspaces at once (per batch: one argmin matmul per subspace,
+    combiner partials; the shuffle-free tree merge of
+    clustering.kmeans_fit).  Returns codebooks (m, k, sub_dim).
+
+    PQ is the standard memory-compression step for billion-scale ANN
+    (Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): d-dim float32 → m uint8 codes.
+    Deterministic: seeding slices clustering._init_centroids'
+    hash-min-k full-dim vectors per subspace; empty clusters keep
+    their previous centroid.
+    """
+    from jesse_ray.functions.clustering import (
+        _init_centroids,
+        _mat,
+        _merge_partials,
+        _partials_table,
+    )
+
+    cents0 = _init_centroids(ds, k, vec_col, key_col)  # (k, dim)
+    dim = cents0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # (m, k, sub) — subspace j's centroids start as slices of the seeds
+    books = np.stack([cents0[:, j * sub:(j + 1) * sub] for j in range(m)])
+    vecs = ds.select_columns([vec_col])
+
+    for _ in range(n_iters):
+        ref = _maybe_put(books)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            b = _resolve(_ref)
+            x = _mat(batch[vec_col])
+            sums = np.zeros((m * k, sub), dtype=np.float64)
+            counts = np.zeros(m * k, dtype=np.int64)
+            if x.shape[0]:
+                for j in range(m):
+                    xj = x[:, j * sub:(j + 1) * sub]
+                    c = b[j]
+                    d = ((xj * xj).sum(axis=1, keepdims=True)
+                         - 2.0 * (xj @ c.T) + (c * c).sum(axis=1)[None, :])
+                    ids = d.argmin(axis=1)
+                    np.add.at(sums, j * k + ids, xj)
+                    counts[j * k:(j + 1) * k] += np.bincount(ids, minlength=k)
+            return _partials_table(sums, counts)
+
+        parts = vecs.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=batch_size)
+
+        def coalesce(batch: pa.Table) -> pa.Table:
+            s, c = _merge_partials(batch, m * k, sub)
+            return _partials_table(s, c)
+
+        merged = parts.map_batches(coalesce, batch_format="pyarrow",
+                                   batch_size=None)
+        t = pa.concat_tables(list(merged.iter_batches(batch_format="pyarrow")))
+        s, c = _merge_partials(t, m * k, sub)
+        flat = books.reshape(m * k, sub).copy()
+        nz = c > 0
+        flat[nz] = s[nz] / c[nz, None]
+        books = flat.reshape(m, k, sub)
+    return books
+
+
+def pq_assign(
+    ds: Dataset,
+    books: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Encode every vector against a trained PQ codebook: long-form
+    (key, subspace j, code) rows, one argmin matmul per subspace per
+    batch, codebook broadcast once.  Ties break on the smaller code
+    (numpy argmin picks the first minimum)."""
+    from jesse_ray.functions.clustering import _mat
+
+    m, k, sub = books.shape
+    ref = _maybe_put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = _resolve(ref)
+        x = _mat(batch[vec_col])
+        n = x.shape[0]
+        ids = _as_i64(batch[key_col])
+        codes = np.empty((n, m), dtype=np.int64)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            c = b[j]
+            d = ((xj * xj).sum(axis=1, keepdims=True)
+                 - 2.0 * (xj @ c.T) + (c * c).sum(axis=1)[None, :])
+            codes[:, j] = d.argmin(axis=1)
+        return pa.table({
+            key_col: pa.array(np.repeat(ids, m), type=pa.int64()),
+            "j": pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+            "code": pa.array(codes.ravel()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def _as_i64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)

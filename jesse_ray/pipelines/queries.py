@@ -5124,6 +5124,148 @@ ORDER BY ym
 """
 
 
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_events_cohort_retention(sf_dir: str) -> pa.Table:
+    """Weekly cohort retention matrix: users are anchored to the week
+    of their FIRST event (relational.latest_by_key keep='first' — the
+    same coarse key-hash compaction as CDC latest-state, flipped), the
+    anchor joins back to the full stream on a cogroup hash join, and
+    the matrix cell (cohort_week, offset_weeks) counts DISTINCT users
+    (grouped_count_distinct: per-batch pair dedup before anything
+    moves).  The product-analytics workhorse over an append-only event
+    log."""
+    from jesse_ray.functions.seqops import _combine
+    from jesse_ray.pipelines.relational import (
+        grouped_count_distinct,
+        hash_join,
+        latest_by_key,
+    )
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    first = latest_by_key(ev, "user_id", ["ts"], keep="first")
+
+    def to_cohort(batch: pa.Table) -> pa.Table:
+        ts = _combine(batch["ts"]).cast(pa.timestamp("us")).cast(pa.int64())
+        w = pc.floor(pc.divide(ts.cast(pa.float64()), float(_WEEK_US))).cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "cohort_w": w})
+
+    first = first.map_batches(to_cohort, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_week(batch: pa.Table) -> pa.Table:
+        ts = _combine(batch["ts"]).cast(pa.timestamp("us")).cast(pa.int64())
+        w = pc.floor(pc.divide(ts.cast(pa.float64()), float(_WEEK_US))).cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "week": w})
+
+    weeks = ev.map_batches(to_week, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(weeks, first, on="user_id", how="inner")
+
+    def offset(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_w": batch["cohort_w"],
+            "offset_w": pc.subtract(batch["week"], batch["cohort_w"]),
+            "user_id": batch["user_id"],
+        })
+
+    j = j.map_batches(offset, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(grouped_count_distinct(j, ["cohort_w", "offset_w"], "user_id",
+                                          alias="n_users"))
+    return pa.table({
+        "cohort_w": out["cohort_w"].cast(pa.int64()),
+        "offset_w": out["offset_w"].cast(pa.int64()),
+        "n_users": out["n_users"].cast(pa.int64()),
+    }).sort_by([("cohort_w", "ascending"), ("offset_w", "ascending")])
+
+
+SQL_EVENTS_COHORT_RETENTION = f"""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(min(ts)) / {_WEEK_US}.0) AS BIGINT) AS cohort_w
+  FROM events GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id, f.cohort_w,
+         CAST(floor(epoch_us(e.ts) / {_WEEK_US}.0) AS BIGINT) - f.cohort_w AS offset_w
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_w, offset_w, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY cohort_w, offset_w
+ORDER BY cohort_w, offset_w
+"""
+
+
+PQ_M, PQ_K = 8, 16
+
+
+def q_emb_pq(sf_dir: str) -> pa.Table:
+    """Product-quantization encode (Jegou et al., TPAMI 2011 — the
+    memory-compression step for billion-scale ANN): train m=8 × k=16
+    sub-codebooks with ALL subspaces Lloyd-updated in one streaming
+    pass per iteration (similarity.pq_fit), then encode every vector
+    (one argmin matmul per subspace, codebook broadcast once).  The
+    twin re-checks from the code + centroid sidecars that every
+    assigned code is within 1e-9 of the subspace-optimal distance,
+    then aggregates the (j, code) histogram — exactly the
+    emb_kmeans envelope discipline."""
+    from jesse_ray.functions.similarity import pq_assign, pq_fit
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    books = pq_fit(ds, m=PQ_M, k=PQ_K, n_iters=4)
+    codes = _collect(pq_assign(ds, books))
+    pq.write_table(codes.sort_by([("vec_id", "ascending"), ("j", "ascending")]),
+                   _sig_parquet_path(sf_dir, "pq_codes"))
+    m, k, sub = books.shape
+    jj, cc, ii = np.meshgrid(np.arange(m), np.arange(k), np.arange(sub), indexing="ij")
+    pq.write_table(
+        pa.table({
+            "j": pa.array(jj.ravel(), type=pa.int64()),
+            "c": pa.array(cc.ravel(), type=pa.int64()),
+            # global 1-based embedding dim this centroid coord scores
+            "i": pa.array((jj * sub + ii + 1).ravel(), type=pa.int64()),
+            "v": pa.array(books.ravel(), type=pa.float64()),
+        }),
+        _sig_parquet_path(sf_dir, "pq_cents"),
+    )
+    hist = (
+        codes.group_by(["j", "code"]).aggregate([([], "count_all")])
+        .rename_columns(["j", "code", "n"])
+    )
+    return pa.table({
+        "j": hist["j"], "code": hist["code"], "n": hist["n"].cast(pa.int64()),
+    }).sort_by([("j", "ascending"), ("code", "ascending")])
+
+
+SQL_EMB_PQ = """
+WITH codes AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/pq_codes_sigs_sf0.01.parquet')),
+cents AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/pq_cents_sigs_sf0.01.parquet')),
+dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT d.vec_id, c.j, c.c, sum((d.x - c.v) * (d.x - c.v)) AS d2
+  FROM dims d JOIN cents c ON c.i = d.i
+  GROUP BY d.vec_id, c.j, c.c
+),
+best AS (SELECT vec_id, j, min(d2) AS mind FROM dist GROUP BY vec_id, j),
+own AS (
+  SELECT dist.vec_id, dist.j, dist.d2 AS ownd
+  FROM dist JOIN codes ON codes.vec_id = dist.vec_id
+                      AND codes.j = dist.j AND codes.code = dist.c
+),
+ok AS (
+  SELECT count(*) = 0 AS good
+  FROM own JOIN best USING (vec_id, j) WHERE ownd > mind + 1e-9
+)
+SELECT j, code, CAST(count(*) AS BIGINT) AS n FROM codes
+GROUP BY j, code
+HAVING (SELECT good FROM ok)
+ORDER BY j, code
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5209,6 +5351,8 @@ def queries() -> dict[str, Callable]:
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q14ish": q_tpch_q14ish,
+        "events_cohort_retention": q_events_cohort_retention,
+        "emb_pq": q_emb_pq,
         "doc_ttr_by_source": q_doc_ttr_by_source,
         "events_corr": q_events_corr,
         "seq_global_sort": q_seq_global_sort,
@@ -5344,6 +5488,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
         "tpch_q14ish": SQL_TPCH_Q14ISH,
+        "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
+        "emb_pq": SQL_EMB_PQ,
         "doc_ttr_by_source": SQL_DOC_TTR_BY_SOURCE,
         "events_corr": SQL_EVENTS_CORR,
         "seq_global_sort": SQL_SEQ_GLOBAL_SORT,

@@ -1753,6 +1753,7 @@ def latest_by_key(
     key: str,
     order_cols: Sequence[str],
     *,
+    keep: str = "last",
     n_parts: int = 64,
     batch_size: int = 65536,
 ) -> Dataset:
@@ -1760,6 +1761,8 @@ def latest_by_key(
     per key, the single row that is greatest by ``order_cols`` (e.g.
     ``[ts, event_id]`` — the id as a deterministic tiebreaker).  The
     streaming analogue of applying a changelog to get current state.
+    ``keep="first"`` keeps the SMALLEST row instead (earliest event —
+    cohort anchors, first-touch attribution).
 
     Two-phase: a per-batch combiner keeps one candidate row per key
     seen in the batch (so the shuffle carries at most
@@ -1770,16 +1773,18 @@ def latest_by_key(
     — see hash_join's same fix)."""
     from jesse_ray.hashutil import hash_partition_pandas
 
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     types = _arrow_types(ds)
     cols = list(types.keys())
     sort_cols = [key, *order_cols]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(sort_cols, kind="mergesort").drop_duplicates(subset=[key], keep="last")
+        df = df.sort_values(sort_cols, kind="mergesort").drop_duplicates(subset=[key], keep=keep)
         return hash_partition_pandas(df, [key], n_parts)
 
     def final(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(sort_cols, kind="mergesort").drop_duplicates(subset=[key], keep="last")
+        g = g.sort_values(sort_cols, kind="mergesort").drop_duplicates(subset=[key], keep=keep)
         arrs = {c: pa.Array.from_pandas(g[c], type=types[c]) for c in cols}
         return pa.table(arrs)
 

@@ -217,3 +217,22 @@ def test_latest_by_key_matches_pandas(ray_session):
     assert got["id"].tolist() == want["id"].tolist()
     # int key dtype survives the pandas round-trip (the hash_join fix)
     assert got["k"].dtype == np.int64
+
+
+def test_latest_by_key_keep_first(ray_session):
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2],
+            "ts": [5, 3, 9, 9],
+            "id": [10, 11, 12, 13],
+        }
+    )
+    from jesse_ray.pipelines.relational import latest_by_key
+
+    got = (
+        _pdf(latest_by_key(ray.data.from_pandas(df), "k", ["ts", "id"], keep="first", n_parts=2))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 -> earliest ts 3 (id 11); k=2 -> ts tie, smaller id 12 wins
+    assert got["id"].tolist() == [11, 12]

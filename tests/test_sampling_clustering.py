@@ -253,3 +253,53 @@ def test_centroid_outliers_fewer_than_k(ray_session):
     got = centroid_outliers(ds, k=5)
     assert len(got) == 2
     assert got["rnk"].to_pylist() == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def test_pq_fit_assign_optimal_codes(ray_session):
+    rng = np.random.default_rng(31)
+    n, dim, m, k = 240, 16, 4, 4
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    from jesse_ray.functions.similarity import pq_assign, pq_fit
+
+    books = pq_fit(ds, m=m, k=k, n_iters=3, batch_size=64)
+    assert books.shape == (m, k, dim // m)
+    t = pa.concat_tables(list(pq_assign(ds, books, batch_size=64).iter_batches(batch_format="pyarrow")))
+    assert len(t) == n * m
+    # every code is argmin of the true subspace distance
+    sub = dim // m
+    xd = x.astype(np.float64)
+    codes = {(v, j): c for v, j, c in zip(t["vec_id"].to_pylist(), t["j"].to_pylist(), t["code"].to_pylist())}
+    for v in range(0, n, 37):
+        for j in range(m):
+            d = ((xd[v, j * sub:(j + 1) * sub] - books[j]) ** 2).sum(axis=1)
+            assert codes[(v, j)] == int(d.argmin())
+
+
+def test_pq_fit_deterministic(ray_session):
+    rng = np.random.default_rng(32)
+    x = rng.normal(size=(100, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(100, dtype=np.int64)),
+                "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    from jesse_ray.functions.similarity import pq_fit
+
+    b1 = pq_fit(ds, m=2, k=4, n_iters=2, batch_size=32)
+    b2 = pq_fit(ds, m=2, k=4, n_iters=2, batch_size=32)
+    np.testing.assert_allclose(b1, b2, rtol=0, atol=1e-12)
