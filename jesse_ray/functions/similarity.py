@@ -383,3 +383,86 @@ def _as_i64(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def pca_fit(
+    ds: Dataset,
+    out_dim: int,
+    *,
+    vec_col: str = "embedding",
+    batch_size: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact distributed PCA fit in ONE streaming pass: per-batch
+    moment partials (n, Σx, ΣxᵀX — dim² doubles, ~32 KB at dim=64)
+    are merged on the driver (bounded by n_blocks × dim², never
+    corpus-shaped), cov = E[xxᵀ] − µµᵀ, then a driver-side ``eigh``
+    of the tiny dim×dim matrix.  Returns ``(mean, components)`` with
+    components (dim, out_dim), leading eigenvectors first — the
+    whitening / compression front-end for embedding columns at scale.
+    """
+    from jesse_ray.functions.clustering import _mat
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _mat(batch[vec_col])
+        n, d = x.shape
+        s = x.sum(axis=0) if n else np.zeros(0)
+        g = x.T @ x if n else np.zeros((0, 0))
+        return pa.table({
+            "n": pa.array([n], type=pa.int64()),
+            "s": pa.array([s.tolist()], type=pa.list_(pa.float64())),
+            "g": pa.array([g.ravel().tolist()], type=pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=batch_size)
+    t = pa.concat_tables(list(parts.iter_batches(batch_format="pyarrow")))
+    ns = t["n"].to_numpy(zero_copy_only=False)
+    keep = ns > 0
+    n_tot = int(ns.sum())
+    if n_tot == 0:
+        raise ValueError("cannot fit PCA on an empty dataset")
+    import pyarrow.compute as pc
+
+    svecs = _as_matrix(t["s"].filter(pa.array(keep)))
+    gvecs = _as_matrix(t["g"].filter(pa.array(keep)))
+    dim = svecs.shape[1]
+    mu = svecs.sum(axis=0) / n_tot
+    gram = gvecs.sum(axis=0).reshape(dim, dim) / n_tot
+    cov = gram - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comp = v[:, ::-1][:, :out_dim]  # leading components first
+    # deterministic sign: make the largest-|coord| entry positive
+    am = np.abs(comp).argmax(axis=0)
+    comp = comp * np.sign(comp[am, np.arange(comp.shape[1])])[None, :]
+    return mu, comp
+
+
+def pca_transform(
+    ds: Dataset,
+    mean: np.ndarray,
+    components: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Project every vector onto fitted components: (x − µ) @ W, one
+    BLAS matmul per batch, (µ, W) broadcast once."""
+    ref = _maybe_put((np.asarray(mean, dtype=np.float64),
+                      np.asarray(components, dtype=np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        from jesse_ray.functions.clustering import _mat
+
+        mu, W = _resolve(ref)
+        x = _mat(batch[vec_col])
+        p = (x - mu[None, :]) @ W if x.size else np.zeros((0, W.shape[1]))
+        n, od = (p.shape if p.size else (0, W.shape[1]))
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * od, od, dtype=np.int64), type=pa.int32()),
+            pa.array(p.ravel(), type=pa.float64()),
+        )
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

@@ -5266,6 +5266,164 @@ ORDER BY j, code
 """
 
 
+PCA_DIM = 8
+
+
+def q_emb_pca(sf_dir: str) -> pa.Table:
+    """Exact distributed PCA (64→8): one streaming moment-partials pass
+    (n, Σx, Σxxᵀ per block — driver merge bounded by n_blocks × dim²),
+    driver eigh of the 64×64 covariance with sign-canonicalized
+    components, broadcast-once projection matmul
+    (similarity.pca_fit/pca_transform).  The twin re-derives EVERY
+    projected coordinate in SQL from the mean + component sidecars —
+    the emb_project discipline."""
+    from jesse_ray.functions.similarity import pca_fit, pca_transform
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mu, W = pca_fit(ds, PCA_DIM)
+    dim, od = W.shape
+    pq.write_table(
+        pa.table({
+            "i": pa.array(np.arange(1, dim + 1), type=pa.int64()),
+            "mu": pa.array(mu, type=pa.float64()),
+        }),
+        _sig_parquet_path(sf_dir, "pca_mean"),
+    )
+    ii, jj = np.meshgrid(np.arange(1, dim + 1), np.arange(od), indexing="ij")
+    pq.write_table(
+        pa.table({
+            "i": pa.array(ii.ravel(), type=pa.int64()),
+            "j": pa.array(jj.ravel(), type=pa.int64()),
+            "w": pa.array(W.ravel(), type=pa.float64()),
+        }),
+        _sig_parquet_path(sf_dir, "pca_comp"),
+    )
+    out = pca_transform(ds, mu, W)
+
+    def longform(batch: pa.Table) -> pa.Table:
+        proj = batch["pca"]
+        if isinstance(proj, pa.ChunkedArray):
+            proj = proj.combine_chunks()
+        n = len(proj)
+        vals = pc.list_flatten(proj).to_numpy(zero_copy_only=False)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, PCA_DIM), type=pa.int64()),
+            "j": pa.array(np.tile(np.arange(PCA_DIM, dtype=np.int64), n)),
+            "val": pa.array(np.round(vals, 4), type=pa.float64()),
+        })
+
+    return _collect(out.map_batches(longform, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_EMB_PCA = """
+WITH m AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/pca_mean_sigs_sf0.01.parquet')),
+w AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/pca_comp_sigs_sf0.01.parquet')),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+centered AS (
+  SELECT e.vec_id, e.i, e.x - m.mu AS xc FROM e JOIN m USING (i)
+)
+SELECT c.vec_id, w.j, round(sum(c.xc * w.w), 4) AS val
+FROM centered c JOIN w ON w.i = c.i
+GROUP BY c.vec_id, w.j
+ORDER BY c.vec_id, w.j
+"""
+
+
+def _lr_features(batch: pa.Table) -> np.ndarray:
+    """Design matrix for the quality classifier — integer counts the
+    SQL twin reproduces exactly, turned into ratios by SINGLE divisions
+    (same operands ⇒ same IEEE result on both sides): [1, q_len/1000,
+    n_alpha/q_len, n_space/q_len]."""
+    txt = batch["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    q_len = pc.utf8_length(txt).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_alpha = (
+        pc.utf8_length(pc.replace_substring_regex(txt, "[^A-Za-z]", ""))
+        .cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    n_space = (
+        pc.subtract(pc.utf8_length(txt), pc.utf8_length(pc.replace_substring(txt, " ", "")))
+        .cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    d = np.maximum(q_len, 1.0)
+    return np.column_stack([
+        np.ones(len(q_len)), q_len / 1000.0, n_alpha / d, n_space / d,
+    ])
+
+
+def q_doc_lr_quality(sf_dir: str) -> pa.Table:
+    """Fasttext-style linear quality classifier trained DISTRIBUTED
+    (functions.linear.logreg_fit: each GD step is one streaming pass of
+    per-batch gradient partials, driver holds only the 4-dim weight
+    vector), predicting is-English from length/alpha/space ratio
+    features, then scored corpus-wide with the weights broadcast once.
+    Output is the raw log-odds (no exp — libm ulp differences would
+    poison the twin); the per-doc linear term is evaluated with the
+    SAME sequential adds as the SQL expression, so scores from the
+    exported weight sidecar are IEEE-identical."""
+    from jesse_ray.functions.linear import logreg_fit
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def label(batch: pa.Table) -> np.ndarray:
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        return pc.equal(lang, "en").to_numpy(zero_copy_only=False).astype(np.float64)
+
+    w = logreg_fit(ds, _lr_features, label, n_features=4, lr=0.5, n_steps=25)
+    pq.write_table(
+        pa.table({"k": pa.array(np.arange(4), type=pa.int64()),
+                  "w": pa.array(w, type=pa.float64())}),
+        _sig_parquet_path(sf_dir, "lr_weights"),
+    )
+    ref = ray.put(w) if ray.is_initialized() else w
+
+    def score(batch: pa.Table) -> pa.Table:
+        wk = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        x = _lr_features(batch)
+        # sequential adds mirroring the SQL twin term order exactly
+        z = wk[0] + wk[1] * x[:, 1]
+        z = z + wk[2] * x[:, 2]
+        z = z + wk[3] * x[:, 3]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "logit": pa.array(np.round(z, 6), type=pa.float64()),
+        })
+
+    return _collect(ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DOC_LR_QUALITY = """
+WITH w AS (
+  SELECT max(CASE WHEN k = 0 THEN w END) AS w0,
+         max(CASE WHEN k = 1 THEN w END) AS w1,
+         max(CASE WHEN k = 2 THEN w END) AS w2,
+         max(CASE WHEN k = 3 THEN w END) AS w3
+  FROM read_parquet('/tmp/jesse_ray_data/lr_weights_sigs_sf0.01.parquet')
+),
+f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS q_len,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+  FROM documents
+)
+SELECT doc_id,
+       round(((w.w0 + w.w1 * (CAST(q_len AS DOUBLE) / 1000.0))
+              + w.w2 * (CAST(n_alpha AS DOUBLE) / CAST(greatest(q_len, 1) AS DOUBLE)))
+              + w.w3 * (CAST(n_space AS DOUBLE) / CAST(greatest(q_len, 1) AS DOUBLE)), 6) AS logit
+FROM f, w
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5353,6 +5511,8 @@ def queries() -> dict[str, Callable]:
         "tpch_q14ish": q_tpch_q14ish,
         "events_cohort_retention": q_events_cohort_retention,
         "emb_pq": q_emb_pq,
+        "emb_pca": q_emb_pca,
+        "doc_lr_quality": q_doc_lr_quality,
         "doc_ttr_by_source": q_doc_ttr_by_source,
         "events_corr": q_events_corr,
         "seq_global_sort": q_seq_global_sort,
@@ -5490,6 +5650,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14ish": SQL_TPCH_Q14ISH,
         "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
         "emb_pq": SQL_EMB_PQ,
+        "emb_pca": SQL_EMB_PCA,
+        "doc_lr_quality": SQL_DOC_LR_QUALITY,
         "doc_ttr_by_source": SQL_DOC_TTR_BY_SOURCE,
         "events_corr": SQL_EVENTS_CORR,
         "seq_global_sort": SQL_SEQ_GLOBAL_SORT,

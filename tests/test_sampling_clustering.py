@@ -303,3 +303,66 @@ def test_pq_fit_deterministic(ray_session):
     b1 = pq_fit(ds, m=2, k=4, n_iters=2, batch_size=32)
     b2 = pq_fit(ds, m=2, k=4, n_iters=2, batch_size=32)
     np.testing.assert_allclose(b1, b2, rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# PCA
+
+
+def test_pca_fit_matches_numpy(ray_session):
+    rng = np.random.default_rng(41)
+    n, dim, od = 300, 12, 3
+    x = (rng.normal(size=(n, dim)) @ np.diag(np.linspace(5, 0.1, dim))).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    from jesse_ray.functions.similarity import pca_fit, pca_transform
+
+    mu, W = pca_fit(ds, od, batch_size=64)
+    xd = x.astype(np.float64)
+    np.testing.assert_allclose(mu, xd.mean(axis=0), rtol=1e-9, atol=1e-9)
+    cov = (xd.T @ xd) / n - np.outer(mu, mu)
+    w_ref, v_ref = np.linalg.eigh(cov)
+    ref = v_ref[:, ::-1][:, :od]
+    # component spans must agree up to sign
+    for j in range(od):
+        c = abs(float(ref[:, j] @ W[:, j]))
+        assert c > 1 - 1e-6
+    # projection variance per component == eigenvalue (descending)
+    t = pa.concat_tables(list(
+        pca_transform(ds, mu, W, batch_size=64).iter_batches(batch_format="pyarrow")
+    ))
+    import pyarrow.compute as _pc
+    p = _pc.list_flatten(t["pca"].combine_chunks()).to_numpy(zero_copy_only=False).reshape(n, od)
+    np.testing.assert_allclose(p.var(axis=0), w_ref[::-1][:od], rtol=1e-6)
+
+
+def test_logreg_fit_learns_separable(ray_session):
+    rng = np.random.default_rng(42)
+    n = 400
+    a = rng.normal(size=n)
+    y = (a > 0).astype(np.float64)
+    tbl = pa.table({"a": pa.array(a), "y": pa.array(y)})
+    ds = ray.data.from_arrow(tbl)
+    from jesse_ray.functions.linear import logreg_fit
+
+    def feats(b: pa.Table) -> np.ndarray:
+        v = b["a"].to_numpy(zero_copy_only=False)
+        return np.column_stack([np.ones(len(v)), v])
+
+    def lab(b: pa.Table) -> np.ndarray:
+        return b["y"].to_numpy(zero_copy_only=False)
+
+    w = logreg_fit(ds, feats, lab, n_features=2, lr=1.0, n_steps=30, batch_size=64)
+    # slope strongly positive, accuracy high
+    assert w[1] > 1.0
+    z = w[0] + w[1] * a
+    assert ((z > 0) == (y > 0.5)).mean() > 0.9
+    # deterministic across runs
+    w2 = logreg_fit(ds, feats, lab, n_features=2, lr=1.0, n_steps=30, batch_size=64)
+    np.testing.assert_array_equal(w, w2)
