@@ -28,9 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--input-format",
         default="parquet",
-        choices=["parquet", "jsonl"],
+        choices=["parquet", "jsonl", "csv"],
         help="corpus file format (jsonl = one JSON document per line, the "
-        "reference CLI's native instance format)",
+        "reference CLI's native instance format; csv for flat tabular corpora)",
     )
     p.add_argument("--files-per-partition", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")

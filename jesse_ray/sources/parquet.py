@@ -108,7 +108,12 @@ def read_corpus(
         if columns is not None:
             ds = ds.select_columns(columns)
         return ds
-    raise ValueError(f"unknown corpus format {format!r} (parquet|jsonl)")
+    if format == "csv":
+        ds = ray.data.read_csv(path, **kw)
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        return ds
+    raise ValueError(f"unknown corpus format {format!r} (parquet|jsonl|csv)")
 
 
 def write_violations(ds: Dataset, out_dir: str, **kw) -> None:

@@ -523,3 +523,42 @@ def test_cross_partition_duplicate_keys(tmp_path, ray_session):
     assert not s["passed"]
     uv = pq.read_table(tmp_path / "out" / "unique_violations.parquet")
     assert uv["doc_id"].to_pylist() == ["x-2"]
+
+
+def test_csv_corpus_parity(tmp_path, ray_session):
+    """A flat csv corpus must validate identically to the same rows read
+    from parquet (csv carries no list columns — flat schemas only)."""
+    import pyarrow.parquet as pq
+
+    from jesse_ray.engine import validate_dataset
+    from jesse_ray.sources import read_corpus
+    from jesse_ray.spec import ColumnSpec, TableSpec
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "n_tok": pa.array([5, -1, 900, 30], type=pa.int64()),
+        "source": pa.array(["web", "web", "book", "??"]),
+    })
+    pq_path = tmp_path / "flat.parquet"
+    pq.write_table(tbl, pq_path)
+    csv_path = tmp_path / "flat.csv"
+    with open(csv_path, "w") as f:
+        f.write("doc_id,n_tok,source\n")
+        for r in tbl.to_pylist():
+            f.write(f"{r['doc_id']},{r['n_tok']},{r['source']}\n")
+
+    spec = TableSpec(
+        columns={
+            "doc_id": ColumnSpec(required=True),
+            "n_tok": ColumnSpec(minimum=0, maximum=512),
+            "source": ColumnSpec(pattern="^[a-z]+$"),
+        }
+    )
+    from jesse_ray.sources import read_table
+
+    res_pq = validate_dataset(read_table(str(pq_path)), spec, check_unique=False)
+    res_csv = validate_dataset(
+        read_corpus(str(csv_path), format="csv"), spec, check_unique=False
+    )
+    assert res_pq.counts_by_error() == res_csv.counts_by_error()
+    assert sum(res_csv.counts_by_error().values()) > 0
