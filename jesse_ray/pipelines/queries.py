@@ -4876,6 +4876,30 @@ ORDER BY user_id
 """
 
 
+def q_events_scd2(sf_dir: str) -> pa.Table:
+    """SCD type-2 intervalization: the event stream as a per-user version
+    history with half-open validity windows — valid_to is the NEXT
+    change's ts for the same user, null for the current version
+    (lead() semantics; relational.scd2_intervals — coarse key-hash
+    shuffle + one vectorized mergesort+shift per part, never a
+    per-user groupby)."""
+    from jesse_ray.pipelines.relational import scd2_intervals
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    out = scd2_intervals(ev, "user_id", ["ts", "event_id"],
+                         valid_from="ts", valid_to="valid_to")
+    return _collect(out).sort_by("event_id")
+
+
+SQL_EVENTS_SCD2 = """
+SELECT event_id, user_id, ts, event_type,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM events
+ORDER BY event_id
+"""
+
+
 def q_seq_remap_tokens(sf_dir: str) -> pa.Table:
     """Vocabulary compaction: rank every token id by global frequency
     (ties → smaller id) and remap the whole corpus old-id → rank;
@@ -5505,6 +5529,7 @@ def queries() -> dict[str, Callable]:
         "events_histogram": q_events_histogram,
         "events_click_attribution": q_events_click_attribution,
         "events_latest_state": q_events_latest_state,
+        "events_scd2": q_events_scd2,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -5644,6 +5669,7 @@ def oracle_sql() -> dict[str, str]:
         "events_histogram": SQL_EVENTS_HISTOGRAM,
         "events_click_attribution": SQL_EVENTS_CLICK_ATTRIBUTION,
         "events_latest_state": SQL_EVENTS_LATEST_STATE,
+        "events_scd2": SQL_EVENTS_SCD2,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

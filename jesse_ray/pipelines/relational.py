@@ -1793,3 +1793,59 @@ def latest_by_key(
         .groupby("__part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def scd2_intervals(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    n_parts: int = 64,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Slowly-changing-dimension type-2 intervalization: turn a changelog
+    (one row per change event) into versioned rows with half-open
+    validity windows ``[valid_from, valid_to)`` — ``valid_to`` is the
+    NEXT change's timestamp for the same key, null for the current
+    version (``lead() OVER (PARTITION BY key ORDER BY order_cols)``
+    semantics; the first element of ``order_cols`` is the event-time
+    column, the rest deterministic tiebreakers).
+
+    Unlike ``latest_by_key`` every version row survives, so there is no
+    map-side keep-one combiner — the shuffle is inherently corpus-sized.
+    What keeps it scale-safe: (1) a COARSE key-hash shuffle (≤ n_parts
+    shuffle keys, never the raw key — Ray's sort-based groupby dies on
+    high-cardinality keys), (2) one vectorized mergesort + shift per
+    part (no per-key Python), (3) callers prune to the columns the
+    versioned output needs before calling.  Output Arrow types are
+    restored from the input schema; ``valid_to`` gets the event-time
+    column's type (nullable)."""
+    from jesse_ray.hashutil import hash_partition_pandas
+
+    ts_col = order_cols[0]
+    types = _arrow_types(ds)
+    cols = list(types.keys())
+    sort_cols = [key, *order_cols]
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, [key], n_parts)
+
+    def intervalize(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(sort_cols, kind="mergesort")
+        nxt = g[ts_col].shift(-1)
+        same_key = g[key].shift(-1).values == g[key].values
+        nxt = nxt.where(same_key)
+        arrs = {c: pa.Array.from_pandas(g[c], type=types[c]) for c in cols}
+        out = pa.table(arrs)
+        out = out.append_column(valid_to, pa.Array.from_pandas(nxt, type=types[ts_col]))
+        if valid_from != ts_col:
+            out = out.append_column(valid_from, out[ts_col])
+        return out
+
+    return (
+        ds.map_batches(part, batch_format="pandas", batch_size=batch_size)
+        .groupby("__part")
+        .map_groups(intervalize, batch_format="pandas")
+    )

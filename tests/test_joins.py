@@ -236,3 +236,33 @@ def test_latest_by_key_keep_first(ray_session):
     )
     # k=1 -> earliest ts 3 (id 11); k=2 -> ts tie, smaller id 12 wins
     assert got["id"].tolist() == [11, 12]
+
+
+def test_scd2_intervals_matches_pandas_lead(ray_session):
+    rng = np.random.default_rng(21)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=n).astype(np.int64),
+            "ts": rng.integers(0, 50, size=n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    from jesse_ray.pipelines.relational import scd2_intervals
+
+    got = (
+        _pdf(scd2_intervals(ray.data.from_pandas(df), "k", ["ts", "id"],
+                            valid_from="ts", n_parts=8))
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "ts", "id"], kind="mergesort").copy()
+    want["valid_to"] = want.groupby("k")["ts"].shift(-1)
+    want = want.sort_values("id").reset_index(drop=True)
+    assert len(got) == n
+    got_vt = got["valid_to"].astype(float)
+    want_vt = want["valid_to"].astype(float)
+    assert got_vt.isna().equals(want_vt.isna())
+    assert (got_vt.dropna().values == want_vt.dropna().values).all()
+    # exactly one open (current) version per key
+    assert int(got["valid_to"].isna().sum()) == df["k"].nunique()
