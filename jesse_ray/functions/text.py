@@ -1176,3 +1176,61 @@ def add_backoff_logprob(
         BackoffScorer(ref, text_col, out_col),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
     )
+
+
+def conjunctive_search(
+    ds: "Dataset",
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 20,
+    batch_size: int = 8192,
+) -> pa.Table:
+    """Ad-hoc conjunctive (AND-of-terms) full-text search ranked by
+    summed term frequency — the query-side half of an inverted index,
+    run as one streaming scan instead of an index build (for a handful
+    of query terms, scanning beats materializing postings: nothing but
+    per-batch top-k candidates ever leaves the workers, no shuffle at
+    all; the index-BUILD half lives in ``document_frequency_topk``).
+
+    Per batch (vectorized): one ``split_pattern`` (``string_split(text,
+    ' ')`` oracle parity) + ``list_flatten``, then one Arrow equality
+    mask + ``np.bincount`` over parent indices per query term — tf of
+    every term for every doc in the batch with no per-row Python.  Docs
+    are rows, so a doc's whole tf vector is computed in whichever batch
+    holds it.  Each batch emits at most ``k`` candidate rows
+    ``(key, score)``; the driver merges ``k × n_blocks`` rows.
+
+    Ranking: score = Σ tf(term) over the query terms, ties broken
+    ascending on ``key`` — deterministic."""
+    terms = list(terms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(batch)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lens)
+        flat = pc.list_flatten(words)
+        score = np.zeros(n, dtype=np.int64)
+        present = np.ones(n, dtype=bool)
+        for t in terms:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[hit], minlength=n)
+            score += tf
+            present &= tf > 0
+        keys = batch[key_col].to_numpy(zero_copy_only=False)[present]
+        sc = score[present]
+        order = np.lexsort((keys, -sc))[:k]
+        return pa.table({key_col: pa.array(keys[order], type=batch.schema.field(key_col).type),
+                         "score": pa.array(sc[order], type=pa.int64())})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+    batches = list(cand.iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(batches) if batches else pa.table(
+        {key_col: pa.array([], type=pa.int64()), "score": pa.array([], type=pa.int64())})
+    return merged.sort_by([("score", "descending"), (key_col, "ascending")]).slice(0, k)

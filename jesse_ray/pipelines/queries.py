@@ -4900,6 +4900,38 @@ ORDER BY event_id
 """
 
 
+SEARCH_TERMS = ("sort", "vector", "stream")
+
+
+def q_doc_search(sf_dir: str) -> pa.Table:
+    """Conjunctive (AND) full-text search over the documents corpus,
+    top 20 by summed term frequency (text.conjunctive_search — one
+    vectorized streaming scan, per-batch top-k partials, zero shuffle;
+    the driver merges k × n_blocks candidate rows only)."""
+    from jesse_ray.functions.text import conjunctive_search
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return conjunctive_search(ds, SEARCH_TERMS, k=20)
+
+
+SQL_DOC_SEARCH = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM w
+  WHERE word IN ({", ".join(f"'{t}'" for t in SEARCH_TERMS)})
+  GROUP BY doc_id, word
+),
+hits AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+  FROM tf GROUP BY doc_id
+  HAVING count(DISTINCT word) = {len(SEARCH_TERMS)}
+)
+SELECT doc_id, score FROM hits ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def q_seq_remap_tokens(sf_dir: str) -> pa.Table:
     """Vocabulary compaction: rank every token id by global frequency
     (ties → smaller id) and remap the whole corpus old-id → rank;
@@ -5530,6 +5562,7 @@ def queries() -> dict[str, Callable]:
         "events_click_attribution": q_events_click_attribution,
         "events_latest_state": q_events_latest_state,
         "events_scd2": q_events_scd2,
+        "doc_search": q_doc_search,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -5670,6 +5703,7 @@ def oracle_sql() -> dict[str, str]:
         "events_click_attribution": SQL_EVENTS_CLICK_ATTRIBUTION,
         "events_latest_state": SQL_EVENTS_LATEST_STATE,
         "events_scd2": SQL_EVENTS_SCD2,
+        "doc_search": SQL_DOC_SEARCH,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

@@ -2626,3 +2626,33 @@ def test_remap_checksums_chunked_matches_unchunked(ray_session):
     out = remap_checksums_by_group(ds, (tok, new), batch_size=16)
     got = dict(zip(out["source"].to_pylist(), out["checksum"].to_pylist()))
     assert got == want
+
+
+def test_conjunctive_search_and_semantics(ray_session):
+    import pyarrow as pa
+    from jesse_ray.functions.text import conjunctive_search
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            "cat dog cat",        # both terms, score 3
+            "cat cat cat",        # missing dog -> excluded
+            "dog cat dog dog",    # both, score 4
+            "bird",               # neither
+        ],
+    })
+    got = conjunctive_search(ray.data.from_arrow(t), ["cat", "dog"], k=10, batch_size=2)
+    assert got["doc_id"].to_pylist() == [3, 1]
+    assert got["score"].to_pylist() == [4, 3]
+
+
+def test_conjunctive_search_tie_breaks_on_key(ray_session):
+    import pyarrow as pa
+    from jesse_ray.functions.text import conjunctive_search
+
+    t = pa.table({
+        "doc_id": pa.array([9, 2, 5], type=pa.int64()),
+        "text": ["x y", "x y", "x y"],
+    })
+    got = conjunctive_search(ray.data.from_arrow(t), ["x", "y"], k=2, batch_size=1)
+    assert got["doc_id"].to_pylist() == [2, 5]
