@@ -840,3 +840,80 @@ def remap_checksums_by_group(
         "n_docs": out["__n_sum"].cast(pa.int64()),
         "checksum": out["__ck_sum"].cast(pa.int64()),
     })
+
+
+def fim_split(
+    ds: Dataset,
+    *,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    keep_cols: tuple = ("source",),
+    salt: str = "fim",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Fill-in-the-middle (FIM) preprocessing (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    split each token sequence at two uniform cut points into
+    (prefix, middle, suffix) and score the SPM reordering
+    suffix‖prefix‖middle.  Cut points are DETERMINISTIC uniform draws —
+    ``u = fmix64(hash64(salt|doc_id)) / 2^64``, the repo-wide seeded-RNG
+    convention — so reruns and the SQL twin reproduce them exactly
+    (the u draws are emitted for the audit sidecar).
+
+    Everything is vectorized over the flat token buffer: one
+    ``np.repeat`` parent map, one arithmetic new-position formula (SPM
+    keeps prefix+middle contiguous, so new_pos = pos+|suffix| before the
+    cut and pos-hi after), one exact int64 ``np.add.reduceat`` per batch
+    for the per-doc position-weighted checksum.  Per-row output only —
+    no shuffle; downstream aggregation is the caller's.
+
+    Emits per doc: u1, u2, n_prefix, n_middle, n_suffix and
+    ``spm_checksum`` = Σ new_pos(i)·token(i) (1-based new positions) —
+    integer-exact evidence that the reordering is positionally correct.
+    """
+    from jesse_ray.functions.split import _key_hash
+
+    def split(batch: pa.Table) -> pa.Table:
+        toks = _combine(batch[tokens_col])
+        nrows = len(batch)
+        u1 = _key_hash(batch, key_col, salt + "1|").astype(np.float64) / float(2**64)
+        u2 = _key_hash(batch, key_col, salt + "2|").astype(np.float64) / float(2**64)
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        s, e = off[:-1], off[1:]
+        lengths = e - s
+        c1 = np.floor(u1 * (lengths + 1)).astype(np.int64)
+        c2 = np.floor(u2 * (lengths + 1)).astype(np.int64)
+        lo = np.minimum(c1, c2)
+        hi = np.maximum(c1, c2)
+
+        values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        vals = values[off[0]:off[-1]]
+        total = len(vals)
+        parent = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+        hi_p = hi[parent]
+        n_p = lengths[parent]
+        new_pos = np.where(pos >= hi_p, pos - hi_p + 1, pos + (n_p - hi_p) + 1)
+        contrib = new_pos * vals
+        checksum = np.zeros(nrows, dtype=np.int64)
+        nz = lengths > 0
+        if nz.any():
+            sums = np.add.reduceat(contrib, starts[nz])
+            checksum[nz] = sums
+
+        out = {key_col: batch[key_col]}
+        for c in keep_cols:
+            out[c] = batch[c]
+        out.update({
+            "u1": pa.array(u1, type=pa.float64()),
+            "u2": pa.array(u2, type=pa.float64()),
+            "n_prefix": pa.array(lo, type=pa.int64()),
+            "n_middle": pa.array(hi - lo, type=pa.int64()),
+            "n_suffix": pa.array(lengths - hi, type=pa.int64()),
+            "spm_checksum": pa.array(checksum, type=pa.int64()),
+        })
+        return pa.table(out)
+
+    return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

@@ -4932,6 +4932,81 @@ SELECT doc_id, score FROM hits ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_seq_fim_split(sf_dir: str) -> pd.DataFrame:
+    """Fill-in-the-middle preprocessing over the tokenized corpus:
+    deterministic uniform cut points (seeded fmix64 u01 draws — the
+    sidecar lets the twin re-derive EVERY cut exactly), SPM reorder
+    suffix‖prefix‖middle, per-source span-length sums + an integer
+    position-weighted checksum of the reordered sequences — any doc
+    split at the wrong point or reordered wrongly changes the sum
+    (seqops.fim_split — one vectorized pass over the flat token buffer,
+    exact int64 reduceat per batch, no shuffle)."""
+    from jesse_ray.functions.seqops import fim_split
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens", "source"])
+    per_doc = _collect(fim_split(ds))
+    sidecar = per_doc.select(["doc_id", "u1", "u2"])
+    # nulls → '' so the twin's join keeps null-keyed rows (the engine's
+    # u draw already hashes a null doc_id as the empty string)
+    sidecar = sidecar.set_column(0, "doc_id", pc.fill_null(sidecar["doc_id"], ""))
+    pq.write_table(sidecar.sort_by("doc_id"), _sig_parquet_path(sf_dir, "fim_u"))
+    agg = (
+        per_doc.group_by("source")
+        .aggregate([([], "count_all"), ("n_prefix", "sum"), ("n_middle", "sum"),
+                    ("n_suffix", "sum"), ("spm_checksum", "sum")])
+        .rename_columns(["source", "n_docs", "prefix_toks", "middle_toks",
+                         "suffix_toks", "checksum"])
+    )
+    pdf = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    for c in ["n_docs", "prefix_toks", "middle_toks", "suffix_toks", "checksum"]:
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
+SQL_SEQ_FIM_SPLIT = f"""
+WITH u AS (
+  -- DISTINCT: the dirty corpus carries duplicate doc_ids; the u draw is a
+  -- pure function of doc_id, so collapsing keeps the join 1:1 per input row
+  SELECT DISTINCT doc_id, u1, u2
+  FROM read_parquet('/tmp/jesse_ray_data/fim_u_sigs_sf0.01.parquet')
+),
+s AS (SELECT row_number() OVER () AS rid, COALESCE(doc_id, '') AS doc_id, source,
+             tokens, len(tokens) AS n FROM {SEQ_SQL}),
+cuts AS (
+  SELECT s.rid, s.source, s.n, s.tokens,
+         least(CAST(floor(u.u1 * (s.n + 1)) AS BIGINT),
+               CAST(floor(u.u2 * (s.n + 1)) AS BIGINT)) AS lo,
+         greatest(CAST(floor(u.u1 * (s.n + 1)) AS BIGINT),
+                  CAST(floor(u.u2 * (s.n + 1)) AS BIGINT)) AS hi
+  FROM s JOIN u ON u.doc_id = s.doc_id
+),
+pos AS (
+  SELECT rid, source, n, lo, hi, tokens,
+         generate_subscripts(tokens, 1) AS i
+  FROM cuts
+),
+terms AS (
+  SELECT rid,
+         (CASE WHEN i - 1 >= hi THEN i - hi ELSE i + (n - hi) END)
+           * CAST(tokens[i] AS BIGINT) AS term
+  FROM pos
+),
+per_doc AS (
+  SELECT c.rid, c.source, c.lo AS n_prefix, c.hi - c.lo AS n_middle,
+         c.n - c.hi AS n_suffix, COALESCE(t.cs, 0) AS cs
+  FROM cuts c LEFT JOIN
+       (SELECT rid, CAST(sum(term) AS BIGINT) AS cs FROM terms GROUP BY rid) t
+       USING (rid)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_prefix) AS BIGINT) AS prefix_toks,
+       CAST(sum(n_middle) AS BIGINT) AS middle_toks,
+       CAST(sum(n_suffix) AS BIGINT) AS suffix_toks,
+       CAST(sum(cs) AS BIGINT) AS checksum
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def q_seq_remap_tokens(sf_dir: str) -> pa.Table:
     """Vocabulary compaction: rank every token id by global frequency
     (ties → smaller id) and remap the whole corpus old-id → rank;
@@ -5563,6 +5638,7 @@ def queries() -> dict[str, Callable]:
         "events_latest_state": q_events_latest_state,
         "events_scd2": q_events_scd2,
         "doc_search": q_doc_search,
+        "seq_fim_split": q_seq_fim_split,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -5704,6 +5780,7 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_state": SQL_EVENTS_LATEST_STATE,
         "events_scd2": SQL_EVENTS_SCD2,
         "doc_search": SQL_DOC_SEARCH,
+        "seq_fim_split": SQL_SEQ_FIM_SPLIT,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

@@ -2656,3 +2656,32 @@ def test_conjunctive_search_tie_breaks_on_key(ray_session):
     })
     got = conjunctive_search(ray.data.from_arrow(t), ["x", "y"], k=2, batch_size=1)
     assert got["doc_id"].to_pylist() == [2, 5]
+
+
+def test_fim_split_matches_bruteforce(ray_session):
+    import pyarrow as pa
+    import numpy as np
+    from jesse_ray.functions.seqops import fim_split
+
+    rng = np.random.default_rng(7)
+    docs, toks = [], []
+    for i in range(50):
+        docs.append(f"d-{i:04d}")
+        toks.append(rng.integers(-3, 1000, size=rng.integers(0, 30)).astype(np.int32).tolist())
+    t = pa.table({"doc_id": docs, "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+                  "source": ["s"] * 50})
+    got = fim_split(ray.data.from_arrow(t), batch_size=7).to_pandas().set_index("doc_id")
+
+    for d, tk in zip(docs, toks):
+        r = got.loc[d]
+        n = len(tk)
+        c1 = int(np.floor(r["u1"] * (n + 1)))
+        c2 = int(np.floor(r["u2"] * (n + 1)))
+        lo, hi = min(c1, c2), max(c1, c2)
+        assert (r["n_prefix"], r["n_middle"], r["n_suffix"]) == (lo, hi - lo, n - hi)
+        spm = tk[hi:] + tk[:lo] + tk[lo:hi]
+        want = sum((i + 1) * v for i, v in enumerate(spm))
+        assert int(r["spm_checksum"]) == want
+    # spans always partition the doc
+    assert ((got["n_prefix"] + got["n_middle"] + got["n_suffix"]).values ==
+            np.array([len(x) for x in toks])).all()
