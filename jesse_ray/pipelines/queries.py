@@ -5007,6 +5007,60 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+SEP_TOKEN = 13
+
+
+def q_seq_loss_mask(sf_dir: str) -> pd.DataFrame:
+    """Instruction-tuning loss masking: prompt = everything up to and
+    including the first SEP token (token id 13), completion trains.
+    Per-source masked/trainable token sums + an integer
+    position-weighted checksum of the TRAINABLE spans — a mask boundary
+    off by one token on any row changes the sum
+    (seqops.loss_mask_split — equality mask + minimum.reduceat
+    first-occurrence + masked int64 reduceat, no shuffle)."""
+    from jesse_ray.functions.seqops import loss_mask_split
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens", "source"])
+    t = _collect(loss_mask_split(ds, sep=SEP_TOKEN))
+    pdf = (
+        t.group_by("source")
+        .aggregate([([], "count_all"), ("masked_toks", "sum"),
+                    ("train_toks", "sum"), ("train_checksum", "sum")])
+        .rename_columns(["source", "n_docs", "masked_toks", "train_toks", "checksum"])
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ["n_docs", "masked_toks", "train_toks", "checksum"]:
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
+SQL_SEQ_LOSS_MASK = f"""
+WITH s AS (
+  SELECT source, tokens, len(tokens) AS n,
+         COALESCE(list_position(tokens, {SEP_TOKEN}), 0) AS cut
+  FROM {SEQ_SQL}
+),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(cut) AS BIGINT) AS masked_toks,
+         CAST(sum(n - cut) AS BIGINT) AS train_toks
+  FROM s GROUP BY source
+),
+terms AS (
+  SELECT source,
+         CASE WHEN i > cut THEN i * CAST(tokens[i] AS BIGINT) ELSE 0 END AS term
+  FROM (SELECT source, cut, tokens, generate_subscripts(tokens, 1) AS i FROM s)
+),
+sums AS (SELECT source, CAST(sum(term) AS BIGINT) AS checksum FROM terms GROUP BY source)
+SELECT c.source, c.n_docs, c.masked_toks, c.train_toks,
+       COALESCE(m.checksum, 0) AS checksum
+FROM counts c LEFT JOIN sums m USING (source)
+ORDER BY c.source
+"""
+
+
 def q_seq_remap_tokens(sf_dir: str) -> pa.Table:
     """Vocabulary compaction: rank every token id by global frequency
     (ties → smaller id) and remap the whole corpus old-id → rank;
@@ -5639,6 +5693,7 @@ def queries() -> dict[str, Callable]:
         "events_scd2": q_events_scd2,
         "doc_search": q_doc_search,
         "seq_fim_split": q_seq_fim_split,
+        "seq_loss_mask": q_seq_loss_mask,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -5781,6 +5836,7 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2": SQL_EVENTS_SCD2,
         "doc_search": SQL_DOC_SEARCH,
         "seq_fim_split": SQL_SEQ_FIM_SPLIT,
+        "seq_loss_mask": SQL_SEQ_LOSS_MASK,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

@@ -2685,3 +2685,29 @@ def test_fim_split_matches_bruteforce(ray_session):
     # spans always partition the doc
     assert ((got["n_prefix"] + got["n_middle"] + got["n_suffix"]).values ==
             np.array([len(x) for x in toks])).all()
+
+
+def test_loss_mask_split_bruteforce(ray_session):
+    import pyarrow as pa
+    from jesse_ray.functions.seqops import loss_mask_split
+
+    toks = [
+        [5, 9, 13, 7, 8],     # sep at pos 2 -> cut 3, train [7, 8]
+        [13],                 # sep first -> cut 1, nothing trainable
+        [1, 2, 3],            # no sep -> cut 0, all trainable
+        [],                   # empty
+        [13, 13, 4],          # first occurrence wins -> cut 1
+    ]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(5)],
+                  "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+                  "source": ["s"] * 5})
+    got = loss_mask_split(ray.data.from_arrow(t), sep=13, batch_size=2).to_pandas()
+    got = got.set_index("doc_id")
+    assert got.loc["d0", "cut"] == 3 and got.loc["d0", "train_toks"] == 2
+    assert got.loc["d0", "train_checksum"] == 4 * 7 + 5 * 8
+    assert got.loc["d1", "cut"] == 1 and got.loc["d1", "train_toks"] == 0
+    assert got.loc["d2", "cut"] == 0
+    assert got.loc["d2", "train_checksum"] == 1 * 1 + 2 * 2 + 3 * 3
+    assert got.loc["d3", "cut"] == 0 and got.loc["d3", "train_checksum"] == 0
+    assert got.loc["d4", "cut"] == 1
+    assert got.loc["d4", "train_checksum"] == 2 * 13 + 3 * 4
