@@ -466,3 +466,69 @@ def pca_transform(
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def knn_graph(
+    ds: Dataset,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Exact cosine k-NN graph: for every vector, its k nearest
+    neighbors (self excluded), ties broken ascending on neighbor id.
+    The all-pairs baseline behind SemDeDup / graph-based ANN indexes
+    (HNSW et al.): one float64-normalized corpus matrix broadcast once
+    with ``ray.put``, then one BLAS matmul per batch with a vectorized
+    per-row top-k (argpartition + in-row lexsort) — per-batch output is
+    k rows per vector, never the n² similarity matrix.
+
+    SCALE BOUND (documented): the broadcast matrix is O(n·d) — fine to
+    a few million rows of small-d embeddings per node; beyond that use
+    the IVF (ivf_topk) or PQ (pq_fit/pq_assign) paths, which keep the
+    same per-batch contract."""
+    ids_list, mats = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ids_list.append(_as_i64(b[id_col]))
+        mats.append(_as_matrix(b[emb_col]))
+    ids = np.concatenate(ids_list)
+    M = np.vstack(mats).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    ref = _maybe_put((ids, M))
+
+    class _KNN:
+        def __init__(self):
+            self.ids, self.M = _resolve(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = _as_i64(batch[id_col])
+            B = _as_matrix(batch[emb_col]).astype(np.float64)
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+            sims = B @ self.M.T
+            # exclude self-matches by id
+            self_pos = np.searchsorted(self.ids, bids)
+            hit = (self_pos < len(self.ids)) & (self.ids[np.minimum(self_pos, len(self.ids) - 1)] == bids)
+            sims[np.arange(len(bids))[hit], self_pos[hit]] = -np.inf
+            kk = min(k, sims.shape[1] - 1) if sims.shape[1] > 1 else 0
+            if kk <= 0:
+                return pa.table({id_col: pa.array([], type=pa.int64()),
+                                 "rank": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64())})
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(len(bids))[:, None]
+            cand_sims = sims[rows, part]
+            cand_ids = self.ids[part]
+            # stable per-row order: sim desc, neighbor id asc
+            ord2 = np.lexsort((cand_ids, -cand_sims), axis=1)
+            nbr = cand_ids[rows, ord2]
+            return pa.table({
+                id_col: pa.array(np.repeat(bids, kk), type=pa.int64()),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64), len(bids))),
+                "neighbor_id": pa.array(nbr.ravel(), type=pa.int64()),
+            })
+
+    return ds.map_batches(_KNN, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=(1, 4))

@@ -3870,6 +3870,36 @@ def q_emb_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_emb_knn_graph(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine 5-NN graph over the embeddings table — the all-pairs
+    baseline behind SemDeDup / graph-ANN indexes (similarity.knn_graph:
+    broadcast-once float64-normalized corpus matrix, one BLAS matmul +
+    vectorized per-row top-k per batch; only k rows per vector leave a
+    worker)."""
+    from jesse_ray.functions.similarity import knn_graph
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = _collect(knn_graph(ds, k=5, batch_size=256))
+    pdf = out.to_pandas().sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    for c in pdf.columns:
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
+SQL_EMB_KNN_GRAPH = """
+SELECT vec_id, rank, neighbor_id FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                      b.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= 5
+ORDER BY vec_id, rank
+"""
+
+
 SQL_EMB_TOPK = """
 SELECT CAST(row_number() OVER (
            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
@@ -5694,6 +5724,7 @@ def queries() -> dict[str, Callable]:
         "doc_search": q_doc_search,
         "seq_fim_split": q_seq_fim_split,
         "seq_loss_mask": q_seq_loss_mask,
+        "emb_knn_graph": q_emb_knn_graph,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -5837,6 +5868,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_search": SQL_DOC_SEARCH,
         "seq_fim_split": SQL_SEQ_FIM_SPLIT,
         "seq_loss_mask": SQL_SEQ_LOSS_MASK,
+        "emb_knn_graph": SQL_EMB_KNN_GRAPH,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

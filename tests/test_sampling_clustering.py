@@ -366,3 +366,28 @@ def test_logreg_fit_learns_separable(ray_session):
     # deterministic across runs
     w2 = logreg_fit(ds, feats, lab, n_features=2, lr=1.0, n_steps=30, batch_size=64)
     np.testing.assert_array_equal(w, w2)
+
+
+def test_knn_graph_exact_small(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from jesse_ray.functions.similarity import knn_graph
+
+    rng = np.random.default_rng(3)
+    n, d = 40, 8
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n), type=pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in M],
+                                        type=pa.list_(pa.float32()))})
+    got = knn_graph(ray.data.from_arrow(t), k=3, batch_size=7).to_pandas()
+    got = got.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+    Mf = M.astype(np.float64)
+    Mf /= np.linalg.norm(Mf, axis=1, keepdims=True)
+    sims = Mf @ Mf.T
+    np.fill_diagonal(sims, -np.inf)
+    for i in range(n):
+        order = np.lexsort((np.arange(n), -sims[i]))[:3]
+        sub = got[got["vec_id"] == i]
+        assert sub["neighbor_id"].tolist() == list(order)
+        assert sub["rank"].tolist() == [1, 2, 3]
