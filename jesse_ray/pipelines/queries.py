@@ -5037,6 +5037,28 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+PROFILE_COLS = ("event_id", "user_id", "ts", "event_type", "value")
+
+
+def q_events_profile(sf_dir: str) -> pa.Table:
+    """Deequ-style data-quality profile of the events table: per column,
+    exact (n_rows, n_null, n_distinct) — one narrow column-pruned read
+    per column, per-batch Arrow unique combiner, coarse value-hash
+    partition, exact count-distinct per part
+    (relational.column_profile)."""
+    from jesse_ray.pipelines.relational import column_profile
+
+    return column_profile(f"{sf_dir}/events.parquet", PROFILE_COLS)
+
+
+SQL_EVENTS_PROFILE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+    for c in PROFILE_COLS
+)
+
+
 SEP_TOKEN = 13
 
 
@@ -5725,6 +5747,7 @@ def queries() -> dict[str, Callable]:
         "seq_fim_split": q_seq_fim_split,
         "seq_loss_mask": q_seq_loss_mask,
         "emb_knn_graph": q_emb_knn_graph,
+        "events_profile": q_events_profile,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -5869,6 +5892,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_fim_split": SQL_SEQ_FIM_SPLIT,
         "seq_loss_mask": SQL_SEQ_LOSS_MASK,
         "emb_knn_graph": SQL_EMB_KNN_GRAPH,
+        "events_profile": SQL_EVENTS_PROFILE,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

@@ -1849,3 +1849,80 @@ def scd2_intervals(
         .groupby("__part")
         .map_groups(intervalize, batch_format="pandas")
     )
+
+
+def column_profile(
+    path: str,
+    cols: Sequence[str],
+    *,
+    n_parts: int = 64,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Data-quality profile (the Deequ/Great-Expectations opening move):
+    per column, exact ``(n_rows, n_null, n_distinct)``.  One NARROW
+    column-pruned read per column (only that column leaves storage);
+    per-batch combiner = Arrow ``unique`` + null count, so the shuffle
+    carries distinct-per-batch values only; coarse value-hash partition
+    (≤ n_parts groups) and an exact ``count_distinct`` per part — the
+    driver sees one row per (column, part).
+
+    Non-string/int columns partition and count on an injective int64
+    recoding (timestamps → epoch µs, float64 → raw IEEE bits), so
+    distinctness matches SQL ``count(DISTINCT col)`` except the
+    degenerate -0.0/NaN cases (absent from profiled corpora; a float
+    column with NaNs should be profiled via its bits anyway)."""
+    from jesse_ray.sources import read_table
+
+    out_rows = []
+    for c in cols:
+        ds = read_table(path, columns=[c])
+
+        def partial(batch: pa.Table, _c=c) -> pa.Table:
+            col = batch[_c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            nn = col.null_count
+            u = pc.unique(col.drop_null())
+            if pa.types.is_timestamp(u.type):
+                u = u.cast(pa.int64())
+            elif pa.types.is_floating(u.type):
+                u = pa.array(u.cast(pa.float64()).to_numpy(zero_copy_only=False).view(np.int64))
+            elif pa.types.is_boolean(u.type):
+                u = u.cast(pa.int64())
+            t = pa.table({"v": u, "__part": pa.array(_element_parts(u, n_parts))})
+            stats = pa.table({
+                "v": pa.array([None], type=t["v"].type),
+                "__part": pa.array([0], type=pa.int32()),
+            })
+            t = pa.concat_tables([t, stats])
+            nrows = pa.array([0] * len(u) + [n], type=pa.int64())
+            nnull = pa.array([0] * len(u) + [nn], type=pa.int64())
+            return t.append_column("__nr", nrows).append_column("__nn", nnull)
+
+        def per_part(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_distinct": [int(g["v"].nunique(dropna=True))],
+                "n_rows": [int(g["__nr"].sum())],
+                "n_null": [int(g["__nn"].sum())],
+            })
+
+        parts = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=batch_size)
+            .groupby("__part")
+            .map_groups(per_part, batch_format="pandas")
+        )
+        agg = pa.concat_tables(list(parts.iter_batches(batch_format="pyarrow")))
+        out_rows.append({
+            "column": c,
+            "n_rows": int(pc.sum(agg["n_rows"]).as_py() or 0),
+            "n_null": int(pc.sum(agg["n_null"]).as_py() or 0),
+            "n_distinct": int(pc.sum(agg["n_distinct"]).as_py() or 0),
+        })
+    return pa.table({
+        "column": pa.array([r["column"] for r in out_rows]),
+        "n_rows": pa.array([r["n_rows"] for r in out_rows], type=pa.int64()),
+        "n_null": pa.array([r["n_null"] for r in out_rows], type=pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in out_rows], type=pa.int64()),
+    })

@@ -2711,3 +2711,22 @@ def test_loss_mask_split_bruteforce(ray_session):
     assert got.loc["d3", "cut"] == 0 and got.loc["d3", "train_checksum"] == 0
     assert got.loc["d4", "cut"] == 1
     assert got.loc["d4", "train_checksum"] == 2 * 13 + 3 * 4
+
+
+def test_column_profile_counts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    from jesse_ray.pipelines.relational import column_profile
+
+    t = pa.table({
+        "i": pa.array([1, 2, 2, None, 3], type=pa.int64()),
+        "s": pa.array(["a", None, "a", "b", None]),
+        "f": pa.array([1.5, 1.5, None, 2.5, 0.0], type=pa.float64()),
+    })
+    p = str(tmp_path / "t.parquet")
+    pqt.write_table(t, p)
+    got = column_profile(p, ["i", "s", "f"], n_parts=4).to_pandas().set_index("column")
+    assert (got["n_rows"] == 5).all()
+    assert got.loc["i", "n_null"] == 1 and got.loc["i", "n_distinct"] == 3
+    assert got.loc["s", "n_null"] == 2 and got.loc["s", "n_distinct"] == 2
+    assert got.loc["f", "n_null"] == 1 and got.loc["f", "n_distinct"] == 3
