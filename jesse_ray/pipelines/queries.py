@@ -3671,6 +3671,68 @@ LIMIT 10
 """
 
 
+Q18_QTY = 250.0
+
+
+def q_tpch_q18ish(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18-shaped composite (large-volume customers): a
+    high-cardinality groupby-HAVING over lineitem (per-batch Arrow
+    group_by combiner → coarse orderkey-hash parts → per-part exact
+    merge + HAVING filter — never a corpus-wide Ray groupby), then the
+    small qualifying set joins back through orders and customer as
+    broadcast-once dimension joins; the HAVING threshold bounds the
+    broadcast by construction."""
+    from jesse_ray.pipelines.relational import _element_parts, broadcast_join
+
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        g = g.rename_columns(["l_orderkey", "__q"])
+        return g.append_column("__part", pa.array(_element_parts(g["l_orderkey"], 64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("l_orderkey", sort=False)["__q"].sum().reset_index()
+        return m[m["__q"] > Q18_QTY]
+
+    big = pa.concat_tables(list(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+    )).to_pandas()
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    oj = broadcast_join(orders, big, left_on="o_orderkey", right_on="l_orderkey",
+                        columns=["__q"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = _collect(broadcast_join(oj, cust, left_on="o_custkey", right_on="c_custkey",
+                                  columns=["c_name"])).to_pandas()
+    out["total_qty"] = out["__q"].astype("int64")
+    out["c_custkey"] = out["o_custkey"]  # Arrow join coalesces the key pair
+    out = (
+        out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    return out[["c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"]]
+
+
+SQL_TPCH_Q18ISH = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
 
 def q_lineitem_rollup(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP parity: (returnflag, linestatus) leaf sums, per-
@@ -5790,6 +5852,7 @@ def queries() -> dict[str, Callable]:
         "seq_mad_by_source": q_seq_mad_by_source,
         "orders_lineitem_join": q_orders_lineitem_join,
         "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q18ish": q_tpch_q18ish,
         "lineitem_rollup": q_lineitem_rollup,
         "events_asof_login": q_events_asof_login,
         "events_value_tiers": q_events_value_tiers,
@@ -5935,6 +5998,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_mad_by_source": SQL_SEQ_MAD_BY_SOURCE,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "tpch_q3ish": SQL_TPCH_Q3ISH,
+        "tpch_q18ish": SQL_TPCH_Q18ISH,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "events_asof_login": SQL_EVENTS_ASOF_LOGIN,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
