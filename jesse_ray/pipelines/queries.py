@@ -5121,6 +5121,59 @@ SQL_EVENTS_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+def q_seq_partitioned_write(sf_dir: str) -> pd.DataFrame:
+    """Resumable partitioned-sink round-trip: write the sequences corpus
+    hive-partitioned by source with a stats manifest
+    (sources.write_partitioned — streaming, shuffle-free, manifest
+    written last for crash-safe idempotence), then read every written
+    partition BACK and prove fidelity: per source, manifest row counts,
+    read-back row counts and an integer position-weighted token checksum
+    that must equal the same checksum over the original corpus (the SQL
+    twin re-derives it from the raw parquet)."""
+    import shutil
+
+    from jesse_ray.sources.parquet import write_partitioned
+
+    out_dir = f"/tmp/jesse_ray_data/part_sink_{testgen.sf_name_of(sf_dir)}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens", "n_tok", "source"])
+    manifest = write_partitioned(ds, out_dir, by="source", stats_col="n_tok")
+
+    rows = []
+    for part, meta in sorted(manifest["partitions"].items()):
+        back = pa.concat_tables([pq.read_table(f) for f in meta["files"]])
+        toks = back["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)[off[0]:off[-1]]
+        lengths = off[1:] - off[:-1]
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, lengths)
+        checksum = int(((pos + 1) * vals).sum())
+        assert meta["n_rows"] == len(back), "manifest/readback row drift"
+        rows.append({"source": part, "n_rows": len(back),
+                     "min_ntok": int(meta["lo"]), "max_ntok": int(meta["hi"]),
+                     "checksum": checksum})
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
+SQL_SEQ_PARTITIONED_WRITE = f"""
+WITH terms AS (
+  SELECT source, generate_subscripts(tokens, 1) AS i, tokens
+  FROM {SEQ_SQL}
+),
+cs AS (
+  SELECT source, CAST(sum(CAST(i AS BIGINT) * CAST(tokens[i] AS BIGINT)) AS BIGINT) AS checksum
+  FROM terms GROUP BY source
+)
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(s.n_tok) AS BIGINT) AS min_ntok,
+       CAST(max(s.n_tok) AS BIGINT) AS max_ntok,
+       COALESCE(any_value(cs.checksum), 0) AS checksum
+FROM {SEQ_SQL} s LEFT JOIN cs ON cs.source = s.source
+GROUP BY s.source ORDER BY s.source
+"""
+
+
 SEP_TOKEN = 13
 
 
@@ -5810,6 +5863,7 @@ def queries() -> dict[str, Callable]:
         "seq_loss_mask": q_seq_loss_mask,
         "emb_knn_graph": q_emb_knn_graph,
         "events_profile": q_events_profile,
+        "seq_partitioned_write": q_seq_partitioned_write,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -5956,6 +6010,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_loss_mask": SQL_SEQ_LOSS_MASK,
         "emb_knn_graph": SQL_EMB_KNN_GRAPH,
         "events_profile": SQL_EVENTS_PROFILE,
+        "seq_partitioned_write": SQL_SEQ_PARTITIONED_WRITE,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

@@ -120,3 +120,87 @@ def write_violations(ds: Dataset, out_dir: str, **kw) -> None:
     """Violations sink: a directory of part files (never one giant file),
     so output is resumable/parallel — SURVEY §2.2 sink mapping."""
     ds.write_parquet(out_dir, **kw)
+
+
+def write_partitioned(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    by: str,
+    stats_col: Optional[str] = None,
+    batch_size: int = 65536,
+) -> dict:
+    """Partitioned parquet sink with a stats manifest — the resumable
+    output layout the 100-TB plan requires (one DIRECTORY per partition
+    value, many files inside, never one giant file).
+
+    Streaming, shuffle-free: each map task splits its batches by the
+    partition column and appends one file per (batch, value) under
+    ``out_dir/<by>=<value>/`` (hive-style), emitting a one-row-per-file
+    stats record.  The driver only ever sees those stats rows and writes
+    ``_manifest.json`` LAST (per-partition file lists, row counts and
+    min/max of ``stats_col`` for scan pruning) — a crashed run leaves no
+    manifest, so a rerun is detected by its absence and simply rewrites;
+    a completed manifest makes the write idempotent (rerun = no-op,
+    returns the recorded manifest).  Readers can prune partitions on the
+    manifest min/max without touching a single row group.
+
+    The partition column should be bounded-cardinality (source, date,
+    bucket id) — per-batch splits are vectorized Arrow filters, and file
+    counts grow with n_blocks × n_values."""
+    import json
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        vals = pc.unique(batch[by]).to_pylist()
+        recs = {"partition": [], "file": [], "n_rows": [], "lo": [], "hi": []}
+        for v in vals:
+            part = batch.filter(pc.equal(batch[by], v) if v is not None
+                                else pc.is_null(batch[by]))
+            key = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            d = os.path.join(out_dir, f"{by}={key}")
+            os.makedirs(d, exist_ok=True)
+            fn = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(part, fn)
+            recs["partition"].append(key)
+            recs["file"].append(fn)
+            recs["n_rows"].append(len(part))
+            if stats_col is not None and len(part):
+                recs["lo"].append(pc.min(part[stats_col]).as_py())
+                recs["hi"].append(pc.max(part[stats_col]).as_py())
+            else:
+                recs["lo"].append(None)
+                recs["hi"].append(None)
+        return pa.table({k: pa.array(v) for k, v in recs.items()})
+
+    stats = ds.map_batches(write_batch, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    rows = []
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        rows.extend(b.to_pylist())
+    parts: dict = {}
+    for r in rows:
+        p = parts.setdefault(r["partition"], {"files": [], "n_rows": 0,
+                                              "lo": None, "hi": None})
+        p["files"].append(r["file"])
+        p["n_rows"] += r["n_rows"]
+        for k, pick in (("lo", min), ("hi", max)):
+            if r[k] is not None:
+                p[k] = r[k] if p[k] is None else pick(p[k], r[k])
+    manifest = {"by": by, "stats_col": stats_col, "partitions": parts,
+                "n_rows": sum(p["n_rows"] for p in parts.values())}
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path)
+    return manifest

@@ -2730,3 +2730,35 @@ def test_column_profile_counts(ray_session, tmp_path):
     assert got.loc["i", "n_null"] == 1 and got.loc["i", "n_distinct"] == 3
     assert got.loc["s", "n_null"] == 2 and got.loc["s", "n_distinct"] == 2
     assert got.loc["f", "n_null"] == 1 and got.loc["f", "n_distinct"] == 3
+
+
+def test_write_partitioned_manifest_and_idempotence(ray_session, tmp_path):
+    import json
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    from jesse_ray.sources.parquet import write_partitioned
+
+    t = pa.table({
+        "k": ["a", "b", "a", None, "b", "a"],
+        "v": pa.array([3, 1, 5, 9, 2, 4], type=pa.int64()),
+    })
+    out = str(tmp_path / "sink")
+    m1 = write_partitioned(ray.data.from_arrow(t), out, by="k", stats_col="v")
+    assert m1["n_rows"] == 6
+    assert m1["partitions"]["a"]["n_rows"] == 3
+    assert m1["partitions"]["a"]["lo"] == 3 and m1["partitions"]["a"]["hi"] == 5
+    assert m1["partitions"]["__HIVE_DEFAULT_PARTITION__"]["n_rows"] == 1
+    # files live under hive-style dirs
+    for f in m1["partitions"]["b"]["files"]:
+        assert os.sep + "k=b" + os.sep in f and os.path.exists(f)
+    # read-back equals input per partition
+    back = pa.concat_tables([pqt.read_table(f) for f in m1["partitions"]["a"]["files"]])
+    assert sorted(back["v"].to_pylist()) == [3, 4, 5]
+    # completed manifest makes the rerun a no-op returning the same manifest
+    files_before = {f for p in m1["partitions"].values() for f in p["files"]}
+    m2 = write_partitioned(ray.data.from_arrow(t), out, by="k", stats_col="v")
+    files_after = {f for p in m2["partitions"].values() for f in p["files"]}
+    assert files_before == files_after
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        assert json.load(fh)["n_rows"] == 6
