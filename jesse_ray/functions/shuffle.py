@@ -98,3 +98,71 @@ def shuffle_with_ranks(
         return t.set_column(idx, "rank", t["offset"])
 
     return ranked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of x so bit i lands at bit 2i (the classic
+    public-domain "interleave with magic numbers" sequence — Stanford
+    bit-twiddling hacks)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def zorder_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton / Z-order key of two 16-bit dimensions: interleave the low
+    16 bits of ``a`` (even bit positions) and ``b`` (odd positions) into
+    one uint32-range int64.  Sorting by this key co-locates rows that
+    are close in BOTH dimensions — the standard data-layout trick
+    (Delta/Iceberg OPTIMIZE ZORDER) that makes min/max file stats prune
+    multi-column range predicates instead of just the leading sort
+    column."""
+    return (_spread16(a) | (_spread16(b) << np.uint64(1))).astype(np.int64)
+
+
+def zorder_bottomk(
+    ds: Dataset,
+    *,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    k: int = 50,
+    a_mask: int = 0xFFFF,
+    b_mask: int = 0xFFFF,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """First ``k`` rows of the Z-order layout (the head of the curve) —
+    evidence the interleave is bit-exact without sorting the corpus on
+    the driver: per-batch vectorized keys + partial bottom-k, then a
+    k × n_blocks driver merge.  The full layout rewrite is
+    ``ds.sort("__z")`` (one range-partitioned all-to-all, same cost
+    envelope as deterministic_shuffle) followed by the partitioned
+    sink."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch[a_col]
+        b = batch[b_col]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        av = a.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64) & np.uint64(a_mask)
+        bv = b.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64) & np.uint64(b_mask)
+        z = zorder_key(av, bv)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        iv = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((iv, z))[:k]
+        return pa.table({
+            id_col: pa.array(iv[order], type=pa.int64()),
+            "z": pa.array(z[order], type=pa.int64()),
+        })
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+    merged = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
+    return merged.sort_by([("z", "ascending"), (id_col, "ascending")]).slice(0, k)

@@ -5174,6 +5174,50 @@ GROUP BY s.source ORDER BY s.source
 """
 
 
+def _zorder_term_sql(col: str, odd: bool) -> str:
+    return " | ".join(
+        f"((({col} >> {i}) & 1) << {2 * i + (1 if odd else 0)})" for i in range(16)
+    )
+
+
+def q_events_zorder(sf_dir: str) -> pa.Table:
+    """Z-order (Morton) layout clustering over (user_id, event minute):
+    bit-interleaved sort keys make min/max file stats prune BOTH columns
+    (the Delta/Iceberg OPTIMIZE ZORDER trick).  Returns the head of the
+    curve — 50 smallest keys — via per-batch vectorized interleave +
+    partial bottom-k (shuffle.zorder_key: magic-number bit spread; the
+    twin recomputes every bit with 32 explicit shift terms)."""
+    from jesse_ray.functions.shuffle import zorder_bottomk
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def add_minute(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        m = pc.divide(ts.cast(pa.timestamp("us")).cast(pa.int64()), 60_000_000)
+        return batch.append_column("ts_min", m)
+
+    ev = ev.map_batches(add_minute, batch_format="pyarrow", zero_copy_batch=True)
+    return zorder_bottomk(ev, a_col="user_id", b_col="ts_min", id_col="event_id", k=50)
+
+
+SQL_EVENTS_ZORDER = f"""
+WITH base AS (
+  SELECT event_id,
+         user_id & 65535 AS a,
+         (CAST(date_part('epoch', ts) AS BIGINT) // 60) & 65535 AS b
+  FROM events
+),
+keys AS (
+  SELECT event_id,
+         CAST(({_zorder_term_sql('a', False)}) | ({_zorder_term_sql('b', True)}) AS BIGINT) AS z
+  FROM base
+)
+SELECT event_id, z FROM keys ORDER BY z, event_id LIMIT 50
+"""
+
+
 SEP_TOKEN = 13
 
 
@@ -5864,6 +5908,7 @@ def queries() -> dict[str, Callable]:
         "emb_knn_graph": q_emb_knn_graph,
         "events_profile": q_events_profile,
         "seq_partitioned_write": q_seq_partitioned_write,
+        "events_zorder": q_events_zorder,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -6011,6 +6056,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_graph": SQL_EMB_KNN_GRAPH,
         "events_profile": SQL_EVENTS_PROFILE,
         "seq_partitioned_write": SQL_SEQ_PARTITIONED_WRITE,
+        "events_zorder": SQL_EVENTS_ZORDER,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

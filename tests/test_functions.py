@@ -2762,3 +2762,25 @@ def test_write_partitioned_manifest_and_idempotence(ray_session, tmp_path):
     assert files_before == files_after
     with open(os.path.join(out, "_manifest.json")) as fh:
         assert json.load(fh)["n_rows"] == 6
+
+
+def test_zorder_key_bit_exact():
+    import numpy as np
+    from jesse_ray.functions.shuffle import zorder_key
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 1 << 16, size=500, dtype=np.uint64)
+    b = rng.integers(0, 1 << 16, size=500, dtype=np.uint64)
+    z = zorder_key(a, b)
+
+    def naive(x, y):
+        out = 0
+        for i in range(16):
+            out |= ((int(x) >> i) & 1) << (2 * i)
+            out |= ((int(y) >> i) & 1) << (2 * i + 1)
+        return out
+
+    for i in range(0, 500, 37):
+        assert int(z[i]) == naive(a[i], b[i])
+    # locality sanity: identical dims -> identical keys
+    assert zorder_key(a, b)[0] == zorder_key(a.copy(), b.copy())[0]
