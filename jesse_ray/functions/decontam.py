@@ -154,3 +154,94 @@ def drop_contaminated(
         return batch.filter(mask).drop_columns(["__n_probes"])
 
     return flagged.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _token_gram_hashes(toks: pa.ListArray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """fmix64-finalized hashes of every n-consecutive-token window,
+    plus each window's parent row index.  Vectorized: n shifted
+    multiply-adds over the flat int token buffer (no per-row Python),
+    windows crossing document boundaries masked out via offsets."""
+    from jesse_ray.hashutil import fmix64
+
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    vals = values[off[0]:off[-1]].astype(np.uint64)
+    total = len(vals)
+    if total < n:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    s, e = off[:-1] - off[0], off[1:] - off[0]
+    lengths = e - s
+    h = np.zeros(total - n + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h = h * _GRAM_MULT + vals[j:total - n + 1 + j]
+    h = fmix64(h)
+    # valid window starts: whole window inside one row
+    parent = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    ok = (pos[:total - n + 1] + n) <= lengths[parent[:total - n + 1]]
+    return h[ok], parent[:total - n + 1][ok]
+
+
+def token_gram_set(ds: Dataset, *, n: int = 8, tokens_col: str = "tokens") -> np.ndarray:
+    """Distinct n-token-gram hashes of a (small) eval/benchmark corpus,
+    sorted — the broadcast probe side.  Per-batch combiner uniques
+    before the driver merge, so the driver sees distinct-per-batch
+    hashes only."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        h, _ = _token_gram_hashes(toks, n)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [b["h"].to_numpy(zero_copy_only=False)
+             for b in ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts)).astype(np.int64).view(np.uint64)
+
+
+def flag_token_contaminated(
+    ds: Dataset,
+    probes: np.ndarray,
+    *,
+    n: int = 8,
+    tokens_col: str = "tokens",
+    out_col: str = "contaminated",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Token-level benchmark decontamination: flag every training row
+    sharing ANY n-token-gram with the broadcast eval set.  Same contract
+    as flag_contaminated but over pre-tokenized sequences (the
+    input_hint shape) — one searchsorted membership probe per batch,
+    per-row any-hit via max.reduceat.
+
+    64-bit gram hashes mean no false negatives and ~2^-22 odds of a
+    single collision false-positive across a 2^21-gram corpus —
+    documented envelope, exact for every practical purpose."""
+    sorted_probes = np.sort(probes.astype(np.uint64))
+    ref = ray.put(sorted_probes) if ray.is_initialized() else sorted_probes
+
+    class _Flagger:
+        def __init__(self):
+            self.probes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = batch[tokens_col]
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            h, parent = _token_gram_hashes(toks, n)
+            flag = np.zeros(len(batch), dtype=bool)
+            if len(h) and len(self.probes):
+                idx = np.searchsorted(self.probes, h)
+                idx[idx == len(self.probes)] = len(self.probes) - 1
+                hit = self.probes[idx] == h
+                np.logical_or.at(flag, parent[hit], True)
+            return batch.append_column(out_col, pa.array(flag))
+
+    return ds.map_batches(_Flagger, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=(1, 8))

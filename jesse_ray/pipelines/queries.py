@@ -5218,6 +5218,59 @@ SELECT event_id, z FROM keys ORDER BY z, event_id LIMIT 50
 """
 
 
+DECON_N = 8
+DECON_EVAL_SOURCE = "crawl-x"
+
+
+def q_seq_ngram_decontam(sf_dir: str) -> pd.DataFrame:
+    """Token-level benchmark decontamination (GPT-3 appendix C recipe at
+    token granularity): the small 'crawl-x' slice plays the eval set;
+    any training row sharing an 8-token-gram with it is flagged.
+    Broadcast-once sorted gram-hash probe, searchsorted membership per
+    batch, per-row any-hit via logical reduceat — no shuffle
+    (decontam.token_gram_set / flag_token_contaminated).  Returns
+    per-source distinct flagged doc counts; the twin re-derives every
+    flag with exact string-gram joins."""
+    from jesse_ray.functions.decontam import flag_token_contaminated, token_gram_set
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens", "source"])
+    ev = ds.filter(expr=f"source == '{DECON_EVAL_SOURCE}'")
+    probes = token_gram_set(ev, n=DECON_N)
+    tr = ds.filter(expr=f"source != '{DECON_EVAL_SOURCE}'")
+    flagged = flag_token_contaminated(tr, probes, n=DECON_N)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["contaminated"])
+        return pa.table({"doc_id": pc.fill_null(t["doc_id"], ""), "source": t["source"]})
+
+    hits = _collect(flagged.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True))
+    pdf = hits.to_pandas().drop_duplicates(["doc_id", "source"])
+    out = (
+        pdf.groupby("source").size().rename("n_flagged").reset_index()
+        .sort_values("source").reset_index(drop=True)
+    )
+    out["n_flagged"] = out["n_flagged"].astype("int64")
+    return out
+
+
+SQL_SEQ_NGRAM_DECONTAM = f"""
+WITH ev AS (
+  SELECT DISTINCT array_to_string(tokens[i:i+{DECON_N - 1}], ',') AS g
+  FROM (SELECT tokens, unnest(range(1, len(tokens) - {DECON_N - 2})) AS i
+        FROM {SEQ_SQL} WHERE source = '{DECON_EVAL_SOURCE}')
+),
+tr AS (
+  SELECT COALESCE(doc_id, '') AS doc_id, source,
+         array_to_string(tokens[i:i+{DECON_N - 1}], ',') AS g
+  FROM (SELECT doc_id, source, tokens, unnest(range(1, len(tokens) - {DECON_N - 2})) AS i
+        FROM {SEQ_SQL} WHERE source <> '{DECON_EVAL_SOURCE}')
+),
+fl AS (SELECT DISTINCT doc_id, source FROM tr JOIN ev USING (g))
+SELECT source, CAST(count(*) AS BIGINT) AS n_flagged
+FROM fl GROUP BY source ORDER BY source
+"""
+
+
 SEP_TOKEN = 13
 
 
@@ -5909,6 +5962,7 @@ def queries() -> dict[str, Callable]:
         "events_profile": q_events_profile,
         "seq_partitioned_write": q_seq_partitioned_write,
         "events_zorder": q_events_zorder,
+        "seq_ngram_decontam": q_seq_ngram_decontam,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -6057,6 +6111,7 @@ def oracle_sql() -> dict[str, str]:
         "events_profile": SQL_EVENTS_PROFILE,
         "seq_partitioned_write": SQL_SEQ_PARTITIONED_WRITE,
         "events_zorder": SQL_EVENTS_ZORDER,
+        "seq_ngram_decontam": SQL_SEQ_NGRAM_DECONTAM,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

@@ -156,3 +156,31 @@ def test_unigram_oov_floor(ray_session):
         add_unigram_logprob(test, model).iter_batches(batch_format="pyarrow")
     )
     assert abs(got["mean_lp"][0].as_py() - math.log(1.0 / 4.0)) < 1e-12  # 1/(total+1)
+
+
+def test_token_gram_decontam_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from jesse_ray.functions.decontam import flag_token_contaminated, token_gram_set
+
+    eva = pa.table({"tokens": pa.array([[1, 2, 3, 4], [9, 9, 9, 9, 9]],
+                                       type=pa.list_(pa.int32()))})
+    probes = token_gram_set(ray.data.from_arrow(eva), n=3)
+    tr = pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "tokens": pa.array([
+            [5, 1, 2, 3, 7],    # contains (1,2,3) -> flagged
+            [1, 2, 4, 3],       # no shared 3-gram
+            [9, 9, 9],          # flagged
+            [],                 # too short
+        ], type=pa.list_(pa.int32())),
+    })
+    out = flag_token_contaminated(ray.data.from_arrow(tr), probes, n=3,
+                                  batch_size=2).to_pandas().set_index("doc_id")
+    assert out["contaminated"].to_dict() == {"a": True, "b": False, "c": True, "d": False}
+    # a gram spanning two docs must NOT match: (3,7,?) etc. never form
+    tr2 = pa.table({"doc_id": ["x", "y"],
+                    "tokens": pa.array([[1, 2], [3, 4, 5]], type=pa.list_(pa.int32()))})
+    out2 = flag_token_contaminated(ray.data.from_arrow(tr2), probes, n=3,
+                                   batch_size=8).to_pandas()
+    assert not out2["contaminated"].any()
