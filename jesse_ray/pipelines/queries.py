@@ -5271,6 +5271,78 @@ FROM fl GROUP BY source ORDER BY source
 """
 
 
+def q_events_equidepth(sf_dir: str) -> pa.Table:
+    """Per-type equi-depth (quartile) histogram of the value column —
+    boundaries are exact discrete quantiles, bucket = 1 + #{boundaries
+    < v} (relational.equidepth_histogram: exact grouped-quantile pass →
+    broadcast boundaries → per-batch vectorized bucket counts; the
+    shuffle carries ≤ groups × 4 combiner rows per block)."""
+    from jesse_ray.pipelines.relational import equidepth_histogram
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return equidepth_histogram(ds, "event_type", "value")
+
+
+SQL_EVENTS_EQUIDEPTH = """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS b1,
+         quantile_disc(value, 0.50) AS b2,
+         quantile_disc(value, 0.75) AS b3
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(1 + (e.value > b.b1)::INT + (e.value > b.b2)::INT + (e.value > b.b3)::INT AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e JOIN b USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+KANON_K = 10
+
+
+def q_events_kanon(sf_dir: str) -> pa.Table:
+    """k-anonymity audit over the quasi-identifier (event_type,
+    hour-of-day, day-of-week): any combination observed fewer than K=10
+    times is a re-identification risk and must be suppressed/generalized
+    before release.  Vectorized hour/dow extraction + the
+    bounded-cardinality combiner shuffle (≤ 5×24×7 groups) —
+    grouped_agg + a driver-side HAVING filter over the tiny group
+    table."""
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def add_qi(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = pc.hour(ts).cast(pa.int64())
+        # Arrow day_of_week: Mon=0; DuckDB dow: Sun=0 — shift by one
+        dow = pc.add(pc.day_of_week(ts).cast(pa.int64()), 1)
+        dow = pc.subtract(dow, pc.multiply(pc.divide(dow, 7), 7))
+        return pa.table({"event_type": batch["event_type"], "hour": hour, "dow": dow})
+
+    ev = ev.map_batches(add_qi, batch_format="pyarrow", zero_copy_batch=True)
+    g = _collect(grouped_agg(ev, ["event_type", "hour", "dow"]))
+    g = g.set_column(g.schema.get_field_index("cnt"), "cnt", g["cnt"].cast(pa.int64()))
+    risky = g.filter(pc.less(g["cnt"], KANON_K))
+    return risky.sort_by([("event_type", "ascending"), ("hour", "ascending"),
+                          ("dow", "ascending")])
+
+
+SQL_EVENTS_KANON = f"""
+SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       CAST(date_part('dow', ts) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1, 2, 3 HAVING count(*) < {KANON_K}
+ORDER BY 1, 2, 3
+"""
+
+
 SEP_TOKEN = 13
 
 
@@ -5963,6 +6035,8 @@ def queries() -> dict[str, Callable]:
         "seq_partitioned_write": q_seq_partitioned_write,
         "events_zorder": q_events_zorder,
         "seq_ngram_decontam": q_seq_ngram_decontam,
+        "events_equidepth": q_events_equidepth,
+        "events_kanon": q_events_kanon,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -6112,6 +6186,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_partitioned_write": SQL_SEQ_PARTITIONED_WRITE,
         "events_zorder": SQL_EVENTS_ZORDER,
         "seq_ngram_decontam": SQL_SEQ_NGRAM_DECONTAM,
+        "events_equidepth": SQL_EVENTS_EQUIDEPTH,
+        "events_kanon": SQL_EVENTS_KANON,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

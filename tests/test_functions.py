@@ -2784,3 +2784,25 @@ def test_zorder_key_bit_exact():
         assert int(z[i]) == naive(a[i], b[i])
     # locality sanity: identical dims -> identical keys
     assert zorder_key(a, b)[0] == zorder_key(a.copy(), b.copy())[0]
+
+
+def test_equidepth_histogram_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from jesse_ray.pipelines.relational import equidepth_histogram
+
+    rng = np.random.default_rng(11)
+    g = np.repeat(["a", "b"], 100)
+    v = np.concatenate([rng.normal(size=100), rng.normal(5, 2, size=100)])
+    t = pa.table({"g": g, "v": pa.array(v, type=pa.float64())})
+    got = equidepth_histogram(ray.data.from_arrow(t), "g", "v").to_pandas()
+
+    import pandas as pd
+    df = pd.DataFrame({"g": g, "v": v})
+    for grp, sub in df.groupby("g"):
+        s = np.sort(sub["v"].values)
+        bnd = [s[max(int(np.ceil(q * len(s))) - 1, 0)] for q in (0.25, 0.5, 0.75)]
+        buckets = 1 + (sub["v"].values[:, None] > np.array(bnd)).sum(axis=1)
+        want = pd.Series(buckets).value_counts().sort_index()
+        sel = got[got["g"] == grp].set_index("bucket")["n"]
+        assert sel.to_dict() == want.to_dict()
