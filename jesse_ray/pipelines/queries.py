@@ -5343,6 +5343,34 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_seq_top_tokens_by_source(sf_dir: str) -> pa.Table:
+    """Exact per-source top-3 token ids (grouped heavy hitters — the
+    per-group form of seq_top_tokens; relational.grouped_top_k_elements:
+    (group, element) combiner counts, element-hash-only shuffle so each
+    element's per-group counts land whole in one part, per-part grouped
+    top-k, ≤ parts × groups × k candidate rows on the driver)."""
+    from jesse_ray.pipelines.relational import grouped_top_k_elements
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens", "source"])
+    return grouped_top_k_elements(ds, "tokens", "source", k=3)
+
+
+SQL_SEQ_TOP_TOKENS_BY_SOURCE = f"""
+WITH c AS (
+  SELECT source, t AS elem, count(*) AS cnt
+  FROM (SELECT source, unnest(tokens) AS t FROM {SEQ_SQL})
+  WHERE t >= 0 GROUP BY source, t
+),
+r AS (
+  SELECT source, CAST(elem AS BIGINT) AS elem, CAST(cnt AS BIGINT) AS cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, elem) AS rn
+  FROM c
+)
+SELECT source, elem, cnt FROM r WHERE rn <= 3
+ORDER BY source, cnt DESC, elem
+"""
+
+
 SEP_TOKEN = 13
 
 
@@ -6037,6 +6065,7 @@ def queries() -> dict[str, Callable]:
         "seq_ngram_decontam": q_seq_ngram_decontam,
         "events_equidepth": q_events_equidepth,
         "events_kanon": q_events_kanon,
+        "seq_top_tokens_by_source": q_seq_top_tokens_by_source,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -6188,6 +6217,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_ngram_decontam": SQL_SEQ_NGRAM_DECONTAM,
         "events_equidepth": SQL_EVENTS_EQUIDEPTH,
         "events_kanon": SQL_EVENTS_KANON,
+        "seq_top_tokens_by_source": SQL_SEQ_TOP_TOKENS_BY_SOURCE,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

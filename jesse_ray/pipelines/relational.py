@@ -1990,3 +1990,64 @@ def equidepth_histogram(
     out = out.rename_columns([group_col, "bucket", "n"])
     out = out.set_column(2, "n", out["n"].cast(pa.int64()))
     return out.sort_by([(group_col, "ascending"), ("bucket", "ascending")])
+
+
+def grouped_top_k_elements(
+    ds: Dataset,
+    list_col: str,
+    group_col: str,
+    *,
+    k: int = 3,
+    n_parts: int = 64,
+    min_elem: int | None = 0,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Exact per-GROUP top-k most frequent list elements (per-source
+    vocabulary heads — the grouped form of :func:`top_k_elements`).
+    Map side: one Arrow ``group_by`` per batch over (group, element)
+    partial counts; shuffle key is the COARSE ELEMENT hash alone — an
+    element's counts for every group land in one part, so per-part
+    merged counts are exact and a group's global top-k element is
+    necessarily in its part's per-group top-k.  Driver merges
+    ≤ n_parts × n_groups × k candidate rows.  Ties: count desc, element
+    asc.  ``min_elem`` drops sentinel ids (< 0) before counting."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col)
+        grp = _combine(batch[group_col]).take(
+            pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lens)))
+        t = pa.table({"g": grp, "elem": flat})
+        if min_elem is not None:
+            t = t.filter(pc.greater_equal(t["elem"], min_elem))
+        g = t.group_by(["g", "elem"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["g", "elem", "__pc"])
+        return g.append_column("__part", pa.array(_element_parts(g["elem"], n_parts)))
+
+    def merge(gdf: pd.DataFrame) -> pd.DataFrame:
+        m = gdf.groupby(["g", "elem"], sort=False)["__pc"].sum().reset_index()
+        m = m.sort_values(["g", "__pc", "elem"], ascending=[True, False, True],
+                          kind="mergesort")
+        return m.groupby("g", sort=False).head(k)
+
+    per_part = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
+    cand = pa.concat_tables(list(per_part.iter_batches(batch_format="pyarrow")))
+    df = cand.to_pandas()
+    df = df.sort_values(["g", "__pc", "elem"], ascending=[True, False, True],
+                        kind="mergesort").groupby("g", sort=False).head(k)
+    df = df.reset_index(drop=True)
+    out = pa.table({
+        group_col: pa.array(df["g"]),
+        "elem": pa.array(df["elem"].astype("int64")),
+        "cnt": pa.array(df["__pc"].astype("int64")),
+    })
+    return out.sort_by([(group_col, "ascending"), ("cnt", "descending"),
+                        ("elem", "ascending")])

@@ -2806,3 +2806,28 @@ def test_equidepth_histogram_exact(ray_session):
         want = pd.Series(buckets).value_counts().sort_index()
         sel = got[got["g"] == grp].set_index("bucket")["n"]
         assert sel.to_dict() == want.to_dict()
+
+
+def test_grouped_top_k_elements_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pandas as pd
+    from jesse_ray.pipelines.relational import grouped_top_k_elements
+
+    rng = np.random.default_rng(23)
+    rows, grps = [], []
+    for i in range(200):
+        g = "ab"[i % 2]
+        rows.append(rng.zipf(1.6, size=rng.integers(1, 20)).astype(np.int32).tolist())
+        grps.append(g)
+    t = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32())), "source": grps})
+    got = grouped_top_k_elements(ray.data.from_arrow(t), "tokens", "source",
+                                 k=2, n_parts=8).to_pandas()
+
+    flat = [(g, e) for g, r in zip(grps, rows) for e in r if e >= 0]
+    df = pd.DataFrame(flat, columns=["g", "e"]).groupby(["g", "e"]).size().reset_index(name="c")
+    for g in "ab":
+        sub = df[df["g"] == g].sort_values(["c", "e"], ascending=[False, True]).head(2)
+        gsub = got[got["source"] == g]
+        assert gsub["elem"].tolist() == sub["e"].tolist()
+        assert gsub["cnt"].tolist() == sub["c"].tolist()
