@@ -5371,6 +5371,66 @@ ORDER BY source, cnt DESC, elem
 """
 
 
+def q_seq_infer_spec(sf_dir: str) -> pa.Table:
+    """Spec inference (profile → propose → verify): one streaming pass
+    over the CLEAN corpus derives the tightest draft-04 constraints it
+    satisfies (required / numeric + item bounds / length + item-count
+    bounds / capped enum — jesse_ray.infer.infer_spec, per-batch Arrow
+    partials, small rows to the driver, never a distinct shuffle), then
+    the inferred spec is compiled and the corpus re-validated against
+    it — the final row proves zero violations, and the doc_id
+    uniqueness HYPOTHESIS is confirmed by the engine's duplicate pass.
+    The twin re-derives every constraint value in SQL."""
+    from jesse_ray.engine import duplicate_keys, row_violations
+    from jesse_ray.infer import infer_spec
+
+    sf = testgen.sf_name_of(sf_dir)
+    testgen.generate(sf)
+    clean = str(testgen.corpus_dir(sf) / "sequences_clean.parquet")
+    ds = read_sequences(clean)
+    spec, constraints = infer_spec(ds, key_column="doc_id")
+    compiled = compile_spec(spec)
+    n_viol = row_violations(read_sequences(clean), compiled).count()
+    n_dups = duplicate_keys(read_sequences(clean), "doc_id").count() if spec.unique_keys else -1
+    tail = pa.table({
+        "column": ["_engine", "_engine"],
+        "constraint": ["violations_on_inferred_spec", "duplicate_keys_confirmed"],
+        "value": [str(n_viol), str(n_dups)],
+    })
+    return pa.concat_tables([constraints, tail])
+
+
+_CLEAN_SQL = "read_parquet('/tmp/jesse_ray_data/sf0.01/sequences_clean.parquet')"
+
+SQL_SEQ_INFER_SPEC = f"""
+WITH c AS (SELECT * FROM {_CLEAN_SQL}),
+rows_ AS (
+  SELECT 'doc_id' AS "column", 'required' AS "constraint",
+         CASE WHEN count(*) = count(doc_id) THEN 'true' END AS value FROM c
+  UNION ALL SELECT 'tokens', 'required', CASE WHEN count(*) = count(tokens) THEN 'true' END FROM c
+  UNION ALL SELECT 'n_tok', 'required', CASE WHEN count(*) = count(n_tok) THEN 'true' END FROM c
+  UNION ALL SELECT 'source', 'required', CASE WHEN count(*) = count(source) THEN 'true' END FROM c
+  UNION ALL SELECT 'n_tok', 'minimum', CAST(min(n_tok) AS VARCHAR) FROM c
+  UNION ALL SELECT 'n_tok', 'maximum', CAST(max(n_tok) AS VARCHAR) FROM c
+  UNION ALL SELECT 'doc_id', 'min_length', CAST(min(length(doc_id)) AS VARCHAR) FROM c
+  UNION ALL SELECT 'doc_id', 'max_length', CAST(max(length(doc_id)) AS VARCHAR) FROM c
+  UNION ALL SELECT 'source', 'min_length', CAST(min(length(source)) AS VARCHAR) FROM c
+  UNION ALL SELECT 'source', 'max_length', CAST(max(length(source)) AS VARCHAR) FROM c
+  UNION ALL SELECT 'source', 'enum', string_agg(DISTINCT source, ',' ORDER BY source) FROM c
+  UNION ALL SELECT 'tokens', 'min_items', CAST(min(len(tokens)) AS VARCHAR) FROM c
+  UNION ALL SELECT 'tokens', 'max_items', CAST(max(len(tokens)) AS VARCHAR) FROM c
+  UNION ALL SELECT 'tokens', 'item_minimum',
+    CAST((SELECT min(t) FROM (SELECT unnest(tokens) AS t FROM c)) AS VARCHAR)
+  UNION ALL SELECT 'tokens', 'item_maximum',
+    CAST((SELECT max(t) FROM (SELECT unnest(tokens) AS t FROM c)) AS VARCHAR)
+  UNION ALL SELECT '_engine', 'violations_on_inferred_spec', '0'
+  UNION ALL SELECT '_engine', 'duplicate_keys_confirmed', '0'
+)
+SELECT * FROM rows_ WHERE value IS NOT NULL
+ORDER BY "column", "constraint", value
+"""
+
+
 SEP_TOKEN = 13
 
 
@@ -6066,6 +6126,7 @@ def queries() -> dict[str, Callable]:
         "events_equidepth": q_events_equidepth,
         "events_kanon": q_events_kanon,
         "seq_top_tokens_by_source": q_seq_top_tokens_by_source,
+        "seq_infer_spec": q_seq_infer_spec,
         "seq_remap_tokens": q_seq_remap_tokens,
         "emb_outliers": q_emb_outliers,
         "tpch_q5ish": q_tpch_q5ish,
@@ -6218,6 +6279,7 @@ def oracle_sql() -> dict[str, str]:
         "events_equidepth": SQL_EVENTS_EQUIDEPTH,
         "events_kanon": SQL_EVENTS_KANON,
         "seq_top_tokens_by_source": SQL_SEQ_TOP_TOKENS_BY_SOURCE,
+        "seq_infer_spec": SQL_SEQ_INFER_SPEC,
         "seq_remap_tokens": SQL_SEQ_REMAP_TOKENS,
         "emb_outliers": SQL_EMB_OUTLIERS,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

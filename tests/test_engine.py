@@ -562,3 +562,35 @@ def test_csv_corpus_parity(tmp_path, ray_session):
     )
     assert res_pq.counts_by_error() == res_csv.counts_by_error()
     assert sum(res_csv.counts_by_error().values()) > 0
+
+
+def test_infer_spec_roundtrip(ray_session):
+    import pyarrow as pa
+    from jesse_ray.compiler import compile_spec
+    from jesse_ray.engine import row_violations
+    from jesse_ray.infer import infer_spec
+
+    t = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "tokens": pa.array([[1, 2], [3], [4, 5, 6]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 1, 3], type=pa.int32()),
+        "source": ["x", "y", "x"],
+    })
+    spec, ev = infer_spec(ray.data.from_arrow(t), key_column="doc_id")
+    assert spec.columns["source"].enum == ["x", "y"]
+    assert spec.columns["n_tok"].minimum == 1 and spec.columns["n_tok"].maximum == 3
+    assert spec.columns["tokens"].min_items == 1 and spec.columns["tokens"].max_items == 3
+    assert spec.columns["tokens"].items.minimum == 1 and spec.columns["tokens"].items.maximum == 6
+    assert spec.unique_keys == ["doc_id"]
+    # the corpus passes its own inferred spec
+    assert row_violations(ray.data.from_arrow(t), compile_spec(spec)).count() == 0
+    # a row outside the inferred bounds violates it
+    bad = pa.table({
+        "doc_id": ["z"],
+        "tokens": pa.array([[99]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([9], type=pa.int32()),
+        "source": ["nope"],
+    })
+    assert row_violations(ray.data.from_arrow(bad), compile_spec(spec)).count() > 0
+    kinds = set(zip(ev["column"].to_pylist(), ev["constraint"].to_pylist()))
+    assert ("source", "enum") in kinds and ("tokens", "item_maximum") in kinds
