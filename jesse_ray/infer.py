@@ -195,3 +195,23 @@ def infer_spec(
         "value": pa.array([r[2] for r in ev_rows]),
     })
     return spec, constraints
+
+
+def to_json_schema(spec: TableSpec) -> dict:
+    """Serialize a TableSpec as the draft-04 object schema the CLI /
+    ``spec.from_json_schema`` load (``properties`` = columns; draft-4
+    uses ``id``, never ``$id`` — src/jesse_validator_draft4.erl:84-85).
+    Inferred specs round-trip: ``from_json_schema(to_json_schema(s))``
+    compiles to the same checks."""
+    doc: dict = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "id": f"inferred:{spec.name}",
+        "type": "object",
+        "properties": {c: cs.to_fragment() for c, cs in spec.columns.items()},
+    }
+    required = sorted(c for c, cs in spec.columns.items() if cs.required)
+    if required:
+        doc["required"] = required
+    if spec.unique_keys:
+        doc["uniqueKeys"] = list(spec.unique_keys)  # engine extension keyword
+    return doc

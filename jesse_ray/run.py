@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
         "'data': ..., 'path': [...]}, ...]}, src/jesse_error.erl:107-138) "
         "built from all violation rows to this path",
     )
+    p.add_argument(
+        "--infer-spec",
+        metavar="PATH",
+        help="profile the input FIRST, write the tightest passing draft-04 "
+             "schema to PATH, and validate against it (profile → propose → "
+             "verify); mutually exclusive with --spec",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--json", action="store_true", help="JSON summary to stdout (reference --json flag, src/jesse_cli.erl:48-49)")
     args = p.parse_args(argv)
@@ -77,7 +84,21 @@ def main(argv: list[str] | None = None) -> int:
     from jesse_ray.checkpoint import run_validation
     from jesse_ray.spec import from_json_schema, sequences_spec
 
-    if args.spec:
+    if args.spec and args.infer_spec:
+        p.error("--spec and --infer-spec are mutually exclusive")
+    if args.infer_spec:
+        from jesse_ray.infer import infer_spec, to_json_schema
+        from jesse_ray.sources import read_corpus
+
+        ds = read_corpus(args.input, format=args.input_format)
+        inferred, _ = infer_spec(ds, key_column="doc_id")
+        doc = to_json_schema(inferred)
+        with open(args.infer_spec, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        # reload through the public schema path — what we wrote is what
+        # the validator runs
+        spec = from_json_schema(doc)
+    elif args.spec:
         with open(args.spec) as f:
             spec = from_json_schema(json.load(f))
         if args.allowed_sources:

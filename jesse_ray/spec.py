@@ -776,6 +776,12 @@ def from_json_schema(
         spec.min_columns = int(schema["minProperties"])
     if "maxProperties" in schema:
         spec.max_columns = int(schema["maxProperties"])
+    # engine extension keyword (not in any draft): corpus-wide key
+    # uniqueness — written by infer.to_json_schema, ignored by the
+    # reference's keyword set
+    uk = schema.get("uniqueKeys")
+    if isinstance(uk, list):
+        spec.unique_keys = [str(k) for k in uk]
     return spec
 
 

@@ -594,3 +594,45 @@ def test_infer_spec_roundtrip(ray_session):
     assert row_violations(ray.data.from_arrow(bad), compile_spec(spec)).count() > 0
     kinds = set(zip(ev["column"].to_pylist(), ev["constraint"].to_pylist()))
     assert ("source", "enum") in kinds and ("tokens", "item_maximum") in kinds
+
+
+def test_infer_spec_json_schema_roundtrip(ray_session):
+    """to_json_schema → from_json_schema rebuilds the SAME checks:
+    the CLI's --infer-spec writes the schema then validates through the
+    public loader, so serialization must preserve every constraint
+    (including the uniqueKeys extension keyword)."""
+    import json
+
+    import pyarrow as pa
+    from jesse_ray.compiler import compile_spec
+    from jesse_ray.engine import row_violations
+    from jesse_ray.infer import infer_spec, to_json_schema
+    from jesse_ray.spec import from_json_schema
+
+    t = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "tokens": pa.array([[1, 2], [3], [4, 5, 6]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 1, 3], type=pa.int32()),
+        "source": ["x", "y", "x"],
+    })
+    spec, _ = infer_spec(ray.data.from_arrow(t), key_column="doc_id")
+    doc = json.loads(json.dumps(to_json_schema(spec)))  # through-the-file fidelity
+    assert doc["$schema"] == "http://json-schema.org/draft-04/schema#"
+    assert sorted(doc["required"]) == ["doc_id", "n_tok", "source", "tokens"]
+    assert doc["uniqueKeys"] == ["doc_id"]
+    spec2 = from_json_schema(doc)
+    assert spec2.unique_keys == ["doc_id"]
+    assert spec2.columns["source"].enum == ["x", "y"]
+    assert spec2.columns["tokens"].items.maximum == 6
+    # reloaded spec accepts the corpus and rejects the same bad row
+    assert row_violations(ray.data.from_arrow(t), compile_spec(spec2)).count() == 0
+    bad = pa.table({
+        "doc_id": ["z"],
+        "tokens": pa.array([[99]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([9], type=pa.int32()),
+        "source": ["nope"],
+    })
+    errs = row_violations(ray.data.from_arrow(bad), compile_spec(spec2))
+    assert errs.count() == row_violations(
+        ray.data.from_arrow(bad), compile_spec(spec)
+    ).count() > 0
