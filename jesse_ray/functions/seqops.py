@@ -979,3 +979,49 @@ def loss_mask_split(
 
     return ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def add_fixity_checksum(
+    ds: Dataset,
+    *,
+    tokens_col: str = "tokens",
+    out_col: str = "ck",
+    mod: int = 2**31 - 1,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Append a per-document content checksum: Σ_i token_i · (i+1)
+    (1-based position weighting, so reorderings change it) reduced
+    ``mod`` a 31-bit prime (keeps downstream BIGINT sums exact in both
+    the engine and the SQL twin even over 10^12 docs).
+
+    The per-shard SUM of these checksums is a fixity manifest — the
+    ingest-integrity audit a resumable 100 TB run records per input
+    shard so re-reads / re-transfers can be verified without byte
+    comparison (content-level, ordering-sensitive, schema-independent).
+
+    One vectorized pass per batch over the FLAT token buffer: local
+    1-based positions from offset arithmetic, one int64 multiply, one
+    ``np.add.reduceat`` at row starts (empty rows guarded) — no per-row
+    Python.  Per-doc sums fit int64 by construction (vocab < 2^16,
+    n_tok < 2^16 ⇒ < 2^47)."""
+
+    def add_ck(batch: pa.Table) -> pa.Table:
+        col = _combine(batch[tokens_col])
+        n = len(col)
+        # null-list-safe lengths (null rows contribute 0 values to the
+        # flat buffer and checksum 0)
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if n else np.zeros(0, np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens) + 1
+        contrib = flat * pos
+        ck = np.zeros(n, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            ck[nz] = np.add.reduceat(contrib, starts[nz])
+        ck %= mod
+        return batch.append_column(out_col, pa.array(ck, type=pa.int64()))
+
+    return ds.map_batches(add_ck, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)

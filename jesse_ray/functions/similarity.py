@@ -532,3 +532,97 @@ def knn_graph(
 
     return ds.map_batches(_KNN, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=(1, 4))
+
+
+def hard_negatives(
+    ds: Dataset,
+    anchor_ids: "np.ndarray | list[int]",
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Hard-negative mining for contrastive training: for each anchor,
+    its ``k`` most cosine-similar vectors with a DIFFERENT label
+    (semantically-close-but-wrong examples — the negatives that carry
+    gradient).
+
+    Anchor rows (ids + labels + normalized vectors — a small set) are
+    pulled with a pushed-down id filter, broadcast once via ``ray.put``,
+    then the CORPUS streams: per batch one dense |A|×|B| matmul, a
+    vectorized same-label/self mask, and a per-anchor partial top-k —
+    each batch emits ≤ |A|·k rows (id, sim), never the similarity
+    matrix.  The driver merges |A|·k·n_blocks candidate rows.  Scale:
+    broadcast is O(|A|·d); the corpus is never materialized.
+
+    Ties break ascending on the negative's id; output is
+    (anchor_id, rank, vec_id) — rank-only, no float column, so the SQL
+    twin hashes exactly."""
+    import pyarrow.compute as pc
+
+    anchor_ids = np.asarray(sorted(int(a) for a in anchor_ids), dtype=np.int64)
+    aset = pa.array(anchor_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col].cast(pa.int64()), value_set=aset))
+
+    arows = []
+    for b in ds.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        if len(b):
+            arows.append((_as_i64(b[id_col]), _as_i64(b[label_col]), _as_matrix(b[emb_col])))
+    aid = np.concatenate([r[0] for r in arows])
+    alab = np.concatenate([r[1] for r in arows])
+    A = np.vstack([r[2] for r in arows])
+    order = np.argsort(aid, kind="stable")
+    aid, alab, A = aid[order], alab[order], A[order]
+    A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-30)
+    ref = _maybe_put((aid, alab, A))
+
+    class _Miner:
+        def __init__(self):
+            self.aid, self.alab, self.A = _resolve(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = _as_i64(batch[id_col])
+            blab = _as_i64(batch[label_col])
+            B = _as_matrix(batch[emb_col])
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+            sims = self.A @ B.T                              # |A| x |B|
+            bad = (self.alab[:, None] == blab[None, :]) | (self.aid[:, None] == bids[None, :])
+            sims[bad] = -np.inf
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(len(self.aid))[:, None]
+            cs, ci = sims[rows, part], bids[part]
+            keep = np.isfinite(cs)
+            return pa.table({
+                "anchor_id": pa.array(np.repeat(self.aid, kk)[keep.ravel()], type=pa.int64()),
+                "vec_id": pa.array(ci.ravel()[keep.ravel()], type=pa.int64()),
+                "sim": pa.array(cs.ravel()[keep.ravel()], type=pa.float64()),
+            })
+
+    cand = ds.map_batches(_Miner, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=(1, 2))
+    parts = list(cand.iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"anchor_id": pa.array([], type=pa.int64()),
+         "vec_id": pa.array([], type=pa.int64()),
+         "sim": pa.array([], type=pa.float64())})
+    out_rows = {"anchor_id": [], "rank": [], "vec_id": []}
+    ai = merged["anchor_id"].to_numpy(zero_copy_only=False)
+    vi = merged["vec_id"].to_numpy(zero_copy_only=False)
+    si = merged["sim"].to_numpy(zero_copy_only=False)
+    for a in aid:
+        m = ai == a
+        order = np.lexsort((vi[m], -si[m]))[:k]
+        out_rows["anchor_id"].extend([int(a)] * len(order))
+        out_rows["rank"].extend(range(1, len(order) + 1))
+        out_rows["vec_id"].extend(int(v) for v in vi[m][order])
+    return pa.table({
+        "anchor_id": pa.array(out_rows["anchor_id"], type=pa.int64()),
+        "rank": pa.array(out_rows["rank"], type=pa.int64()),
+        "vec_id": pa.array(out_rows["vec_id"], type=pa.int64()),
+    })

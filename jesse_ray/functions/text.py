@@ -1234,3 +1234,100 @@ def conjunctive_search(
     merged = pa.concat_tables(batches) if batches else pa.table(
         {key_col: pa.array([], type=pa.int64()), "score": pa.array([], type=pa.int64())})
     return merged.sort_by([("score", "descending"), (key_col, "ascending")]).slice(0, k)
+
+
+def bm25_search(
+    ds: "Dataset",
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    batch_size: int = 8192,
+) -> pa.Table:
+    """Disjunctive (OR-of-terms) BM25 ranked retrieval (Robertson/
+    Walker Okapi BM25, the Lucene ``+1`` idf smoothing so idf > 0 even
+    for df > N/2): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    b·dl/avgdl)), idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Two streaming passes, no shuffle, nothing corpus-sized on the
+    driver:
+
+    1. STATS: one scan emitting a single partial row per batch —
+       (n_docs, total_words, df per query term, each via one vectorized
+       equality mask + de-duplicated parent hit count) — driver sums
+       ~n_blocks tiny rows into (N, avgdl, df_t).  At 100 TB this pass
+       is an embarrassingly parallel read of the text column only.
+    2. SCORE: same scan shape as :func:`conjunctive_search` but
+       disjunctive and float-scored with the broadcast stats; each
+       batch emits at most ``k`` candidate rows, the driver merges
+       k × n_blocks.
+
+    Scores are rounded to 6 decimals BEFORE ranking so the SQL twin
+    (same formula in DuckDB, same libm doubles) orders identically;
+    ties break ascending on ``key_col``."""
+    terms = list(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        txt = _combine_col(batch[text_col])
+        words = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        n = len(batch)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cols = {
+            "__n": pa.array([n], type=pa.int64()),
+            "__wsum": pa.array([int(lens.sum())], type=pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            df = int((np.bincount(parents[hit], minlength=n) > 0).sum())
+            cols[f"__df{i}"] = pa.array([df], type=pa.int64())
+        return pa.table(cols)
+
+    parts = list(
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size).iter_batches(batch_format="pyarrow")
+    )
+    stats = pa.concat_tables(parts)
+    N = int(pc.sum(stats["__n"]).as_py() or 0)
+    if N == 0:
+        return pa.table({key_col: pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    avgdl = (pc.sum(stats["__wsum"]).as_py() or 0) / N
+    idf = np.array(
+        [np.log(1.0 + (N - d + 0.5) / (d + 0.5))
+         for d in (int(pc.sum(stats[f"__df{i}"]).as_py() or 0) for i in range(len(terms)))],
+        dtype=np.float64,
+    )
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        txt = _combine_col(batch[text_col])
+        words = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        n = len(batch)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lens)
+        norm = k1 * (1.0 - b + b * (lens / avgdl))  # per-doc length norm
+        score = np.zeros(n, dtype=np.float64)
+        any_hit = np.zeros(n, dtype=bool)
+        for i, t in enumerate(terms):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[hit], minlength=n).astype(np.float64)
+            score += idf[i] * (tf * (k1 + 1.0)) / (tf + norm)
+            any_hit |= tf > 0
+        score = np.round(score, 6)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)[any_hit]
+        sc = score[any_hit]
+        order = np.lexsort((keys, -sc))[:k]
+        return pa.table({key_col: pa.array(keys[order], type=batch.schema.field(key_col).type),
+                         "score": pa.array(sc[order], type=pa.float64())})
+
+    cand = ds.map_batches(score_partial, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+    batches = list(cand.iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(batches) if batches else pa.table(
+        {key_col: pa.array([], type=pa.int64()), "score": pa.array([], type=pa.float64())})
+    return merged.sort_by([("score", "descending"), (key_col, "ascending")]).slice(0, k)

@@ -6033,6 +6033,141 @@ ORDER BY doc_id
 """
 
 
+def q_doc_bm25(sf_dir: str) -> pa.Table:
+    """Disjunctive BM25 top-20 over documents (text.bm25_search): a
+    corpus-stats streaming pass (N, avgdl, per-term df via one-row-per-
+    batch partials), then the scoring scan with per-batch top-k
+    partials — no shuffle, driver merges k × n_blocks rows.  Scores
+    rounded to 6 dp on BOTH sides before ranking."""
+    from jesse_ray.functions.text import bm25_search
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_search(ds, SEARCH_TERMS, k=20)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+SQL_DOC_BM25 = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n,
+                  avg(coalesce(dl.dl, 0)) AS avgdl
+           FROM documents d LEFT JOIN dl USING (doc_id)),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+       WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+terms AS (SELECT unnest([{_BM25_TERMS_SQL}]) AS word),
+idf AS (SELECT t.word,
+               ln(1 + ((SELECT n FROM corpus) - coalesce(df.df, 0) + 0.5)
+                      / (coalesce(df.df, 0) + 0.5)) AS idf
+        FROM terms t LEFT JOIN df USING (word)),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(idf.idf * (tf.tf * (1.2 + 1.0)) /
+               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM corpus)))),
+               6) AS score
+  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_events_pivot(sf_dir: str) -> pa.Table:
+    """Hour-of-day × event-type crosstab (relational.pivot_counts):
+    per-batch one dictionary_encode + one 2-D np.bincount combiner
+    emitting ONE wide row per type per block, then a tiny
+    groupby(type).Sum — the wide re-expression of 24 SQL FILTER
+    aggregates."""
+    from jesse_ray.pipelines.relational import pivot_counts
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pc.hour(batch["ts"]).cast(pa.int64()),
+        })
+
+    hds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    return pivot_counts(hds, "event_type", "hour", 24, prefix="h")
+
+
+SQL_EVENTS_PIVOT = (
+    "SELECT event_type, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE extract(hour FROM ts) = {i}) AS BIGINT) AS h{i:02d}"
+        for i in range(24)
+    )
+    + " FROM events GROUP BY event_type ORDER BY event_type"
+)
+
+
+def q_seq_fixity_manifest(sf_dir: str) -> pa.Table:
+    """Per-shard fixity manifest — the ingest-integrity record a
+    resumable 100 TB run keeps per input shard: row count, token
+    totals, and a position-weighted content checksum (Σ tokenᵢ·(i+1)
+    mod 2³¹−1 per doc, summed per shard) that changes under any token
+    edit, drop, or reorder (seqops.add_fixity_checksum — one reduceat
+    pass over the flat buffer; then the grouped_agg combiner)."""
+    from jesse_ray.functions.seqops import add_fixity_checksum
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok", "tokens"])
+    ck = add_fixity_checksum(ds)
+    t = _collect(grouped_agg(ck, ["source"], sums=["n_tok", "ck"]))
+    return pa.table({
+        "source": t["source"],
+        "cnt": t["cnt"].cast(pa.int64()),
+        "sum_n_tok": t["sum_n_tok"].cast(pa.int64()),
+        "checksum": t["sum_ck"].cast(pa.int64()),
+    })
+
+
+SQL_SEQ_FIXITY_MANIFEST = f"""
+WITH per_doc AS (
+  SELECT source, n_tok,
+         (SELECT coalesce(sum(CAST(u.tok AS BIGINT) * u.pos), 0) % 2147483647
+          FROM (SELECT unnest(tokens) AS tok,
+                       generate_subscripts(tokens, 1) AS pos) u) AS ck
+  FROM {SEQ_SQL}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(sum(ck) AS BIGINT) AS checksum
+FROM per_doc GROUP BY source
+"""
+
+
+def q_emb_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining for the first 16 vectors: top-5 most
+    cosine-similar vectors with a DIFFERENT label per anchor
+    (similarity.hard_negatives — anchors broadcast once, corpus
+    streamed, per-batch |A|×|B| matmul + label mask + partial top-k;
+    rank-only output so the twin hashes exactly)."""
+    from jesse_ray.functions.similarity import hard_negatives
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
+    return hard_negatives(ds, list(range(16)), k=5, batch_size=2048)
+
+
+SQL_EMB_HARD_NEGATIVES = """
+WITH a AS (SELECT vec_id AS anchor_id, label AS alabel, embedding AS avec
+           FROM embeddings WHERE vec_id < 16),
+ranked AS (
+  SELECT a.anchor_id,
+         CAST(row_number() OVER (
+             PARTITION BY a.anchor_id
+             ORDER BY list_cosine_similarity(a.avec, e.embedding) DESC, e.vec_id
+         ) AS BIGINT) AS rank,
+         e.vec_id
+  FROM a JOIN embeddings e
+    ON e.label <> a.alabel AND e.vec_id <> a.anchor_id
+)
+SELECT anchor_id, rank, vec_id FROM ranked WHERE rank <= 5
+ORDER BY anchor_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6190,6 +6325,10 @@ def queries() -> dict[str, Callable]:
         "doc_fingerprints": q_doc_fingerprints,
         "emb_near_dups": q_emb_near_dups,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "doc_bm25": q_doc_bm25,
+        "events_pivot": q_events_pivot,
+        "seq_fixity_manifest": q_seq_fixity_manifest,
+        "emb_hard_negatives": q_emb_hard_negatives,
         "media_features": q_media_features,
     }
 
@@ -6343,4 +6482,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_pairs": SQL_DOC_SIMHASH_PAIRS,
         "emb_near_dups": SQL_EMB_NEAR_DUPS,
         "emb_ivf_topk": SQL_EMB_IVF_TOPK,
+        "doc_bm25": SQL_DOC_BM25,
+        "events_pivot": SQL_EVENTS_PIVOT,
+        "seq_fixity_manifest": SQL_SEQ_FIXITY_MANIFEST,
+        "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
     }

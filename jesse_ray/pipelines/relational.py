@@ -2051,3 +2051,56 @@ def grouped_top_k_elements(
     })
     return out.sort_by([(group_col, "ascending"), ("cnt", "descending"),
                         ("elem", "ascending")])
+
+
+def pivot_counts(
+    ds: Dataset,
+    key: str,
+    bucket_col: str,
+    n_buckets: int,
+    *,
+    prefix: str = "b",
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Pivot (crosstab): one output row per ``key`` value with
+    ``n_buckets`` count columns ``{prefix}00..{prefix}NN`` — the wide
+    re-expression of ``count(*) FILTER (WHERE bucket = i)`` (classic
+    SQL PIVOT; the reference has no table ops at all, this is catalog
+    surface beyond it).
+
+    Map side: per batch ONE ``dictionary_encode`` of the key + one
+    ``np.bincount`` over ``key_idx * n_buckets + bucket`` — the whole
+    crosstab of the batch in a single vectorized pass, emitting one
+    wide row per key present in the batch (the combiner).  Reduce
+    side: Ray ``groupby(key).Sum`` over the ≤ n_keys × n_blocks
+    partial rows.  Scale: the shuffle carries one wide row per (key,
+    block); sized for low-cardinality pivot keys (dashboards), where
+    the all-to-all is trivially small.  ``bucket_col`` must already
+    hold int bucket ids in [0, n_buckets) (nulls/out-of-range rows are
+    dropped, matching the SQL FILTER semantics).
+    """
+    names = [f"{prefix}{i:02d}" for i in range(n_buckets)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = _combine(batch[key])
+        enc = keys.dictionary_encode()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kvals = enc.dictionary
+        buck = batch[bucket_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(buck) if buck.dtype.kind == "f" else np.ones(len(buck), bool)
+        buck = np.where(ok, buck, 0).astype(np.int64)
+        ok &= (buck >= 0) & (buck < n_buckets) & (kidx >= 0)
+        counts = np.bincount(kidx[ok] * n_buckets + buck[ok],
+                             minlength=len(kvals) * n_buckets).reshape(len(kvals), n_buckets)
+        cols = {key: kvals}
+        for i, nm in enumerate(names):
+            cols[nm] = pa.array(counts[:, i], type=pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    agg = partials.groupby(key).aggregate(*[Sum(nm, alias_name=nm) for nm in names])
+    out = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    for nm in names:
+        out = out.set_column(out.column_names.index(nm), nm, out[nm].cast(pa.int64()))
+    return out.sort_by([(key, "ascending")])

@@ -2831,3 +2831,109 @@ def test_grouped_top_k_elements_exact(ray_session):
         gsub = got[got["source"] == g]
         assert gsub["elem"].tolist() == sub["e"].tolist()
         assert gsub["cnt"].tolist() == sub["c"].tolist()
+
+
+def test_bm25_search_matches_bruteforce(ray_session):
+    import math
+
+    from jesse_ray.functions.text import bm25_search
+
+    docs = [
+        "cat dog cat fish",
+        "dog dog dog",
+        "cat",
+        "bird fish bird bird fish",
+        "cat dog bird fish cat",
+        "nothing here",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": docs})
+    terms = ["cat", "fish"]
+    got = bm25_search(ray.data.from_arrow(t), terms, k=4, batch_size=2)
+
+    # brute-force reference
+    words = [d.split(" ") for d in docs]
+    N = len(docs)
+    avgdl = sum(len(w) for w in words) / N
+    k1, b = 1.2, 0.75
+    scores = {}
+    for term in terms:
+        df = sum(1 for w in words if term in w)
+        idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+        for i, w in enumerate(words):
+            tf = w.count(term)
+            if tf:
+                dl = len(w)
+                scores[i] = scores.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl))
+    want = sorted(((round(s, 6), -i) for i, s in scores.items()), reverse=True)[:4]
+    assert got["doc_id"].to_pylist() == [-i for _, i in want]
+    assert got["score"].to_pylist() == pytest.approx([s for s, _ in want])
+
+
+def test_pivot_counts_crosstab(ray_session):
+    from jesse_ray.pipelines.relational import pivot_counts
+
+    t = pa.table({
+        "k": ["a", "a", "b", "a", "b", "c", "a"],
+        "bucket": pa.array([0, 2, 1, 0, 1, 3, 99], type=pa.int64()),  # 99 dropped
+    })
+    got = pivot_counts(ray.data.from_arrow(t), "k", "bucket", 4, prefix="c",
+                       batch_size=3)
+    assert got["k"].to_pylist() == ["a", "b", "c"]
+    assert got["c00"].to_pylist() == [2, 0, 0]
+    assert got["c01"].to_pylist() == [0, 2, 0]
+    assert got["c02"].to_pylist() == [1, 0, 0]
+    assert got["c03"].to_pylist() == [0, 0, 1]
+
+
+def test_add_fixity_checksum_values(ray_session):
+    from jesse_ray.functions.seqops import add_fixity_checksum
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "tokens": pa.array([[5, 7], [], [2], None],
+                           type=pa.list_(pa.int32())),
+    })
+    out = (add_fixity_checksum(ray.data.from_arrow(t), batch_size=2)
+           .select_columns(["doc_id", "ck"]).to_pandas().sort_values("doc_id"))
+    # 5*1 + 7*2 = 19; empty/null -> 0; 2*1 = 2
+    assert out["ck"].tolist() == [19, 0, 2, 0]
+
+
+def test_add_fixity_checksum_order_sensitive(ray_session):
+    from jesse_ray.functions.seqops import add_fixity_checksum
+
+    a = pa.table({"tokens": pa.array([[1, 2, 3]], type=pa.list_(pa.int32()))})
+    b = pa.table({"tokens": pa.array([[3, 2, 1]], type=pa.list_(pa.int32()))})
+    ca = add_fixity_checksum(ray.data.from_arrow(a)).select_columns(["ck"]).to_pandas()["ck"][0]
+    cb = add_fixity_checksum(ray.data.from_arrow(b)).select_columns(["ck"]).to_pandas()["ck"][0]
+    assert ca != cb
+
+
+def test_hard_negatives_excludes_same_label_and_self(ray_session):
+    from jesse_ray.functions.similarity import hard_negatives
+
+    rng = np.random.default_rng(11)
+    n, d = 40, 8
+    emb = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, size=n)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "label": pa.array(labels, type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              type=pa.list_(pa.float64())),
+    })
+    anchors = [0, 1, 2]
+    got = hard_negatives(ray.data.from_arrow(t), anchors, k=4, batch_size=7)
+    nemb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    gp = got.to_pandas()
+    for a in anchors:
+        sims = nemb @ nemb[a]
+        ok = (labels != labels[a]) & (np.arange(n) != a)
+        # want: top-4 by (-sim, vec_id)
+        cand = sorted(((-(round(s, 12)), i) for i, s in enumerate(sims) if ok[i]))[:4]
+        want_ids = [i for _, i in cand]
+        sub = gp[gp["anchor_id"] == a].sort_values("rank")
+        assert sub["vec_id"].tolist() == want_ids
+        assert (labels[sub["vec_id"].to_numpy()] != labels[a]).all()
