@@ -822,6 +822,8 @@ class CompiledSpec:
             self._build_column(col, cs)
         for rule in self.spec.consistency:
             self._build_consistency(rule)
+        for rule in self.spec.conditionals:
+            self._build_conditional(rule)
         for col, needs in self.spec.dependencies.items():
             self._build_dependency(col, needs)
         for cc in self.spec.custom_checks:
@@ -1309,6 +1311,66 @@ class CompiledSpec:
             return idx, vals, None
 
         self._add(name, rule.error_atom, [rule.left], frag_obj, fn)
+
+    def _build_conditional(self, rule) -> None:
+        """Draft-7-style table-level if/then/else (engine extension —
+        the reference's keyword set stops at draft-6 and ignores the
+        unknown keywords, src/jesse_validator_draft4.erl:259-260).
+
+        Fully vectorized: the condition mask is the AND of per-column
+        ``_spec_valid_mask`` calls (NULL condition values do NOT pass),
+        and each branch's sub-specs are evaluated once per batch and
+        gated by the branch mask — no per-row dispatch."""
+        frag_obj = {
+            "if": {"properties": {c: s.to_fragment() for c, s in rule.if_.items()}},
+            "then": {"properties": {c: s.to_fragment() for c, s in rule.then_.items()}},
+            "else": {"properties": {c: s.to_fragment() for c, s in rule.else_.items()}},
+        }
+        branch_cols = sorted(set(rule.then_) | set(rule.else_))
+
+        def fn(tbl, rule=rule, branch_cols=branch_cols):
+            n = tbl.num_rows
+            cond = np.ones(n, dtype=bool)
+            for col, sub in rule.if_.items():
+                arr, present = self._col_ctx(tbl, col)
+                if arr is None:
+                    cond &= False
+                    break
+                cond &= present & self._spec_valid_mask(sub, arr)
+            bad = np.zeros(n, dtype=bool)
+            for branch_mask, branch in ((cond, rule.then_), (~cond, rule.else_)):
+                if not branch or not branch_mask.any():
+                    continue
+                for col, sub in branch.items():
+                    arr, present = self._col_ctx(tbl, col)
+                    if arr is None:
+                        # branch demands a column the batch lacks:
+                        # every row in the branch fails
+                        bad |= branch_mask
+                        continue
+                    bad |= branch_mask & present & ~self._spec_valid_mask(sub, arr)
+            idx = np.flatnonzero(bad)
+            if len(idx) == 0:
+                return idx, [], None
+            # value_json: the branch columns of each offending row
+            cols = {}
+            for col in branch_cols:
+                arr, _p = self._col_ctx(tbl, col)
+                if arr is not None:
+                    cols[col] = arr.take(pa.array(idx, type=pa.int64())).to_pylist()
+            vals = [
+                _json_val({c: v[i] for c, v in cols.items()})
+                for i in range(len(idx))
+            ]
+            return idx, vals, None
+
+        self._add(
+            f"conditional:{rule.name}",
+            E.CONDITIONAL_NOT_VALID,
+            branch_cols,
+            frag_obj,
+            fn,
+        )
 
     def _build_dependency(self, col: str, needs: list[str]) -> None:
         # property dependencies, array form: col present ⇒ needs present

@@ -134,6 +134,58 @@ def filter_valid(
     )
 
 
+MIGRATION_STATUSES = ["broke_in_new", "clean_both", "dirty_both", "fixed_in_new"]
+
+
+def migration_report(
+    ds: Dataset,
+    old_compiled: CompiledSpec,
+    new_compiled: CompiledSpec,
+    *,
+    batch_size: int = 8192,
+) -> "pa.Table":
+    """Schema-migration impact audit (engine extension — jesse validates
+    one schema at a time; evolving a production spec needs the DELTA):
+    classify every row against BOTH compiled specs in ONE pass over the
+    corpus and return the 4-way contingency table
+
+        clean_both | broke_in_new | fixed_in_new | dirty_both
+
+    Scale shape: each batch reduces to ≤4 partial-count rows (map-side
+    combiner), so the "shuffle" moves a handful of ints per block —
+    the corpus is read once and never rematerialized."""
+
+    def classify(batch: pa.Table) -> pa.Table:
+        bad_old = old_compiled.invalid_row_mask(batch)
+        bad_new = new_compiled.invalid_row_mask(batch)
+        counts = [
+            int((~bad_old & bad_new).sum()),   # broke_in_new
+            int((~bad_old & ~bad_new).sum()),  # clean_both
+            int((bad_old & bad_new).sum()),    # dirty_both
+            int((bad_old & ~bad_new).sum()),   # fixed_in_new
+        ]
+        return pa.table(
+            {
+                "status": pa.array(MIGRATION_STATUSES, type=pa.string()),
+                "partial_n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+    merged: dict[str, int] = {s: 0 for s in MIGRATION_STATUSES}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for s, n in zip(b["status"].to_pylist(), b["partial_n"].to_pylist()):
+            merged[s] += n
+    return pa.table(
+        {
+            "status": pa.array(MIGRATION_STATUSES, type=pa.string()),
+            "n": pa.array([merged[s] for s in MIGRATION_STATUSES], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-level uniqueness (two-phase count: batch-local combiner before the
 # shuffle, defusing duplicate-heavy hot keys — SURVEY §7.3)

@@ -32,6 +32,8 @@ NOT_ONE_SCHEMA_VALID = "not_one_schema_valid"
 MORE_THAN_ONE_SCHEMA_VALID = "more_than_one_schema_valid"
 NOT_SCHEMA_VALID = "not_schema_valid"
 EXTERNAL = "external"
+# engine extension (draft-7-style if/then/else, beyond the reference)
+CONDITIONAL_NOT_VALID = "conditional_not_valid"
 
 # --- schema errors (spec-compile-time; raised on the driver) ---
 SCHEMA_INVALID = "schema_invalid"

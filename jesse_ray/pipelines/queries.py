@@ -1496,6 +1496,100 @@ ORDER BY doc_id
 """
 
 
+def q_seq_val_conditional(sf_dir: str) -> pa.Table:
+    """Table-level if/then/else through the compiled engine (draft-7-
+    STYLE extension beyond the reference's draft-6 ceiling; the
+    reference ignores the unknown keywords,
+    src/jesse_validator_draft4.erl:259-260): if source == 'code' the
+    row must keep n_tok <= 1024, every other row must keep n_tok >= 4.
+    One vectorized branch-mask pass per batch (ConditionalRule)."""
+    from jesse_ray.spec import from_json_schema
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source", "n_tok"])
+    spec = from_json_schema(
+        {
+            "properties": {"source": {"type": "string"}, "n_tok": {"type": "integer"}},
+            "if": {"properties": {"source": {"enum": ["code"]}}},
+            "then": {"properties": {"n_tok": {"maximum": 1024}}},
+            "else": {"properties": {"n_tok": {"minimum": 4}}},
+        }
+    )
+    v = _collect(row_violations(ds, compile_spec(spec)))
+    if v is None or v.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "error": pa.array([], type=pa.string())}
+        )
+    out = v.filter(pc.equal(v["error"], "conditional_not_valid"))
+    return pa.table({"doc_id": out["doc_id"], "error": out["error"]}).sort_by("doc_id")
+
+
+SQL_SEQ_VAL_CONDITIONAL = f"""
+SELECT doc_id, 'conditional_not_valid' AS error
+FROM {SEQ_SQL}
+WHERE n_tok IS NOT NULL
+  AND CASE WHEN source IS NOT NULL AND source = 'code'
+           THEN NOT (n_tok <= 1024)
+           ELSE NOT (n_tok >= 4) END
+ORDER BY doc_id
+"""
+
+
+def q_seq_val_migrate(sf_dir: str) -> pa.Table:
+    """Schema-migration impact audit (engine.migration_report): classify
+    every row against spec v1 AND the tightened spec v2 in one corpus
+    pass — the 4-way clean/broke/fixed/dirty contingency a spec rollout
+    review needs.  v2 raises the n_tok floor to 4, loosens the ceiling
+    to 2500 and pins source to the allowed enum, so every cell of the
+    contingency is exercised."""
+    from jesse_ray.engine import migration_report
+    from jesse_ray.spec import from_json_schema
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source", "n_tok"])
+    v1 = from_json_schema(
+        {
+            "properties": {
+                "doc_id": {"type": "string", "pattern": "^doc-[0-9]{8}$"},
+                "n_tok": {"type": "integer", "minimum": 1, "maximum": 2048},
+            },
+            "required": ["doc_id"],
+        }
+    )
+    v2 = from_json_schema(
+        {
+            "properties": {
+                "doc_id": {"type": "string", "pattern": "^doc-[0-9]{8}$"},
+                "n_tok": {"type": "integer", "minimum": 4, "maximum": 2500},
+                "source": {"enum": ALLOWED},
+            },
+            "required": ["doc_id", "source"],
+        }
+    )
+    t = migration_report(ds, compile_spec(v1), compile_spec(v2))
+    return t.filter(pc.greater(t["n"], 0))
+
+
+SQL_SEQ_VAL_MIGRATE = f"""
+WITH flags AS (
+  SELECT
+    (doc_id IS NULL OR NOT regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+     OR (n_tok IS NOT NULL AND (n_tok < 1 OR n_tok > 2048))) AS bad_old,
+    (doc_id IS NULL OR NOT regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+     OR (n_tok IS NOT NULL AND (n_tok < 4 OR n_tok > 2500))
+     OR source IS NULL OR source NOT IN ({ALLOWED_SQL})) AS bad_new
+  FROM {SEQ_SQL}
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT CASE
+    WHEN NOT bad_old AND bad_new THEN 'broke_in_new'
+    WHEN NOT bad_old AND NOT bad_new THEN 'clean_both'
+    WHEN bad_old AND bad_new THEN 'dirty_both'
+    ELSE 'fixed_in_new' END AS status
+  FROM flags
+) GROUP BY status ORDER BY status
+"""
+
+
 def q_events_users_per_type(sf_dir: str) -> pa.Table:
     """Exact grouped count-distinct (two-phase dedup shuffle)."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
@@ -6183,6 +6277,8 @@ def queries() -> dict[str, Callable]:
         "seq_val_source_enum": q_seq_val_source_enum,
         "seq_val_required": q_seq_val_required,
         "seq_val_pattern": q_seq_val_pattern,
+        "seq_val_conditional": q_seq_val_conditional,
+        "seq_val_migrate": q_seq_val_migrate,
         "seq_val_token_bounds": q_seq_val_token_bounds,
         "seq_val_docid_dups": q_seq_val_docid_dups,
         "seq_stats_by_source": q_seq_stats_by_source,
@@ -6340,6 +6436,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_val_source_enum": SQL_SEQ_VAL_SOURCE_ENUM,
         "seq_val_required": SQL_SEQ_VAL_REQUIRED,
         "seq_val_pattern": SQL_SEQ_VAL_PATTERN,
+        "seq_val_conditional": SQL_SEQ_VAL_CONDITIONAL,
+        "seq_val_migrate": SQL_SEQ_VAL_MIGRATE,
         "seq_val_token_bounds": SQL_SEQ_VAL_TOKEN_BOUNDS,
         "seq_val_docid_dups": SQL_SEQ_VAL_DOCID_DUPS,
         "seq_stats_by_source": SQL_SEQ_STATS_BY_SOURCE,

@@ -234,6 +234,30 @@ class ConsistencyRule:
 
 
 @dataclass
+class ConditionalRule:
+    """Table-level ``if``/``then``/``else`` — a draft-7-STYLE extension
+    BEYOND the reference (jesse stops at draft-6; unknown keywords are
+    ignored there, src/jesse_validator_draft4.erl:259-260, so schemas
+    carrying it still load in both engines — the reference just skips
+    the conditional).
+
+    Semantics: rows whose ``if_`` columns ALL pass their sub-specs
+    (value-level ``_spec_valid_mask``; a NULL condition value counts
+    as NOT passing, since the condition tests the value, not mere
+    presence) take the ``then_`` branch; every other row takes
+    ``else_``.  Each branch is a column → ColumnSpec map; a row fails
+    when any branch column's present value fails its sub-spec, or a
+    branch column is absent from the batch entirely.  Violations use
+    atom ``conditional_not_valid``.
+    """
+
+    if_: dict[str, "ColumnSpec"]
+    then_: dict[str, "ColumnSpec"] = field(default_factory=dict)
+    else_: dict[str, "ColumnSpec"] = field(default_factory=dict)
+    name: str = "conditional"
+
+
+@dataclass
 class CustomCheck:
     """User-extension hook — the ``external_validator`` analogue
     (src/jesse.erl:71-72, run after all keywords at
@@ -263,6 +287,9 @@ class TableSpec:
     unique_keys: list[str] = field(default_factory=list)
     referential: list[ReferentialRule] = field(default_factory=list)
     consistency: list[ConsistencyRule] = field(default_factory=list)
+    #: if/then/else cross-column conditionals (extension beyond the
+    #: reference's draft-6 ceiling — see ConditionalRule)
+    conditionals: list[ConditionalRule] = field(default_factory=list)
     #: additionalProperties:false analogue — unexpected Parquet columns are a
     #: schema-side failure at launch (src/jesse_validator_draft4.erl:431-507,
     #: mapped to compile-time per SURVEY §2.3)
@@ -332,6 +359,14 @@ class TableSpec:
             "consistency": [
                 {"kind": c.kind, "left": c.left, "right": c.right}
                 for c in self.consistency
+            ],
+            "conditionals": [
+                {
+                    "if": {k: v.to_fragment() for k, v in r.if_.items()},
+                    "then": {k: v.to_fragment() for k, v in r.then_.items()},
+                    "else": {k: v.to_fragment() for k, v in r.else_.items()},
+                }
+                for r in self.conditionals
             ],
             "referential": [
                 {"column": r.column, "dim_path": r.dim_path, "dim_column": r.dim_column}
@@ -772,6 +807,30 @@ def from_json_schema(
     if isinstance(pat_props, dict):
         for pat, sub in pat_props.items():
             spec.column_patterns[pat] = _column_from_schema(sub, schema)
+    # if/then/else — draft-7-STYLE extension beyond the reference's
+    # draft-6 ceiling.  Condition and branches use the object form
+    # {"properties": {col: subschema, ...}}; the reference ignores the
+    # unknown keywords (src/jesse_validator_draft4.erl:259-260), so
+    # schemas carrying them still load there (minus the conditional).
+    if isinstance(schema.get("if"), dict):
+        cond = {
+            col: _column_from_schema(sub, schema)
+            for col, sub in schema["if"].get("properties", {}).items()
+        }
+
+        def _branch(key: str) -> dict:
+            node = schema.get(key)
+            if not isinstance(node, dict):
+                return {}
+            return {
+                col: _column_from_schema(sub, schema)
+                for col, sub in node.get("properties", {}).items()
+            }
+
+        if cond:
+            spec.conditionals.append(
+                ConditionalRule(if_=cond, then_=_branch("then"), else_=_branch("else"))
+            )
     if "minProperties" in schema:
         spec.min_columns = int(schema["minProperties"])
     if "maxProperties" in schema:
