@@ -1025,3 +1025,59 @@ def add_fixity_checksum(
 
     return ds.map_batches(add_ck, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)
+
+
+def token_run_stats(
+    ds: Dataset,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Per-sequence run-length stats over the token stream: ``n_runs``
+    (count of maximal equal-value runs) and ``max_run`` (longest run) —
+    the degenerate-repetition signal for tokenized corpora (a sequence
+    that is one token repeated 2048 times has n_runs=1), complementing
+    the text-side ``add_ngram_repetition_stats``.
+
+    One vectorized pass per batch over the flattened Arrow list values:
+    run starts are ``vals[1:] != vals[:-1]`` with list boundaries forced
+    on, run lengths a ``diff`` over start indices, and the per-sequence
+    reduction two ``reduceat`` calls — no per-row Python, no shuffle
+    (embarrassingly parallel).  Empty/null token lists are dropped
+    (un-scorable), matching the SQL twin's ``len(tokens) > 0`` filter."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = _combine(batch[tokens_col])
+        keep = pc.and_(pc.is_valid(toks), pc.greater(pc.list_value_length(toks), 0))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+            toks = _combine(batch[tokens_col])
+        n = len(toks)
+        if n == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "n_runs": pa.array([], type=pa.int64()),
+                "max_run": pa.array([], type=pa.int64()),
+            })
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        vals = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        starts = np.empty(len(vals), dtype=bool)
+        starts[0] = True
+        np.not_equal(vals[1:], vals[:-1], out=starts[1:])
+        starts[off[:-1]] = True  # every list's first element opens a run
+        run_start = np.flatnonzero(starts)
+        run_len = np.diff(np.append(run_start, len(vals)))
+        n_runs = np.add.reduceat(starts.astype(np.int64), off[:-1])
+        first_run = np.zeros(n, dtype=np.int64)
+        np.cumsum(n_runs[:-1], out=first_run[1:])
+        max_run = np.maximum.reduceat(run_len, first_run)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_runs": pa.array(n_runs, type=pa.int64()),
+            "max_run": pa.array(max_run, type=pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

@@ -1331,3 +1331,45 @@ def bm25_search(
     merged = pa.concat_tables(batches) if batches else pa.table(
         {key_col: pa.array([], type=pa.int64()), "score": pa.array([], type=pa.float64())})
     return merged.sort_by([("score", "descending"), (key_col, "ascending")]).slice(0, k)
+
+
+def add_readability(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Flesch-reading-ease-style readability scoring (a standard cheap
+    quality signal next to the Gopher rules): per document, whitespace
+    words, ``[.!?]+`` sentence terminators and vowel-group syllable
+    proxies are counted with three RE2 ``count_substring_regex`` kernel
+    passes (no Python per row), and
+
+        ``flesch = 206.835 - 1.015*(words/sents) - 84.6*(syll/words)``
+
+    is evaluated in float64 exactly as written so an SQL twin using the
+    same formula is bit-comparable.  Documents with zero sentences or
+    zero words keep null ``flesch`` (un-scorable, filtered by callers).
+
+    Analogous role to the reference's per-value format checks
+    (src/jesse_validator_draft4.erl format dispatch): a cheap
+    string-shape scorer, here as a corpus-scale column stage."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(_combine_col(batch[text_col]), "")
+        w = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+        s = pc.count_substring_regex(text, r"[.!?]+").cast(pa.int64())
+        y = pc.count_substring_regex(text, r"[aeiouyAEIOUY]+").cast(pa.int64())
+        wn = w.to_numpy(zero_copy_only=False).astype(np.float64)
+        sn = s.to_numpy(zero_copy_only=False).astype(np.float64)
+        yn = y.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = (wn > 0) & (sn > 0)
+        fl = np.full(len(wn), np.nan)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fl[ok] = 206.835 - 1.015 * (wn[ok] / sn[ok]) - 84.6 * (yn[ok] / wn[ok])
+        return batch.append_column("n_words", w) \
+                    .append_column("n_sents", s) \
+                    .append_column("n_syll", y) \
+                    .append_column("flesch", pa.array(fl, type=pa.float64(), from_pandas=True))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

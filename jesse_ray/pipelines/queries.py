@@ -6426,7 +6426,7 @@ def queries() -> dict[str, Callable]:
         "seq_fixity_manifest": q_seq_fixity_manifest,
         "emb_hard_negatives": q_emb_hard_negatives,
         "media_features": q_media_features,
-    }
+    } | _wave2()[0]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6584,4 +6584,12 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "seq_fixity_manifest": SQL_SEQ_FIXITY_MANIFEST,
         "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
-    }
+    } | _wave2()[1]
+
+
+def _wave2() -> tuple[dict[str, Callable], dict[str, str]]:
+    """Catalog wave 2 (lazy import — queries2 imports helpers from this
+    module, so the import must not run at module-load time)."""
+    from jesse_ray.pipelines import queries2
+
+    return queries2.QUERIES2, queries2.ORACLES2

@@ -1,0 +1,421 @@
+"""Catalog wave 2: relational depth (TPC-H Q10/Q16 shapes, cross-table
+reconciliation) and corpus analysis (activity streaks, token run-length
+stats, readability) — same driver contract as :mod:`.queries` (column
+names match the DuckDB twin exactly; doubles rounded on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jesse_ray.sources import read_sequences, read_table
+
+# shared helpers / constants from wave 1 (no circular import at module
+# load: .queries imports THIS module only lazily inside queries()).
+from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
+
+
+# ---------------------------------------------------------------------------
+# tpch_q10ish — returned-item reporting (top customers by refund revenue)
+
+Q10_START, Q10_END = "1997-01-01", "1997-04-01"
+
+
+def q_tpch_q10ish(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10-shaped composite: revenue from RETURNED lineitems of a
+    one-quarter order window, per customer, top 20.  Scale shape: both
+    fact filters happen at the read (column-pruned, predicate map), the
+    orders⋈lineitem step is a large-x-large coarse-hash cogroup join,
+    the per-customer sum is a map-side Arrow partial → coarse custkey
+    part merge, and only the FINAL top-20 keys fetch their dimension
+    rows (customer/nation broadcast to a 20-row lookup — the dimension
+    join cost is O(k), not O(customers))."""
+    from jesse_ray.pipelines.relational import _element_parts, hash_join
+
+    lo, hi = pd.Timestamp(Q10_START), pd.Timestamp(Q10_END)
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        t = b.filter(m)
+        return pa.table({"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]})
+
+    orders = orders.map_batches(o_filter, batch_format="pyarrow", zero_copy_batch=True)
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def l_filter(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(l_filter, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, orders, on="l_orderkey", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([("rev", "sum")])
+        g = g.rename_columns(["o_custkey", "rev"])
+        return g.append_column("__part", pa.array(_element_parts(g["o_custkey"], 64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("o_custkey", sort=False)["rev"].sum().reset_index()
+        m.columns = ["c_custkey", "revenue"]
+        return m.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                             kind="mergesort").head(20)
+
+    cand = (j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("__part").map_groups(merge, batch_format="pandas")
+             .to_pandas())
+    top = cand.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                           kind="mergesort").head(20)
+    keys = set(top["c_custkey"].astype("int64"))
+    cust = _collect(read_table(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+                    .filter(lambda r: r["c_custkey"] in keys)).to_pandas()
+    nat = _collect(read_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])).to_pandas()
+    out = top.merge(cust, on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey")
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+SQL_TPCH_Q10ISH = f"""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q10_START}'
+  AND o_orderdate <  TIMESTAMP '{Q10_END}'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# tpch_q16ish — supplier-count per part group with exclusion subquery
+
+Q16_BRAND = "Brand#11"
+
+
+def q_tpch_q16ish(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16-shaped composite: distinct suppliers per (brand, size),
+    using distinct lineitem (partkey, suppkey) pairs as the partsupp
+    stand-in, excluding one brand and all suppliers with negative
+    account balance (the 'complaints' NOT IN subquery).  Scale shape:
+    map-side pair dedup → coarse partkey-hash part dedup (exact) →
+    large-x-large hash join against the filtered part table → the
+    (brand, size, suppkey) triple is deduped in a SUPPKEY-hash cogroup
+    (a triple lives wholly in one part) whose per-part counts sum
+    exactly; the excluded-supplier set is a broadcast filter, never a
+    shuffle."""
+    from jesse_ray.pipelines.relational import _element_parts, hash_join
+
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g.append_column("__part", pa.array(_element_parts(g["l_partkey"], 64)))
+
+    def part_dedup(g: pd.DataFrame) -> pa.Table:
+        d = g[["l_partkey", "l_suppkey"]].drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False).cast(
+            pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]))
+
+    pairs = (li.map_batches(pair_dedup, batch_format="pyarrow", zero_copy_batch=True)
+               .groupby("__part").map_groups(part_dedup, batch_format="pandas"))
+
+    part = read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+
+    def p_filter(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["p_brand"], pa.scalar(Q16_BRAND)))
+        return pa.table({"l_partkey": t["p_partkey"], "p_brand": t["p_brand"],
+                         "p_size": t["p_size"]})
+
+    part = part.map_batches(p_filter, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(pairs, part, on="l_partkey", how="inner")
+
+    bad = set(
+        _collect(read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+                 .filter(expr="s_acctbal < 0").select_columns(["s_suppkey"]))
+        .column(0).to_pylist())
+
+    def triple(b: pa.Table) -> pa.Table:
+        if bad:
+            b = b.filter(pc.invert(pc.is_in(
+                b["l_suppkey"], value_set=pa.array(sorted(bad), type=pa.int64()))))
+        g = b.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+        return g.append_column("__p2", pa.array(_element_parts(g["l_suppkey"], 64)))
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+        c = d.groupby(["p_brand", "p_size"], sort=False).size().reset_index(name="supplier_cnt")
+        return c
+
+    cand = (j.map_batches(triple, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("__p2").map_groups(count_part, batch_format="pandas")
+             .to_pandas())
+    out = (cand.groupby(["p_brand", "p_size"], sort=False)["supplier_cnt"].sum()
+               .reset_index()
+               .sort_values(["supplier_cnt", "p_brand", "p_size"],
+                            ascending=[False, True, True], kind="mergesort")
+               .reset_index(drop=True))
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out
+
+
+SQL_TPCH_Q16ISH = f"""
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_BRAND}'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_reconcile — cross-table aggregate reconciliation check
+
+def q_orders_reconcile(sf_dir: str) -> pd.DataFrame:
+    """Cross-table reconciliation (the warehouse-audit analogue of the
+    reference's referential checks): recompute each order's gross from
+    its lineitems and report the 20 largest |computed - o_totalprice|
+    discrepancies.  Map-side Arrow partial sums → coarse orderkey-hash
+    merge → broadcast-window top-20 per part + 20-row driver merge; the
+    orders side joins by the same coarse parts (no corpus groupby,
+    no driver materialization beyond 20×parts candidate rows).  Sort
+    key is the ROUNDED diff (both engines round before ranking, so sum
+    re-association below half a cent can never reorder the result)."""
+    from jesse_ray.pipelines.relational import _element_parts, hash_join
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        gross = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"o_orderkey": b["l_orderkey"], "comp": gross})
+        g = t.group_by("o_orderkey").aggregate([("comp", "sum")])
+        return g.rename_columns(["o_orderkey", "comp"])
+
+    comp = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    j = hash_join(comp, orders, on="o_orderkey", how="inner")
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", pa.array(_element_parts(b["o_orderkey"], 64)))
+
+    def topdiff(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["o_orderkey", "o_totalprice"], sort=False)["comp"].sum().reset_index()
+        m["computed"] = m["comp"].round(2)
+        m["absdiff"] = (m["comp"] - m["o_totalprice"]).abs().round(2)
+        m = m.drop(columns=["comp"])
+        return m.sort_values(["absdiff", "o_orderkey"], ascending=[False, True],
+                             kind="mergesort").head(20)
+
+    cand = (j.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("__part").map_groups(topdiff, batch_format="pandas")
+             .to_pandas())
+    out = cand.sort_values(["absdiff", "o_orderkey"], ascending=[False, True],
+                           kind="mergesort").head(20).reset_index(drop=True)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out[["o_orderkey", "o_totalprice", "computed", "absdiff"]]
+
+
+SQL_ORDERS_RECONCILE = """
+WITH c AS (
+  SELECT l_orderkey, sum(l_extendedprice * (1.0 - l_discount)) AS comp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(comp, 2) AS computed,
+       round(abs(comp - o_totalprice), 2) AS absdiff
+FROM orders JOIN c ON o_orderkey = l_orderkey
+ORDER BY absdiff DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_streaks — gaps-and-islands consecutive-day engagement
+
+def q_events_streaks(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-day activity streak + total active days per
+    user (relational.activity_streaks: map-side (user, day) dedup → one
+    coarse user-hash shuffle → vectorized island detection per part)."""
+    from jesse_ray.pipelines.relational import activity_streaks
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = activity_streaks(ds, entity_col="user_id", ts_col="ts")
+    pdf = _collect(out).to_pandas()
+    return pdf.sort_values("user_id").reset_index(drop=True).astype(
+        {"user_id": "int64", "active_days": "int64", "best_streak": "int64"})
+
+
+SQL_EVENTS_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+  FROM d
+),
+s AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(max(len) AS BIGINT) AS best_streak
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# seq_token_runs — run-length degeneracy stats on the token stream
+
+def q_seq_token_runs(sf_dir: str) -> pd.DataFrame:
+    """Per-sequence token run-length stats (seqops.token_run_stats) —
+    top 50 by longest run: the degenerate-repetition filter signal.
+    Twin re-derives runs with the lag/island window over a lockstep
+    unnest.  Sequences with a DUPLICATED doc_id are excluded on both
+    sides (the SQL window partitions by doc_id, so two sequences
+    sharing an id would interleave; the engine reports them through
+    seq_val_docid_dups instead) — the dup set is tiny by corpus
+    contract, fetched via the two-phase duplicate_keys pass and
+    broadcast as a filter."""
+    from jesse_ray.engine import duplicate_keys
+    from jesse_ray.functions.seqops import token_run_stats
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+    dup = set(_collect(duplicate_keys(ds.select_columns(["doc_id"]), "doc_id"))
+              .column("doc_id").to_pylist())
+    if dup:
+        dup_arr = pa.array(sorted(dup), type=pa.string())
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=dup_arr))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    out = token_run_stats(ds)
+
+    def local_top(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("max_run", "descending"), ("doc_id", "ascending")])
+        return b.take(idx[:50])
+
+    cand = _collect(out.map_batches(local_top, batch_format="pyarrow")).to_pandas()
+    cand = cand[cand["doc_id"].notna()]
+    out_pdf = cand.sort_values(["max_run", "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(50).reset_index(drop=True)
+    return out_pdf.astype({"doc_id": "string", "n_runs": "int64", "max_run": "int64"})
+
+
+SQL_SEQ_TOKEN_RUNS = f"""
+WITH s AS (
+  SELECT doc_id, tokens FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND tokens IS NOT NULL AND len(tokens) > 0
+    AND doc_id NOT IN (
+      SELECT doc_id FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+      GROUP BY doc_id HAVING count(*) > 1)
+),
+u AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         unnest(range(1, len(tokens) + 1)) AS ord
+  FROM s
+),
+c AS (
+  SELECT doc_id, ord,
+         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+                   IS DISTINCT FROM tok THEN 1 ELSE 0 END AS chg
+  FROM u
+),
+r AS (
+  SELECT doc_id,
+         sum(chg) OVER (PARTITION BY doc_id ORDER BY ord
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c
+),
+g AS (SELECT doc_id, run_id, count(*) AS rl FROM r GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(rl) AS BIGINT) AS max_run
+FROM g GROUP BY doc_id
+ORDER BY max_run DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_readability — Flesch-style readability scoring
+
+def q_doc_readability(sf_dir: str) -> pd.DataFrame:
+    """Readability ingredients per document (text.add_readability, all
+    RE2 kernel passes): word / sentence-terminator / vowel-group-
+    syllable counts plus syllables-per-word.  The synthetic corpus has
+    no sentence punctuation, so the Flesch composite itself is
+    unit-tested on punctuated fixtures (tests), while the catalog twin
+    checks the full count + ratio pipeline over every document."""
+    from jesse_ray.functions.text import add_readability
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = add_readability(ds).select_columns(
+        ["doc_id", "n_words", "n_sents", "n_syll"])
+    pdf = _collect(out).to_pandas()
+    pdf = pdf[pdf["n_words"] > 0].copy()
+    # integer-exact scaled ratio (floor of an IEEE double division is
+    # engine-stable; round() is not — numpy half-to-even vs SQL
+    # half-away collide on exact 5e-5 halves like 1/32)
+    pdf["spw_x10k"] = np.floor(
+        pdf["n_syll"].to_numpy(dtype=np.float64) * 10000.0
+        / pdf["n_words"].to_numpy(dtype=np.float64)).astype("int64")
+    return pdf.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_words": "int64", "n_sents": "int64", "n_syll": "int64"})
+
+
+SQL_DOC_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS BIGINT) AS n_sents,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       CAST(floor(CAST(n_syll AS DOUBLE) * 10000.0 / CAST(n_words AS DOUBLE)) AS BIGINT) AS spw_x10k
+FROM c
+WHERE n_words > 0
+ORDER BY doc_id
+"""
+
+
+QUERIES2 = {
+    "tpch_q10ish": q_tpch_q10ish,
+    "tpch_q16ish": q_tpch_q16ish,
+    "orders_reconcile": q_orders_reconcile,
+    "events_streaks": q_events_streaks,
+    "seq_token_runs": q_seq_token_runs,
+    "doc_readability": q_doc_readability,
+}
+
+ORACLES2 = {
+    "tpch_q10ish": SQL_TPCH_Q10ISH,
+    "tpch_q16ish": SQL_TPCH_Q16ISH,
+    "orders_reconcile": SQL_ORDERS_RECONCILE,
+    "events_streaks": SQL_EVENTS_STREAKS,
+    "seq_token_runs": SQL_SEQ_TOKEN_RUNS,
+    "doc_readability": SQL_DOC_READABILITY,
+}

@@ -2104,3 +2104,60 @@ def pivot_counts(
     for nm in names:
         out = out.set_column(out.column_names.index(nm), nm, out[nm].cast(pa.int64()))
     return out.sort_by([(key, "ascending")])
+
+
+def activity_streaks(
+    ds: Dataset,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int = 64,
+) -> Dataset:
+    """Gaps-and-islands per entity: longest run of CONSECUTIVE active
+    days (plus total active days) — the classic engagement/streak
+    window query (SQL twin: day - row_number() island key).
+
+    Scale shape: the event stream is first projected to distinct
+    (entity, day) int64 pairs per batch (map-side dedup — days, not
+    events, cross the wire), then ONE coarse hash partition on the
+    entity co-locates each entity's days; per part, island detection is
+    a vectorized sort + diff over the part's full slice (a part holds
+    MANY entities; skew is bounded by day-cardinality per entity, ≤
+    corpus days)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pc.divide(ts.cast(pa.timestamp("us")).cast(pa.int64()),
+                        pa.scalar(86_400_000_000, type=pa.int64()))
+        t = pa.table({entity_col: batch[entity_col], "day": day})
+        t = t.group_by([entity_col, "day"]).aggregate([])
+        return t.append_column("__part", pa.array(_element_parts(t[entity_col], n_parts)))
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[entity_col, "day"]].drop_duplicates()
+        d = d.sort_values([entity_col, "day"], kind="mergesort")
+        if len(d) == 0:
+            return pd.DataFrame({entity_col: pd.array([], dtype="int64"),
+                                 "active_days": pd.array([], dtype="int64"),
+                                 "best_streak": pd.array([], dtype="int64")})
+        ent = d[entity_col].to_numpy()
+        day = d["day"].to_numpy(dtype=np.int64)
+        new_ent = np.empty(len(ent), dtype=bool)
+        new_ent[0] = True
+        np.not_equal(ent[1:], ent[:-1], out=new_ent[1:])
+        # island id increments where the entity changes OR the day gap > 1
+        brk = new_ent.copy()
+        brk[1:] |= (day[1:] - day[:-1]) != 1
+        isl = np.cumsum(brk) - 1
+        isl_len = np.bincount(isl)
+        isl_ent_idx = np.flatnonzero(brk)  # first row of each island
+        ent_of_isl = ent[isl_ent_idx]
+        out = pd.DataFrame({entity_col: ent_of_isl, "len": isl_len})
+        agg = out.groupby(entity_col, sort=False)["len"].agg(["sum", "max"]).reset_index()
+        agg.columns = [entity_col, "active_days", "best_streak"]
+        return agg.astype({"active_days": "int64", "best_streak": "int64"})
+
+    proj = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return proj.groupby("__part").map_groups(streaks, batch_format="pandas")

@@ -2937,3 +2937,60 @@ def test_hard_negatives_excludes_same_label_and_self(ray_session):
         sub = gp[gp["anchor_id"] == a].sort_values("rank")
         assert sub["vec_id"].tolist() == want_ids
         assert (labels[sub["vec_id"].to_numpy()] != labels[a]).all()
+
+
+def test_add_readability_flesch_on_punctuated_text(ray_session):
+    from jesse_ray.functions.text import add_readability
+
+    txt = "The cat sat on the mat. It was happy! Was it? Yes."
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array([txt, "nopunct words here", None])})
+    out = (add_readability(ray.data.from_arrow(t))
+           .select_columns(["doc_id", "n_words", "n_sents", "n_syll", "flesch"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1: 12 words, 4 sentence terminators
+    assert out["n_words"].tolist() == [12, 3, 0]
+    assert out["n_sents"].tolist() == [4, 0, 0]
+    w, s, y = 12.0, 4.0, float(out["n_syll"][0])
+    expect = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+    assert abs(out["flesch"][0] - expect) < 1e-12
+    # unscorable docs -> null flesch
+    assert out["flesch"].isna().tolist() == [False, True, True]
+
+
+def test_token_run_stats_exact(ray_session):
+    from jesse_ray.functions.seqops import token_run_stats
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+        "tokens": pa.array(
+            [[7, 7, 7], [1, 1, 2, 2, 2, 1], [5], [], None],
+            type=pa.list_(pa.int32())),
+    })
+    out = (token_run_stats(ray.data.from_arrow(t))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # empty and null lists are dropped
+    assert out["doc_id"].tolist() == ["a", "b", "c"]
+    assert out["n_runs"].tolist() == [1, 3, 1]
+    assert out["max_run"].tolist() == [3, 3, 1]
+
+
+def test_activity_streaks_islands(ray_session):
+    from jesse_ray.pipelines.relational import activity_streaks
+
+    day = 86_400_000_000  # us
+    rows = []
+    # user 1: days 0,1,2, 5,6  -> best 3, active 5
+    for d in [0, 1, 1, 2, 5, 6]:
+        rows.append((1, d * day + 123))
+    # user 2: days 10 only -> best 1
+    rows.append((2, 10 * day))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+    })
+    out = (activity_streaks(ray.data.from_arrow(t))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["active_days"].tolist() == [5, 1]
+    assert out["best_streak"].tolist() == [3, 1]
