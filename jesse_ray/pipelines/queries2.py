@@ -419,3 +419,102 @@ ORACLES2 = {
     "seq_token_runs": SQL_SEQ_TOKEN_RUNS,
     "doc_readability": SQL_DOC_READABILITY,
 }
+
+
+# ---------------------------------------------------------------------------
+# media_decode_real / media_resize_real — REAL codec path (PPM P6)
+
+N_PPM = 48
+
+
+def _ppm_ds():
+    import ray.data
+
+    from jesse_ray.functions.multimodal import make_synthetic_ppm_table
+
+    return ray.data.from_arrow(make_synthetic_ppm_table(N_PPM))
+
+
+def q_media_decode_real(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode (no codec library): deterministic formula
+    pixels → PPM(P6) bytes → numpy header-parse + buffer decode in an
+    actor pool → exact int64 channel sums.  The twin NEVER sees the
+    bytes — it regenerates every pixel from the closed-form formula
+    with generate_series, so the byte round-trip is genuinely under
+    test."""
+    from jesse_ray.functions.multimodal import ppm_channel_sums
+
+    out = _collect(ppm_channel_sums(_ppm_ds())).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    return out.astype({"width": "int64", "height": "int64"})
+
+
+def q_media_resize_real(sf_dir: str) -> pd.DataFrame:
+    """REAL nearest-neighbor resize to 16×16 after the real decode;
+    twin re-derives the floor source-index mapping in SQL."""
+    from jesse_ray.functions.multimodal import ppm_channel_sums
+
+    out = _collect(ppm_channel_sums(_ppm_ds(), resize_to=(16, 16))).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    return out.astype({"width": "int64", "height": "int64"})
+
+
+_SQL_PPM_IMG = f"""
+img AS (
+  SELECT i,
+         16 + (i % 17)      AS w,
+         12 + ((i * 7) % 13) AS h,
+         1 + (i % 5)        AS a,
+         2 + (i % 7)        AS b
+  FROM (SELECT unnest(range(0, {N_PPM})) AS i)
+)
+"""
+
+SQL_MEDIA_DECODE_REAL = f"""
+WITH {_SQL_PPM_IMG},
+xs AS (SELECT i, unnest(range(0, w)) AS x FROM img),
+ys AS (SELECT i, unnest(range(0, h)) AS y FROM img),
+cs AS (SELECT i, unnest(range(0, 3)) AS c FROM img),
+px AS (
+  SELECT img.i, img.w, img.h, cs.c,
+         (img.a * xs.x + img.b * ys.y + img.i + 11 * cs.c) % 256 AS v
+  FROM img
+  JOIN xs ON xs.i = img.i
+  JOIN ys ON ys.i = img.i
+  JOIN cs ON cs.i = img.i
+)
+SELECT printf('ppm-%06d', i) AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY i, w, h ORDER BY media_id
+"""
+
+SQL_MEDIA_RESIZE_REAL = f"""
+WITH {_SQL_PPM_IMG},
+xs AS (SELECT i, unnest(range(0, 16)) AS xo FROM img),
+ys AS (SELECT i, unnest(range(0, 16)) AS yo FROM img),
+cs AS (SELECT i, unnest(range(0, 3)) AS c FROM img),
+px AS (
+  SELECT img.i, cs.c,
+         (img.a * ((xs.xo * img.w) // 16)
+          + img.b * ((ys.yo * img.h) // 16)
+          + img.i + 11 * cs.c) % 256 AS v
+  FROM img
+  JOIN xs ON xs.i = img.i
+  JOIN ys ON ys.i = img.i
+  JOIN cs ON cs.i = img.i
+)
+SELECT printf('ppm-%06d', i) AS media_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY i ORDER BY media_id
+"""
+
+QUERIES2["media_decode_real"] = q_media_decode_real
+QUERIES2["media_resize_real"] = q_media_resize_real
+ORACLES2["media_decode_real"] = SQL_MEDIA_DECODE_REAL
+ORACLES2["media_resize_real"] = SQL_MEDIA_RESIZE_REAL

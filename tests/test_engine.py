@@ -338,10 +338,12 @@ def test_multimodal_plumbing(ray_session):
         sample_frames,
     )
 
+    # compressed payloads still refuse to pretend without fake=True
+    png_batch = make_fake_media_table(2)
     with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+        DecodeImage(fake=False)(png_batch)
     with pytest.raises(NotImplementedError):
-        ResizeImage(fake=False)
+        ResizeImage(fake=False)(png_batch)
     with pytest.raises(NotImplementedError):
         SampleFrames(fake=False)
 

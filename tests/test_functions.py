@@ -2994,3 +2994,46 @@ def test_activity_streaks_islands(ray_session):
     assert out["user_id"].tolist() == [1, 2]
     assert out["active_days"].tolist() == [5, 1]
     assert out["best_streak"].tolist() == [3, 1]
+
+
+def test_ppm_codec_roundtrip_and_resize(ray_session):
+    from jesse_ray.functions.multimodal import (
+        decode_ppm, encode_ppm, make_synthetic_ppm_table, ppm_channel_sums,
+        resize_nearest,
+    )
+
+    # round-trip, including a body whose FIRST byte is whitespace-like
+    # (0x0a) — a naive header split would swallow it
+    px = np.full((3, 4, 3), 10, dtype=np.uint8)
+    px[0, 0] = (10, 32, 9)
+    back = decode_ppm(encode_ppm(px))
+    assert back.shape == (3, 4, 3) and (back == px).all()
+
+    r = resize_nearest(px, 6, 2)
+    assert r.shape == (6, 2, 3)
+    assert (r[0, 0] == px[0, 0]).all()  # floor mapping keeps origin
+
+    t = make_synthetic_ppm_table(6)
+    out = (ppm_channel_sums(ray.data.from_arrow(t))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    # independent recomputation of image 3's channel sums from the formula
+    i = 3
+    w, h = 16 + (i % 17), 12 + ((i * 7) % 13)
+    a, b = 1 + (i % 5), 2 + (i % 7)
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    expect = ((a * x + b * y + i + 11 * c) % 256).sum(axis=(0, 1))
+    row = out[out["media_id"] == f"ppm-{i:06d}"].iloc[0]
+    assert [row["sum_r"], row["sum_g"], row["sum_b"]] == expect.tolist()
+    assert (row["width"], row["height"]) == (w, h)
+
+
+def test_decode_image_real_ppm_features(ray_session):
+    from jesse_ray.functions.multimodal import decode_features, make_synthetic_ppm_table
+
+    ds = ray.data.from_arrow(make_synthetic_ppm_table(4))
+    out = decode_features(ds, fake=False, concurrency=(1, 2)).to_pandas()
+    f0 = out.sort_values("media_id")["features"].iloc[0]
+    # [mean_r, mean_g, mean_b, w, h, ...]; means normalized to [0, 1]
+    assert len(f0) == 8 and 0.0 <= f0[0] <= 1.0 and f0[3] == 16.0 and f0[4] == 12.0
