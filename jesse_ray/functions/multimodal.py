@@ -12,8 +12,14 @@ Codec status (honest split):
   REAL in pure numpy — header parse, raw RGB buffer reshape,
   nearest-neighbor resize, integer channel sums.  No codec library
   needed; verified against an analytic pixel-formula oracle.
-- Compressed formats (PNG/JPEG/video) remain STUBS because the decode
-  libraries (PIL/libvips/ffmpeg) are not in this container:
+- ``audio/wav`` (RIFF/WAVE PCM16 mono, public uncompressed) is decoded
+  FOR REAL — a proper RIFF chunk walk + one ``np.frombuffer`` — with
+  exact integer features, same analytic-oracle scheme.
+- ``video/x-raw-ppmseq`` (concatenated P6 frames) is frame-sampled FOR
+  REAL: exact boundary walk from each frame's own header, stride
+  sampling, per-frame decode.
+- Compressed formats (PNG/JPEG/MP3/H.264…) remain STUBS because the
+  decode libraries (PIL/libvips/ffmpeg) are not in this container:
   ``DecodeImage`` raises ``NotImplementedError`` for them unless
   ``fake=True`` (deterministic fake decode for plumbing tests).
 """
@@ -313,3 +319,198 @@ def ppm_channel_sums(ds: Dataset, *, resize_to: tuple[int, int] | None = None,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: WAV / RIFF PCM16 mono in pure numpy + struct
+
+WAV_MIME = "audio/wav"
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Encode int16 mono samples as a canonical 44-byte-header RIFF/WAVE
+    PCM file (the public uncompressed format — no codec lib needed)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_pcm16 wants 1-D int16")
+    data = samples.tobytes()
+    import struct
+
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM16 mono: a proper chunk walk (fmt → data,
+    skipping unknown chunks per the RIFF spec), then one zero-copy
+    ``np.frombuffer`` over the data chunk."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", payload[body:body + 8])
+            bits = struct.unpack("<H", payload[body + 14:body + 16])[0]
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAVE format tag {fmt_tag}")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAVE data chunk before fmt")
+            if bits != 16 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+            return samples, rate
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def make_synthetic_wav_table(n: int = 32) -> pa.Table:
+    """Deterministic REAL-audio corpus: clip ``i`` has
+    ``s[t] = ((a*t + c) mod 65536) - 32768`` — SQL-regenerable."""
+    ids, payloads, rates, lens = [], [], [], []
+    for i in range(n):
+        n_samp = 800 + 37 * i
+        rate = 8000 + 1000 * (i % 5)
+        a = 3 + 2 * (i % 11)
+        c = 17 * i
+        t = np.arange(n_samp, dtype=np.int64)
+        s = (((a * t + c) % 65536) - 32768).astype(np.int16)
+        ids.append(f"wav-{i:06d}")
+        payloads.append(encode_wav_pcm16(s, rate))
+        rates.append(rate)
+        lens.append(n_samp)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array([WAV_MIME] * n),
+            "sample_rate": pa.array(np.array(rates, dtype=np.int32)),
+            "n_samples": pa.array(np.array(lens, dtype=np.int64)),
+        }
+    )
+
+
+class WavFeatures:
+    """Actor-pool REAL audio feature stage: decode each RIFF/PCM16
+    payload, emit exact integer features (decoded length, rate, int64
+    sample sum, max |sample|) — the audio analogue of PpmChannelSums."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pays = batch["payload"].to_pylist()
+        out = np.zeros((len(pays), 4), dtype=np.int64)
+        for i, p in enumerate(pays):
+            s, rate = decode_wav_pcm16(p)
+            s64 = s.astype(np.int64)
+            out[i] = len(s), rate, s64.sum(), np.abs(s64).max() if len(s) else 0
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_samples": pa.array(out[:, 0]),
+                "sample_rate": pa.array(out[:, 1]),
+                "sample_sum": pa.array(out[:, 2]),
+                "max_abs": pa.array(out[:, 3]),
+            }
+        )
+
+
+def wav_features(ds: Dataset, *, concurrency=(1, 2), batch_size: int = 16) -> Dataset:
+    return ds.map_batches(WavFeatures, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# REAL frame sampling: concatenated-PPM frame sequences (raw "video")
+
+VIDEO_PPM_MIME = "video/x-raw-ppmseq"
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenation of P6 frames into per-frame byte slices:
+    each header declares its own body length, so the walk is exact."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload[pos:pos + 64])
+        if m is None:
+            raise ValueError(f"bad PPM frame header at offset {pos}")
+        w, h = int(m.group(1)), int(m.group(2))
+        end = pos + m.end() + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def make_synthetic_ppm_video_table(n: int = 24) -> pa.Table:
+    """Deterministic raw-video corpus: video ``i`` has ``3 + (i % 4)``
+    PPM frames; frame ``f`` pixel = ``(a*x + b*y + i + 7*f + 11*c) mod
+    256`` (same closed form as the image corpus, plus the frame term)."""
+    ids, payloads, nframes = [], [], []
+    for i in range(n):
+        F = 3 + (i % 4)
+        w = 12 + (i % 9)
+        h = 8 + ((i * 5) % 11)
+        a = 1 + (i % 5)
+        b = 2 + (i % 7)
+        buf = b""
+        for f in range(F):
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            px = ((a * x + b * y + i + 7 * f + 11 * c) % 256).astype(np.uint8)
+            buf += encode_ppm(px)
+        ids.append(f"vid-{i:06d}")
+        payloads.append(buf)
+        nframes.append(F)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array([VIDEO_PPM_MIME] * n),
+            "n_frames": pa.array(np.array(nframes, dtype=np.int32)),
+        }
+    )
+
+
+class SampleFramesReal:
+    """Actor-pool REAL frame sampler over raw PPM sequences: split the
+    payload at frame boundaries, keep every ``stride``-th frame, decode
+    each kept frame and emit exact channel sums (1→many expansion —
+    tiny batch_size by contract, same as the stub's sizing notes)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, sums = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            for j, fb in enumerate(split_ppm_frames(p)):
+                if j % self.stride:
+                    continue
+                px = decode_ppm(fb).astype(np.int64)
+                ids.append(mid)
+                fidx.append(j)
+                sums.append(px.sum(axis=(0, 1)))
+        s = np.asarray(sums, dtype=np.int64).reshape(len(ids), 3)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "frame": pa.array(np.array(fidx, dtype=np.int32)),
+                "sum_r": pa.array(s[:, 0]),
+                "sum_g": pa.array(s[:, 1]),
+                "sum_b": pa.array(s[:, 2]),
+            }
+        )
+
+
+def sample_frames_real(ds: Dataset, *, stride: int = 2, concurrency=(1, 2),
+                       batch_size: int = 8) -> Dataset:
+    return ds.map_batches(SampleFramesReal, fn_constructor_kwargs={"stride": stride},
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)

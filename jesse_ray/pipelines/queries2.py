@@ -518,3 +518,100 @@ QUERIES2["media_decode_real"] = q_media_decode_real
 QUERIES2["media_resize_real"] = q_media_resize_real
 ORACLES2["media_decode_real"] = SQL_MEDIA_DECODE_REAL
 ORACLES2["media_resize_real"] = SQL_MEDIA_RESIZE_REAL
+
+
+# ---------------------------------------------------------------------------
+# media_audio_real / media_frames_real — REAL audio + frame sampling
+
+N_WAV, N_VID, VID_STRIDE = 32, 24, 2
+
+
+def q_media_audio_real(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode (RIFF/WAVE PCM16, no codec library): formula
+    samples → WAV bytes → chunk-walk decode in an actor pool → exact
+    integer features; twin regenerates every sample in SQL."""
+    import ray.data
+
+    from jesse_ray.functions.multimodal import make_synthetic_wav_table, wav_features
+
+    ds = ray.data.from_arrow(make_synthetic_wav_table(N_WAV))
+    out = _collect(wav_features(ds.drop_columns(["sample_rate", "n_samples"]))).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+SQL_MEDIA_AUDIO_REAL = f"""
+WITH clip AS (
+  SELECT i,
+         800 + 37 * i          AS n,
+         8000 + 1000 * (i % 5) AS rate,
+         3 + 2 * (i % 11)      AS a,
+         17 * i                AS c
+  FROM (SELECT unnest(range(0, {N_WAV})) AS i)
+),
+ts AS (SELECT i, unnest(range(0, n)) AS t FROM clip),
+v AS (
+  SELECT ts.i, ((clip.a * ts.t + clip.c) % 65536) - 32768 AS s
+  FROM ts JOIN clip ON clip.i = ts.i
+)
+SELECT printf('wav-%06d', clip.i) AS media_id,
+       CAST(clip.n AS BIGINT) AS n_samples,
+       CAST(clip.rate AS BIGINT) AS sample_rate,
+       CAST(sum(v.s) AS BIGINT) AS sample_sum,
+       CAST(max(abs(v.s)) AS BIGINT) AS max_abs
+FROM v JOIN clip ON clip.i = v.i
+GROUP BY clip.i, clip.n, clip.rate ORDER BY media_id
+"""
+
+
+def q_media_frames_real(sf_dir: str) -> pd.DataFrame:
+    """REAL video frame sampling (raw concatenated-PPM sequences):
+    exact frame-boundary walk, stride-2 sampling, per-frame decode +
+    channel sums; twin regenerates each sampled frame's pixels."""
+    import ray.data
+
+    from jesse_ray.functions.multimodal import (
+        make_synthetic_ppm_video_table, sample_frames_real,
+    )
+
+    ds = ray.data.from_arrow(make_synthetic_ppm_video_table(N_VID))
+    out = _collect(sample_frames_real(ds.drop_columns(["n_frames"]), stride=VID_STRIDE)).to_pandas()
+    out["frame"] = out["frame"].astype("int64")
+    return out.sort_values(["media_id", "frame"]).reset_index(drop=True)
+
+
+SQL_MEDIA_FRAMES_REAL = f"""
+WITH vid AS (
+  SELECT i,
+         3 + (i % 4)        AS nf,
+         12 + (i % 9)       AS w,
+         8 + ((i * 5) % 11) AS h,
+         1 + (i % 5)        AS a,
+         2 + (i % 7)        AS b
+  FROM (SELECT unnest(range(0, {N_VID})) AS i)
+),
+fr AS (SELECT i, unnest(range(0, nf)) AS f FROM vid),
+keep AS (SELECT i, f FROM fr WHERE f % {VID_STRIDE} = 0),
+xs AS (SELECT i, unnest(range(0, w)) AS x FROM vid),
+ys AS (SELECT i, unnest(range(0, h)) AS y FROM vid),
+cs AS (SELECT i, unnest(range(0, 3)) AS c FROM vid),
+px AS (
+  SELECT keep.i, keep.f, cs.c,
+         (vid.a * xs.x + vid.b * ys.y + vid.i + 7 * keep.f + 11 * cs.c) % 256 AS v
+  FROM keep
+  JOIN vid ON vid.i = keep.i
+  JOIN xs ON xs.i = keep.i
+  JOIN ys ON ys.i = keep.i
+  JOIN cs ON cs.i = keep.i
+)
+SELECT printf('vid-%06d', i) AS media_id,
+       CAST(f AS BIGINT) AS frame,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY i, f ORDER BY media_id, frame
+"""
+
+QUERIES2["media_audio_real"] = q_media_audio_real
+QUERIES2["media_frames_real"] = q_media_frames_real
+ORACLES2["media_audio_real"] = SQL_MEDIA_AUDIO_REAL
+ORACLES2["media_frames_real"] = SQL_MEDIA_FRAMES_REAL

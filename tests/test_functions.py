@@ -3037,3 +3037,35 @@ def test_decode_image_real_ppm_features(ray_session):
     f0 = out.sort_values("media_id")["features"].iloc[0]
     # [mean_r, mean_g, mean_b, w, h, ...]; means normalized to [0, 1]
     assert len(f0) == 8 and 0.0 <= f0[0] <= 1.0 and f0[3] == 16.0 and f0[4] == 12.0
+
+
+def test_wav_codec_roundtrip(ray_session):
+    from jesse_ray.functions.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    s = np.array([0, 100, -32768, 32767, 7], dtype=np.int16)
+    back, rate = decode_wav_pcm16(encode_wav_pcm16(s, 16000))
+    assert rate == 16000 and (back == s).all()
+    # chunk walk skips unknown chunks (LIST before data)
+    import struct
+    payload = encode_wav_pcm16(s, 8000)
+    hdr, data = payload[:36], payload[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = hdr + extra + data
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    back2, rate2 = decode_wav_pcm16(spliced)
+    assert rate2 == 8000 and (back2 == s).all()
+
+
+def test_split_ppm_frames_and_stride_sampling(ray_session):
+    from jesse_ray.functions.multimodal import (
+        make_synthetic_ppm_video_table, sample_frames_real, split_ppm_frames,
+    )
+
+    t = make_synthetic_ppm_video_table(8)
+    # video 3 has 3 + (3 % 4) = 6 frames
+    fr = split_ppm_frames(t["payload"][3].as_py())
+    assert len(fr) == 6 and all(f.startswith(b"P6") for f in fr)
+    out = (sample_frames_real(ray.data.from_arrow(t), stride=2)
+           .to_pandas())
+    sub = out[out["media_id"] == "vid-000003"]
+    assert sub["frame"].tolist() == [0, 2, 4]
