@@ -615,3 +615,190 @@ QUERIES2["media_audio_real"] = q_media_audio_real
 QUERIES2["media_frames_real"] = q_media_frames_real
 ORACLES2["media_audio_real"] = SQL_MEDIA_AUDIO_REAL
 ORACLES2["media_frames_real"] = SQL_MEDIA_FRAMES_REAL
+
+
+# ---------------------------------------------------------------------------
+# seq_merge_upsert — MERGE INTO (upsert/delete) over the corpus
+
+def _merge_base(sf_dir: str):
+    """Base snapshot with the merge key contract enforced: non-null,
+    corpus-unique doc_id (dup ids are the engine's seq_val_docid_dups
+    territory, excluded identically in the SQL twin)."""
+    from jesse_ray.engine import duplicate_keys
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source", "n_tok"])
+    dup = set(_collect(duplicate_keys(ds.select_columns(["doc_id"]), "doc_id"))
+              .column("doc_id").to_pylist())
+    dup_arr = pa.array(sorted(dup), type=pa.string()) if dup else None
+
+    def clean(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b["doc_id"])
+        if dup_arr is not None:
+            m = pc.and_(m, pc.invert(pc.is_in(b["doc_id"], value_set=dup_arr)))
+        return b.filter(m)
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+N_MERGE_INSERTS = 50
+
+
+def q_seq_merge_upsert(sf_dir: str) -> pd.DataFrame:
+    """Warehouse MERGE INTO over the corpus snapshot
+    (relational.merge_upsert — one key-hash cogroup, no broadcast):
+    deterministic changes derived from the base itself (web docs ending
+    '0' get n_tok + 1000; books docs ending '7' are deleted; 50 fresh
+    wiki rows are inserted), then per-source row counts + n_tok sums of
+    the MERGED table; the twin rebuilds the merge with anti-join +
+    union in SQL."""
+    import ray.data
+
+    from jesse_ray.pipelines.relational import merge_upsert
+
+    base = _merge_base(sf_dir)
+
+    def mk_updates(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.match_like(b["doc_id"], "%0"),
+                    pc.equal(b["source"], pa.scalar("web")))
+        t = b.filter(m)
+        up = pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "n_tok": pc.add(t["n_tok"], pa.scalar(1000, type=pa.int32())),
+            "__op": pa.array(["upsert"] * t.num_rows, type=pa.string()),
+        })
+        d = b.filter(pc.and_(pc.match_like(b["doc_id"], "%7"),
+                             pc.equal(b["source"], pa.scalar("books"))))
+        dl = pa.table({
+            "doc_id": d["doc_id"], "source": d["source"], "n_tok": d["n_tok"],
+            "__op": pa.array(["delete"] * d.num_rows, type=pa.string()),
+        })
+        return pa.concat_tables([up, dl])
+
+    updates = base.map_batches(mk_updates, batch_format="pyarrow", zero_copy_batch=True)
+    ins = pa.table({
+        "doc_id": pa.array([f"new-{i:06d}" for i in range(N_MERGE_INSERTS)]),
+        "source": pa.array(["wiki"] * N_MERGE_INSERTS),
+        "n_tok": pa.array(np.arange(N_MERGE_INSERTS, dtype=np.int32) + 100),
+        "__op": pa.array(["upsert"] * N_MERGE_INSERTS),
+    })
+    updates = updates.union(ray.data.from_arrow(ins))
+    merged = merge_upsert(base, updates, key="doc_id")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([("n_tok", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "n_tok_sum", "cnt"])
+
+    out = _collect(merged.map_batches(summarize, batch_format="pyarrow")).to_pandas()
+    out = out.groupby("source", sort=True).sum().reset_index()
+    out["cnt"] = out["cnt"].astype("int64")
+    out["n_tok_sum"] = out["n_tok_sum"].astype("int64")
+    return out[["source", "cnt", "n_tok_sum"]]
+
+
+SQL_SEQ_MERGE_UPSERT = f"""
+WITH dups AS (
+  SELECT doc_id FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+  GROUP BY doc_id HAVING count(*) > 1
+),
+base AS (
+  SELECT doc_id, source, n_tok FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM dups)
+),
+upserts AS (
+  SELECT doc_id, source, n_tok + 1000 AS n_tok
+  FROM base WHERE doc_id LIKE '%0' AND source = 'web'
+  UNION ALL
+  SELECT printf('new-%06d', i), 'wiki', 100 + i
+  FROM (SELECT unnest(range(0, {N_MERGE_INSERTS})) AS i)
+),
+dels AS (
+  SELECT doc_id FROM base WHERE doc_id LIKE '%7' AND source = 'books'
+),
+merged AS (
+  SELECT * FROM base
+  WHERE doc_id NOT IN (SELECT doc_id FROM upserts)
+    AND doc_id NOT IN (SELECT doc_id FROM dels)
+  UNION ALL
+  SELECT * FROM upserts
+)
+SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum
+FROM merged GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_abtest — two-proportion z-test on hash-bucketed users
+
+def q_events_abtest(sf_dir: str) -> pd.DataFrame:
+    """A/B test readout: users split by parity bucket, conversion = had
+    at least one 'purchase' event, two-proportion pooled z statistic.
+    Scale shape: per-batch (user, purchased) Arrow partial max → coarse
+    user-hash parts → per-part exact per-user merge + per-bucket
+    partial counts → 4-int driver reduction; the z formula runs once on
+    scalars (identical op order to the SQL twin, so round(4) is
+    stable)."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.equal(b["event_type"], pa.scalar("purchase")), pa.int64())
+        t = pa.table({"user_id": b["user_id"], "conv": conv})
+        g = t.group_by("user_id").aggregate([("conv", "max")])
+        g = g.rename_columns(["user_id", "conv"])
+        return g.append_column("__part", pa.array(_element_parts(g["user_id"], 64)))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", sort=False)["conv"].max().reset_index()
+        m["bucket"] = (m["user_id"] % 2).astype("int64")
+        c = m.groupby("bucket").agg(n=("user_id", "size"), conv=("conv", "sum")).reset_index()
+        return c
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+               .groupby("__part").map_groups(bucket_counts, batch_format="pandas")
+               .to_pandas())
+    tot = parts.groupby("bucket").sum().reindex([0, 1]).fillna(0)
+    n_a, n_b = float(tot.loc[0, "n"]), float(tot.loc[1, "n"])
+    c_a, c_b = float(tot.loc[0, "conv"]), float(tot.loc[1, "conv"])
+    p = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / np.sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
+    return pd.DataFrame({
+        "n_a": pd.array([int(n_a)], dtype="int64"),
+        "n_b": pd.array([int(n_b)], dtype="int64"),
+        "conv_a": pd.array([int(c_a)], dtype="int64"),
+        "conv_b": pd.array([int(c_b)], dtype="int64"),
+        "z": [round(float(z), 4)],
+    })
+
+
+SQL_EVENTS_ABTEST = """
+WITH u AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS bucket,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS n, CAST(sum(conv) AS DOUBLE) AS c
+  FROM u GROUP BY bucket
+),
+w AS (
+  SELECT max(CASE WHEN bucket = 0 THEN n END) AS n_a,
+         max(CASE WHEN bucket = 1 THEN n END) AS n_b,
+         max(CASE WHEN bucket = 0 THEN c END) AS c_a,
+         max(CASE WHEN bucket = 1 THEN c END) AS c_b
+  FROM b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+       round((c_a / n_a - c_b / n_b)
+             / sqrt(((c_a + c_b) / (n_a + n_b)) * (1.0 - (c_a + c_b) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+FROM w
+"""
+
+QUERIES2["seq_merge_upsert"] = q_seq_merge_upsert
+QUERIES2["events_abtest"] = q_events_abtest
+ORACLES2["seq_merge_upsert"] = SQL_SEQ_MERGE_UPSERT
+ORACLES2["events_abtest"] = SQL_EVENTS_ABTEST

@@ -2161,3 +2161,56 @@ def activity_streaks(
 
     proj = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     return proj.groupby("__part").map_groups(streaks, batch_format="pandas")
+
+
+def merge_upsert(
+    base: Dataset,
+    updates: Dataset,
+    *,
+    key: str,
+    op_col: str = "__op",
+    n_parts: int = 64,
+) -> Dataset:
+    """Warehouse ``MERGE INTO`` (Delta/Iceberg-style upsert): ``updates``
+    carries ``op_col`` ∈ {'upsert', 'delete'}; matched keys are replaced
+    (or removed), unmatched upserts are inserted.  Contract: ``key`` is
+    unique within ``base`` and within ``updates`` (validate with
+    ``duplicate_keys`` first — same contract as pack/shuffle).
+
+    Scale shape: one coarse key-hash cogroup (both sides tagged and
+    unioned — the hash_join pattern); each part resolves its complete
+    key slice with vectorized pandas set ops.  No broadcast (updates
+    may be large), no driver materialization."""
+    cols = [c for c in base.schema().names]
+    up_cols = [c for c in updates.schema().names if c != op_col]
+    if set(up_cols) != set(cols):
+        raise ValueError(f"updates columns {up_cols} must match base columns {cols}")
+    types = _arrow_types(base)
+    out_schema = pa.schema([(c, types[c]) for c in cols])
+
+    def tag_base(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        b = b.append_column("__op", pa.array(["base"] * b.num_rows, type=pa.string()))
+        return b.append_column("__part", pa.array(_element_parts(b[key], n_parts)))
+
+    def tag_upd(b: pa.Table) -> pa.Table:
+        ops = b[op_col]
+        if isinstance(ops, pa.ChunkedArray):
+            ops = ops.combine_chunks()
+        t = b.select(cols)
+        t = t.append_column("__op", ops.cast(pa.string()))
+        return t.append_column("__part", pa.array(_element_parts(t[key], n_parts)))
+
+    tagged = base.map_batches(tag_base, batch_format="pyarrow", zero_copy_batch=True).union(
+        updates.map_batches(tag_upd, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        ups = g[g["__op"] == "upsert"]
+        dels = set(g.loc[g["__op"] == "delete", key])
+        touched = set(ups[key]) | dels
+        keep = g[(g["__op"] == "base") & ~g[key].isin(touched)]
+        out = pd.concat([keep[cols], ups[cols]], ignore_index=True)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return tagged.groupby("__part").map_groups(resolve, batch_format="pandas")

@@ -266,3 +266,37 @@ def test_scd2_intervals_matches_pandas_lead(ray_session):
     assert (got_vt.dropna().values == want_vt.dropna().values).all()
     # exactly one open (current) version per key
     assert int(got["valid_to"].isna().sum()) == df["k"].nunique()
+
+
+def test_merge_upsert_semantics(ray_session):
+    import ray.data
+
+    from jesse_ray.pipelines.relational import merge_upsert
+
+    base = pa.table({
+        "k": pa.array(["a", "b", "c", "d"]),
+        "v": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })
+    upd = pa.table({
+        "k": pa.array(["b", "e", "d"]),
+        "v": pa.array([20, 50, 0], type=pa.int64()),
+        "__op": pa.array(["upsert", "upsert", "delete"]),
+    })
+    out = (merge_upsert(ray.data.from_arrow(base), ray.data.from_arrow(upd), key="k")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == ["a", "b", "c", "e"]
+    assert out["v"].tolist() == [1, 20, 3, 50]
+    # schema preserved exactly (no pandas float upcast of int columns)
+    assert str(out["v"].dtype) == "int64"
+
+
+def test_merge_upsert_rejects_schema_mismatch(ray_session):
+    import pytest
+    import ray.data
+
+    from jesse_ray.pipelines.relational import merge_upsert
+
+    base = ray.data.from_arrow(pa.table({"k": ["a"], "v": [1]}))
+    upd = ray.data.from_arrow(pa.table({"k": ["a"], "other": [1], "__op": ["upsert"]}))
+    with pytest.raises(ValueError):
+        merge_upsert(base, upd, key="k")
