@@ -802,3 +802,117 @@ QUERIES2["seq_merge_upsert"] = q_seq_merge_upsert
 QUERIES2["events_abtest"] = q_events_abtest
 ORACLES2["seq_merge_upsert"] = SQL_SEQ_MERGE_UPSERT
 ORACLES2["events_abtest"] = SQL_EVENTS_ABTEST
+
+
+# ---------------------------------------------------------------------------
+# seq_token_pagerank — iterative fixed-point PageRank on token adjacency
+
+PR_ITERS = 5
+
+
+def _token_edges(sf_dir: str):
+    """Weighted adjacency edges (a→b for consecutive tokens, both in
+    [0, VOCAB)): per-batch vectorized pair extraction + packed-key
+    np.unique partial counts, then one coarse packed-key-hash part
+    merge to exact global weights."""
+    from jesse_ray import testgen
+    from jesse_ray.pipelines.relational import _element_parts
+
+    vocab = testgen.VOCAB
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        keep = pc.and_(pc.is_valid(toks), pc.greater(pc.list_value_length(toks), 1))
+        if not pc.all(keep).as_py():
+            toks = toks.filter(keep)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        vals = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.delete(vals, off[1:] - 1)  # drop each list's last element
+        bb = np.delete(vals, off[:-1])    # drop each list's first element
+        ok = (a >= 0) & (a < vocab) & (bb >= 0) & (bb < vocab)
+        packed = (a[ok] << np.int64(20)) | bb[ok]
+        uk, cnt = np.unique(packed, return_counts=True)
+        t = pa.table({"key": pa.array(uk), "w": pa.array(cnt.astype(np.int64))})
+        return t.append_column("__part", pa.array(_element_parts(t["key"], 64)))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("key", sort=False)["w"].sum().reset_index()
+        k = m["key"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "src": pa.array(k >> np.int64(20)),
+            "dst": pa.array(k & np.int64((1 << 20) - 1)),
+            "w": pa.array(m["w"].to_numpy(dtype=np.int64)),
+        })
+
+    return (ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("__part").map_groups(merge, batch_format="pandas"))
+
+
+def q_seq_token_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Top-20 tokens by fixed-point PageRank over the corpus adjacency
+    graph (graph.pagerank_fixedpoint, 5 iterations).  Integer floor
+    arithmetic end to end → the unrolled-iteration SQL twin matches
+    EXACTLY, proving an iterative distributed algorithm against an
+    oracle with zero float tolerance."""
+    from jesse_ray.functions.graph import pagerank_fixedpoint
+
+    t = pagerank_fixedpoint(_token_edges(sf_dir), n_iters=PR_ITERS)
+    idx = pc.sort_indices(t, sort_keys=[("score", "descending"), ("node", "ascending")])
+    top = t.take(idx[:20]).rename_columns(["token", "score"])
+    return top.to_pandas()
+
+
+def _pagerank_sql() -> str:
+    from jesse_ray import testgen
+    from jesse_ray.functions.graph import PR_D_DEN, PR_D_NUM, PR_SCALE
+
+    v = testgen.VOCAB
+    head = f"""
+WITH s AS (
+  SELECT tokens FROM {SEQ_SQL} WHERE tokens IS NOT NULL AND len(tokens) > 1
+),
+pr_u AS (
+  SELECT unnest(tokens[1:len(tokens) - 1]) AS a,
+         unnest(tokens[2:len(tokens)])     AS b
+  FROM s
+),
+e AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM pr_u
+  WHERE a >= 0 AND a < {v} AND b >= 0 AND b < {v}
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT a AS node FROM e UNION SELECT DISTINCT b FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT a AS node, sum(w) AS ow FROM e GROUP BY a),
+r0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes)"""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f""",
+r{k} AS (
+  SELECT n.node,
+         ({PR_SCALE} * {PR_D_DEN - PR_D_NUM} // {PR_D_DEN}) // (SELECT n FROM nn)
+           + (coalesce(sub.t, 0) * {PR_D_NUM}) // {PR_D_DEN} AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.b AS node, sum((p.r * e.w) // o.ow) AS t
+    FROM e
+    JOIN r{k - 1} p ON p.node = e.a
+    JOIN outw o ON o.node = e.a
+    GROUP BY e.b
+  ) sub ON sub.node = n.node
+)""")
+    tail = f"""
+SELECT node AS token, r AS score FROM r{PR_ITERS}
+ORDER BY score DESC, token ASC LIMIT 20
+"""
+    return head + "".join(iters) + tail
+
+
+QUERIES2["seq_token_pagerank"] = q_seq_token_pagerank
+ORACLES2["seq_token_pagerank"] = _pagerank_sql()

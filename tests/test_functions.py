@@ -3069,3 +3069,38 @@ def test_split_ppm_frames_and_stride_sampling(ray_session):
            .to_pandas())
     sub = out[out["media_id"] == "vid-000003"]
     assert sub["frame"].tolist() == [0, 2, 4]
+
+
+def test_pagerank_fixedpoint_tiny_graph(ray_session):
+    from jesse_ray.functions.graph import PR_SCALE, pagerank_fixedpoint
+
+    # 0 -> 1, 1 -> 0, 2 -> 0 : node 0 should outrank 1, 1 outrank 2
+    t = pa.table({
+        "src": pa.array([0, 1, 2], type=pa.int64()),
+        "dst": pa.array([1, 0, 0], type=pa.int64()),
+        "w": pa.array([1, 1, 1], type=pa.int64()),
+    })
+    # 30 iterations: the 0<->1 cycle oscillates with amplitude 0.85^k,
+    # far below the converged gap (r0=0.4865, r1=0.4635, r2=0.05)
+    out = pagerank_fixedpoint(ray.data.from_arrow(t), n_iters=30).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    assert out["node"].tolist() == [0, 1, 2]
+    s = out["score"]
+    assert s[0] > s[1] > s[2]
+    assert abs(s[0] / 1e12 - 0.4865) < 0.01 and abs(s[2] / 1e12 - 0.05) < 0.01
+    # total fixed-point mass stays below the injected scale (floor leaks only)
+    assert 0 < s.sum() <= PR_SCALE
+
+
+def test_pagerank_rejects_unbounded_domain(ray_session):
+    import pytest
+
+    from jesse_ray.functions.graph import pagerank_fixedpoint
+
+    t = pa.table({
+        "src": pa.array([1 << 30], type=pa.int64()),
+        "dst": pa.array([0], type=pa.int64()),
+        "w": pa.array([1], type=pa.int64()),
+    })
+    with pytest.raises(ValueError):
+        pagerank_fixedpoint(ray.data.from_arrow(t))
