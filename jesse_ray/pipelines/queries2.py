@@ -916,3 +916,83 @@ ORDER BY score DESC, token ASC LIMIT 20
 
 QUERIES2["seq_token_pagerank"] = q_seq_token_pagerank
 ORACLES2["seq_token_pagerank"] = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# seq_orc_read / seq_feather_read — alternate source formats, lossless
+
+def _alt_format_path(sf_dir: str, fmt: str) -> str:
+    """One-time parquet→{orc,feather} conversion of the corpus under
+    /tmp (stamped, idempotent): the catalog queries then prove the
+    stripe-/batch-parallel readers are LOSSLESS vs the parquet twin."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    src = _seq_path(sf_dir)
+    dst = f"/tmp/jesse_ray_data/alt_{os.path.basename(os.path.dirname(src))}.{fmt}"
+    stamp = dst + ".done"
+    if not os.path.exists(stamp):
+        t = _pq.read_table(src)
+        if fmt == "orc":
+            import pyarrow.orc as orc
+
+            orc.write_table(t, dst, stripe_size=1024 * 1024)
+        else:
+            import pyarrow.feather as feather
+
+            feather.write_feather(t, dst, chunksize=16384, compression="uncompressed")
+        open(stamp, "w").write("ok")
+    return dst
+
+
+def _format_checksum(ds) -> pd.DataFrame:
+    def part(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_sum = pc.sum(pc.list_flatten(toks).cast(pa.int64()))
+        return pa.table({
+            "rows": pa.array([b.num_rows], type=pa.int64()),
+            "tok_sum": pa.array([flat_sum.as_py() or 0], type=pa.int64()),
+            "ntok_sum": pa.array([pc.sum(b["n_tok"].cast(pa.int64())).as_py() or 0],
+                                 type=pa.int64()),
+        })
+
+    t = _collect(ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True))
+    pdf = t.to_pandas().sum().to_frame().T
+    return pdf.astype({"rows": "int64", "tok_sum": "int64", "ntok_sum": "int64"})
+
+
+def q_seq_orc_read(sf_dir: str) -> pd.DataFrame:
+    """Stripe-parallel ORC read (sources.read_orc) of the converted
+    corpus; whole-corpus row/token checksums must equal the parquet
+    twin's — the reader is lossless and column-pruned."""
+    from jesse_ray.sources import read_corpus
+
+    ds = read_corpus(_alt_format_path(sf_dir, "orc"), format="orc",
+                     columns=["tokens", "n_tok"])
+    return _format_checksum(ds)
+
+
+def q_seq_feather_read(sf_dir: str) -> pd.DataFrame:
+    """Batch-range-parallel Arrow IPC / Feather read
+    (sources.read_feather), same lossless-checksum contract."""
+    from jesse_ray.sources import read_corpus
+
+    ds = read_corpus(_alt_format_path(sf_dir, "feather"), format="feather",
+                     columns=["tokens", "n_tok"])
+    return _format_checksum(ds)
+
+
+SQL_SEQ_FORMAT_CHECKSUM = f"""
+SELECT CAST(count(*) AS BIGINT) AS rows,
+       CAST((SELECT sum(t) FROM (SELECT unnest(tokens) AS t FROM {SEQ_SQL})) AS BIGINT) AS tok_sum,
+       CAST(sum(n_tok) AS BIGINT) AS ntok_sum
+FROM {SEQ_SQL}
+"""
+
+QUERIES2["seq_orc_read"] = q_seq_orc_read
+QUERIES2["seq_feather_read"] = q_seq_feather_read
+ORACLES2["seq_orc_read"] = SQL_SEQ_FORMAT_CHECKSUM
+ORACLES2["seq_feather_read"] = SQL_SEQ_FORMAT_CHECKSUM

@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--input-format",
         default="parquet",
-        choices=["parquet", "jsonl", "csv"],
+        choices=["parquet", "jsonl", "csv", "orc", "feather"],
         help="corpus file format (jsonl = one JSON document per line, the "
         "reference CLI's native instance format; csv for flat tabular corpora)",
     )

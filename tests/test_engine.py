@@ -638,3 +638,30 @@ def test_infer_spec_json_schema_roundtrip(ray_session):
     assert errs.count() == row_violations(
         ray.data.from_arrow(bad), compile_spec(spec)
     ).count() > 0
+
+
+def test_orc_and_feather_readers_roundtrip(ray_session, tmp_path):
+    import pyarrow.feather as feather
+    import pyarrow.orc as orc
+
+    import ray.data
+
+    from jesse_ray.sources import read_corpus
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(500)]),
+        "tokens": pa.array([[i, i + 1, i + 2] for i in range(500)],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([3] * 500, type=pa.int32()),
+    })
+    op = str(tmp_path / "c.orc")
+    fp = str(tmp_path / "c.feather")
+    orc.write_table(t, op, stripe_size=4096)
+    feather.write_feather(t, fp, chunksize=64, compression="uncompressed")
+
+    for path, fmt in [(op, "orc"), (fp, "feather")]:
+        ds = read_corpus(path, format=fmt, columns=["doc_id", "n_tok"])
+        got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == 500
+        assert list(got.columns) == ["doc_id", "n_tok"]
+        assert int(got["n_tok"].sum()) == 1500
