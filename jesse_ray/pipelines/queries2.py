@@ -996,3 +996,123 @@ QUERIES2["seq_orc_read"] = q_seq_orc_read
 QUERIES2["seq_feather_read"] = q_seq_feather_read
 ORACLES2["seq_orc_read"] = SQL_SEQ_FORMAT_CHECKSUM
 ORACLES2["seq_feather_read"] = SQL_SEQ_FORMAT_CHECKSUM
+
+
+# ---------------------------------------------------------------------------
+# doc_e2e_pipeline — flagship documents-curation composite
+
+DOC_E2E_LANGS = ["en", "de", "fr", "es"]
+
+
+def q_doc_e2e_pipeline(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END document curation, one oracle-checked composite
+    (the documents twin of seq_e2e_pipeline): language filter → Gopher
+    quality gate → canonical normalization → exact dedup on normalized
+    text (keeper = min doc_id, coarse text-hash cogroup) → exact
+    substring near-dup drop (any doc sharing a verbatim 8-word window
+    with a smaller doc_id is dropped) → per-source survivor counts +
+    word-count checksum.  Every stage is a catalog primitive; the twin
+    re-derives the WHOLE chain in SQL from the raw documents view —
+    no sidecars."""
+    from jesse_ray.functions.dedup import substring_dup_pairs
+    from jesse_ray.functions.text import add_gopher_stats, normalize_text
+    from jesse_ray.pipelines.relational import _element_parts
+
+    langs = pa.array(DOC_E2E_LANGS)
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "lang", "source"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["lang"], value_set=langs)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = add_gopher_stats(ds)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["gopher_pass"], pa.scalar(1, type=pa.int64())))
+                   .select(["doc_id", "text", "source"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = normalize_text(ds)
+
+    def local_min(b: pa.Table) -> pa.Table:
+        d = b.select(["doc_id", "source", "text_norm"]).to_pandas()
+        d = d.sort_values("doc_id", kind="mergesort").drop_duplicates("text_norm", keep="first")
+        t = pa.Table.from_pandas(d, preserve_index=False)
+        return t.append_column("__part", pa.array(_element_parts(t["text_norm"], 64)))
+
+    def part_min(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("doc_id", kind="mergesort")
+                 .drop_duplicates("text_norm", keep="first")[["doc_id", "source", "text_norm"]])
+
+    ded = (ds.map_batches(local_min, batch_format="pyarrow")
+             .groupby("__part").map_groups(part_min, batch_format="pandas"))
+
+    pairs = substring_dup_pairs(ded, k=8, text_col="text_norm")
+    drop_t = _collect(pairs.select_columns(["right"]))
+    drop_ids = (pa.array(sorted(set(drop_t["right"].to_pylist())))
+                if drop_t is not None and drop_t.num_rows else None)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if drop_ids is not None:
+            b = b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=drop_ids)))
+        tn = b["text_norm"]
+        if isinstance(tn, pa.ChunkedArray):
+            tn = tn.combine_chunks()
+        nw = pc.add(pc.count_substring(tn, " "), pa.scalar(1, type=pa.int32())).cast(pa.int64())
+        t = pa.table({"source": b["source"], "nw": nw})
+        g = t.group_by("source").aggregate([("nw", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "words_sum", "cnt"])
+
+    out = _collect(ded.map_batches(summarize, batch_format="pyarrow")).to_pandas()
+    out = out.groupby("source", sort=True).sum().reset_index()
+    return out[["source", "cnt", "words_sum"]].astype(
+        {"cnt": "int64", "words_sum": "int64"})
+
+
+SQL_DOC_E2E_PIPELINE = f"""
+WITH base AS (
+  SELECT doc_id, source, coalesce(text, '') AS t FROM documents
+  WHERE lang IN ({", ".join(f"'{x}'" for x in DOC_E2E_LANGS)})
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+         CAST(length(t) - (len(string_split(t, ' ')) - 1) AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(string_split(t, ' '),
+                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(string_split(t, ' '),
+                              w -> list_contains(['the','be','to','of','and','that','have','with'],
+                                                 lower(w)))) AS BIGINT) AS n_stop_words,
+         CAST((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_sym
+  FROM base
+),
+quality AS (
+  SELECT b.doc_id, b.source, b.t FROM base b JOIN stats s ON s.doc_id = b.doc_id
+  WHERE s.n_words BETWEEN 50 AND 100000
+    AND 3 * s.n_words <= s.sum_word_len AND s.sum_word_len <= 10 * s.n_words
+    AND 10 * s.n_sym <= s.n_words
+    AND 10 * s.n_alpha_words >= 8 * s.n_words
+    AND s.n_stop_words >= 2
+),
+norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g'), ' ') AS tn
+  FROM quality
+),
+ded AS (
+  SELECT doc_id, source, tn FROM norm n1
+  WHERE doc_id = (SELECT min(doc_id) FROM norm n2 WHERE n2.tn = n1.tn)
+),
+w AS (SELECT doc_id, string_split(tn, ' ') AS ws FROM ded),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)
+),
+dropped AS (SELECT DISTINCT b.doc_id FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+fin AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(len(string_split(tn, ' '))) AS BIGINT) AS words_sum
+FROM fin GROUP BY source ORDER BY source
+"""
+
+QUERIES2["doc_e2e_pipeline"] = q_doc_e2e_pipeline
+ORACLES2["doc_e2e_pipeline"] = SQL_DOC_E2E_PIPELINE
