@@ -250,6 +250,10 @@ def oov_stats_by_group(
     )
 
 
+#: per-worker grow-only scratch for token_pair_counts (see its body)
+_PAIR_SCRATCH: dict = {}
+
+
 def token_pair_counts(
     ds: Dataset,
     *,
@@ -279,6 +283,13 @@ def token_pair_counts(
     from jesse_ray.pipelines.relational import _element_parts, topk_from_partials
 
     def partial(batch: pa.Table) -> pa.Table:
+        # PERSISTENT per-worker scratch: the original per-batch temps
+        # (int64 upcast copy, diff array, boolean masks, compress,
+        # np.unique's sort copy) totalled ~100 MB of FRESH pages per
+        # batch — this sandbox's first-touch page tax makes those ~30x
+        # slower than warm writes.  All big intermediates now live in
+        # grow-only module scratch; the distinct-pair reduction is an
+        # IN-PLACE sort + boundary diff instead of np.unique.
         empty = pa.table(
             {
                 "elem": pa.array([], type=pa.int64()),
@@ -287,24 +298,62 @@ def token_pair_counts(
             }
         )
         toks = _combine(batch[tokens_col])
-        values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        if len(values) < 2:
+        values32 = toks.values.to_numpy(zero_copy_only=False)
+        nf = len(values32)
+        if nf < 2:
             return empty
+        S = _PAIR_SCRATCH
+        if S.get("cap", 0) < nf + 1:
+            cap = max(nf + 1, 2 * S.get("cap", 1 << 16))
+            S["cap"] = cap
+            S["v"] = np.empty(cap, dtype=np.int64)
+            S["pk"] = np.empty(cap, dtype=np.int64)
+            S["d"] = np.zeros(cap + 1, dtype=np.int32)
+            S["cs"] = np.empty(cap, dtype=np.int32)
+            S["b1"] = np.empty(cap, dtype=bool)
+            S["b2"] = np.empty(cap, dtype=bool)
         off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        v = S["v"][:nf]
+        v[...] = values32
         # valid pair start positions: j and j+1 in the same list.  Mark
         # each list's [start, end-1) run via a diff array — vectorized,
         # no per-row loop, robust to empty/null lists (end-start < 2).
         s, e = off[:-1], off[1:]
         ok = (e - s) >= 2
-        d = np.zeros(len(values) + 1, dtype=np.int32)
+        d = S["d"][: nf + 1]
+        d[...] = 0
         np.add.at(d, s[ok], 1)
         np.add.at(d, e[ok] - 1, -1)
-        valid = np.cumsum(d[:-1])[:-1] > 0
-        valid &= (values[:-1] >= 0) & (values[1:] >= 0)
-        packed = ((values[:-1] << np.int64(32)) | values[1:])[valid]
-        if not len(packed):
+        cs = S["cs"][:nf]
+        np.cumsum(d[:nf], out=cs)
+        vb = S["b1"][: nf - 1]
+        np.greater(cs[: nf - 1], 0, out=vb)
+        b2 = S["b2"][: nf - 1]
+        np.greater_equal(v[:-1], 0, out=b2)
+        vb &= b2
+        np.greater_equal(v[1:], 0, out=b2)
+        vb &= b2
+        if not vb.any():
             return empty
-        uk, cnt = np.unique(packed, return_counts=True)
+        pk = S["pk"][: nf - 1]
+        np.left_shift(v[:-1], np.int64(32), out=pk)
+        np.bitwise_or(pk, v[1:], out=pk)
+        # sentinel the invalid slots: -1 sorts before every valid packed
+        # pair (both halves are non-negative), so it lands in one leading
+        # run that the boundary walk drops
+        np.logical_not(vb, out=b2)
+        pk[b2] = -1
+        pk.sort(kind="quicksort")  # in-place: no np.unique copy
+        chg = S["b1"][: nf - 1]
+        chg[0] = True
+        np.not_equal(pk[1:], pk[:-1], out=chg[1:])
+        runs = np.flatnonzero(chg)
+        uk = pk[runs]
+        cnt = np.diff(np.append(runs, nf - 1))
+        if uk[0] == -1:
+            uk, cnt = uk[1:], cnt[1:]
+        if not len(uk):
+            return empty
         keys = pa.array(uk, type=pa.int64())
         return pa.table(
             {
