@@ -106,3 +106,68 @@ def pack_offsets(
         )
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def bestfit_pack(
+    ds: Dataset,
+    *,
+    capacity: int = 2048,
+    key_col: str = "doc_id",
+    len_col: str = "n_tok",
+    n_parts: int = 64,
+) -> Dataset:
+    """Best-fit-decreasing WHOLE-document bin packing (the no-split
+    alternative to concat-then-chunk: each document lands wholly in one
+    fixed-capacity bin, so no attention-mask surgery across documents).
+
+    Scale shape: documents are hash-partitioned into ``n_parts``
+    independent packing groups; within a group, classic BFD runs over
+    the (length desc, key asc) order — the sequential loop is the
+    intrinsic core of BFD, so the partitioning bounds its size (size
+    ``n_parts`` so a part holds what one worker comfortably loops over;
+    bins never span parts).  The per-part loop keeps bin residuals in a
+    sorted array (bisect insert), so it is O(n log bins) per part.
+
+    BFD gives the verifiable quality invariant used by the SQL oracle:
+    a part never ends with TWO bins at most half full (the second's
+    first item would have fitted the first), on top of the partition
+    and capacity invariants.  Ineligible rows (null key, length outside
+    [1, capacity]) are dropped.
+
+    Returns (key, part, bin, length) — bin ids are per-part dense
+    integers."""
+    from bisect import bisect_left, insort
+
+    from jesse_ray.pipelines.relational import _element_parts
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[key_col]),
+                    pc.and_(pc.greater_equal(b[len_col], pa.scalar(1)),
+                            pc.less_equal(b[len_col], pa.scalar(capacity))))
+        t = b.filter(m).select([key_col, len_col])
+        return t.append_column("__part", pa.array(_element_parts(t[key_col], n_parts)))
+
+    def pack_part(g):
+        import pandas as pd
+
+        g = g.sort_values([len_col, key_col], ascending=[False, True], kind="mergesort")
+        lens = g[len_col].to_numpy()
+        resid = []          # sorted list of (residual, bin_id)
+        bins = np.empty(len(g), dtype=np.int64)
+        next_bin = 0
+        for i, L in enumerate(lens):
+            j = bisect_left(resid, (int(L), -1))
+            if j == len(resid):      # no bin has room → open a new one
+                bins[i] = next_bin
+                insort(resid, (capacity - int(L), next_bin))
+                next_bin += 1
+            else:                    # tightest bin that fits (best fit)
+                r, bid = resid.pop(j)
+                bins[i] = bid
+                insort(resid, (r - int(L), bid))
+        out = g[[key_col, "__part", len_col]].copy()
+        out["bin"] = bins
+        return out.rename(columns={"__part": "part"})
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("__part").map_groups(pack_part, batch_format="pandas"))

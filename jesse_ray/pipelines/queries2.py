@@ -10,6 +10,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from jesse_ray.sources import read_sequences, read_table
 
@@ -1116,3 +1117,81 @@ FROM fin GROUP BY source ORDER BY source
 
 QUERIES2["doc_e2e_pipeline"] = q_doc_e2e_pipeline
 ORACLES2["doc_e2e_pipeline"] = SQL_DOC_E2E_PIPELINE
+
+
+# ---------------------------------------------------------------------------
+# seq_pack_bestfit — BFD whole-document bin packing
+
+BF_CAP = 2048
+
+
+def q_seq_pack_bestfit(sf_dir: str) -> pd.DataFrame:
+    """Best-fit-decreasing whole-document packing (pack.bestfit_pack)
+    at capacity 2048: per-part bins summary.  The twin verifies, from
+    the assignment sidecar, that (1) the assignment is a PARTITION of
+    exactly the eligible corpus (unique-keyed docs, 1 ≤ n_tok ≤ cap,
+    true lengths), (2) no bin exceeds capacity, and (3) the BFD quality
+    guarantee — at most ONE bin per part at most half full — then
+    re-derives the per-part summary."""
+    from jesse_ray.pipelines.queries import _sig_parquet_path
+    from jesse_ray.engine import duplicate_keys
+    from jesse_ray.functions.pack import bestfit_pack
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"])
+    dup = set(_collect(duplicate_keys(ds.select_columns(["doc_id"]), "doc_id"))
+              .column("doc_id").to_pylist())
+    if dup:
+        dup_arr = pa.array(sorted(dup), type=pa.string())
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=dup_arr))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    packed = bestfit_pack(ds, capacity=BF_CAP)
+    t = _collect(packed)
+    pq.write_table(t.sort_by("doc_id"), _sig_parquet_path(sf_dir, "bestfit"))
+
+    def summary(b: pa.Table) -> pa.Table:
+        g = b.group_by("part").aggregate([("bin", "max"), ("n_tok", "sum"), ([], "count_all")])
+        return g.rename_columns(["part", "max_bin", "fill_sum", "n_docs"])
+
+    out = _collect(packed.map_batches(summary, batch_format="pyarrow")).to_pandas()
+    agg = out.groupby("part", sort=True).agg(
+        n_bins=("max_bin", "max"), fill_sum=("fill_sum", "sum"),
+        n_docs=("n_docs", "sum")).reset_index()
+    agg["n_bins"] = agg["n_bins"].astype("int64") + 1
+    return agg[["part", "n_docs", "n_bins", "fill_sum"]].astype(
+        {"part": "int64", "n_docs": "int64", "fill_sum": "int64"})
+
+
+SQL_SEQ_PACK_BESTFIT = f"""
+WITH dups AS (
+  SELECT doc_id FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+  GROUP BY doc_id HAVING count(*) > 1
+),
+elig AS (
+  SELECT doc_id, n_tok FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM dups)
+    AND n_tok BETWEEN 1 AND {BF_CAP}
+),
+s AS (SELECT * FROM read_parquet('/tmp/jesse_ray_data/bestfit_sigs_sf0.01.parquet')),
+binfill AS (SELECT part, bin, sum(n_tok) AS fill FROM s GROUP BY part, bin),
+halfempty AS (
+  SELECT part, count(*) AS c FROM binfill WHERE 2 * fill <= {BF_CAP} GROUP BY part
+),
+gates AS (
+  SELECT (SELECT count(*) FROM s) = (SELECT count(*) FROM elig)
+     AND (SELECT count(DISTINCT doc_id) FROM s) = (SELECT count(*) FROM s)
+     AND (SELECT count(*) FROM s JOIN elig e ON e.doc_id = s.doc_id
+          WHERE e.n_tok = s.n_tok) = (SELECT count(*) FROM s)
+     AND NOT EXISTS (SELECT 1 FROM binfill WHERE fill > {BF_CAP})
+     AND NOT EXISTS (SELECT 1 FROM halfempty WHERE c > 1) AS good
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+       CAST(sum(n_tok) AS BIGINT) AS fill_sum
+FROM s GROUP BY part
+HAVING (SELECT good FROM gates)
+ORDER BY part
+"""
+
+QUERIES2["seq_pack_bestfit"] = q_seq_pack_bestfit
+ORACLES2["seq_pack_bestfit"] = SQL_SEQ_PACK_BESTFIT

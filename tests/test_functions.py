@@ -3104,3 +3104,29 @@ def test_pagerank_rejects_unbounded_domain(ray_session):
     })
     with pytest.raises(ValueError):
         pagerank_fixedpoint(ray.data.from_arrow(t))
+
+
+def test_bestfit_pack_invariants(ray_session):
+    from jesse_ray.functions.pack import bestfit_pack
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(1, 100, size=400)
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(400)]),
+        "n_tok": pa.array(lens, type=pa.int32()),
+    })
+    out = bestfit_pack(ray.data.from_arrow(t), capacity=100, n_parts=4).to_pandas()
+    # partition: every doc exactly once
+    assert sorted(out["doc_id"]) == sorted(t["doc_id"].to_pylist())
+    fills = out.groupby(["part", "bin"])["n_tok"].sum()
+    assert (fills <= 100).all()
+    # BFD guarantee: at most one <=half-full bin per part
+    half = (fills <= 50).groupby("part").sum()
+    assert (half <= 1).all()
+    # oversize and null-key rows are dropped
+    t2 = pa.table({
+        "doc_id": pa.array(["a", None, "c"]),
+        "n_tok": pa.array([150, 10, 10], type=pa.int32()),
+    })
+    out2 = bestfit_pack(ray.data.from_arrow(t2), capacity=100, n_parts=2).to_pandas()
+    assert out2["doc_id"].tolist() == ["c"]
