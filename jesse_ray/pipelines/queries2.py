@@ -1195,3 +1195,195 @@ ORDER BY part
 
 QUERIES2["seq_pack_bestfit"] = q_seq_pack_bestfit
 ORACLES2["seq_pack_bestfit"] = SQL_SEQ_PACK_BESTFIT
+
+
+# ---------------------------------------------------------------------------
+# events_skew_report — the partitioner itself, proved in SQL
+
+SKEW_PARTS = 64
+_GOLDEN_INT = 0x9E3779B97F4A7C15
+
+
+def q_events_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Partition-balance report for the engine's OWN coarse hash
+    partitioner (relational._element_parts multiply-shift): rows and
+    distinct users per part over the events stream.  The twin
+    re-derives the exact same hash in SQL with HUGEINT arithmetic
+    (``(u * golden) mod 2^64 >> 33 & 63``) — the partitioning math
+    every shuffle in this engine rests on is itself machine-checked."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = _element_parts(b["user_id"], SKEW_PARTS)
+        t = pa.table({"part": pa.array(parts.astype(np.int64)), "user_id": b["user_id"]})
+        rows = t.group_by("part").aggregate([([], "count_all")]).rename_columns(["part", "rows"])
+        users = t.group_by(["part", "user_id"]).aggregate([])
+        return pa.table({
+            "part": pa.concat_arrays([rows["part"].combine_chunks(),
+                                      users["part"].combine_chunks()]),
+            "rows": pa.concat_arrays([
+                rows["rows"].cast(pa.int64()).combine_chunks(),
+                pa.nulls(users.num_rows, type=pa.int64())]),
+            "user_id": pa.concat_arrays([
+                pa.nulls(rows.num_rows, type=pa.int64()),
+                users["user_id"].cast(pa.int64()).combine_chunks()]),
+        })
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    rows = t[t["rows"].notna()].groupby("part")["rows"].sum()
+    users = t[t["user_id"].notna()].drop_duplicates(["part", "user_id"]).groupby("part").size()
+    out = pd.DataFrame({"part": rows.index.astype("int64"),
+                        "n_rows": rows.to_numpy(dtype="int64"),
+                        "n_users": users.reindex(rows.index).fillna(0).to_numpy(dtype="int64")})
+    return out.sort_values("part").reset_index(drop=True)
+
+
+SQL_EVENTS_SKEW_REPORT = f"""
+WITH p AS (
+  SELECT CAST(((CAST(user_id AS HUGEINT) * {_GOLDEN_INT}) % 18446744073709551616)
+              // 8589934592 % {SKEW_PARTS} AS BIGINT) AS part,
+         user_id
+  FROM events
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p GROUP BY part ORDER BY part
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_chisq — chi-square independence test (event_type × user bucket)
+
+def q_events_chisq(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square independence test between event_type and the
+    parity user bucket: contingency counts from one bounded-cardinality
+    combiner pass, the statistic evaluated once on scalars (same cell
+    order both engines: type asc, bucket asc)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.bit_wise_and(b["user_id"], pa.scalar(1)), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "bucket": bucket})
+        g = t.group_by(["event_type", "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "bucket", "n"])
+
+    cells = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    cells = (cells.groupby(["event_type", "bucket"], sort=True)["n"].sum().reset_index())
+    piv = cells.pivot(index="event_type", columns="bucket", values="n").fillna(0.0)
+    obs = piv.to_numpy(dtype=np.float64)
+    rt = obs.sum(axis=1, keepdims=True)
+    ct = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    exp = rt @ ct / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pd.DataFrame({"chi2": [round(chi2, 4)],
+                         "dof": pd.array([dof], dtype="int64")})
+
+
+SQL_EVENTS_CHISQ = """
+WITH c AS (
+  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS bucket,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS n FROM c),
+rt AS (SELECT event_type, sum(n) AS r FROM c GROUP BY 1),
+ct AS (SELECT bucket, sum(n) AS col FROM c GROUP BY 1),
+x AS (
+  SELECT c.n, rt.r * ct.col / (SELECT n FROM tot) AS e
+  FROM c JOIN rt ON rt.event_type = c.event_type JOIN ct ON ct.bucket = c.bucket
+)
+SELECT round(sum((n - e) * (n - e) / e), 4) AS chi2,
+       CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof
+FROM x
+"""
+
+QUERIES2["events_skew_report"] = q_events_skew_report
+QUERIES2["events_chisq"] = q_events_chisq
+ORACLES2["events_skew_report"] = SQL_EVENTS_SKEW_REPORT
+ORACLES2["events_chisq"] = SQL_EVENTS_CHISQ
+
+
+# ---------------------------------------------------------------------------
+# seq_mannwhitney — exact-integer Mann-Whitney U (n_tok: web vs books)
+
+MW_A, MW_B = "web", "books"
+
+
+def q_seq_mannwhitney(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U comparing n_tok distributions of two sources, in
+    EXACT integer arithmetic: doubled tie-averaged rank sums satisfy
+    ``2*avg_rank(v) = 2*count_less(v) + count_eq(v) + 1``, so
+    ``r2_a = Σ_a (2L+c+1)`` and ``u2_a = r2_a − n_a(n_a+1)`` are exact
+    int64 on both engines — no float rank games.  One
+    bounded-cardinality combiner pass (n_tok ≤ 2048 distinct values);
+    the normal-approximation z is a scalar formula, round(4)."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["n_tok", "source"])
+    ab = pa.array([MW_A, MW_B])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_in(b["source"], value_set=ab),
+                             pc.is_valid(b["n_tok"])))
+        g = t.group_by(["n_tok", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["n_tok", "source", "n"])
+
+    cells = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    cells = cells.groupby(["n_tok", "source"], sort=True)["n"].sum().reset_index()
+    piv = cells.pivot(index="n_tok", columns="source", values="n").fillna(0).astype("int64")
+    for s in (MW_A, MW_B):
+        if s not in piv.columns:
+            piv[s] = 0
+    piv = piv.sort_index()
+    c_all = (piv[MW_A] + piv[MW_B]).to_numpy()
+    c_a = piv[MW_A].to_numpy()
+    L = np.concatenate([[0], np.cumsum(c_all)[:-1]])
+    r2_a = int((c_a * (2 * L + c_all + 1)).sum())
+    n_a, n_b = int(c_a.sum()), int(piv[MW_B].sum())
+    u2_a = r2_a - n_a * (n_a + 1)
+    mu2 = float(n_a * n_b)  # 2*mu = n_a*n_b... (u2 is doubled)
+    sigma2 = np.sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0) * 2.0
+    z = (u2_a - mu2) / sigma2
+    return pd.DataFrame({
+        "n_a": pd.array([n_a], dtype="int64"),
+        "n_b": pd.array([n_b], dtype="int64"),
+        "r2_a": pd.array([r2_a], dtype="int64"),
+        "u2_a": pd.array([u2_a], dtype="int64"),
+        "z": [round(float(z), 4)],
+    })
+
+
+SQL_SEQ_MANNWHITNEY = f"""
+WITH x AS (
+  SELECT n_tok, source FROM {SEQ_SQL}
+  WHERE source IN ('{MW_A}', '{MW_B}') AND n_tok IS NOT NULL
+),
+v AS (
+  SELECT n_tok,
+         CAST(count(*) AS BIGINT) AS c_all,
+         CAST(count(*) FILTER (WHERE source = '{MW_A}') AS BIGINT) AS c_a
+  FROM x GROUP BY n_tok
+),
+w AS (
+  SELECT n_tok, c_all, c_a,
+         CAST(coalesce(sum(c_all) OVER (ORDER BY n_tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS L
+  FROM v
+),
+agg AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         CAST(sum(c_all - c_a) AS BIGINT) AS n_b,
+         CAST(sum(c_a * (2 * L + c_all + 1)) AS BIGINT) AS r2_a
+  FROM w
+)
+SELECT n_a, n_b, r2_a,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+             / (sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0) * 2.0), 4) AS z
+FROM agg
+"""
+
+QUERIES2["seq_mannwhitney"] = q_seq_mannwhitney
+ORACLES2["seq_mannwhitney"] = SQL_SEQ_MANNWHITNEY
