@@ -66,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
              "schema to PATH, and validate against it (profile → propose → "
              "verify); mutually exclusive with --spec",
     )
+    p.add_argument(
+        "--curate",
+        help="also write the CURATED corpus (rows passing every check, "
+        "exact-deduplicated on token payload) as partitioned parquet to "
+        "this directory — the validate-then-clean composite a training "
+        "run consumes",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--json", action="store_true", help="JSON summary to stdout (reference --json flag, src/jesse_cli.erl:48-49)")
     args = p.parse_args(argv)
@@ -130,6 +137,15 @@ def main(argv: list[str] | None = None) -> int:
         fail_on_drift=args.fail_on_drift,
         input_format=args.input_format,
     )
+    if args.curate:
+        from jesse_ray.pipelines.curate import curate_sequences
+        from jesse_ray.sources import read_corpus, write_partitioned
+
+        ds = read_corpus(args.input, format=args.input_format)
+        curated = curate_sequences(ds, spec)
+        manifest = write_partitioned(curated, args.curate, by="source", stats_col="n_tok")
+        summary["curated_rows"] = int(manifest["n_rows"])
+
     if args.report:
         import glob as _glob
 

@@ -665,3 +665,29 @@ def test_orc_and_feather_readers_roundtrip(ray_session, tmp_path):
         assert len(got) == 500
         assert list(got.columns) == ["doc_id", "n_tok"]
         assert int(got["n_tok"].sum()) == 1500
+
+
+def test_cli_curate_mode(ray_session, tmp_path, corpus_sf0001):
+    """--curate writes the deduped clean corpus as source-partitioned
+    parquet with a crash-safe manifest, alongside the validation run."""
+    import glob as _glob
+
+    from jesse_ray import run as cli
+
+    out = str(tmp_path / "val")
+    cur = str(tmp_path / "curated")
+    rc = cli.main([
+        "--input", str(testgen.corpus_path("sf0.001")),
+        "--allowed-sources", str(testgen.allowed_sources_path("sf0.001")),
+        "--output", out, "--curate", cur, "--no-resume",
+    ])
+    assert rc == 1  # dirty corpus still fails validation
+    man = json.load(open(f"{cur}/_manifest.json"))
+    assert man["n_rows"] > 0 and man["by"] == "source"
+    files = _glob.glob(f"{cur}/source=*/*.parquet")
+    assert files
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    # curated = unique doc ids, all from the allowed dimension
+    ids = t["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids)) == man["n_rows"]
+    assert set(t["source"].to_pylist()) <= set(testgen.SOURCES)
