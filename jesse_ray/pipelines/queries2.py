@@ -1387,3 +1387,148 @@ FROM agg
 
 QUERIES2["seq_mannwhitney"] = q_seq_mannwhitney
 ORACLES2["seq_mannwhitney"] = SQL_SEQ_MANNWHITNEY
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_mae — seasonal-naive backtest on the hourly series
+
+def q_events_forecast_mae(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive forecasting backtest (predict hour t with hour
+    t-24; MAE over the dense hourly spine): tumbling-window counts from
+    one combiner pass, densified against the min..max hour range (gaps
+    = 0), lag-24 absolute errors summed exactly as integers — mae is
+    the exact rational abs_sum/n rounded identically on both sides."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.divide(b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                         if not isinstance(b["ts"], pa.ChunkedArray)
+                         else b["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()),
+                         pa.scalar(3_600_000_000, type=pa.int64()))
+        t = pa.table({"hour": hour})
+        g = t.group_by("hour").aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "n"])
+
+    hp = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    hp = hp.groupby("hour", sort=True)["n"].sum()
+    lo, hi = int(hp.index.min()), int(hp.index.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[hp.index.to_numpy(dtype=np.int64) - lo] = hp.to_numpy(dtype=np.int64)
+    err = np.abs(dense[24:] - dense[:-24])
+    n_eval = int(len(err))
+    s = int(err.sum())
+    return pd.DataFrame({
+        "n_eval": pd.array([n_eval], dtype="int64"),
+        "abs_err_sum": pd.array([s], dtype="int64"),
+        "mae": [round(s / n_eval, 4)],
+    })
+
+
+SQL_EVENTS_FORECAST_MAE = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT unnest(range((SELECT min(hour) FROM h), (SELECT max(hour) FROM h) + 1)) AS hour
+),
+d AS (
+  SELECT spine.hour, coalesce(h.n, 0) AS n FROM spine LEFT JOIN h ON h.hour = spine.hour
+),
+l AS (
+  SELECT n, lag(n, 24) OVER (ORDER BY hour) AS p FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(abs(n - p)) AS BIGINT) AS abs_err_sum,
+       round(CAST(sum(abs(n - p)) AS DOUBLE) / count(*), 4) AS mae
+FROM l WHERE p IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# seq_split_decontam — train→eval contamination after the hash split
+
+SPLIT_DECON_N = 8
+
+
+def q_seq_split_decontam(sf_dir: str) -> pd.DataFrame:
+    """Split hygiene: after the deterministic 80/10/10 hash split, how
+    many val/test docs share an 8-token-gram with ANY train doc
+    (the leakage a benchmark-decontam pass must catch).  Train grams
+    via the broadcast sorted-hash probe (decontam.token_gram_set, no
+    shuffle); the twin re-derives every flag with exact string-gram
+    joins from the split sidecar."""
+    from jesse_ray.engine import duplicate_keys
+    from jesse_ray.functions.decontam import flag_token_contaminated, token_gram_set
+    from jesse_ray.functions.split import add_hash_split
+    from jesse_ray.pipelines.queries import _sig_parquet_path
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+    dup = set(_collect(duplicate_keys(ds.select_columns(["doc_id"]), "doc_id"))
+              .column("doc_id").to_pylist())
+    dup_arr = pa.array(sorted(dup), type=pa.string()) if dup else None
+
+    def clean(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b["doc_id"])
+        if dup_arr is not None:
+            m = pc.and_(m, pc.invert(pc.is_in(b["doc_id"], value_set=dup_arr)))
+        return b.filter(m)
+
+    ds = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    split = add_hash_split(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assign = _collect(split.select_columns(["doc_id", "split"]))
+    pq.write_table(assign.sort_by("doc_id"), _sig_parquet_path(sf_dir, "sdecon_split"))
+
+    train = split.filter(expr="split == 'train'")
+    probes = token_gram_set(train, n=SPLIT_DECON_N)
+    ev = split.filter(expr="split != 'train'")
+    flagged = flag_token_contaminated(ev, probes, n=SPLIT_DECON_N)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return pa.table({"split": b["split"],
+                         "contaminated": pc.cast(b["contaminated"], pa.int64())})
+
+    t = _collect(flagged.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    out = t.groupby("split", sort=True).agg(
+        n_docs=("contaminated", "size"), n_contaminated=("contaminated", "sum")).reset_index()
+    return out.astype({"n_docs": "int64", "n_contaminated": "int64"})
+
+
+SQL_SEQ_SPLIT_DECONTAM = f"""
+WITH dups AS (
+  SELECT doc_id FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+  GROUP BY doc_id HAVING count(*) > 1
+),
+corpus AS (
+  SELECT doc_id, tokens FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM dups)
+),
+s AS (
+  SELECT a.split, c.doc_id, c.tokens
+  FROM read_parquet('/tmp/jesse_ray_data/sdecon_split_sigs_sf0.01.parquet') a
+  JOIN corpus c ON c.doc_id = a.doc_id
+),
+tr AS (
+  SELECT DISTINCT array_to_string(tokens[i:i+{SPLIT_DECON_N - 1}], ',') AS g
+  FROM (SELECT tokens, unnest(range(1, len(tokens) - {SPLIT_DECON_N - 2})) AS i
+        FROM s WHERE split = 'train')
+),
+ev AS (
+  SELECT split, doc_id,
+         array_to_string(tokens[i:i+{SPLIT_DECON_N - 1}], ',') AS g
+  FROM (SELECT split, doc_id, tokens, unnest(range(1, len(tokens) - {SPLIT_DECON_N - 2})) AS i
+        FROM s WHERE split <> 'train')
+),
+hit AS (SELECT DISTINCT split, doc_id FROM ev JOIN tr USING (g))
+SELECT s2.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE hit.doc_id IS NOT NULL) AS BIGINT) AS n_contaminated
+FROM (SELECT split, doc_id FROM s WHERE split <> 'train') s2
+LEFT JOIN hit ON hit.split = s2.split AND hit.doc_id = s2.doc_id
+GROUP BY s2.split ORDER BY s2.split
+"""
+
+QUERIES2["events_forecast_mae"] = q_events_forecast_mae
+QUERIES2["seq_split_decontam"] = q_seq_split_decontam
+ORACLES2["events_forecast_mae"] = SQL_EVENTS_FORECAST_MAE
+ORACLES2["seq_split_decontam"] = SQL_SEQ_SPLIT_DECONTAM
