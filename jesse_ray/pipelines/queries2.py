@@ -1532,3 +1532,75 @@ QUERIES2["events_forecast_mae"] = q_events_forecast_mae
 QUERIES2["seq_split_decontam"] = q_seq_split_decontam
 ORACLES2["events_forecast_mae"] = SQL_EVENTS_FORECAST_MAE
 ORACLES2["seq_split_decontam"] = SQL_SEQ_SPLIT_DECONTAM
+
+
+# ---------------------------------------------------------------------------
+# seq_pushdown_read — predicate pushed into the parquet scan
+
+PUSHDOWN_MIN_NTOK = 1900
+
+
+def q_seq_pushdown_read(sf_dir: str) -> pd.DataFrame:
+    """Predicate-pushdown read: the ``n_tok >= 1900`` filter rides into
+    the parquet scan as a pyarrow.dataset expression (row groups whose
+    stats exclude it are never fetched — the row-filter analogue of the
+    column pruning used everywhere).  Per-source survivor counts +
+    exact n_tok sums."""
+    import pyarrow.dataset as pds
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"],
+                        predicate=(pds.field("n_tok") >= PUSHDOWN_MIN_NTOK))
+
+    def agg(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([("n_tok", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "ntok_sum", "cnt"])
+
+    out = _collect(ds.map_batches(agg, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    out = out.groupby("source", sort=True, dropna=False).sum().reset_index()
+    return out[["source", "cnt", "ntok_sum"]].astype({"cnt": "int64", "ntok_sum": "int64"})
+
+
+SQL_SEQ_PUSHDOWN_READ = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_tok) AS BIGINT) AS ntok_sum
+FROM {SEQ_SQL}
+WHERE n_tok >= {PUSHDOWN_MIN_NTOK}
+GROUP BY source ORDER BY source NULLS FIRST
+"""
+
+QUERIES2["seq_pushdown_read"] = q_seq_pushdown_read
+ORACLES2["seq_pushdown_read"] = SQL_SEQ_PUSHDOWN_READ
+
+
+# ---------------------------------------------------------------------------
+# events_wau — rolling 7-day distinct users via interval-diff arrays
+
+def q_events_wau(sf_dir: str) -> pd.DataFrame:
+    """Rolling 7-day active users per day (WAU), computed exactly with
+    NO per-window set materialization: each user's active days merge
+    into coverage intervals, emitted as ±1 diff arrays per part and
+    prefix-summed on the day axis (relational.rolling_distinct_entities
+    — the scale path where per-window count-distinct would shuffle
+    every (window, user) pair)."""
+    from jesse_ray.pipelines.relational import rolling_distinct_entities
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = rolling_distinct_entities(ds, window_days=7)
+    return out.astype({"day": "int64", "rolling_distinct": "int64"})
+
+
+SQL_EVENTS_WAU = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+spine AS (
+  SELECT unnest(range((SELECT lo FROM bounds), (SELECT hi FROM bounds) + 1)) AS day
+)
+SELECT s.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS rolling_distinct
+FROM spine s LEFT JOIN d ON d.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day ORDER BY s.day
+"""
+
+QUERIES2["events_wau"] = q_events_wau
+ORACLES2["events_wau"] = SQL_EVENTS_WAU

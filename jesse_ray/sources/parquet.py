@@ -51,6 +51,7 @@ def read_sequences(
     *,
     columns: Optional[list[str]] = None,
     override_num_blocks: Optional[int] = None,
+    predicate=None,
     **kw,
 ) -> Dataset:
     """Read a sequences corpus with column pruning.
@@ -58,9 +59,15 @@ def read_sequences(
     ``columns=None`` reads the canonical 4-column shape (never side
     columns like the fixtures' ``expected_error`` golden answers).
     Blocks default to one per parquet row group (see _row_group_blocks).
+    ``predicate`` (a ``pyarrow.dataset`` expression) is pushed INTO the
+    read — row groups whose column statistics exclude the predicate are
+    never fetched, and surviving fragments are filtered during the scan
+    (prune at the read, not after it).
     """
     if override_num_blocks is None:
         override_num_blocks = _row_group_blocks(path)
+    if predicate is not None:
+        kw["filter"] = predicate
     return ray.data.read_parquet(
         path,
         columns=columns if columns is not None else SEQUENCE_COLUMNS,

@@ -300,3 +300,26 @@ def test_merge_upsert_rejects_schema_mismatch(ray_session):
     upd = ray.data.from_arrow(pa.table({"k": ["a"], "other": [1], "__op": ["upsert"]}))
     with pytest.raises(ValueError):
         merge_upsert(base, upd, key="k")
+
+
+def test_rolling_distinct_entities_exact(ray_session):
+    import ray.data
+
+    from jesse_ray.pipelines.relational import rolling_distinct_entities
+
+    day = 86_400_000_000
+    rows = [(1, 0), (1, 1), (1, 9), (2, 3), (3, 3), (3, 4)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] * day + 5 for r in rows], type=pa.timestamp("us")),
+    })
+    out = rolling_distinct_entities(ray.data.from_arrow(t), window_days=3)
+    got = dict(zip(out["day"], out["rolling_distinct"]))
+    # brute-force check: W=3 windows over days 0..9
+    import collections
+    active = collections.defaultdict(set)
+    for u, d in rows:
+        active[d].add(u)
+    for D in range(0, 10):
+        want = len(set().union(*[active.get(x, set()) for x in range(D - 2, D + 1)]))
+        assert got[D] == want, (D, got[D], want)
