@@ -1604,3 +1604,112 @@ GROUP BY s.day ORDER BY s.day
 
 QUERIES2["events_wau"] = q_events_wau
 ORACLES2["events_wau"] = SQL_EVENTS_WAU
+
+
+# ---------------------------------------------------------------------------
+# customer_orders_outer — FULL OUTER join summary
+
+def q_customer_orders_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER hash join of customers against their order counts:
+    one summary row — matched customers, customers with no orders,
+    orders whose custkey is missing from the dimension (referential
+    orphans — zero on this corpus, but the join path proves it)."""
+    from jesse_ray.pipelines.relational import _element_parts, hash_join
+
+    cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def ocnt(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([([], "count_all")])
+        g = g.rename_columns(["c_custkey", "n_orders_p"])
+        return g.append_column("__part", pa.array(_element_parts(g["c_custkey"], 64)))
+
+    def omerge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("c_custkey", sort=False)["n_orders_p"].sum().reset_index()
+        m.columns = ["c_custkey", "n_orders"]
+        return m
+
+    per_cust = (orders.map_batches(ocnt, batch_format="pyarrow", zero_copy_batch=True)
+                      .groupby("__part").map_groups(omerge, batch_format="pandas"))
+    j = hash_join(cust, per_cust, on="c_custkey", how="outer")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        has_orders = pc.is_valid(b["n_orders"])
+        return pa.table({
+            "matched": pa.array([pc.sum(pc.cast(has_orders, pa.int64())).as_py() or 0],
+                                type=pa.int64()),
+            "total": pa.array([b.num_rows], type=pa.int64()),
+        })
+
+    t = _collect(j.map_batches(summarize, batch_format="pyarrow")).to_pandas().sum()
+    # rows in the outer join: customers (matched or not) + orphan orders rows
+    n_cust = _collect(cust).num_rows
+    matched = int(t["matched"])
+    return pd.DataFrame({
+        "n_customers": pd.array([n_cust], dtype="int64"),
+        "with_orders": pd.array([matched], dtype="int64"),
+        "without_orders": pd.array([n_cust - matched], dtype="int64"),
+        "orphan_orders": pd.array([int(t["total"]) - n_cust], dtype="int64"),
+    })
+
+
+SQL_CUSTOMER_ORDERS_OUTER = """
+WITH oc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+j AS (
+  SELECT c.c_custkey AS ck, oc.o_custkey AS ok
+  FROM customer c FULL OUTER JOIN oc ON oc.o_custkey = c.c_custkey
+)
+SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (WHERE ck IS NOT NULL AND ok IS NOT NULL) AS BIGINT) AS with_orders,
+       CAST(count(*) FILTER (WHERE ck IS NOT NULL AND ok IS NULL) AS BIGINT) AS without_orders,
+       CAST(count(*) FILTER (WHERE ck IS NULL) AS BIGINT) AS orphan_orders
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# seq_fd_audit — functional-dependency audit (doc_id → source)
+
+def q_seq_fd_audit(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency audit (Deequ-style data contract): does
+    ``doc_id → source`` hold?  Two-phase distinct-pair counting — per
+    batch dedup, coarse key-hash parts, exact distinct-source count per
+    key — then the tiny violating-key set is the output."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["doc_id"]))
+        g = t.group_by(["doc_id", "source"]).aggregate([])
+        return g.append_column("__part", pa.array(_element_parts(g["doc_id"], 64)))
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["doc_id", "source"]].drop_duplicates()
+        c = d.groupby("doc_id").size()
+        return pd.DataFrame({"n_keys": [int(len(c))],
+                             "n_violating": [int((c > 1).sum())]})
+
+    parts = (_collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+                        .groupby("__part").map_groups(count_part, batch_format="pandas"))
+             .to_pandas().sum())
+    return pd.DataFrame({
+        "n_keys": pd.array([int(parts["n_keys"])], dtype="int64"),
+        "n_violating": pd.array([int(parts["n_violating"])], dtype="int64"),
+    })
+
+
+SQL_SEQ_FD_AUDIT = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, source FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+),
+per_key AS (SELECT doc_id, count(*) AS c FROM pairs GROUP BY doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_violating
+FROM per_key
+"""
+
+QUERIES2["customer_orders_outer"] = q_customer_orders_outer
+QUERIES2["seq_fd_audit"] = q_seq_fd_audit
+ORACLES2["customer_orders_outer"] = SQL_CUSTOMER_ORDERS_OUTER
+ORACLES2["seq_fd_audit"] = SQL_SEQ_FD_AUDIT

@@ -837,15 +837,17 @@ def hash_join(
     each of the ≤ ``n_parts`` parts performs one C-level ``pd.merge``
     over its complete key slice.  Matching keys always share a part, so
     the result is exact; skew is bounded because a part holds MANY keys.
-    ``how``: inner / left / semi / anti (semi/anti return left columns
-    only, one row per surviving left row).
+    ``how``: inner / left / outer / semi / anti (semi/anti return left
+    columns only, one row per surviving left row; outer keeps unmatched
+    rows of BOTH sides with nulls — exact per part because a part holds
+    its complete key slice from both sides).
 
     This is the repartition-join complement to :func:`broadcast_join`
     (Ray Data has no native large-large join; ``Dataset.join`` variants
     materialize or broadcast).  Right columns colliding with left names
     get ``right_suffix``.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     ltypes = _arrow_types(left)
     rtypes = _arrow_types(right)
@@ -884,6 +886,13 @@ def hash_join(
             out = lt[~lt[on].isin(set(rt[on]))]
         else:
             out = lt.merge(rt, on=on, how=how)[lnames + rval_cols]
+        if how == "outer":
+            # unmatched rows carry NaN in the other side's columns; build
+            # column-wise with from_pandas so NaN → null under the exact
+            # Arrow type (from_pandas(schema=...) would refuse NaN-in-int)
+            return pa.table({c: pa.array(out[c], type=out_schema.field(c).type,
+                                         from_pandas=True)
+                             for c in out_schema.names})
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("__part").map_groups(join_part, batch_format="pandas")

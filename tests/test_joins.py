@@ -64,7 +64,7 @@ def test_hash_join_suffixes_colliding_columns(ray_session):
 def test_hash_join_rejects_bad_how(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
     with pytest.raises(ValueError):
-        hash_join(ds, ds, on="k", how="outer")
+        hash_join(ds, ds, on="k", how="cross")
 
 
 def test_asof_join_matches_pandas_merge_asof(ray_session):
@@ -323,3 +323,23 @@ def test_rolling_distinct_entities_exact(ray_session):
     for D in range(0, 10):
         want = len(set().union(*[active.get(x, set()) for x in range(D - 2, D + 1)]))
         assert got[D] == want, (D, got[D], want)
+
+
+def test_hash_join_outer(ray_session):
+    import ray.data
+
+    from jesse_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "lv": pa.array([10, 20, 30], type=pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], type=pa.int64()),
+        "rv": pa.array([200, 300, 400], type=pa.int64()),
+    }))
+    out = (hash_join(left, right, on="k", how="outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].tolist()[1:3] == [20, 30] and pd.isna(out["lv"][3])
+    assert pd.isna(out["rv"][0]) and out["rv"].tolist()[1:] == [200, 300, 400]
