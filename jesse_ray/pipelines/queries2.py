@@ -1713,3 +1713,136 @@ QUERIES2["customer_orders_outer"] = q_customer_orders_outer
 QUERIES2["seq_fd_audit"] = q_seq_fd_audit
 ORACLES2["customer_orders_outer"] = SQL_CUSTOMER_ORDERS_OUTER
 ORACLES2["seq_fd_audit"] = SQL_SEQ_FD_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# seq_entropy_rate — bigram conditional entropy of the token stream
+
+def q_seq_entropy_rate(sf_dir: str) -> pd.DataFrame:
+    """Conditional bigram entropy H(b|a) of the corpus token stream in
+    bits (the information-theoretic compressibility signal):
+    ``-(Σ_ab c_ab·log2(c_ab/c_a)) / N`` over exact adjacent-pair
+    counts.  Pairs are cogrouped by hash(a) — NOT hash(pair) — so each
+    part holds every pair of its ``a`` values and both c_ab and
+    c_a = Σ_b c_ab are exact locally; parts emit two partial scalars.
+    Valid-token pairs only (the PageRank edge convention)."""
+    from jesse_ray import testgen
+    from jesse_ray.pipelines.relational import _element_parts
+
+    vocab = testgen.VOCAB
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        keep = pc.and_(pc.is_valid(toks), pc.greater(pc.list_value_length(toks), 1))
+        if not pc.all(keep).as_py():
+            toks = toks.filter(keep)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        vals = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.delete(vals, off[1:] - 1)
+        bb = np.delete(vals, off[:-1])
+        ok = (a >= 0) & (a < vocab) & (bb >= 0) & (bb < vocab)
+        packed = (a[ok] << np.int64(20)) | bb[ok]
+        uk, cnt = np.unique(packed, return_counts=True)
+        t = pa.table({"key": pa.array(uk), "c": pa.array(cnt.astype(np.int64))})
+        # partition by the FIRST token so c_a is locally exact
+        return t.append_column(
+            "__part", pa.array(_element_parts(pa.array(uk >> np.int64(20)), 64)))
+
+    def part_entropy(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("key", sort=True)["c"].sum()
+        keys = m.index.to_numpy(dtype=np.int64)
+        c_ab = m.to_numpy(dtype=np.float64)
+        a = keys >> np.int64(20)
+        c_a = pd.Series(c_ab).groupby(a).transform("sum").to_numpy()
+        s = float((c_ab * np.log2(c_ab / c_a)).sum())
+        return pd.DataFrame({"s": [s], "n": [int(c_ab.sum())]})
+
+    parts = (_collect(ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+                        .groupby("__part").map_groups(part_entropy, batch_format="pandas"))
+             .to_pandas())
+    n = int(parts["n"].sum())
+    h = -float(parts["s"].sum()) / n
+    return pd.DataFrame({"n_pairs": pd.array([n], dtype="int64"),
+                         "h_bits": [round(h, 4)]})
+
+
+SQL_SEQ_ENTROPY_RATE = f"""
+WITH s AS (
+  SELECT tokens FROM {SEQ_SQL} WHERE tokens IS NOT NULL AND len(tokens) > 1
+),
+u AS (
+  SELECT unnest(tokens[1:len(tokens) - 1]) AS a,
+         unnest(tokens[2:len(tokens)])     AS b
+  FROM s
+),
+e AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM u
+  WHERE a >= 0 AND a < {{V}} AND b >= 0 AND b < {{V}}
+  GROUP BY 1, 2
+),
+w AS (SELECT a, c, sum(c) OVER (PARTITION BY a) AS ca FROM e)
+SELECT CAST(sum(c) AS BIGINT) AS n_pairs,
+       round(-sum(c * log2(c / ca)) / sum(c), 4) AS h_bits
+FROM w
+"""
+
+
+def _entropy_sql() -> str:
+    from jesse_ray import testgen
+
+    return SQL_SEQ_ENTROPY_RATE.replace("{V}", str(testgen.VOCAB))
+
+
+# ---------------------------------------------------------------------------
+# seq_zipf_slope — OLS fit of the token frequency-rank power law
+
+ZIPF_TOPK = 1000
+
+
+def q_seq_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf slope of the corpus: OLS fit of ln(freq) on ln(rank) over
+    the exact top-1000 tokens (relational.top_k_elements heavy-hitters
+    pass); slope ≈ -1 for natural text.  Scalar OLS formula evaluated
+    in the identical operand order on both engines."""
+    from jesse_ray.pipelines.relational import top_k_elements
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+    top = top_k_elements(ds, "tokens", k=ZIPF_TOPK).to_pandas()
+    top = top.sort_values(["cnt", "elem"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["cnt"].to_numpy(dtype=np.float64))
+    n = float(len(top))
+    sx, sy, sxy, sxx = float(x.sum()), float(y.sum()), float((x * y).sum()), float((x * x).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame({"n_fit": pd.array([int(n)], dtype="int64"),
+                         "slope": [round(slope, 4)]})
+
+
+SQL_SEQ_ZIPF_SLOPE = f"""
+WITH f AS (
+  SELECT t AS elem, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(tokens) AS t FROM {SEQ_SQL}) GROUP BY t
+),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, elem ASC) AS rank
+  FROM f ORDER BY cnt DESC, elem ASC LIMIT {ZIPF_TOPK}
+),
+v AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM top)
+SELECT CAST(count(*) AS BIGINT) AS n_fit,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS slope
+FROM v
+"""
+
+QUERIES2["seq_entropy_rate"] = q_seq_entropy_rate
+QUERIES2["seq_zipf_slope"] = q_seq_zipf_slope
+ORACLES2["seq_entropy_rate"] = _entropy_sql()
+ORACLES2["seq_zipf_slope"] = SQL_SEQ_ZIPF_SLOPE
