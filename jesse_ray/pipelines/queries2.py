@@ -1846,3 +1846,183 @@ QUERIES2["seq_entropy_rate"] = q_seq_entropy_rate
 QUERIES2["seq_zipf_slope"] = q_seq_zipf_slope
 ORACLES2["seq_entropy_rate"] = _entropy_sql()
 ORACLES2["seq_zipf_slope"] = SQL_SEQ_ZIPF_SLOPE
+
+
+# ---------------------------------------------------------------------------
+# tpch_q7ish — volume shipping between two nations
+
+Q7_N1, Q7_N2 = 0, 1  # nationkeys
+
+
+def q_tpch_q7ish(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7-shaped composite: revenue between two nations per
+    (supplier nation, customer nation, ship year), both directions.
+    Scale shape: customer/supplier/nation are broadcast-once dimension
+    maps applied inside map_batches (nationkey filter BEFORE the big
+    join); lineitem⋈orders is the one large-x-large cogroup join;
+    the final (2×2×years) aggregate is a map-side Arrow partial."""
+    from jesse_ray.pipelines.relational import hash_join
+
+    nat = _collect(read_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    def dense_lut(path, key, val):
+        """Broadcast dimension as a dense int array (TPC-H keys are
+        dense) — vectorized gather per batch, never a per-row dict."""
+        d = _collect(read_table(path, columns=[key, val])).to_pandas()
+        k = d[key].to_numpy(dtype=np.int64)
+        v = d[val].to_numpy(dtype=np.int64)
+        lut = np.full(int(k.max()) + 2, -1, dtype=np.int64)
+        lut[k] = v
+        return lut
+
+    cmap = dense_lut(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+    smap = dense_lut(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+
+    import ray as _ray
+    cmap_ref = _ray.put(cmap) if _ray.is_initialized() else cmap
+    smap_ref = _ray.put(smap) if _ray.is_initialized() else smap
+    keep = {Q7_N1, Q7_N2}
+
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def o_map(b: pa.Table, ref=cmap_ref) -> pa.Table:
+        m = _ray.get(ref) if _ray.is_initialized() else ref
+        ck = np.clip(b["o_custkey"].to_numpy(zero_copy_only=False), 0, len(m) - 1)
+        cn = m[ck]
+        t = pa.table({"l_orderkey": b["o_orderkey"], "cust_nation": pa.array(cn)})
+        return t.filter(pc.is_in(t["cust_nation"],
+                                 value_set=pa.array(sorted(keep), type=pa.int64())))
+
+    orders = orders.map_batches(o_map, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def l_map(b: pa.Table, ref=smap_ref) -> pa.Table:
+        m = _ray.get(ref) if _ray.is_initialized() else ref
+        sk = np.clip(b["l_suppkey"].to_numpy(zero_copy_only=False), 0, len(m) - 1)
+        sn = m[sk]
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        year = pc.year(b["l_shipdate"]).cast(pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "supp_nation": pa.array(sn),
+                      "rev": rev, "l_year": year})
+        return t.filter(pc.is_in(t["supp_nation"],
+                                 value_set=pa.array(sorted(keep), type=pa.int64())))
+
+    li = li.map_batches(l_map, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, orders, on="l_orderkey", how="inner")
+
+    def agg(b: pa.Table) -> pa.Table:
+        m = pc.not_equal(b["supp_nation"], b["cust_nation"])
+        t = b.filter(m)
+        g = t.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation", "l_year", "rev"])
+
+    out = _collect(j.map_batches(agg, batch_format="pyarrow")).to_pandas()
+    out = out.groupby(["supp_nation", "cust_nation", "l_year"], sort=True)["rev"].sum().reset_index()
+    out["supp_nation"] = out["supp_nation"].map(name_of)
+    out["cust_nation"] = out["cust_nation"].map(name_of)
+    out["revenue"] = out["rev"].round(2)
+    out = out.drop(columns=["rev"]).sort_values(
+        ["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+    return out.astype({"l_year": "int64"})
+
+
+SQL_TPCH_Q7ISH = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE c_nationkey IN ({Q7_N1}, {Q7_N2})
+  AND s_nationkey IN ({Q7_N1}, {Q7_N2})
+  AND s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+QUERIES2["tpch_q7ish"] = q_tpch_q7ish
+ORACLES2["tpch_q7ish"] = SQL_TPCH_Q7ISH
+
+
+# ---------------------------------------------------------------------------
+# tpch_q2ish — minimum-cost supplier per part (argmin through joins)
+
+Q2_SIZE = 15
+
+
+def q_tpch_q2ish(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2-shaped composite: for every size-15 part, the supplier
+    with MINIMUM account balance among those supplying it (argmin per
+    group, tie-break smallest suppkey), top 20 parts by retail price.
+    Scale shape: distinct (part, supplier) pairs with per-batch dedup →
+    coarse partkey cogroup; supplier attrs ride a broadcast dense LUT;
+    per-part argmin is a vectorized lexicographic sort+first per part;
+    only the final 20 rows fetch part attributes."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    supp = _collect(read_table(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_acctbal", "s_name"])).to_pandas()
+    skeys = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    bal = np.full(int(skeys.max()) + 2, np.inf)
+    bal[skeys] = supp["s_acctbal"].to_numpy(dtype=np.float64)
+    import ray as _ray
+    bal_ref = _ray.put(bal) if _ray.is_initialized() else bal
+
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def pair_dedup(b: pa.Table, ref=bal_ref) -> pa.Table:
+        m = _ray.get(ref) if _ray.is_initialized() else ref
+        g = b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        sk = np.clip(g["l_suppkey"].to_numpy(zero_copy_only=False), 0, len(m) - 1)
+        g = g.append_column("s_acctbal", pa.array(m[sk], type=pa.float64()))
+        return g.append_column("__part", pa.array(_element_parts(g["l_partkey"], 64)))
+
+    def argmin_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        d = d.sort_values(["l_partkey", "s_acctbal", "l_suppkey"], kind="mergesort")
+        return d.drop_duplicates("l_partkey", keep="first")[
+            ["l_partkey", "l_suppkey", "s_acctbal"]]
+
+    am = _collect(li.map_batches(pair_dedup, batch_format="pyarrow", zero_copy_batch=True)
+                    .groupby("__part").map_groups(argmin_part, batch_format="pandas")
+                  ).to_pandas()
+    part = _collect(read_table(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_size", "p_retailprice"])).to_pandas()
+    part = part[part["p_size"] == Q2_SIZE]
+    j = part.merge(am, left_on="p_partkey", right_on="l_partkey")
+    j = j.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True],
+                      kind="mergesort").head(20)
+    j = j.merge(supp, left_on="l_suppkey", right_on="s_suppkey", suffixes=("", "_s"))
+    j["p_retailprice"] = j["p_retailprice"].round(2)
+    j["s_acctbal"] = j["s_acctbal_s"].round(2)
+    out = j.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["p_partkey", "p_retailprice", "s_suppkey", "s_name", "s_acctbal"]]
+
+
+SQL_TPCH_Q2ISH = f"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+x AS (
+  SELECT l_partkey, s_suppkey, s_acctbal, s_name,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+  FROM ps JOIN supplier ON s_suppkey = l_suppkey
+)
+SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice,
+       s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM part JOIN x ON x.l_partkey = p_partkey AND x.rn = 1
+WHERE p_size = {Q2_SIZE}
+ORDER BY p_retailprice DESC, p_partkey ASC
+LIMIT 20
+"""
+
+QUERIES2["tpch_q2ish"] = q_tpch_q2ish
+ORACLES2["tpch_q2ish"] = SQL_TPCH_Q2ISH
