@@ -484,3 +484,105 @@ def pagerank_fixedpoint(
 
     nodes = np.flatnonzero(present).astype(np.int64)
     return pa.table({"node": pa.array(nodes), "score": pa.array(r[nodes])})
+
+
+def triangle_count(
+    edges: Dataset,
+    *,
+    left_col: str = "left",
+    right_col: str = "right",
+    n_parts: int = 64,
+) -> int:
+    """Exact triangle count over an undirected edge list (dup-cluster
+    density / community structure of near-dup graphs).  The classic
+    degree-ordered node-iterator: orient every edge from its
+    (degree, id)-smaller endpoint, generate wedges from each center's
+    out-neighbors, and close them against the oriented edge set — each
+    triangle is produced exactly once and wedge work is bounded by the
+    orientation (Σ out-deg² with out-deg ≤ √(2m)).
+
+    Scale shape: degrees come from one combiner pass (driver holds the
+    node-degree map — bounded by the dup-candidate population, same
+    contract as connected_components); wedges are generated per
+    center-hash part with one vectorized self-merge; closure is a
+    coarse packed-key cogroup against the oriented edges — no
+    broadcast of the edge set."""
+    import pandas as pd
+
+    from jesse_ray.pipelines.relational import _element_parts
+
+    edges = edges.materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        l = b[left_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b[right_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(np.concatenate([l, r]), return_counts=True)
+        return pa.table({"node": pa.array(uk), "d": pa.array(cnt.astype(np.int64))})
+
+    deg: dict = {}
+    for part in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for n_, d_ in zip(part["node"].to_pylist(), part["d"].to_pylist()):
+            deg[n_] = deg.get(n_, 0) + d_
+    if not deg:
+        return 0
+    nodes = np.array(sorted(deg), dtype=np.int64)
+    dvec = np.array([deg[n_] for n_ in nodes], dtype=np.int64)
+    # rank = position in (degree, id) order — a dense orientation key
+    order = np.lexsort((nodes, dvec))
+    rank = np.empty(len(nodes), dtype=np.int64)
+    rank[order] = np.arange(len(nodes))
+    rank_of = dict(zip(nodes.tolist(), rank.tolist()))
+    rank_ref = ray.put(rank_of) if ray.is_initialized() else rank_of
+
+    def orient(b: pa.Table, ref=rank_ref) -> pa.Table:
+        m = ray.get(ref) if ray.is_initialized() else ref
+        l = b[left_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b[right_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rl = np.array([m[x] for x in l.tolist()], dtype=np.int64)
+        rr = np.array([m[x] for x in r.tolist()], dtype=np.int64)
+        src = np.where(rl < rr, rl, rr)
+        dst = np.where(rl < rr, rr, rl)
+        t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        return t.append_column("__part", pa.array(_element_parts(t["src"], n_parts)))
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["src", "dst"]].drop_duplicates()
+        w = d.merge(d, on="src")
+        w = w[w["dst_x"] < w["dst_y"]]
+        return pd.DataFrame({"a": w["dst_x"].to_numpy(dtype=np.int64),
+                             "b": w["dst_y"].to_numpy(dtype=np.int64)})
+
+    wset = oriented.groupby("__part").map_groups(wedges, batch_format="pandas")
+
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        key = (a.astype(np.int64) << np.int64(32)) | bb.astype(np.int64)
+        return pa.table({"key": pa.array(key),
+                         "kind": pa.array(np.zeros(len(key), dtype=np.int8))})
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        key = (b["src"].to_numpy(zero_copy_only=False).astype(np.int64) << np.int64(32)) \
+              | b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(key),
+                         "kind": pa.array(np.ones(len(key), dtype=np.int8))})
+
+    tagged = wset.map_batches(tag_wedge, batch_format="pyarrow").union(
+        oriented.drop_columns(["__part"]).map_batches(tag_edge, batch_format="pyarrow"))
+
+    def close_part(b: pa.Table) -> pa.Table:
+        t = b.append_column("__p2", pa.array(_element_parts(b["key"], n_parts)))
+        return t
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        e = set(g.loc[g["kind"] == 1, "key"].drop_duplicates())
+        w = g.loc[g["kind"] == 0, "key"]
+        return pd.DataFrame({"n": [int(w.isin(e).sum())]})
+
+    parts = (tagged.map_batches(close_part, batch_format="pyarrow")
+                   .groupby("__p2").map_groups(count_part, batch_format="pandas")
+                   .to_pandas())
+    return int(parts["n"].sum())

@@ -2026,3 +2026,53 @@ LIMIT 20
 
 QUERIES2["tpch_q2ish"] = q_tpch_q2ish
 ORACLES2["tpch_q2ish"] = SQL_TPCH_Q2ISH
+
+
+# ---------------------------------------------------------------------------
+# doc_triangles — triangle count of the near-dup candidate graph
+
+def q_doc_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count of the MinHash-LSH candidate-pair graph (cluster
+    density: triangle-rich dup graphs mean boilerplate families, not
+    chance collisions) — graph.triangle_count's degree-oriented
+    node-iterator.  The twin re-derives the pairs from the signature
+    sidecar (the doc_minhash_pairs banding CTE) and counts triangles
+    with the canonical a<b<c three-way self-join."""
+    from jesse_ray.functions.dedup import lsh_candidate_pairs, minhash_signatures
+    from jesse_ray.functions.graph import triangle_count
+    from jesse_ray.pipelines.queries import _sig_parquet_path
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = minhash_signatures(ds, num_hashes=64)
+    pq.write_table(
+        _collect(sigs.select_columns(["doc_id", "minhash"])).sort_by("doc_id"),
+        _sig_parquet_path(sf_dir, "tri_minhash"),
+    )
+    pairs = lsh_candidate_pairs(ds, num_hashes=64, bands=16)
+    n_edges = pairs.count()
+    n_tri = triangle_count(pairs)
+    return pd.DataFrame({"n_edges": pd.array([int(n_edges)], dtype="int64"),
+                         "n_triangles": pd.array([int(n_tri)], dtype="int64")})
+
+
+SQL_DOC_TRIANGLES = """
+WITH sig AS (
+  SELECT doc_id, minhash
+  FROM read_parquet('/tmp/jesse_ray_data/tri_minhash_sigs_sf0.01.parquet')
+), bands AS (
+  SELECT doc_id, b, list_slice(minhash, b*4 + 1, b*4 + 4) AS band
+  FROM sig, generate_series(0, 15) t(b)
+), p AS (
+  SELECT a.doc_id AS l, b.doc_id AS r
+  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM p p1
+             JOIN p p2 ON p2.l = p1.l AND p2.r > p1.r
+             JOIN p p3 ON p3.l = p1.r AND p3.r = p2.r) AS BIGINT) AS n_triangles
+"""
+
+QUERIES2["doc_triangles"] = q_doc_triangles
+ORACLES2["doc_triangles"] = SQL_DOC_TRIANGLES

@@ -3130,3 +3130,18 @@ def test_bestfit_pack_invariants(ray_session):
     })
     out2 = bestfit_pack(ray.data.from_arrow(t2), capacity=100, n_parts=2).to_pandas()
     assert out2["doc_id"].tolist() == ["c"]
+
+
+def test_triangle_count_exact(ray_session):
+    from jesse_ray.functions.graph import triangle_count
+
+    # K4 has 4 triangles; plus a pendant edge (4-5) adds none
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (4, 5)]
+    t = pa.table({"left": pa.array([a for a, _ in e], type=pa.int64()),
+                  "right": pa.array([b for _, b in e], type=pa.int64())})
+    assert triangle_count(ray.data.from_arrow(t)) == 4
+    # triangle (0,1,2) plus triangle (2,3,4) on the square: exactly 2
+    e2 = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 2)]
+    t2 = pa.table({"left": pa.array([a for a, _ in e2], type=pa.int64()),
+                   "right": pa.array([b for _, b in e2], type=pa.int64())})
+    assert triangle_count(ray.data.from_arrow(t2)) == 2
