@@ -2076,3 +2076,136 @@ SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_edges,
 
 QUERIES2["doc_triangles"] = q_doc_triangles
 ORACLES2["doc_triangles"] = SQL_DOC_TRIANGLES
+
+
+# ---------------------------------------------------------------------------
+# seq_motif_search — exact token-subsequence (motif) matching
+
+MOTIF = [7, 7]  # adjacent token pattern to find
+
+
+def q_seq_motif_search(sf_dir: str) -> pd.DataFrame:
+    """Exact adjacent-token motif search (the token-level grep of an
+    inverted-index lookup): count occurrences of the pattern per
+    sequence via shifted-equality vectorization over the flat token
+    buffer — no per-row Python, no shuffle; top 20 by hits.  The twin
+    matches on a delimiter-guarded string join."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+    pat = np.array(MOTIF, dtype=np.int64)
+
+    def find(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        keep = pc.and_(pc.is_valid(b["doc_id"]),
+                       pc.and_(pc.is_valid(toks),
+                               pc.greater_equal(pc.list_value_length(toks), len(pat))))
+        t = b.filter(keep)
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(toks)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "hits": pa.array([], type=pa.int64())})
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        vals = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.ones(len(vals) - len(pat) + 1, dtype=bool) if len(vals) >= len(pat) else np.zeros(0, bool)
+        for j, pv in enumerate(pat):
+            m &= vals[j:len(vals) - len(pat) + 1 + j] == pv
+        # kill matches that straddle a list boundary: a match starting at
+        # position i is valid iff i + len(pat) <= end of i's list
+        starts = np.flatnonzero(m)
+        doc_of = np.searchsorted(off[1:], starts, side="right")
+        ok = starts + len(pat) <= off[doc_of + 1]
+        hits = np.bincount(doc_of[ok], minlength=n)
+        t2 = pa.table({"doc_id": t["doc_id"], "hits": pa.array(hits.astype(np.int64))})
+        t2 = t2.filter(pc.greater(t2["hits"], pa.scalar(0)))
+        idx = pc.sort_indices(t2, sort_keys=[("hits", "descending"), ("doc_id", "ascending")])
+        return t2.take(idx[:20])
+
+    cand = _collect(ds.map_batches(find, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    return (cand.sort_values(["hits", "doc_id"], ascending=[False, True], kind="mergesort")
+                .head(20).reset_index(drop=True).astype({"doc_id": "string", "hits": "int64"}))
+
+
+SQL_SEQ_MOTIF_SEARCH = f"""
+WITH s AS (
+  SELECT doc_id, tokens FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND tokens IS NOT NULL AND len(tokens) >= {len(MOTIF)}
+)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(tokens) - {len(MOTIF) - 2}),
+            i -> {" AND ".join(f"tokens[i + {j}] = {v}" for j, v in enumerate(MOTIF))}))
+            AS BIGINT) AS hits
+FROM s
+WHERE len(list_filter(range(1, len(tokens) - {len(MOTIF) - 2}),
+      i -> {" AND ".join(f"tokens[i + {j}] = {v}" for j, v in enumerate(MOTIF))})) > 0
+ORDER BY hits DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_bursts — integer-exact burst detection on the hourly series
+
+def q_events_bursts(sf_dir: str) -> pd.DataFrame:
+    """Burst detection: hours whose event count exceeds 2× the trailing
+    24-hour mean — the comparison stays in integers
+    (``24*c > 2*sum24``), so both engines agree exactly.  Dense spine,
+    full 24-hour lookback required."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = pc.divide(ts.cast(pa.timestamp("us")).cast(pa.int64()),
+                         pa.scalar(3_600_000_000, type=pa.int64()))
+        g = pa.table({"hour": hour}).group_by("hour").aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "n"])
+
+    hp = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    hp = hp.groupby("hour", sort=True)["n"].sum()
+    lo, hi = int(hp.index.min()), int(hp.index.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[hp.index.to_numpy(dtype=np.int64) - lo] = hp.to_numpy(dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(dense)])
+    out_rows = []
+    for i in range(24, len(dense)):
+        s24 = int(cs[i] - cs[i - 24])
+        if 24 * int(dense[i]) > 2 * s24:
+            out_rows.append((lo + i, int(dense[i]), s24))
+    return pd.DataFrame({
+        "hour": pd.array([r[0] for r in out_rows], dtype="int64"),
+        "n": pd.array([r[1] for r in out_rows], dtype="int64"),
+        "sum24": pd.array([r[2] for r in out_rows], dtype="int64"),
+    })
+
+
+SQL_EVENTS_BURSTS = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT unnest(range((SELECT min(hour) FROM h), (SELECT max(hour) FROM h) + 1)) AS hour
+),
+d AS (SELECT spine.hour, coalesce(h.n, 0) AS n FROM spine LEFT JOIN h ON h.hour = spine.hour),
+w AS (
+  SELECT hour, n,
+         sum(n) OVER (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sum24,
+         row_number() OVER (ORDER BY hour) AS rn
+  FROM d
+)
+SELECT hour, n, CAST(sum24 AS BIGINT) AS sum24
+FROM w WHERE rn > 24 AND 24 * n > 2 * sum24
+ORDER BY hour
+"""
+
+QUERIES2["seq_motif_search"] = q_seq_motif_search
+QUERIES2["events_bursts"] = q_events_bursts
+ORACLES2["seq_motif_search"] = SQL_SEQ_MOTIF_SEARCH
+ORACLES2["events_bursts"] = SQL_EVENTS_BURSTS
