@@ -1373,3 +1373,88 @@ def add_readability(
                     .append_column("flesch", pa.array(fl, type=pa.float64(), from_pandas=True))
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def rake_word_scores(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    stopwords: tuple = GOPHER_STOPWORDS,
+    n_parts: int = 64,
+    batch_size: int = 8192,
+) -> Dataset:
+    """RAKE word scores (Rose et al. 2010 "Automatic Keyword Extraction
+    from Individual Documents"): documents split into candidate PHRASES
+    at stopword boundaries; for every word, ``freq`` counts its phrase
+    occurrences and ``deg`` sums the lengths of the phrases it appears
+    in (both exact integers — the ``deg/freq`` ratio is left to the
+    caller so engine↔oracle comparisons stay on integer ground).
+
+    Vectorized per batch: one Arrow split, stopword membership via
+    ``is_in``, phrase ids from a boundary cumsum, phrase lengths via
+    bincount, per-word partials via pandas groupby over the exploded
+    (word, phrase_len) frame; ONE coarse word-hash shuffle merges the
+    partials exactly."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    stop_arr = pa.array(sorted(set(stopwords)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(_combine_col(batch[text_col]), "")
+        words = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        low = pc.utf8_lower(flat)
+        is_stop = pc.is_in(low, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n = len(lens)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        nf = len(is_stop)
+        if nf == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "freq": pa.array([], type=pa.int64()),
+                             "deg": pa.array([], type=pa.int64()),
+                             "__part": pa.array([], type=pa.int32())})
+        # phrase id: breaks at doc starts and at stopwords; stopwords
+        # belong to no phrase
+        brk = np.zeros(nf, dtype=bool)
+        brk[off[:-1][lens > 0]] = True
+        brk |= is_stop
+        # a non-stop word starts a phrase if it's a break point itself or
+        # follows a stopword/doc start
+        starts = np.zeros(nf, dtype=bool)
+        prev_stop = np.ones(nf, dtype=bool)
+        prev_stop[1:] = is_stop[:-1]
+        doc_start = np.zeros(nf, dtype=bool)
+        doc_start[off[:-1][lens > 0]] = True
+        starts = (~is_stop) & (prev_stop | doc_start)
+        pid = np.cumsum(starts) - 1
+        pid[is_stop] = -1
+        keep = pid >= 0
+        if not keep.any():
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "freq": pa.array([], type=pa.int64()),
+                             "deg": pa.array([], type=pa.int64()),
+                             "__part": pa.array([], type=pa.int32())})
+        plen = np.bincount(pid[keep])
+        import pandas as pd
+
+        df = pd.DataFrame({"word": low.to_pandas()[keep],
+                           "plen": plen[pid[keep]]})
+        g = df.groupby("word", sort=False).agg(freq=("plen", "size"),
+                                               deg=("plen", "sum")).reset_index()
+        t = pa.table({"word": pa.array(g["word"], type=pa.string()),
+                      "freq": pa.array(g["freq"].to_numpy(dtype=np.int64)),
+                      "deg": pa.array(g["deg"].to_numpy(dtype=np.int64))})
+        return t.append_column("__part", pa.array(_element_parts(t["word"], n_parts)))
+
+    def merge(g) -> "pa.Table":
+        import pandas as pd
+
+        m = g.groupby("word", sort=False)[["freq", "deg"]].sum().reset_index()
+        return pa.Table.from_pandas(m, preserve_index=False).cast(
+            pa.schema([("word", pa.string()), ("freq", pa.int64()), ("deg", pa.int64())]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=batch_size)
+              .groupby("__part").map_groups(merge, batch_format="pandas"))

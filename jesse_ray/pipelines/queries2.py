@@ -2209,3 +2209,63 @@ QUERIES2["seq_motif_search"] = q_seq_motif_search
 QUERIES2["events_bursts"] = q_events_bursts
 ORACLES2["seq_motif_search"] = SQL_SEQ_MOTIF_SEARCH
 ORACLES2["events_bursts"] = SQL_EVENTS_BURSTS
+
+
+# ---------------------------------------------------------------------------
+# doc_rake_keywords — RAKE corpus keyword scores
+
+RAKE_MIN_FREQ = 5
+
+
+def q_doc_rake_keywords(sf_dir: str) -> pd.DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) at corpus level: top
+    20 words by deg/freq over stopword-delimited phrases
+    (text.rake_word_scores — integer deg/freq basis, so the score is
+    the same IEEE division on both engines; min freq 5 screens
+    singleton-phrase noise)."""
+    from jesse_ray.functions.text import rake_word_scores
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    t = _collect(rake_word_scores(ds)).to_pandas()
+    t = t[t["freq"] >= RAKE_MIN_FREQ].copy()
+    t["score"] = t["deg"].to_numpy(dtype=np.float64) / t["freq"].to_numpy(dtype=np.float64)
+    out = t.sort_values(["score", "word"], ascending=[False, True],
+                        kind="mergesort").head(20).reset_index(drop=True)
+    return out[["word", "freq", "deg", "score"]].astype(
+        {"word": "string", "freq": "int64", "deg": "int64"})
+
+
+SQL_DOC_RAKE_KEYWORDS = f"""
+WITH d AS (SELECT string_split(coalesce(text, ''), ' ') AS ws, row_number() OVER () AS did FROM documents),
+u AS (SELECT did, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i FROM d),
+m AS (
+  SELECT did, i, lower(w) AS lw,
+         list_contains(['the','be','to','of','and','that','have','with'], lower(w)) AS stop
+  FROM u
+),
+s AS (
+  SELECT did, i, lw, stop,
+         CASE WHEN NOT stop
+                   AND coalesce(lag(stop) OVER (PARTITION BY did ORDER BY i), TRUE)
+              THEN 1 ELSE 0 END AS st
+  FROM m
+),
+p AS (
+  SELECT did, i, lw, stop,
+         sum(st) OVER (PARTITION BY did ORDER BY i ROWS UNBOUNDED PRECEDING) AS pid
+  FROM s
+),
+pw AS (SELECT did, pid, lw FROM p WHERE NOT stop),
+pl AS (SELECT did, pid, CAST(count(*) AS BIGINT) AS plen FROM pw GROUP BY 1, 2),
+x AS (SELECT pw.lw AS word, pl.plen FROM pw JOIN pl USING (did, pid)),
+agg AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+  FROM x GROUP BY word
+)
+SELECT word, freq, deg, CAST(deg AS DOUBLE) / freq AS score
+FROM agg WHERE freq >= {RAKE_MIN_FREQ}
+ORDER BY score DESC, word ASC LIMIT 20
+"""
+
+QUERIES2["doc_rake_keywords"] = q_doc_rake_keywords
+ORACLES2["doc_rake_keywords"] = SQL_DOC_RAKE_KEYWORDS

@@ -3145,3 +3145,16 @@ def test_triangle_count_exact(ray_session):
     t2 = pa.table({"left": pa.array([a for a, _ in e2], type=pa.int64()),
                    "right": pa.array([b for _, b in e2], type=pa.int64())})
     assert triangle_count(ray.data.from_arrow(t2)) == 2
+
+
+def test_rake_word_scores_hand_checked(ray_session):
+    from jesse_ray.functions.text import rake_word_scores
+
+    # phrases: "red apple" | "green apple pie" (split at 'the'/'and')
+    t = pa.table({"text": pa.array(["red apple and the green apple pie"])})
+    out = (rake_word_scores(ray.data.from_arrow(t))
+           .to_pandas().set_index("word"))
+    # apple: freq 2, deg = 2 + 3 = 5 ; red: freq 1 deg 2 ; pie: freq 1 deg 3
+    assert out.loc["apple", "freq"] == 2 and out.loc["apple", "deg"] == 5
+    assert out.loc["red", "deg"] == 2 and out.loc["pie", "deg"] == 3
+    assert "the" not in out.index and "and" not in out.index
