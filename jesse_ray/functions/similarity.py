@@ -15,6 +15,7 @@ import heapq
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -625,4 +626,80 @@ def hard_negatives(
         "anchor_id": pa.array(out_rows["anchor_id"], type=pa.int64()),
         "rank": pa.array(out_rows["rank"], type=pa.int64()),
         "vec_id": pa.array(out_rows["vec_id"], type=pa.int64()),
+    })
+
+
+def mmr_select(
+    ds: Dataset,
+    query: np.ndarray,
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    exclude_ids: tuple = (),
+    batch_size: int = 4096,
+) -> "pd.DataFrame":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` vectors maximizing
+    ``λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s)`` — the diversity-aware
+    retrieval step of a RAG stack.  The greedy loop is inherently
+    sequential in ``k``; each step is one DISTRIBUTED pass: the query
+    and the ≤k selected vectors broadcast once, every batch emits its
+    local argmax (a 1-row partial), the driver reduces n_batches rows.
+    Ties break on the smaller vec_id.  The scan input is materialized
+    once so the k passes re-read blocks, not the parquet."""
+    import pandas as pd
+
+    qv = np.asarray(query, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    ds = ds.select_columns(["vec_id", "embedding"]).materialize()
+    selected: list[tuple[int, np.ndarray]] = []
+    excl = set(int(x) for x in exclude_ids)
+
+    for _ in range(k):
+        sel_mat = (np.stack([v for _, v in selected])
+                   if selected else np.zeros((0, len(qv))))
+        sel_ref = _maybe_put(sel_mat)
+        q_ref = _maybe_put(qv)
+        excl_arr = pa.array(sorted(excl | {i for i, _ in selected}), type=pa.int64())
+
+        def best(b: pa.Table, sel_ref=sel_ref, q_ref=q_ref, excl_arr=excl_arr) -> pa.Table:
+            sel = _resolve(sel_ref)
+            q = _resolve(q_ref)
+            t = b.filter(pc.invert(pc.is_in(b["vec_id"].combine_chunks()
+                                            if isinstance(b["vec_id"], pa.ChunkedArray)
+                                            else b["vec_id"], value_set=excl_arr)))
+            if t.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                                 "score": pa.array([], type=pa.float64()),
+                                 "emb": pa.array([], type=pa.list_(pa.float64()))})
+            emb = t["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            m = np.asarray(emb.to_pylist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            rel = m @ q
+            if len(sel):
+                pen = (m @ sel.T).max(axis=1)
+            else:
+                pen = np.zeros(len(m))
+            sc = lam * rel - (1.0 - lam) * pen
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((ids, -sc))
+            j = order[0]
+            return pa.table({"vec_id": pa.array([ids[j]]),
+                             "score": pa.array([sc[j]], type=pa.float64()),
+                             "emb": pa.array([m[j].tolist()], type=pa.list_(pa.float64()))})
+
+        parts = []
+        for pb in ds.map_batches(best, batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=batch_size).iter_batches(batch_format="pyarrow"):
+            parts.extend(pb.to_pylist())
+        if not parts:
+            break
+        win = min(parts, key=lambda r: (-r["score"], r["vec_id"]))
+        selected.append((int(win["vec_id"]), np.asarray(win["emb"], dtype=np.float64)))
+
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(selected) + 1), dtype="int64"),
+        "vec_id": pd.array([i for i, _ in selected], dtype="int64"),
     })

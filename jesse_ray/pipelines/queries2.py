@@ -2269,3 +2269,56 @@ ORDER BY score DESC, word ASC LIMIT 20
 
 QUERIES2["doc_rake_keywords"] = q_doc_rake_keywords
 ORACLES2["doc_rake_keywords"] = SQL_DOC_RAKE_KEYWORDS
+
+
+# ---------------------------------------------------------------------------
+# emb_mmr — diversity-aware retrieval (Maximal Marginal Relevance)
+
+MMR_K, MMR_LAM = 5, 0.7
+
+
+def q_emb_mmr(sf_dir: str) -> pd.DataFrame:
+    """MMR re-ranking for query vec_id=0 (similarity.mmr_select, λ=0.7,
+    k=5): each greedy step is one distributed argmax pass with the
+    selected set broadcast.  The twin unrolls the same greedy loop as
+    chained CTEs with correlated max-over-selected subqueries; ranks
+    only (the emb_topk float-discipline convention)."""
+    from jesse_ray.functions.similarity import mmr_select
+
+    qvec = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"].to_pylist()[0]
+    )
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return mmr_select(ds, np.asarray(qvec), k=MMR_K, lam=MMR_LAM, exclude_ids=(0,))
+
+
+def _mmr_sql() -> str:
+    lam = MMR_LAM
+    parts = ["WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)"]
+    prev: list[str] = []
+    for t in range(1, MMR_K + 1):
+        not_in = ""
+        if prev:
+            union = " UNION ALL ".join(f"SELECT vec_id FROM {p}" for p in prev)
+            not_in = f" AND e.vec_id NOT IN ({union})"
+        if prev:
+            pen_terms = " , ".join(
+                f"(SELECT list_cosine_similarity(e.embedding, s.embedding) FROM {p} s)"
+                for p in prev)
+            pen = f"greatest({pen_terms})"
+            score = f"{lam} * list_cosine_similarity(e.embedding, q.embedding) - {round(1.0 - lam, 10)} * {pen}"
+        else:
+            score = f"{lam} * list_cosine_similarity(e.embedding, q.embedding)"
+        parts.append(
+            f"s{t} AS (SELECT e.vec_id, e.embedding FROM embeddings e, q "
+            f"WHERE e.vec_id <> 0{not_in} "
+            f"ORDER BY {score} DESC, e.vec_id ASC LIMIT 1)")
+        prev.append(f"s{t}")
+    sel = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, vec_id FROM s{i + 1}" for i in range(MMR_K))
+    return ",\n".join(parts) + f"\nSELECT CAST(rank AS BIGINT) AS rank, vec_id FROM ({sel}) ORDER BY rank"
+
+
+QUERIES2["emb_mmr"] = q_emb_mmr
+ORACLES2["emb_mmr"] = _mmr_sql()
