@@ -2322,3 +2322,86 @@ def _mmr_sql() -> str:
 
 QUERIES2["emb_mmr"] = q_emb_mmr
 ORACLES2["emb_mmr"] = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary — fixed-point stationary distribution
+
+MK_SCALE = 10**12
+MK_ITERS = 10
+
+
+def q_events_markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the user-journey event-type Markov
+    chain: transition counts from the distributed cogroup pass
+    (relational.transition_counts), then 10 power-iteration steps in
+    EXACT int64 fixed point — ``π'_j = Σ_i (π_i · c_ij) // c_i`` — so
+    the unrolled SQL twin matches bit-for-bit (the PageRank discipline,
+    applied to a bounded state space)."""
+    from jesse_ray.pipelines.relational import transition_counts
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    t = transition_counts(ds, entity_col="user_id", type_col="event_type",
+                          ts_col="ts", order_col="event_id").to_pandas()
+    states = sorted(set(t["from_type"]) | set(t["to_type"]))
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    C = np.zeros((n, n), dtype=np.int64)
+    for _, r in t.iterrows():
+        C[idx[r["from_type"]], idx[r["to_type"]]] = int(r["cnt"])
+    row = C.sum(axis=1)
+    pi = np.full(n, MK_SCALE // n, dtype=np.int64)
+    for _ in range(MK_ITERS):
+        nxt = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            if row[i]:
+                nxt += (pi[i] * C[i]) // row[i]
+            else:
+                nxt[i] += pi[i]  # absorbing state keeps its mass
+        pi = nxt
+    return pd.DataFrame({"event_type": pd.array(states, dtype="string"),
+                         "pi_fp": pd.array(pi, dtype="int64")})
+
+
+def _markov_sql() -> str:
+    head = f"""
+WITH x AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS MATERIALIZED (
+  SELECT event_type AS f, nxt AS t, CAST(count(*) AS BIGINT) AS cnt
+  FROM x WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+states AS MATERIALIZED (SELECT DISTINCT f AS s FROM c UNION SELECT DISTINCT t FROM c),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM states),
+rw AS (SELECT f, sum(cnt) AS rc FROM c GROUP BY f),
+-- augmented edges: real transitions carry (cnt, row-sum); absorbing
+-- states get a (1, 1) self-loop so each step is ONE join (a CTE
+-- referenced twice per step would inline exponentially)
+e2 AS MATERIALIZED (
+  SELECT c.f, c.t, c.cnt AS num, rw.rc AS den FROM c JOIN rw ON rw.f = c.f
+  UNION ALL
+  SELECT st.s, st.s, 1, 1 FROM states st
+  WHERE NOT EXISTS (SELECT 1 FROM rw WHERE rw.f = st.s)
+),
+p0 AS (SELECT s, {MK_SCALE} // (SELECT n FROM ns) AS pi FROM states)"""
+    steps = []
+    for k in range(1, MK_ITERS + 1):
+        steps.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT e2.t AS s, CAST(sum((p.pi * e2.num) // e2.den) AS BIGINT) AS pi
+  FROM e2 JOIN p{k - 1} p ON p.s = e2.f
+  GROUP BY e2.t
+)""")
+    tail = f"""
+SELECT st.s AS event_type, CAST(coalesce(p.pi, 0) AS BIGINT) AS pi_fp
+FROM states st LEFT JOIN p{MK_ITERS} p ON p.s = st.s ORDER BY st.s
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES2["events_markov_stationary"] = q_events_markov_stationary
+ORACLES2["events_markov_stationary"] = _markov_sql()
