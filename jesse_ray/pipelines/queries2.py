@@ -2405,3 +2405,121 @@ FROM states st LEFT JOIN p{MK_ITERS} p ON p.s = st.s ORDER BY st.s
 
 QUERIES2["events_markov_stationary"] = q_events_markov_stationary
 ORACLES2["events_markov_stationary"] = _markov_sql()
+
+
+# ---------------------------------------------------------------------------
+# seq_bootstrap_ci — deterministic Poisson bootstrap, hash-identical in SQL
+
+BOOT_B = 64
+# Poisson(1) inverse-CDF thresholds (identical literals both engines)
+BOOT_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+            0.9810118431238462, 0.9963401531726563)
+
+
+def q_seq_bootstrap_ci(sf_dir: str) -> pd.DataFrame:
+    """Percentile-bootstrap CI for mean n_tok with DETERMINISTIC
+    Poisson(1) resampling: replicate weights come from
+    ``fmix64(key·256 + b)`` (key = the doc_id's numeric suffix), and
+    the SQL twin re-derives the very same fmix64 — xor/shift on
+    UBIGINT, wraparound multiplies in HUGEINT mod 2^64 — so every
+    weight, every replicate mean and the final CI are bit-identical
+    across engines.  One streaming pass: per batch a (B × 2) integer
+    partial (Σw, Σw·n_tok per replicate); the driver reduces B rows."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b["doc_id"]),
+                    pc.match_substring_regex(pc.fill_null(b["doc_id"], ""),
+                                             r"^doc-[0-9]{8}$"))
+        t = b.filter(pc.and_(m, pc.is_valid(b["n_tok"])))
+        if t.num_rows == 0:
+            return pa.table({"b": pa.array([], type=pa.int64()),
+                             "sw": pa.array([], type=pa.int64()),
+                             "swx": pa.array([], type=pa.int64())})
+        key = pc.utf8_slice_codeunits(t["doc_id"], 4, 12).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sw = np.zeros(BOOT_B, dtype=np.int64)
+        swx = np.zeros(BOOT_B, dtype=np.int64)
+        c1, c2 = np.uint64(0xFF51AFD7ED558CCD), np.uint64(0xC4CEB9FE1A85EC53)
+        for rb in range(BOOT_B):
+            with np.errstate(over="ignore"):
+                h = key * np.uint64(256) + np.uint64(rb)
+                h ^= h >> np.uint64(33)
+                h *= c1
+                h ^= h >> np.uint64(33)
+                h *= c2
+                h ^= h >> np.uint64(33)
+            u = h / np.float64(2**64)
+            w = np.searchsorted(np.asarray(BOOT_CDF), u, side="right").astype(np.int64)
+            sw[rb] = int(w.sum())
+            swx[rb] = int((w * x).sum())
+        return pa.table({"b": pa.array(np.arange(BOOT_B, dtype=np.int64)),
+                         "sw": pa.array(sw), "swx": pa.array(swx)})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)).to_pandas()
+    agg = parts.groupby("b", sort=True)[["sw", "swx"]].sum()
+    means = (agg["swx"].to_numpy(dtype=np.float64)
+             / agg["sw"].to_numpy(dtype=np.float64))
+    ms = np.sort(means)
+    lo = ms[int(np.floor(0.025 * BOOT_B))]
+    hi = ms[int(np.floor(0.975 * BOOT_B))]
+    return pd.DataFrame({
+        "n_reps": pd.array([BOOT_B], dtype="int64"),
+        "ci_lo": [round(float(lo), 4)],
+        "ci_hi": [round(float(hi), 4)],
+    })
+
+
+def _bootstrap_sql() -> str:
+    M = 1 << 64
+    c1, c2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(e, c):
+        # (a*c) mod 2^64 without overflowing INT128: split c = hi·2^32+lo;
+        # a·lo ≤ 2^96 and a·hi mod 2^32 shifted both fit HUGEINT
+        c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+        return (f"CAST(((CAST({e} AS HUGEINT) * {c_lo})"
+                f" + ((CAST({e} AS HUGEINT) * {c_hi}) % 4294967296) * 4294967296)"
+                f" % {M} AS UBIGINT)")
+
+    def xsh(e):
+        return f"xor({e}, {e} >> 33)"
+
+    # fmix64((key*256 + b)) step by step, single-reference chain via a CTE
+    cdf = BOOT_CDF
+    case_w = ("CASE WHEN u < {0} THEN 0 WHEN u < {1} THEN 1 WHEN u < {2} THEN 2 "
+              "WHEN u < {3} THEN 3 WHEN u < {4} THEN 4 ELSE 5 END").format(*cdf)
+    return f"""
+WITH rows0 AS (
+  SELECT CAST(substr(doc_id, 5) AS UBIGINT) AS key, CAST(n_tok AS BIGINT) AS x
+  FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+    AND n_tok IS NOT NULL
+),
+reps AS (SELECT unnest(range(0, {BOOT_B})) AS b),
+h0 AS (
+  SELECT b, x, CAST((CAST(key AS HUGEINT) * 256 + b) % {M} AS UBIGINT) AS h
+  FROM rows0 CROSS JOIN reps
+),
+h1 AS (SELECT b, x, {mul(xsh('h'), c1)} AS h FROM h0),
+h2 AS (SELECT b, x, {mul(xsh('h'), c2)} AS h FROM h1),
+h3 AS (SELECT b, x, {xsh('h')} AS h FROM h2),
+w AS (
+  SELECT b, x, {case_w} AS w
+  FROM (SELECT b, x, CAST(h AS DOUBLE) / 18446744073709551616.0 AS u FROM h3)
+),
+means AS (
+  SELECT b, CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+  FROM w GROUP BY b
+),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_reps,
+       round((SELECT m FROM ranked WHERE rn = {int(0.025 * BOOT_B) + 1}), 4) AS ci_lo,
+       round((SELECT m FROM ranked WHERE rn = {int(0.975 * BOOT_B) + 1}), 4) AS ci_hi
+"""
+
+
+QUERIES2["seq_bootstrap_ci"] = q_seq_bootstrap_ci
+ORACLES2["seq_bootstrap_ci"] = _bootstrap_sql()
