@@ -2523,3 +2523,77 @@ SELECT CAST({BOOT_B} AS BIGINT) AS n_reps,
 
 QUERIES2["seq_bootstrap_ci"] = q_seq_bootstrap_ci
 ORACLES2["seq_bootstrap_ci"] = _bootstrap_sql()
+
+
+# ---------------------------------------------------------------------------
+# events_lift — market-basket lift between event types
+
+def q_events_lift(sf_dir: str) -> pd.DataFrame:
+    """Market-basket lift over per-user event-type baskets:
+    ``lift(A,B) = n_ab·n_users / (n_a·n_b)`` — all counts exact
+    integers (one (user,type) dedup cogroup; per-part self-merge for
+    pairs), the ratio one identical IEEE division on both engines."""
+    from jesse_ray.pipelines.relational import _element_parts
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def dedup(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([])
+        return g.append_column("__part", pa.array(_element_parts(g["user_id"], 64)))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        singles = d.groupby("event_type").size().reset_index(name="n")
+        singles["kind"] = "s"
+        singles["a"] = singles["event_type"]
+        singles["b"] = ""
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        prs = (m.groupby(["event_type_x", "event_type_y"]).size()
+                 .reset_index(name="n"))
+        prs["kind"] = "p"
+        prs = prs.rename(columns={"event_type_x": "a", "event_type_y": "b"})
+        users = pd.DataFrame({"kind": ["u"], "a": [""], "b": [""],
+                              "n": [d["user_id"].nunique()]})
+        return pd.concat([singles[["kind", "a", "b", "n"]],
+                          prs[["kind", "a", "b", "n"]], users], ignore_index=True)
+
+    t = (_collect(ds.map_batches(dedup, batch_format="pyarrow", zero_copy_batch=True)
+                    .groupby("__part").map_groups(pairs_part, batch_format="pandas"))
+         .to_pandas())
+    agg = t.groupby(["kind", "a", "b"], sort=True)["n"].sum().reset_index()
+    n_users = int(agg.loc[agg["kind"] == "u", "n"].sum())
+    singles = dict(zip(agg.loc[agg["kind"] == "s", "a"],
+                       agg.loc[agg["kind"] == "s", "n"].astype(int)))
+    prs = agg[agg["kind"] == "p"].copy()
+    prs["n_ab"] = prs["n"].astype("int64")
+    prs["lift"] = [
+        round((int(nab) * n_users) / (singles[a] * singles[b]), 4)
+        for a, b, nab in zip(prs["a"], prs["b"], prs["n_ab"])
+    ]
+    out = prs.rename(columns={"a": "type_a", "b": "type_b"}).sort_values(
+        ["type_a", "type_b"]).reset_index(drop=True)
+    return out[["type_a", "type_b", "n_ab", "lift"]].astype(
+        {"type_a": "string", "type_b": "string", "n_ab": "int64"})
+
+
+SQL_EVENTS_LIFT = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM d),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round(CAST(p.n_ab * (SELECT n FROM nu) AS DOUBLE)
+             / CAST(sa.n * sb.n AS DOUBLE), 4) AS lift
+FROM p JOIN s sa ON sa.event_type = p.type_a
+       JOIN s sb ON sb.event_type = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+QUERIES2["events_lift"] = q_events_lift
+ORACLES2["events_lift"] = SQL_EVENTS_LIFT
