@@ -2597,3 +2597,47 @@ ORDER BY p.type_a, p.type_b
 
 QUERIES2["events_lift"] = q_events_lift
 ORACLES2["events_lift"] = SQL_EVENTS_LIFT
+
+
+# ---------------------------------------------------------------------------
+# seq_source_gini — data-mixture inequality over source token shares
+
+def q_seq_source_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of the corpus token-mass distribution across
+    sources (the mixture-inequality dial a data-mixing pass turns):
+    exact integer token sums per source, then the sorted-share formula
+    ``G = (2·Σ i·x_i) / (n·Σx) − (n+1)/n`` evaluated once on scalars."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["source"]))
+        g = t.group_by("source").aggregate([("n_tok", "sum")])
+        return g.rename_columns(["source", "toks"])
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    agg = t.groupby("source", sort=True)["toks"].sum()
+    x = np.sort(agg.to_numpy(dtype=np.int64))
+    n = len(x)
+    num = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+    tot = int(x.sum())
+    gini = (2.0 * num) / (n * tot) - (n + 1) / n
+    return pd.DataFrame({"n_sources": pd.array([n], dtype="int64"),
+                         "total_toks": pd.array([tot], dtype="int64"),
+                         "gini": [round(float(gini), 6)]})
+
+
+SQL_SEQ_SOURCE_GINI = f"""
+WITH s AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS toks FROM {SEQ_SQL}
+  WHERE source IS NOT NULL GROUP BY source
+),
+r AS (SELECT toks, row_number() OVER (ORDER BY toks ASC) AS i FROM s),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(toks) AS BIGINT) AS tot,
+             CAST(sum(i * toks) AS BIGINT) AS num FROM r)
+SELECT n AS n_sources, tot AS total_toks,
+       round((2.0 * num) / (n * tot) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM a
+"""
+
+QUERIES2["seq_source_gini"] = q_seq_source_gini
+ORACLES2["seq_source_gini"] = SQL_SEQ_SOURCE_GINI
