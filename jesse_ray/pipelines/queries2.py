@@ -149,10 +149,10 @@ def q_tpch_q16ish(sf_dir: str) -> pd.DataFrame:
     part = part.map_batches(p_filter, batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(pairs, part, on="l_partkey", how="inner")
 
-    bad = set(
-        _collect(read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
-                 .filter(expr="s_acctbal < 0").select_columns(["s_suppkey"]))
-        .column(0).to_pylist())
+    bad_t = _collect(read_table(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_acctbal"])
+                     .filter(expr="s_acctbal < 0").select_columns(["s_suppkey"]))
+    bad = set(bad_t.column(0).to_pylist()) if bad_t is not None else set()
 
     def triple(b: pa.Table) -> pa.Table:
         if bad:
@@ -1920,7 +1920,13 @@ def q_tpch_q7ish(sf_dir: str) -> pd.DataFrame:
         g = t.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate([("rev", "sum")])
         return g.rename_columns(["supp_nation", "cust_nation", "l_year", "rev"])
 
-    out = _collect(j.map_batches(agg, batch_format="pyarrow")).to_pandas()
+    out_t = _collect(j.map_batches(agg, batch_format="pyarrow"))
+    if out_t is None:
+        return pd.DataFrame({"supp_nation": pd.array([], dtype="string"),
+                             "cust_nation": pd.array([], dtype="string"),
+                             "l_year": pd.array([], dtype="int64"),
+                             "revenue": pd.array([], dtype="float64")})
+    out = out_t.to_pandas()
     out = out.groupby(["supp_nation", "cust_nation", "l_year"], sort=True)["rev"].sum().reset_index()
     out["supp_nation"] = out["supp_nation"].map(name_of)
     out["cust_nation"] = out["cust_nation"].map(name_of)
