@@ -1457,7 +1457,17 @@ def q_seq_split_decontam(sf_dir: str) -> pd.DataFrame:
     (the leakage a benchmark-decontam pass must catch).  Train grams
     via the broadcast sorted-hash probe (decontam.token_gram_set, no
     shuffle); the twin re-derives every flag with exact string-gram
-    joins from the split sidecar."""
+    joins from the split sidecar.
+
+    Scale note: the probe here is the TRAIN side, so the broadcast
+    grows with the corpus (~0.6 GB of gram hashes at sf0.1) — the
+    inverse of the usual decontam regime (seq_ngram_decontam, where
+    the probe is a small benchmark eval set and the broadcast is
+    bounded).  At 100 TB this query's shape must flip to a gram-hash
+    SHUFFLE cogroup (the doc_ngram_novelty pattern: grams of both
+    splits meet in hash partitions, flagged doc ids shuffle back) —
+    the broadcast variant is used at catalog scale for its zero
+    shuffle cost."""
     from jesse_ray.engine import duplicate_keys
     from jesse_ray.functions.decontam import flag_token_contaminated, token_gram_set
     from jesse_ray.functions.split import add_hash_split
