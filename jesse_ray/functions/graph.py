@@ -440,7 +440,9 @@ def pagerank_fixedpoint(
         s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
         d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
         w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        ow = np.bincount(s, weights=w.astype(np.float64), minlength=size).astype(np.int64)
+        # int64 accumulation: float64 bincount would lose exactness past 2^53
+        ow = np.zeros(size, dtype=np.int64)
+        np.add.at(ow, s, w)
         present = np.zeros(size, dtype=bool)
         present[s] = True
         present[d] = True

@@ -144,9 +144,12 @@ class ResizeImage:
                     "with fake=True for plumbing tests"
                 )
         t = pa.array([self.target] * n, type=pa.int32())
+        had_payload = "payload" in batch.column_names
         drop = [c for c in ("width", "height", "payload") if c in batch.column_names]
         batch = batch.drop_columns(drop)
-        if any(p is not None for p in out_pays):
+        # always emit the (nullable) payload column when the input had one —
+        # an all-null batch must not produce a different schema than its peers
+        if had_payload:
             batch = batch.append_column("payload", pa.array(out_pays, type=pa.binary()))
         return batch.append_column("width", t).append_column("height", t)
 

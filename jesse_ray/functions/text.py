@@ -1415,14 +1415,8 @@ def rake_word_scores(
                              "freq": pa.array([], type=pa.int64()),
                              "deg": pa.array([], type=pa.int64()),
                              "__part": pa.array([], type=pa.int32())})
-        # phrase id: breaks at doc starts and at stopwords; stopwords
-        # belong to no phrase
-        brk = np.zeros(nf, dtype=bool)
-        brk[off[:-1][lens > 0]] = True
-        brk |= is_stop
-        # a non-stop word starts a phrase if it's a break point itself or
-        # follows a stopword/doc start
-        starts = np.zeros(nf, dtype=bool)
+        # phrase id: a non-stop word starts a phrase if it follows a
+        # stopword or a doc start; stopwords belong to no phrase
         prev_stop = np.ones(nf, dtype=bool)
         prev_stop[1:] = is_stop[:-1]
         doc_start = np.zeros(nf, dtype=bool)

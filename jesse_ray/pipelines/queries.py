@@ -2951,24 +2951,20 @@ def q_seq_shuffle(sf_dir: str) -> pa.Table:
     (zero inversions)."""
     from jesse_ray.functions.shuffle import shuffle_with_ranks
 
-    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id"])
-    # shuffle runs on the DEDUPED corpus (duplicate doc_ids hash to the
-    # same shuffle position — same contract as packing; dedup first)
-    dup_tbl = _collect(duplicate_keys(ds, "doc_id"))
-    dups = (
-        pa.array(sorted(set(dup_tbl["doc_id"].to_pylist())))
-        if dup_tbl is not None and dup_tbl.num_rows
-        else None
-    )
+    from jesse_ray.pipelines.relational import drop_duplicate_keys
 
-    def clean(batch: pa.Table) -> pa.Table:
-        keep = pc.is_valid(batch["doc_id"])
-        if dups is not None:
-            keep = pc.and_(keep, pc.invert(pc.is_in(batch["doc_id"], value_set=dups)))
-        return batch.filter(keep)
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id"])
+
+    # shuffle runs on the DEDUPED corpus (duplicate doc_ids hash to the
+    # same shuffle position — same contract as packing); dup ids are
+    # removed with the distributed anti-join, never a driver id set
+    def nonnull(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["doc_id"]))
 
     out = shuffle_with_ranks(
-        ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True),
+        drop_duplicate_keys(
+            ds.map_batches(nonnull, batch_format="pyarrow", zero_copy_batch=True),
+            "doc_id"),
         "doc_id",
         salt=SHUFFLE_SALT,
     )
@@ -3149,18 +3145,12 @@ def q_seq_pack_offsets(sf_dir: str) -> pa.Table:
     deduped corpus by contract — the twin excludes them identically)."""
     from jesse_ray.functions.pack import pack_offsets
 
-    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"])
+    from jesse_ray.pipelines.relational import drop_duplicate_keys
 
-    # duplicate keys (small set) via the same two-phase count the engine
-    # uses, collected and broadcast as an exclusion filter
-    dup_tbl = _collect(duplicate_keys(read_sequences(_seq_path(sf_dir), columns=["doc_id"]), "doc_id"))
-    dups = pa.array(sorted(set(dup_tbl["doc_id"].to_pylist()))) if dup_tbl is not None and dup_tbl.num_rows else None
-
-    if dups is not None:
-        def drop_dups(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=dups)))
-
-        ds = ds.map_batches(drop_dups, batch_format="pyarrow", zero_copy_batch=True)
+    # duplicate keys excluded via the distributed anti-join — the dup
+    # set never lands on the driver
+    ds = drop_duplicate_keys(
+        read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"]), "doc_id")
 
     packed = pack_offsets(ds, chunk_len=PACK_CHUNK)
 
@@ -3216,15 +3206,10 @@ def q_seq_e2e_pipeline(sf_dir: str) -> pa.Table:
     from jesse_ray.functions.split import add_hash_split
     from jesse_ray.pipelines.curate import curate_sequences
 
+    from jesse_ray.pipelines.relational import drop_duplicate_keys
+
     ds = read_sequences(_seq_path(sf_dir))
-    curated = curate_sequences(ds, _seq_spec())
-    dup_tbl = _collect(duplicate_keys(curated.select_columns(["doc_id"]), "doc_id"))
-    dups = (pa.array(sorted(set(dup_tbl["doc_id"].to_pylist())))
-            if dup_tbl is not None and dup_tbl.num_rows else None)
-    if dups is not None:
-        def drop_dups(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.invert(pc.is_in(batch["doc_id"], value_set=dups)))
-        curated = curated.map_batches(drop_dups, batch_format="pyarrow", zero_copy_batch=True)
+    curated = drop_duplicate_keys(curate_sequences(ds, _seq_spec()), "doc_id")
 
     shaped = append_eos(truncate_sequences(curated, max_len=E2E_MAX_LEN), eos=E2E_EOS)
     split = add_hash_split(shaped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
@@ -5004,7 +4989,9 @@ def q_events_click_attribution(sf_dir: str) -> pa.Table:
 
     WIN_US = 30 * 60 * 1_000_000
     ev = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
-    points = ev.filter(lambda r: r["event_type"] == "purchase")
+    points = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def to_interval(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["event_type"], "click"))

@@ -74,10 +74,12 @@ def q_tpch_q10ish(sf_dir: str) -> pd.DataFrame:
              .to_pandas())
     top = cand.sort_values(["revenue", "c_custkey"], ascending=[False, True],
                            kind="mergesort").head(20)
-    keys = set(top["c_custkey"].astype("int64"))
+    keys = pa.array(top["c_custkey"].astype("int64").to_numpy(), type=pa.int64())
     cust = _collect(read_table(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
-                    .filter(lambda r: r["c_custkey"] in keys)).to_pandas()
+                    .map_batches(
+                        lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=keys)),
+                        batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
     nat = _collect(read_table(f"{sf_dir}/nation.parquet",
                               columns=["n_nationkey", "n_name"])).to_pandas()
     out = top.merge(cust, on="c_custkey").merge(
@@ -298,20 +300,14 @@ def q_seq_token_runs(sf_dir: str) -> pd.DataFrame:
     unnest.  Sequences with a DUPLICATED doc_id are excluded on both
     sides (the SQL window partitions by doc_id, so two sequences
     sharing an id would interleave; the engine reports them through
-    seq_val_docid_dups instead) — the dup set is tiny by corpus
-    contract, fetched via the two-phase duplicate_keys pass and
-    broadcast as a filter."""
-    from jesse_ray.engine import duplicate_keys
+    seq_val_docid_dups instead) — removed with the distributed
+    anti-join (relational.drop_duplicate_keys), never a
+    driver-collected id set."""
     from jesse_ray.functions.seqops import token_run_stats
+    from jesse_ray.pipelines.relational import drop_duplicate_keys
 
-    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
-    dup = set(_collect(duplicate_keys(ds.select_columns(["doc_id"]), "doc_id"))
-              .column("doc_id").to_pylist())
-    if dup:
-        dup_arr = pa.array(sorted(dup), type=pa.string())
-        ds = ds.map_batches(
-            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=dup_arr))),
-            batch_format="pyarrow", zero_copy_batch=True)
+    ds = drop_duplicate_keys(
+        read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"]), "doc_id")
     out = token_run_stats(ds)
 
     def local_top(b: pa.Table) -> pa.Table:
@@ -625,20 +621,16 @@ def _merge_base(sf_dir: str):
     """Base snapshot with the merge key contract enforced: non-null,
     corpus-unique doc_id (dup ids are the engine's seq_val_docid_dups
     territory, excluded identically in the SQL twin)."""
-    from jesse_ray.engine import duplicate_keys
+    from jesse_ray.pipelines.relational import drop_duplicate_keys
 
     ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source", "n_tok"])
-    dup = set(_collect(duplicate_keys(ds.select_columns(["doc_id"]), "doc_id"))
-              .column("doc_id").to_pylist())
-    dup_arr = pa.array(sorted(dup), type=pa.string()) if dup else None
 
-    def clean(b: pa.Table) -> pa.Table:
-        m = pc.is_valid(b["doc_id"])
-        if dup_arr is not None:
-            m = pc.and_(m, pc.invert(pc.is_in(b["doc_id"], value_set=dup_arr)))
-        return b.filter(m)
+    def nonnull(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["doc_id"]))
 
-    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    return drop_duplicate_keys(
+        ds.map_batches(nonnull, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id")
 
 
 N_MERGE_INSERTS = 50
@@ -1017,7 +1009,7 @@ def q_doc_e2e_pipeline(sf_dir: str) -> pd.DataFrame:
     no sidecars."""
     from jesse_ray.functions.dedup import substring_dup_pairs
     from jesse_ray.functions.text import add_gopher_stats, normalize_text
-    from jesse_ray.pipelines.relational import _element_parts
+    from jesse_ray.pipelines.relational import _element_parts, hash_join
 
     langs = pa.array(DOC_E2E_LANGS)
     ds = read_table(f"{sf_dir}/documents.parquet",
@@ -1033,9 +1025,16 @@ def q_doc_e2e_pipeline(sf_dir: str) -> pd.DataFrame:
     ds = normalize_text(ds)
 
     def local_min(b: pa.Table) -> pa.Table:
-        d = b.select(["doc_id", "source", "text_norm"]).to_pandas()
-        d = d.sort_values("doc_id", kind="mergesort").drop_duplicates("text_norm", keep="first")
-        t = pa.Table.from_pandas(d, preserve_index=False)
+        # Arrow-native keep-first: sort (text_norm, doc_id) and keep each
+        # run head — min doc_id per normalized text, no pandas round-trip
+        t = b.select(["doc_id", "source", "text_norm"]).sort_by(
+            [("text_norm", "ascending"), ("doc_id", "ascending")])
+        tn = t["text_norm"].combine_chunks()
+        keep = np.ones(t.num_rows, dtype=bool)
+        if t.num_rows > 1:
+            neq = pc.not_equal(tn.slice(1), tn.slice(0, len(tn) - 1))
+            keep[1:] = pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keep))
         return t.append_column("__part", pa.array(_element_parts(t["text_norm"], 64)))
 
     def part_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -1045,14 +1044,14 @@ def q_doc_e2e_pipeline(sf_dir: str) -> pd.DataFrame:
     ded = (ds.map_batches(local_min, batch_format="pyarrow")
              .groupby("__part").map_groups(part_min, batch_format="pandas"))
 
+    # near-dup members removed via a distributed anti-join against the
+    # pair "right" ids — no driver-collected id set (unbounded at scale)
     pairs = substring_dup_pairs(ded, k=8, text_col="text_norm")
-    drop_t = _collect(pairs.select_columns(["right"]))
-    drop_ids = (pa.array(sorted(set(drop_t["right"].to_pylist())))
-                if drop_t is not None and drop_t.num_rows else None)
+    drop_keys = pairs.map_batches(
+        lambda b: pa.table({"doc_id": b["right"]}), batch_format="pyarrow")
+    ded = hash_join(ded, drop_keys, on="doc_id", how="anti")
 
     def summarize(b: pa.Table) -> pa.Table:
-        if drop_ids is not None:
-            b = b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=drop_ids)))
         tn = b["text_norm"]
         if isinstance(tn, pa.ChunkedArray):
             tn = tn.combine_chunks()
@@ -1134,17 +1133,11 @@ def q_seq_pack_bestfit(sf_dir: str) -> pd.DataFrame:
     guarantee — at most ONE bin per part at most half full — then
     re-derives the per-part summary."""
     from jesse_ray.pipelines.queries import _sig_parquet_path
-    from jesse_ray.engine import duplicate_keys
     from jesse_ray.functions.pack import bestfit_pack
+    from jesse_ray.pipelines.relational import drop_duplicate_keys
 
-    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"])
-    dup = set(_collect(duplicate_keys(ds.select_columns(["doc_id"]), "doc_id"))
-              .column("doc_id").to_pylist())
-    if dup:
-        dup_arr = pa.array(sorted(dup), type=pa.string())
-        ds = ds.map_batches(
-            lambda b: b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=dup_arr))),
-            batch_format="pyarrow", zero_copy_batch=True)
+    ds = drop_duplicate_keys(
+        read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"]), "doc_id")
     packed = bestfit_pack(ds, capacity=BF_CAP)
     t = _collect(packed)
     pq.write_table(t.sort_by("doc_id"), _sig_parquet_path(sf_dir, "bestfit"))
@@ -1468,23 +1461,19 @@ def q_seq_split_decontam(sf_dir: str) -> pd.DataFrame:
     splits meet in hash partitions, flagged doc ids shuffle back) —
     the broadcast variant is used at catalog scale for its zero
     shuffle cost."""
-    from jesse_ray.engine import duplicate_keys
     from jesse_ray.functions.decontam import flag_token_contaminated, token_gram_set
     from jesse_ray.functions.split import add_hash_split
     from jesse_ray.pipelines.queries import _sig_parquet_path
+    from jesse_ray.pipelines.relational import drop_duplicate_keys
 
     ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
-    dup = set(_collect(duplicate_keys(ds.select_columns(["doc_id"]), "doc_id"))
-              .column("doc_id").to_pylist())
-    dup_arr = pa.array(sorted(dup), type=pa.string()) if dup else None
 
-    def clean(b: pa.Table) -> pa.Table:
-        m = pc.is_valid(b["doc_id"])
-        if dup_arr is not None:
-            m = pc.and_(m, pc.invert(pc.is_in(b["doc_id"], value_set=dup_arr)))
-        return b.filter(m)
+    def nonnull(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["doc_id"]))
 
-    ds = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    ds = drop_duplicate_keys(
+        ds.map_batches(nonnull, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id")
     split = add_hash_split(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     assign = _collect(split.select_columns(["doc_id", "split"]))
     pq.write_table(assign.sort_by("doc_id"), _sig_parquet_path(sf_dir, "sdecon_split"))
@@ -1641,10 +1630,18 @@ def q_customer_orders_outer(sf_dir: str) -> pd.DataFrame:
 
     per_cust = (orders.map_batches(ocnt, batch_format="pyarrow", zero_copy_batch=True)
                       .groupby("__part").map_groups(omerge, batch_format="pandas"))
-    j = hash_join(cust, per_cust, on="c_custkey", how="outer")
+
+    # left-side presence marker: right-only orphan rows also carry a
+    # non-null n_orders, so is_valid(n_orders) alone would overcount
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column("__l", pa.array([True] * b.num_rows, type=pa.bool_()))
+
+    j = hash_join(cust.map_batches(mark, batch_format="pyarrow"),
+                  per_cust, on="c_custkey", how="outer")
 
     def summarize(b: pa.Table) -> pa.Table:
-        has_orders = pc.is_valid(b["n_orders"])
+        has_orders = pc.and_kleene(pc.is_valid(b["n_orders"]),
+                                   pc.is_valid(b["__l"]))
         return pa.table({
             "matched": pa.array([pc.sum(pc.cast(has_orders, pa.int64())).as_py() or 0],
                                 type=pa.int64()),

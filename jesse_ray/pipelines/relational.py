@@ -898,6 +898,20 @@ def hash_join(
     return tagged.groupby("__part").map_groups(join_part, batch_format="pandas")
 
 
+def drop_duplicate_keys(ds: Dataset, key: str, *, n_parts: int = 64) -> Dataset:
+    """Exclude EVERY row whose ``key`` value occurs more than once in
+    ``ds`` — fully distributed: the dup-key Dataset from
+    ``engine.duplicate_keys`` (small by contract, but unbounded at
+    corpus scale) stays in the object store and is removed with
+    ``hash_join(how="anti")`` instead of a driver-collected
+    ``pc.is_in`` value set.  Null keys survive (uniqueness has presence
+    semantics; ``duplicate_keys`` never emits them)."""
+    from jesse_ray.engine import duplicate_keys
+
+    dups = duplicate_keys(ds.select_columns([key]), key)
+    return hash_join(ds, dups, on=key, how="anti", n_parts=n_parts)
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

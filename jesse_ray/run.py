@@ -93,11 +93,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.spec and args.infer_spec:
         p.error("--spec and --infer-spec are mutually exclusive")
+    # one glob expansion for every read path (validate / infer / curate):
+    # a pattern --input must behave identically in all three
+    files = sorted(glob.glob(args.input)) or [args.input]
     if args.infer_spec:
         from jesse_ray.infer import infer_spec, to_json_schema
         from jesse_ray.sources import read_corpus
 
-        ds = read_corpus(args.input, format=args.input_format)
+        ds = read_corpus(files, format=args.input_format)
         inferred, _ = infer_spec(ds, key_column="doc_id")
         doc = to_json_schema(inferred)
         with open(args.infer_spec, "w") as f:
@@ -122,7 +125,6 @@ def main(argv: list[str] | None = None) -> int:
     else:
         spec = sequences_spec(allowed_sources_path=args.allowed_sources)
 
-    files = sorted(glob.glob(args.input)) or [args.input]
     ae = args.allowed_errors
     allowed_errors = None if ae in (None, "infinity") else int(ae)
     summary = run_validation(
@@ -141,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         from jesse_ray.pipelines.curate import curate_sequences
         from jesse_ray.sources import read_corpus, write_partitioned
 
-        ds = read_corpus(args.input, format=args.input_format)
+        ds = read_corpus(files, format=args.input_format)
         curated = curate_sequences(ds, spec)
         manifest = write_partitioned(curated, args.curate, by="source", stats_col="n_tok")
         summary["curated_rows"] = int(manifest["n_rows"])
