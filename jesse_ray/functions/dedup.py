@@ -19,6 +19,8 @@ unbounded pair set).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -59,15 +61,61 @@ def _by_coarse_part(ds: Dataset, bucket_col: str, n_parts: int = 64) -> "ray.dat
     return ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).groupby("__part")
 
 
+class DropStats:
+    """Over-``bucket_cap`` skew-guard drops for one part — VERDICT r2
+    finding #4: a dropped bucket must be REPORTED, never swallowed."""
+
+    __slots__ = ("buckets", "rows")
+
+    def __init__(self, buckets: int = 0, rows: int = 0):
+        self.buckets = buckets
+        self.rows = rows
+
+
+@ray.remote(num_cpus=0)
+class DropCounter:
+    """Tiny zero-CPU actor accumulating skew-guard drops across all
+    parts of a pair stage; read with ``ray.get(counter.get.remote())``
+    after the pair Dataset is consumed."""
+
+    def __init__(self):
+        self.buckets = 0
+        self.rows = 0
+
+    def add(self, buckets: int, rows: int) -> None:
+        self.buckets += buckets
+        self.rows += rows
+
+    def get(self) -> dict:
+        return {"dropped_buckets": self.buckets, "dropped_rows": self.rows}
+
+
+def _report_drops(stage: str, stats: "DropStats", drop_counter=None) -> None:
+    """Surface a part's skew-guard drops: always log, and accumulate
+    into the optional ``DropCounter`` actor handle."""
+    if stats.buckets == 0:
+        return
+    logging.getLogger(__name__).warning(
+        "%s: bucket_cap skew guard dropped %d bucket(s) / %d member row(s) "
+        "— recall is not exhaustive for those buckets",
+        stage, stats.buckets, stats.rows)
+    if drop_counter is not None:
+        # synchronous: guarantees the counter is visible once the pair
+        # Dataset is consumed (rare path — only over-cap parts block)
+        ray.get(drop_counter.add.remote(stats.buckets, stats.rows))
+
+
 def _pairs_within_runs(buckets: np.ndarray, keys: np.ndarray, bucket_cap: int | None,
-                       payload: np.ndarray | None = None):
+                       payload: np.ndarray | None = None,
+                       stats: "DropStats | None" = None):
     """All within-bucket (left, right) pairs for many buckets at once.
 
     Sorts by (bucket, key), walks the bucket runs, and emits the upper
     triangle per run — numpy only, no per-bucket pandas.  Duplicate keys
     within a run are dropped; runs above ``bucket_cap`` emit nothing
-    (skew guard).  When ``payload`` is given, returns the pair payload
-    arrays (payload[left_idx], payload[right_idx]) as well.
+    (skew guard) — each such run increments ``stats`` so the caller can
+    surface the drop.  When ``payload`` is given, returns the pair
+    payload arrays (payload[left_idx], payload[right_idx]) as well.
     """
     order = np.lexsort((keys, buckets))
     bk, ks = buckets[order], keys[order]
@@ -82,7 +130,12 @@ def _pairs_within_runs(buckets: np.ndarray, keys: np.ndarray, bucket_cap: int | 
     out_l, out_r, out_pl, out_pr = [], [], [], []
     for s, e in zip(starts, ends):
         m = e - s
-        if m < 2 or (bucket_cap is not None and m > bucket_cap):
+        if m < 2:
+            continue
+        if bucket_cap is not None and m > bucket_cap:
+            if stats is not None:
+                stats.buckets += 1
+                stats.rows += m
             continue
         iu = np.triu_indices(m, k=1)
         out_l.append(ks[s:e][iu[0]])
@@ -436,7 +489,7 @@ def minhash_signatures(ds: Dataset, *, num_hashes: int = 64, shingle_k: int = 5,
 
 def lsh_candidate_pairs(ds: Dataset, *, num_hashes: int = 64, bands: int = 16,
                         key_col: str = "doc_id", bucket_cap: int | None = None,
-                        **kw) -> Dataset:
+                        drop_counter=None, **kw) -> Dataset:
     """MinHash-LSH banding: signature → (band bucket) rows → groupby
     bucket → candidate pairs within each bucket → distributed pair dedup.
 
@@ -449,11 +502,13 @@ def lsh_candidate_pairs(ds: Dataset, *, num_hashes: int = 64, bands: int = 16,
     assert num_hashes % bands == 0
     sigs = minhash_signatures(ds.select_columns([key_col, "text"]), num_hashes=num_hashes, **kw)
     return _lsh_pairs_from_sigs(sigs, num_hashes=num_hashes, bands=bands,
-                                key_col=key_col, bucket_cap=bucket_cap)
+                                key_col=key_col, bucket_cap=bucket_cap,
+                                drop_counter=drop_counter)
 
 
 def _lsh_pairs_from_sigs(sigs: Dataset, *, num_hashes: int, bands: int,
-                         key_col: str, bucket_cap: int | None) -> Dataset:
+                         key_col: str, bucket_cap: int | None,
+                         drop_counter=None) -> Dataset:
     """Shared LSH banding → bucket shuffle → within-bucket pairs →
     distributed pair dedup, over any Dataset carrying a ``minhash``
     signature column (text shingles or token grams)."""
@@ -492,7 +547,9 @@ def _lsh_pairs_from_sigs(sigs: Dataset, *, num_hashes: int, bands: int,
     def pairs_many(g: pd.DataFrame) -> pd.DataFrame:
         ks = g[key_col].to_numpy()
         bk = g["bucket"].to_numpy(dtype=np.uint64)
-        out_l, out_r = _pairs_within_runs(bk, ks, bucket_cap)
+        stats = DropStats()
+        out_l, out_r = _pairs_within_runs(bk, ks, bucket_cap, stats=stats)
+        _report_drops("lsh_candidate_pairs", stats, drop_counter)
         return pd.DataFrame({"left": out_l, "right": out_r})
 
     cand = _by_coarse_part(exploded, "bucket").map_groups(pairs_many, batch_format="pandas")
@@ -837,7 +894,7 @@ def ngram_jaccard_dups(ds: Dataset, *, threshold: float = 0.5, shingle_k: int = 
 def embedding_near_dups(ds: Dataset, *, threshold: float = 0.95, key_col: str = "vec_id",
                         vec_col: str = "embedding", n_tables: int = 16, n_bits: int = 12,
                         seed: int = 7, bucket_cap: int = 4096,
-                        batch_size: int = 4096) -> Dataset:
+                        batch_size: int = 4096, drop_counter=None) -> Dataset:
     """Near-duplicate pairs by embedding cosine via BANDED MULTI-TABLE
     random-hyperplane LSH (Charikar 2002):
 
@@ -904,9 +961,14 @@ def embedding_near_dups(ds: Dataset, *, threshold: float = 0.95, key_col: str = 
         starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
         ends = np.concatenate([starts[1:], [len(bk)]])
         out_l, out_r, out_c = [], [], []
+        stats = DropStats()
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > bucket_cap:
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                stats.buckets += 1
+                stats.rows += m
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[s:e]])
             normed = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
@@ -916,6 +978,7 @@ def embedding_near_dups(ds: Dataset, *, threshold: float = 0.95, key_col: str = 
             out_l.append(keys[s:e][iu[0][hit]])
             out_r.append(keys[s:e][iu[1][hit]])
             out_c.append(sim[iu][hit])
+        _report_drops("embedding_near_dups", stats, drop_counter)
         if not out_l:
             return pd.DataFrame({"left": pd.Series([], dtype=keys.dtype),
                                  "right": pd.Series([], dtype=keys.dtype),
@@ -1468,6 +1531,7 @@ def token_lsh_candidate_pairs(
     tokens_col: str = "tokens",
     bucket_cap: int | None = None,
     batch_size: int = 1024,
+    drop_counter=None,
 ) -> Dataset:
     """Near-dup candidate pairs over PRE-TOKENIZED sequences: token-gram
     MinHash + LSH banding, same shuffle discipline as the text path
@@ -1488,7 +1552,8 @@ def token_lsh_candidate_pairs(
         batch_size=batch_size,
     )
     return _lsh_pairs_from_sigs(sigs, num_hashes=num_hashes, bands=bands,
-                                key_col=key_col, bucket_cap=bucket_cap)
+                                key_col=key_col, bucket_cap=bucket_cap,
+                                drop_counter=drop_counter)
 
 
 # ---------------------------------------------------------------------------
