@@ -23,9 +23,11 @@ array indices, outermost first.
 
 from __future__ import annotations
 
+import decimal
 import json
 import re
 from dataclasses import dataclass, field
+from fractions import Fraction
 from typing import Any, Callable, Optional
 
 import numpy as np
@@ -85,12 +87,19 @@ def _to_f64(arr: pa.Array) -> np.ndarray:
 def _canon_key(x: Any):
     """Hashable canonical form for deep equality — the analogue of the
     reference's normalize_and_sort (src/jesse_lib.erl:148-197): numbers
-    normalized to float (1.0 == 1, 177-181), object keys order-insensitive,
-    arrays order-preserving."""
+    normalized to their EXACT mathematical value (1.0 == 1 per
+    jesse_lib.erl:177-181, and Erlang bignums compare exactly per
+    jesse_lib.erl:219-261 — a float64 normalization would collapse
+    adjacent bignums), object keys order-insensitive, arrays
+    order-preserving.  ``Fraction`` is exact for int / float /
+    decimal.Decimal alike and hashes consistently across them."""
     if isinstance(x, bool):
         return ("b", x)
-    if isinstance(x, (int, float)):
-        return ("n", float(x))
+    if isinstance(x, (int, float, decimal.Decimal)):
+        try:
+            return ("n", Fraction(x))
+        except (ValueError, OverflowError):  # nan/inf — not JSON, defensive
+            return ("n", float(x))
     if isinstance(x, dict):
         return ("o", tuple(sorted((k, _canon_key(v)) for k, v in x.items())))
     if isinstance(x, (list, tuple)):
@@ -315,19 +324,28 @@ def _unique_items_dups(col: pa.Array):
     flat, parent, _item_idx, _cnt = _list_layout(col)
     if len(parent) == 0:
         return np.array([], dtype=np.int64), []
-    if _is_numeric(flat.type):
+    # decimal128 elements (bignums beyond int64) take the generic
+    # _canon_key path below — a float64 cast would collapse adjacent
+    # bignums (reference compares them exactly, jesse_lib.erl:219-261)
+    if _is_numeric(flat.type) and not pa.types.is_decimal(flat.type):
         # vectorized detection: lexsort flattened (parent, value) pairs,
         # adjacent-equal within a parent ⇒ that row has a duplicate
-        v = _to_f64(flat)
-        order = np.lexsort((v, parent))
-        pv, vv = parent[order], v[order]
-        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
-        flagged = np.unique(pv[1:][dup]).astype(np.int64)
-        # null elements cast to NaN and NaN != NaN, so [null, null] would
-        # slip through the value comparison — but null == null in the
-        # reference's deep equality (src/jesse_lib.erl:219-261): flag any
-        # row with ≥2 null elements too
         nulls = ~_np_mask(pc.is_valid(flat), len(flat))
+        if pa.types.is_integer(flat.type):
+            # exact int compare — a float64 cast would equate int64
+            # values that differ only past 2^53
+            v = pc.fill_null(flat, 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            v = _to_f64(flat)
+        order = np.lexsort((v, nulls, parent))
+        pv, vv, nn = parent[order], v[order], nulls[order]
+        # a fill_null(0) int must not pair with a real 0: require both
+        # adjacent elements non-null (float nulls are NaN ⇒ never equal,
+        # the guard is still correct)
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1]) & ~nn[1:] & ~nn[:-1]
+        flagged = np.unique(pv[1:][dup]).astype(np.int64)
+        # null == null in the reference's deep equality
+        # (src/jesse_lib.erl:219-261): flag any row with ≥2 nulls too
         if nulls.any():
             null_cnt = np.bincount(parent[nulls], minlength=len(col))
             flagged = np.union1d(flagged, np.flatnonzero(null_cnt >= 2)).astype(np.int64)
@@ -340,7 +358,7 @@ def _unique_items_dups(col: pa.Array):
             seen: set = set()
             found = lst[0] if lst else None
             for x in lst:
-                k = float(x) if isinstance(x, (int, float)) and not isinstance(x, bool) else x
+                k = _canon_key(x)
                 if k in seen:
                     found = x
                     break
@@ -424,6 +442,18 @@ class CompiledSpec:
                 ok |= self._spec_valid_mask(sub, arr)
         return ok
 
+    def _disallow_match_mask(self, cs: ColumnSpec, arr: pa.Array) -> np.ndarray:
+        """True where the value MATCHES the disallow union — primitive
+        type members (static per Arrow dtype) OR any embedded schema
+        member validating (draft-3 union semantics,
+        src/jesse_validator_draft3.erl:878-889 + 304-328)."""
+        n = len(arr)
+        bad = (np.full(n, _type_ok(cs.disallow, arr.type), dtype=bool)
+               if cs.disallow is not None else np.zeros(n, dtype=bool))
+        for sub in cs.disallow_schemas or []:
+            bad |= self._spec_valid_mask(sub, arr)
+        return bad
+
     # -- mask evaluation for one ColumnSpec on one (possibly flat) array --
     def _spec_valid_mask(self, cs: ColumnSpec, arr: pa.Array) -> np.ndarray:
         """True where the value passes ALL keywords of ``cs`` (presence
@@ -490,8 +520,8 @@ class CompiledSpec:
                 ok &= False  # divisor 0: every value not_divisible (draft-3)
             else:
                 ok &= _multiple_of_mask(arr, cs.divisible_by)
-        if cs.disallow is not None:
-            ok &= ~np.full(n, _type_ok(cs.disallow, arr.type), dtype=bool)
+        if cs.disallow is not None or cs.disallow_schemas:
+            ok &= ~self._disallow_match_mask(cs, arr)
         if is_list and cs.contains is not None:
             ok &= self._contains_mask(cs.contains, arr)
         if pa.types.is_struct(arr.type) and (
@@ -745,8 +775,8 @@ class CompiledSpec:
         if cs.divisible_by is not None and is_num:
             ok = np.zeros(n, dtype=bool) if cs.divisible_by == 0 else _multiple_of_mask(arr, cs.divisible_by)
             add(E.NOT_DIVISIBLE, ok)
-        if cs.disallow is not None:
-            add(E.NOT_ALLOWED, ~np.full(n, _type_ok(cs.disallow, arr.type), dtype=bool))
+        if cs.disallow is not None or cs.disallow_schemas:
+            add(E.NOT_ALLOWED, ~self._disallow_match_mask(cs, arr))
         if is_list and cs.contains is not None:
             add(E.DATA_INVALID, self._contains_mask(cs.contains, arr))
         if (
@@ -1227,13 +1257,14 @@ class CompiledSpec:
                 else np.ones(len(a), dtype=bool),
             )
 
-        if cs.disallow is not None:
-            # draft-3 disallow ⇒ not_allowed (src/jesse_validator_draft3.erl:878-889)
+        if cs.disallow is not None or cs.disallow_schemas:
+            # draft-3 disallow ⇒ not_allowed (src/jesse_validator_draft3.erl:878-889);
+            # union members may embed schemas (draft3.erl:304-328)
             simple(
                 "disallow",
                 E.NOT_ALLOWED,
-                {"disallow": cs.disallow},
-                lambda a, t=cs.disallow: ~np.full(len(a), _type_ok(t, a.type), dtype=bool),
+                {"disallow": cs.to_fragment().get("disallow")},
+                lambda a, c=cs: ~self._disallow_match_mask(c, a),
             )
 
         if cs.contains is not None:

@@ -96,8 +96,12 @@ class ColumnSpec:
     # ``not_divisible``, not schema_invalid (src/jesse_validator_draft3.erl:860-869)
     divisible_by: Optional[float] = None
     # disallow — negated type membership ⇒ ``not_allowed``
-    # (src/jesse_validator_draft3.erl:878-889)
+    # (src/jesse_validator_draft3.erl:878-889); union members may embed
+    # SCHEMAS (same union semantics as draft-3 ``type``,
+    # src/jesse_validator_draft3.erl:304-328) — value matches ANY member
+    # (primitive or schema) ⇒ not_allowed
     disallow: Optional[str | list[str]] = None
+    disallow_schemas: Optional[list["ColumnSpec"]] = None
     # --- draft-6 deltas ---
     # contains — some array element validates subspec; empty array fails
     # with atom ``data_invalid`` (src/jesse_validator_draft6.erl:151-156,569-587)
@@ -177,8 +181,13 @@ class ColumnSpec:
             frag["not"] = self.not_.to_fragment()
         if self.divisible_by is not None:
             frag["divisibleBy"] = self.divisible_by
-        if self.disallow is not None:
-            frag["disallow"] = self.disallow
+        if self.disallow is not None or self.disallow_schemas is not None:
+            if self.disallow_schemas is None:
+                frag["disallow"] = self.disallow
+            else:
+                prims = ([self.disallow] if isinstance(self.disallow, str)
+                         else list(self.disallow or []))
+                frag["disallow"] = prims + [s.to_fragment() for s in self.disallow_schemas]
         if self.contains is not None:
             frag["contains"] = self.contains.to_fragment()
         if self.type_schemas is not None:
@@ -570,8 +579,15 @@ def _(c, v, root):
 @_kw("disallow")
 def _(c, v, root):
     # draft-3 negated type (src/jesse_validator_draft3.erl:878-889);
-    # schema-form union members unsupported for columns (documented)
-    c.disallow = v
+    # array members may be primitive names OR embedded schemas — the
+    # same union semantics as draft-3 type (draft3.erl:304-328)
+    if isinstance(v, list):
+        prims = [t for t in v if isinstance(t, str)]
+        schemas = [t for t in v if isinstance(t, dict)]
+        c.disallow = prims or None
+        c.disallow_schemas = [_subspec(s, root) for s in schemas] or None
+    else:
+        c.disallow = v
 
 
 @_kw("extends")

@@ -56,6 +56,29 @@ def test_disallow_type():
     assert _errors(c2, pa.table({"s": pa.array(["a"])})) == []
 
 
+def test_disallow_schema_form_union_members():
+    # src/jesse_validator_draft3.erl:878-889 with the union semantics of
+    # 304-328: a value is not_allowed if it matches ANY member —
+    # primitive name OR embedded schema
+    spec = from_json_schema(
+        {"properties": {"n": {"disallow": ["string", {"minimum": 10}]}}},
+        key_column=None, default_schema_ver="draft3",
+    )
+    c = compile_spec(spec)
+    # 5 fails the {minimum:10} member and is not a string → allowed;
+    # 11 validates against the schema member → not_allowed
+    errs = _errors(c, pa.table({"n": pa.array([5, 11])}))
+    assert errs == [(("n",), E.NOT_ALLOWED)]
+    # pure-schema union (no primitive member)
+    spec2 = from_json_schema(
+        {"properties": {"s": {"disallow": [{"pattern": "^bad"}]}}},
+        key_column=None, default_schema_ver="draft3",
+    )
+    c2 = compile_spec(spec2)
+    errs2 = _errors(c2, pa.table({"s": pa.array(["bad apple", "good"])}))
+    assert errs2 == [(("s",), E.NOT_ALLOWED)]
+
+
 def test_extends_maps_to_all_of():
     # src/jesse_validator_draft3.erl:902-921
     spec = from_json_schema(

@@ -36,12 +36,11 @@ EXTRA_DIRS = [
 ]
 
 SKIP_FILES = {"remoteRefExtra.json"}
-SKIP_CASES = {
-    # Arrow int64 cannot hold Erlang bignums; float64 would collapse the
-    # two values (they differ in the last digit), flipping the verdict.
-    "big integers are compared correctly",
-    "really big integers are compared correctly",
-}
+# Erlang bignums within 38 digits ride Arrow decimal128 (exact compare
+# via the compiler's _canon_key Fraction canonicalization); the residual
+# documented gap is integers beyond decimal128 range (>38 digits), which
+# no reference case exercises.
+SKIP_CASES: set = set()
 
 
 def _cases():
@@ -96,8 +95,26 @@ def _run(schema: dict, data, dialect: str = "draft4") -> tuple[bool, list[str]]:
     spec = from_json_schema({"properties": {"v": schema}}, key_column=None,
                             default_schema_ver=dialect)
     compiled = compile_spec(spec)
-    v = compiled.check_batch(pa.table({"v": pa.array([data])}))
+    v = compiled.check_batch(pa.table({"v": _instance_array(data)}))
     return v.num_rows == 0, v["error"].to_pylist()
+
+
+def _instance_array(data) -> pa.Array:
+    """One-row Arrow column for the instance; integers beyond int64
+    (Erlang bignums) land in decimal128(38, 0) — exact up to 38 digits,
+    matching the reference's arbitrary-precision compare for every case
+    in its suite."""
+    try:
+        return pa.array([data])
+    except (OverflowError, pa.ArrowInvalid):
+        import decimal
+
+        if isinstance(data, list) and all(
+            isinstance(x, int) and not isinstance(x, bool) for x in data
+        ):
+            return pa.array([[decimal.Decimal(x) for x in data]],
+                            type=pa.list_(pa.decimal128(38, 0)))
+        raise
 
 
 @pytest.mark.parametrize("schema,dialect,data,valid", _cases())
