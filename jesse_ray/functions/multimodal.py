@@ -18,10 +18,14 @@ Codec status (honest split):
 - ``video/x-raw-ppmseq`` (concatenated P6 frames) is frame-sampled FOR
   REAL: exact boundary walk from each frame's own header, stride
   sampling, per-frame decode.
-- Compressed formats (PNG/JPEG/MP3/H.264…) remain STUBS because the
-  decode libraries (PIL/libvips/ffmpeg) are not in this container:
-  ``DecodeImage`` raises ``NotImplementedError`` for them unless
-  ``fake=True`` (deterministic fake decode for plumbing tests).
+- ``image/png`` (8-bit RGB, the dominant lossless web format) is
+  decoded FOR REAL in pure stdlib zlib + numpy — CRC-verified chunk
+  walk, inflate, and unfiltering of all five PNG filter types — with
+  the same analytic-pixel-oracle verification.
+- Remaining compressed formats (JPEG/MP3/H.264…) are STUBS because
+  their decode libraries (PIL/libvips/ffmpeg) are not in this
+  container: ``DecodeImage`` raises ``NotImplementedError`` for them
+  unless ``fake=True`` (deterministic fake decode for plumbing tests).
 """
 
 from __future__ import annotations
@@ -80,8 +84,8 @@ class DecodeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for p in batch["payload"].to_pylist():
-            if p and p.startswith(b"P6"):
-                px = decode_ppm(p)
+            if p and (p.startswith(b"P6") or p.startswith(_PNG_SIG)):
+                px = decode_ppm(p) if p.startswith(b"P6") else decode_png(p)
                 means = px.astype(np.float64).mean(axis=(0, 1)) / 255.0
                 feats.append(np.array(
                     [*means, px.shape[1], px.shape[0], 0.0, 0.0, 0.0],
@@ -517,3 +521,198 @@ def sample_frames_real(ds: Dataset, *, stride: int = 2, concurrency=(1, 2),
     return ds.map_batches(SampleFramesReal, fn_constructor_kwargs={"stride": stride},
                           batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: PNG (8-bit RGB, color type 2) in pure stdlib zlib + numpy
+#
+# A genuinely COMPRESSED format decoded without any codec library: chunk
+# walk with CRC verification, zlib inflate, and per-scanline unfiltering
+# of all five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+# The encoder deliberately rotates through every filter type per row so
+# the decoder's unfilter paths are all exercised by the analytic oracle.
+
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6), vectorized over a pixel row."""
+    p = a + b - c
+    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
+
+
+def encode_png(pixels: np.ndarray, *, filter_seed: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real 8-bit-RGB PNG.  Row
+    ``y`` uses filter type ``(y + filter_seed) % 5`` so every decoder
+    unfilter path is exercised."""
+    import struct
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png wants (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = bytearray()
+    px = pixels.astype(np.int32)
+    zrow = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row, prev = px[y], (px[y - 1] if y else zrow)
+        left = np.vstack([zrow[:1], row[:-1]])
+        ft = (y + filter_seed) % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            ul = np.vstack([zrow[:1], prev[:-1]])
+            filt = row - _paeth(left, prev, ul)
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode, pure stdlib + numpy: chunk walk (CRC-verified),
+    zlib inflate, per-scanline unfilter of all five filter types.
+    Supports the profile our encoder emits — 8-bit RGB (color type 2),
+    no interlace — and rejects anything else loudly."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG profile depth={depth} color={ctype} interlace={inter}")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + 3 * w
+    if len(raw) != stride * h:
+        raise ValueError("PNG IDAT length mismatch")
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w, 3), dtype=np.int32)
+    zrow = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].reshape(w, 3).astype(np.int32)
+        prev = out[y - 1] if y else zrow
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: recon[x] = Σ raw[0..x] mod 256 — one cumsum
+            rec = np.cumsum(line, axis=0) % 256
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft == 3:  # Average — sequential in x by definition
+            rec = np.zeros((w, 3), dtype=np.int32)
+            left = zrow[0]
+            for x in range(w):
+                left = (line[x] + (left + prev[x]) // 2) % 256
+                rec[x] = left
+        elif ft == 4:  # Paeth — sequential in x by definition
+            rec = np.zeros((w, 3), dtype=np.int32)
+            left = ul = zrow[0]
+            for x in range(w):
+                left = (line[x] + _paeth(left, prev[x], ul)) % 256
+                rec[x] = left
+                ul = prev[x]
+        else:
+            raise ValueError(f"PNG filter type {ft} out of range")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+def make_synthetic_png_table(n: int = 40) -> pa.Table:
+    """Deterministic REAL-PNG corpus: image ``i`` is
+    ``pixel(x, y, c) = (a*x + b*y + x*y + 2*i + 13*c) mod 256`` (the
+    ``x*y`` term makes rows differ, so filters do real work) — closed
+    form so the SQL twin regenerates every pixel; the engine path
+    round-trips formula → PNG bytes (zlib-compressed, all 5 filters) →
+    real decode."""
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = 9 + (i % 14)
+        h = 7 + ((i * 5) % 11)
+        a = 2 + (i % 4)
+        b = 1 + (i % 6)
+        x = np.arange(w, dtype=np.int64)[None, :, None]
+        y = np.arange(h, dtype=np.int64)[:, None, None]
+        c = np.arange(3, dtype=np.int64)[None, None, :]
+        px = ((a * x + b * y + x * y + 2 * i + 13 * c) % 256).astype(np.uint8)
+        ids.append(f"png-{i:06d}")
+        payloads.append(encode_png(px, filter_seed=i))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array([PNG_MIME] * n),
+            "width": pa.array(np.array(ws, dtype=np.int32)),
+            "height": pa.array(np.array(hs, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class PngChannelSums:
+    """Actor-pool REAL PNG decode stage: CRC-checked chunk walk + zlib
+    inflate + unfilter per payload, exact int64 per-channel pixel sums.
+    Small batches by contract (payload bytes × batch_size × concurrency
+    bounds the worker heap)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pays = batch["payload"].to_pylist()
+        sums = np.zeros((len(pays), 3), dtype=np.int64)
+        dims = np.zeros((len(pays), 2), dtype=np.int32)
+        for i, p in enumerate(pays):
+            px = decode_png(p)
+            sums[i] = px.astype(np.int64).sum(axis=(0, 1))
+            dims[i] = px.shape[1], px.shape[0]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(dims[:, 0]),
+                "height": pa.array(dims[:, 1]),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def png_channel_sums(ds: Dataset, *, concurrency=(1, 2), batch_size: int = 16) -> Dataset:
+    return ds.map_batches(PngChannelSums, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size,
+                          concurrency=concurrency)

@@ -518,6 +518,65 @@ ORACLES2["media_resize_real"] = SQL_MEDIA_RESIZE_REAL
 
 
 # ---------------------------------------------------------------------------
+# media_png_real — REAL compressed-codec path (PNG, stdlib zlib + numpy)
+
+N_PNG = 40
+
+
+def q_media_png_real(sf_dir: str) -> pd.DataFrame:
+    """REAL PNG decode with NO codec library: deterministic formula
+    pixels → real PNG bytes (zlib-deflated IDAT, per-row rotation
+    through all five PNG filter types, CRC'd chunks) → stdlib-inflate +
+    numpy unfilter in an actor pool → exact int64 channel sums.  The
+    twin regenerates every pixel from the closed-form formula, so the
+    whole compressed round-trip (filter → deflate → inflate → unfilter)
+    is genuinely under test."""
+    import ray.data
+
+    from jesse_ray.functions.multimodal import (
+        make_synthetic_png_table,
+        png_channel_sums,
+    )
+
+    ds = ray.data.from_arrow(make_synthetic_png_table(N_PNG))
+    out = _collect(png_channel_sums(ds)).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    return out.astype({"width": "int64", "height": "int64"})
+
+
+SQL_MEDIA_PNG_REAL = f"""
+WITH img AS (
+  SELECT i,
+         9 + (i % 14)        AS w,
+         7 + ((i * 5) % 11)  AS h,
+         2 + (i % 4)         AS a,
+         1 + (i % 6)         AS b
+  FROM (SELECT unnest(range(0, {N_PNG})) AS i)
+),
+xs AS (SELECT i, unnest(range(0, w)) AS x FROM img),
+ys AS (SELECT i, unnest(range(0, h)) AS y FROM img),
+cs AS (SELECT i, unnest(range(0, 3)) AS c FROM img),
+px AS (
+  SELECT img.i, img.w, img.h, cs.c,
+         (img.a * xs.x + img.b * ys.y + xs.x * ys.y + 2 * img.i + 13 * cs.c) % 256 AS v
+  FROM img
+  JOIN xs ON xs.i = img.i
+  JOIN ys ON ys.i = img.i
+  JOIN cs ON cs.i = img.i
+)
+SELECT printf('png-%06d', i) AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY i, w, h ORDER BY media_id
+"""
+
+QUERIES2["media_png_real"] = q_media_png_real
+ORACLES2["media_png_real"] = SQL_MEDIA_PNG_REAL
+
+
+# ---------------------------------------------------------------------------
 # media_audio_real / media_frames_real — REAL audio + frame sampling
 
 N_WAV, N_VID, VID_STRIDE = 32, 24, 2

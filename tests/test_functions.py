@@ -3195,3 +3195,49 @@ def test_rake_word_scores_hand_checked(ray_session):
     assert out.loc["apple", "freq"] == 2 and out.loc["apple", "deg"] == 5
     assert out.loc["red", "deg"] == 2 and out.loc["pie", "deg"] == 3
     assert "the" not in out.index and "and" not in out.index
+
+
+def test_png_codec_roundtrip_all_filters(ray_session):
+    from jesse_ray.functions.multimodal import (
+        decode_png, encode_png, make_synthetic_png_table, png_channel_sums,
+    )
+
+    rng = np.random.default_rng(11)
+    # every filter_seed rotation start → all 5 unfilter paths exercised
+    for seed in range(5):
+        px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        back = decode_png(encode_png(px, filter_seed=seed))
+        assert back.shape == px.shape and (back == px).all()
+
+    # corrupted CRC is rejected loudly, not silently mis-decoded
+    import pytest as _pytest
+
+    payload = bytearray(encode_png(px))
+    payload[-5] ^= 0xFF  # inside IEND CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+    t = make_synthetic_png_table(6)
+    out = (png_channel_sums(ray.data.from_arrow(t))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    # independent recomputation of image 4's channel sums from the formula
+    i = 4
+    w, h = 9 + (i % 14), 7 + ((i * 5) % 11)
+    a, b = 2 + (i % 4), 1 + (i % 6)
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    expect = ((a * x + b * y + x * y + 2 * i + 13 * c) % 256).sum(axis=(0, 1))
+    row = out[out["media_id"] == f"png-{i:06d}"].iloc[0]
+    assert [row["sum_r"], row["sum_g"], row["sum_b"]] == expect.tolist()
+    assert (row["width"], row["height"]) == (w, h)
+
+
+def test_decode_image_real_png_features(ray_session):
+    from jesse_ray.functions.multimodal import decode_features, make_synthetic_png_table
+
+    ds = ray.data.from_arrow(make_synthetic_png_table(4))
+    out = decode_features(ds, fake=False, concurrency=(1, 2)).to_pandas()
+    f0 = out.sort_values("media_id")["features"].iloc[0]
+    # [mean_r, mean_g, mean_b, w, h, ...]; image 0 is 9x7
+    assert len(f0) == 8 and 0.0 <= f0[0] <= 1.0 and f0[3] == 9.0 and f0[4] == 7.0
