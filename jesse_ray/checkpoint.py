@@ -81,6 +81,11 @@ class Manifest:
         rec.completed_at = time.time()
         tmp = self.path.with_suffix(".tmp")
         existing = self.path.read_text() if self.path.exists() else ""
+        if existing and not existing.endswith("\n"):
+            # a torn final line from a crash mid-write must not swallow
+            # the next record: terminate it so the new record starts on
+            # its own line (the torn fragment is then skipped by load())
+            existing += "\n"
         tmp.write_text(existing + rec.to_json() + "\n")
         os.replace(tmp, self.path)
 

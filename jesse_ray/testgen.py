@@ -31,7 +31,12 @@ SOURCES = ["web", "books", "code", "wiki", "forums"]
 SOURCE_WEIGHTS = [0.70, 0.12, 0.10, 0.05, 0.03]
 BAD_SOURCE = "crawl-x"
 
-SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 500_000, "sf0.3": 1_500_000}
+SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 500_000, "sf0.3": 1_500_000,
+           "sf1": 5_000_000}
+
+#: sfs built by ``ensure_all`` / ``python -m jesse_ray.testgen`` — sf1
+#: (~3.5 GB, the 10× scale-proof corpus) is generated on demand only
+DEFAULT_SFS = ["sf0.001", "sf0.01", "sf0.1", "sf0.3"]
 
 #: version tag — bump to force regeneration after generator changes
 GEN_VERSION = "v4"
@@ -204,13 +209,89 @@ def generate(sf_name: str, force: bool = False) -> Path:
 
 
 def ensure_all(force: bool = False) -> None:
-    for sf in SF_ROWS:
+    for sf in DEFAULT_SFS:
         generate(sf, force=force)
 
 
+# ---------------------------------------------------------------------------
+# driver-profile documents + embeddings tables at scales the driver does
+# not ship (sf1): same schema and statistical shape as
+# /root/testdata/sf*/documents.parquet — word-salad text over a small
+# vocab, 5 langs (en-heavy), srcN sources, engineered exact-dup and
+# shared-8-gram near-dup structure so dedup stages do real work.
+
+DOC_VOCAB = ("batch part spark line column order small sort fast value scan "
+             "hash query agg table slow stream filter big merge group join "
+             "vector row key customer the a".split())
+DOC_LANGS = ["en", "zh", "es", "fr", "de"]
+DOC_LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
+
+
+def generate_documents(sf_name: str, *, force: bool = False) -> Path:
+    """documents.parquet + embeddings.parquet in our corpus dir for sfs
+    where the driver testdata has none.  Row counts follow the driver's
+    ratio (500k sequences → 5k docs → 2k vectors at sf0.1)."""
+    out = corpus_dir(sf_name)
+    out.mkdir(parents=True, exist_ok=True)
+    stamp = out / f".docs_{GEN_VERSION}.done"
+    if stamp.exists() and not force:
+        return out
+    n = SF_ROWS[sf_name] // 100
+    rng = np.random.default_rng(SEED + 7)
+    vocab = np.array(DOC_VOCAB, dtype=object)
+    n_words = rng.integers(8, 101, size=n)
+    texts = [" ".join(rng.choice(vocab, size=k)) for k in n_words]
+    # ~1.5% exact dups + ~2% near dups sharing an 8-word window
+    n_dup = max(2, n * 15 // 1000)
+    for i in rng.choice(np.arange(1, n), size=n_dup, replace=False):
+        texts[i] = texts[int(rng.integers(0, i))]
+    n_near = max(2, n * 2 // 100)
+    for i in rng.choice(np.arange(1, n), size=n_near, replace=False):
+        src_words = texts[int(rng.integers(0, i))].split()
+        if len(src_words) >= 9:
+            s = int(rng.integers(0, len(src_words) - 8))
+            window = src_words[s:s + 9]
+            own = texts[i].split()
+            texts[i] = " ".join(own[: len(own) // 2] + window + own[len(own) // 2:])
+    langs = rng.choice(np.array(DOC_LANGS, dtype=object), size=n, p=DOC_LANG_W)
+    srcs = np.array([f"src{i % 20}" for i in range(n)], dtype=object)
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(srcs, type=pa.string()),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    })
+    pq.write_table(docs, out / "documents.parquet", row_group_size=ROW_GROUP_SIZE)
+
+    n_emb = max(100, SF_ROWS[sf_name] // 250)
+    labels = rng.integers(0, 10, size=n_emb).astype(np.int32)
+    # label-clustered vectors (centroid + noise) so k-means/semdedup see
+    # real structure, same as the driver's generator evidently does
+    cents = rng.normal(size=(10, 64))
+    mat = (cents[labels] + rng.normal(scale=0.35, size=(n_emb, 64))).astype(np.float32)
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n_emb + 1) * 64, 64, dtype=np.int64), type=pa.int32()),
+        pa.array(mat.ravel(), type=pa.float32()))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
+        "embedding": emb,
+        "label": pa.array(labels, type=pa.int32()),
+    }), out / "embeddings.parquet", row_group_size=ROW_GROUP_SIZE)
+    stamp.touch()
+    return out
+
+
 if __name__ == "__main__":
-    ensure_all()
-    print(json.dumps({"root": str(DATA_ROOT), "sfs": list(SF_ROWS)}))
+    import sys as _sys
+
+    if "sf1" in _sys.argv:
+        generate("sf1")
+        generate_documents("sf1")
+        print(json.dumps({"root": str(DATA_ROOT), "sf1_rows": SF_ROWS["sf1"]}))
+    else:
+        ensure_all()
+        print(json.dumps({"root": str(DATA_ROOT), "sfs": DEFAULT_SFS}))
 
 
 # ---------------------------------------------------------------------------

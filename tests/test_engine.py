@@ -691,3 +691,85 @@ def test_cli_curate_mode(ray_session, tmp_path, corpus_sf0001):
     ids = t["doc_id"].to_pylist()
     assert len(ids) == len(set(ids)) == man["n_rows"]
     assert set(t["source"].to_pylist()) <= set(testgen.SOURCES)
+
+
+def test_sigkill_mid_run_resume_consistency(ray_session, tmp_path):
+    """Checkpoint-scale e2e (VERDICT r2 item #10): a run_validation with
+    drift gating + corpus uniqueness is SIGKILLed mid-run in a child
+    process; the resume (a) skips exactly the partitions whose manifest
+    records survived the kill, (b) tolerates a torn last manifest line,
+    (c) re-executes the corpus-scoped uniqueness pass, and (d) lands on
+    the same totals as an uninterrupted run."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from jesse_ray import testgen
+    from jesse_ray.checkpoint import (
+        Manifest, build_reference_digest, run_validation,
+    )
+    from jesse_ray.pipelines.queries import _seq_spec
+
+    testgen.generate("sf0.01")
+    tbl = pq.read_table(str(testgen.corpus_path("sf0.01")))
+    n = tbl.num_rows
+    files = []
+    for i in range(4):
+        p = tmp_path / f"shard-{i}.parquet"
+        pq.write_table(tbl.slice(i * n // 4, n // 4), p)
+        files.append(str(p))
+    ref_path = str(tmp_path / "ref.bin")
+    build_reference_digest([str(testgen.clean_corpus_path("sf0.01"))], ref_path)
+
+    out = tmp_path / "out"
+    child_code = f"""
+import ray, sys
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+sys.path.insert(0, "/root/repo")
+from jesse_ray.checkpoint import run_validation
+from jesse_ray.pipelines.queries import _seq_spec
+run_validation({files!r}, _seq_spec(), {str(out)!r}, files_per_partition=1,
+               drift_reference={ref_path!r}, fail_on_drift=True)
+"""
+    child = subprocess.Popen([sys.executable, "-c", child_code],
+                             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    manifest_path = out / "manifest.jsonl"
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        if manifest_path.exists() and manifest_path.read_text().count("\n") >= 1:
+            break
+        if child.poll() is not None:
+            break  # finished before we could kill — still a valid resume test
+        _time.sleep(0.02)
+    if child.poll() is None:
+        os.kill(child.pid, signal.SIGKILL)
+    child.wait()
+
+    survived = Manifest(manifest_path).load()
+    n_survived = len(survived)
+    assert n_survived >= 1, "kill landed before any partition completed"
+    # simulate the worst-case torn write the SIGKILL can leave behind
+    with open(manifest_path, "a") as f:
+        f.write('{"partition_id": "part-torn", "fragm')
+
+    resumed = run_validation(files, _seq_spec(), out, files_per_partition=1,
+                             drift_reference=ref_path, fail_on_drift=True)
+    assert resumed["partitions"] == 4
+    assert resumed["skipped"] == n_survived  # only un-checkpointed work reran
+    # uniqueness is corpus-scoped: it must re-execute on resume
+    uniq = out / "unique_violations.parquet"
+    assert uniq.exists() and uniq.stat().st_mtime >= _time.time() - 120
+
+    fresh = run_validation(files, _seq_spec(), tmp_path / "fresh",
+                           files_per_partition=1,
+                           drift_reference=ref_path, fail_on_drift=True)
+    for k in ("violations", "failed", "unique_violations", "passed",
+              "drifted_partitions"):
+        assert resumed[k] == fresh[k], k
+    # manifest is now complete and self-consistent: 4 valid records
+    final = Manifest(manifest_path).load()
+    assert len(final) == 4
+    assert all(r.spec_version == next(iter(final.values())).spec_version
+               for r in final.values())
