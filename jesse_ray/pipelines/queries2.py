@@ -154,12 +154,14 @@ def q_tpch_q16ish(sf_dir: str) -> pd.DataFrame:
     bad_t = _collect(read_table(f"{sf_dir}/supplier.parquet",
                                 columns=["s_suppkey", "s_acctbal"])
                      .filter(expr="s_acctbal < 0").select_columns(["s_suppkey"]))
-    bad = set(bad_t.column(0).to_pylist()) if bad_t is not None else set()
+    # supplier is a DIMENSION: the excluded set is broadcast (built once,
+    # shipped in the closure), never a shuffle
+    bad_arr = (bad_t.column(0).combine_chunks().cast(pa.int64())
+               if bad_t is not None and bad_t.num_rows else None)
 
     def triple(b: pa.Table) -> pa.Table:
-        if bad:
-            b = b.filter(pc.invert(pc.is_in(
-                b["l_suppkey"], value_set=pa.array(sorted(bad), type=pa.int64()))))
+        if bad_arr is not None:
+            b = b.filter(pc.invert(pc.is_in(b["l_suppkey"], value_set=bad_arr)))
         g = b.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
         return g.append_column("__p2", pa.array(_element_parts(g["l_suppkey"], 64)))
 
