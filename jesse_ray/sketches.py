@@ -466,6 +466,25 @@ def drift_report(ref: SketchBundle, new: SketchBundle, *, topk: int = 100,
     }
 
 
+def hll_idx_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) for pre-hashed uint64 values — the single
+    source of the HLL register math, shared by ``HyperLogLog.add_hashes``
+    and the vectorized grouped partial (stages/distinct.py) so their
+    estimates are bit-identical."""
+    h = h.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    rank = np.empty(len(h), dtype=np.uint8)
+    zero = w == 0
+    rank[zero] = 64 - p + 1
+    nz = ~zero
+    if nz.any():
+        # floor(log2) is exact for ints < 2^53; 64-p <= 52 bits here
+        hsb = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+        rank[nz] = ((64 - p) - hsb).astype(np.uint8)
+    return idx, rank
+
+
 class HyperLogLog:
     """HyperLogLog cardinality sketch (Flajolet et al. 2007, with the
     small-range linear-counting correction from the original paper).
@@ -493,17 +512,7 @@ class HyperLogLog:
     def add_hashes(self, h: np.ndarray) -> None:
         if len(h) == 0:
             return
-        h = h.astype(np.uint64, copy=False)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        w = h & np.uint64((1 << (64 - self.p)) - 1)
-        rank = np.empty(len(h), dtype=np.uint8)
-        zero = w == 0
-        rank[zero] = 64 - self.p + 1
-        nz = ~zero
-        if nz.any():
-            # floor(log2) is exact for ints < 2^53; 64-p <= 52 bits here
-            hsb = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
-            rank[nz] = ((64 - self.p) - hsb).astype(np.uint8)
+        idx, rank = hll_idx_rank(h, self.p)
         np.maximum.at(self.registers, idx, rank)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":

@@ -58,6 +58,10 @@ def _bufs(n: int) -> tuple[np.ndarray, np.ndarray]:
     return _scratch["h"][:n], _scratch["t"][:n]
 
 
+def _np_valid(arr: pa.Array) -> np.ndarray:
+    return pc.is_valid(arr).to_numpy(zero_copy_only=False)
+
+
 def _add_column_hashes(hll: HyperLogLog, col, flatten: bool) -> None:
     from jesse_ray.hashutil import fmix64_inplace
 
@@ -120,62 +124,170 @@ def hll_distinct_by_group(
     Group cardinality is assumed bounded (sources / event types / langs
     — the grouped_agg assumption).
 
-    Per batch: one value-hash pass, then per-group register folds over
-    the batch's bounded group set; merge = elementwise max per group
-    (one coarse groupby over ≤ groups × blocks blob rows).  Returns
-    (group, estimate float64)."""
+    Per batch the partial is FULLY VECTORIZED (no per-group Python
+    work): dictionary-encode the group column once, hash every value
+    once, fold (group, register) → max-rank with one sort + reduceat,
+    then emit ONE register blob per group — SPARSE ([0xff, p, n_u32,
+    idx_u32[], rank_u8[]]) when a group touched few registers (the
+    high-cardinality regime: ~5 bytes per distinct-ish value instead of
+    a dense 4 KB page per group), dense ([p, regs]) otherwise.  merge =
+    elementwise max per group.  Group cardinality may be high — the
+    blob bytes scale with actual distinct mass, not groups × 2^p.
+    Returns (group, estimate float64)."""
+    from jesse_ray.hashutil import fmix64_inplace
+    from jesse_ray.sketches import hll_idx_rank
+
+    m = 1 << p
+    dense_cut = max(1, m // 8)  # sparse wins below ~m/8 occupied registers
 
     def partial(batch: pa.Table) -> pa.Table:
-        # ONE sort per batch, then contiguous group runs — O(n log n)
-        # total, not O(groups × n) full-batch equality scans (VERDICT r2
-        # What's-wrong #6: the per-group pc.equal degraded on
-        # high-cardinality group columns)
         gtype = batch.schema.field(group_col).type
-        t = batch.select([group_col, col]).sort_by(group_col)
-        groups = t[group_col].combine_chunks()
-        n = t.num_rows
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        n = len(gcol)
+        empty = pa.table({group_col: pa.array([], type=gtype),
+                          "hll": pa.array([], type=pa.large_binary())})
         if n == 0:
-            return pa.table({group_col: pa.array([], type=gtype),
-                             "hll": pa.array([], type=pa.large_binary())})
-        change = np.ones(n, dtype=bool)
-        if n > 1:
-            a, b = groups.slice(1), groups.slice(0, n - 1)
-            neq = pc.or_(pc.fill_null(pc.not_equal(a, b), False),
-                         pc.xor(pc.is_null(a), pc.is_null(b)))
-            change[1:] = neq.to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        vals = t[col]
-        out_g, out_b = [], []
-        for s, e in zip(starts, ends):
-            h = HyperLogLog(p)
-            _add_column_hashes(h, vals.slice(s, e - s), flatten)
-            out_g.append(groups[int(s)].as_py())
-            out_b.append(h.to_bytes())
-        return pa.table(
-            {
-                group_col: pa.array(out_g, type=gtype),
-                "hll": pa.array(out_b, type=pa.large_binary()),
-            }
-        )
+            return empty
+        enc = pc.dictionary_encode(gcol)
+        gdict = enc.dictionary
+        n_g = len(gdict)  # id n_g = the null group, if present
+        gidx = pc.fill_null(enc.indices.cast(pa.int64()), n_g).to_numpy(
+            zero_copy_only=False)
+        vals = batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if flatten:
+            lens = pc.fill_null(pc.list_value_length(vals), 0).cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            gidx = np.repeat(gidx, lens)
+            vals = pc.list_flatten(vals)
+        vmask = _np_valid(vals)
+        if not vmask.all():
+            gidx = gidx[vmask]
+            vals = vals.drop_null()
+        if len(vals) == 0:
+            return empty
+        # hash every value once (chunked through the persistent scratch
+        # buffers), reduce (group, register) → max rank per chunk
+        is_str = pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
+        nums = None if is_str else vals.to_numpy(zero_copy_only=False)
+        keys_parts, rank_parts = [], []
+        for s in range(0, len(vals), _CHUNK):
+            if is_str:
+                h = hash64_strings(vals.slice(s, _CHUNK))
+                hh = fmix64_inplace(h, _bufs(len(h))[1])
+            else:
+                c = nums[s:s + _CHUNK]
+                hb, tb = _bufs(len(c))
+                np.copyto(hb, c, casting="unsafe")
+                hh = fmix64_inplace(hb, tb)
+            idx, rank = hll_idx_rank(hh, p)
+            key = gidx[s:s + len(idx)] * m + idx
+            order = np.argsort(key, kind="stable")
+            ks, rs = key[order], rank[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1])
+            keys_parts.append(ks[starts])
+            rank_parts.append(np.maximum.reduceat(rs, starts))
+        key = np.concatenate(keys_parts)
+        rank = np.concatenate(rank_parts)
+        if len(keys_parts) > 1:  # re-reduce across chunk partials
+            order = np.argsort(key, kind="stable")
+            key, rank = key[order], rank[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(key)) + 1])
+            key, rank = key[starts], np.maximum.reduceat(rank, starts)
+        gid = key // m
+        reg = (key % m).astype(np.uint32)
+        g_starts = np.concatenate([[0], np.flatnonzero(np.diff(gid)) + 1])
+        g_ends = np.append(g_starts[1:], len(gid))
+        blobs, out_gids = [], gid[g_starts]
+        for s, e in zip(g_starts, g_ends):
+            nnz = e - s
+            if nnz <= dense_cut:
+                blobs.append(b"\xff" + bytes([p])
+                             + np.uint32(nnz).tobytes()
+                             + reg[s:e].tobytes() + rank[s:e].tobytes())
+            else:
+                regs = np.zeros(m, dtype=np.uint8)
+                regs[reg[s:e]] = rank[s:e]
+                blobs.append(bytes([p]) + regs.tobytes())
+        # id n_g (and everything when the column is all-null) = null group
+        take_idx = pa.array(
+            [int(g) if g < n_g else None for g in out_gids], type=pa.int64())
+        out_groups = (gdict.take(take_idx) if n_g
+                      else pa.array([None] * len(out_gids), type=gtype))
+        return pa.table({group_col: out_groups,
+                         "hll": pa.array(blobs, type=pa.large_binary())})
+
+    def with_part(batch: pa.Table) -> pa.Table:
+        # coarse 64-part group-hash shuffle (the repo's standard cogroup
+        # shape) instead of a per-group map_groups: at high group
+        # cardinality Ray's per-group pandas invocation dominates wall
+        # time; 64 parts keep the merge in 64 vectorizable tasks
+        gs = pc.fill_null(pc.cast(batch[group_col], pa.string()), "\x00null")
+        hp = fmix64(hash64_strings(gs.combine_chunks()
+                                   if isinstance(gs, pa.ChunkedArray) else gs))
+        return batch.append_column("__part", pa.array((hp % 64).astype(np.int64)))
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                              batch_size=batch_size)
+                              batch_size=batch_size).map_batches(
+        with_part, batch_format="pyarrow", zero_copy_batch=True)
 
     import pandas as pd
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        merged: HyperLogLog | None = None
-        for raw in g["hll"]:
-            h = HyperLogLog.from_bytes(raw)
-            merged = h if merged is None else merged.merge(h)
-        return pd.DataFrame(
-            {group_col: [g[group_col].iloc[0]], "estimate": [merged.estimate()]}
-        )
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
 
-    out = partials.groupby(group_col).map_groups(merge, batch_format="pandas")
+    def _estimate(inv_sum: float, zeros: int) -> float:
+        raw = alpha_m2 / inv_sum
+        if raw <= 2.5 * m and zeros:
+            return float(m * np.log(m / zeros))
+        return float(raw)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(group_col, na_position="last", kind="stable")
+        gv = g[group_col].to_numpy()
+        blobs = g["hll"].to_numpy()
+        ser = g[group_col]
+        change = (ser != ser.shift()) & ~(ser.isna() & ser.shift().isna())
+        change.iloc[0] = True
+        bounds = np.append(np.flatnonzero(change.to_numpy()), len(gv))
+        out_g, out_e = [], []
+        for bi in range(len(bounds) - 1):
+            s, e = bounds[bi], bounds[bi + 1]
+            run = blobs[s:e]
+            if len(run) == 1 and run[0][0] == 0xFF:
+                # single sparse blob — estimate without touching 2^p regs
+                raw = run[0]
+                nnz = int(np.frombuffer(raw, dtype=np.uint32, count=1, offset=2)[0])
+                rk = np.frombuffer(raw, dtype=np.uint8, count=nnz, offset=6 + 4 * nnz)
+                inv_sum = float(np.ldexp(1.0, -rk.astype(np.int64)).sum()) + (m - nnz)
+                out_e.append(_estimate(inv_sum, m - nnz))
+            else:
+                regs = np.zeros(m, dtype=np.uint8)
+                for raw in run:
+                    if raw[0] == 0xFF:
+                        nnz = int(np.frombuffer(raw, dtype=np.uint32, count=1, offset=2)[0])
+                        idx = np.frombuffer(raw, dtype=np.uint32, count=nnz, offset=6)
+                        rk = np.frombuffer(raw, dtype=np.uint8, count=nnz, offset=6 + 4 * nnz)
+                        np.maximum.at(regs, idx.astype(np.int64), rk)
+                    else:
+                        np.maximum(regs, np.frombuffer(raw, dtype=np.uint8, offset=1),
+                                   out=regs)
+                inv_sum = float(np.ldexp(1.0, -regs.astype(np.int64)).sum())
+                out_e.append(_estimate(inv_sum, int((regs == 0).sum())))
+            out_g.append(gv[s])
+        return pd.DataFrame({group_col: out_g, "estimate": out_e})
+
+    out = partials.groupby("__part").map_groups(merge_part, batch_format="pandas")
     t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
-    return pa.table({group_col: t[group_col], "estimate": t["estimate"].cast(pa.float64())})
+    base = getattr(ds.schema(), "base_schema", None)
+    gout = t[group_col]
+    if isinstance(base, pa.Schema):  # pandas-block datasets have no Arrow schema
+        gtype = base.field(group_col).type
+        if gout.type != gtype:  # pandas may have widened (e.g. object→string)
+            gout = gout.cast(gtype)
+    return pa.table({group_col: gout, "estimate": t["estimate"].cast(pa.float64())})
 
 
 def tdigest_quantiles_by_group(

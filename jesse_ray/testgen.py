@@ -238,9 +238,18 @@ def generate_documents(sf_name: str, *, force: bool = False) -> Path:
         return out
     n = SF_ROWS[sf_name] // 100
     rng = np.random.default_rng(SEED + 7)
-    vocab = np.array(DOC_VOCAB, dtype=object)
+    # realistic (zipf-weighted, ~5k-word) vocabulary: the driver's tiny
+    # observable vocab is fine at 5k docs but makes simhash/minhash LSH
+    # buckets degenerate-dense at 50k+ docs — every doc collides with
+    # every doc, turning the within-bucket verify quadratic.  A web-scale
+    # corpus has a rich vocab; the scale proof should measure the plan,
+    # not an adversarial feature space (the bucket_cap skew guard is the
+    # knob for genuinely adversarial corpora).
+    vocab = np.array(DOC_VOCAB + [f"w{i:05d}" for i in range(5000)], dtype=object)
+    w = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    w /= w.sum()
     n_words = rng.integers(8, 101, size=n)
-    texts = [" ".join(rng.choice(vocab, size=k)) for k in n_words]
+    texts = [" ".join(rng.choice(vocab, size=k, p=w)) for k in n_words]
     # ~1.5% exact dups + ~2% near dups sharing an 8-word window
     n_dup = max(2, n * 15 // 1000)
     for i in rng.choice(np.arange(1, n), size=n_dup, replace=False):
