@@ -1452,3 +1452,44 @@ def rake_word_scores(
     return (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=batch_size)
               .groupby("__part").map_groups(merge, batch_format="pandas"))
+
+
+def add_encoding_audit(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-document encoding-quality audit — the standard web-crawl
+    hygiene gate that runs before any content filter:
+
+    - ``n_replacement``: U+FFFD replacement characters (a decoder
+      already gave up on those bytes upstream);
+    - ``n_control``: C0/C1 control codepoints excluding tab/newline/CR
+      (binary junk inside "text");
+    - ``n_mojibake``: classic UTF-8-decoded-as-Latin-1 artifacts
+      (``\\u00c3`` + continuation range, ``\\u00e2\\u20ac`` quote family);
+    - ``enc_ok``: 1 iff all three counts are zero.
+
+    All counts are Arrow RE2 / substring kernels per batch — no per-row
+    Python.  Counting (not just flagging) matters at corpus scale: the
+    repair decision (drop vs strip vs re-decode) keys on artifact
+    density, not presence."""
+    ctrl_pat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]|[\\x80-\\x9f]"
+    moji_pat = "Ã[ -¿]|â€"
+
+    def audit(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(_combine_col(batch[text_col]), "")
+        rep = pc.count_substring(text, "�").cast(pa.int64())
+        ctl = pc.count_substring_regex(text, ctrl_pat).cast(pa.int64())
+        moj = pc.count_substring_regex(text, moji_pat).cast(pa.int64())
+        ok = pc.cast(
+            pc.and_(pc.and_(pc.equal(rep, 0), pc.equal(ctl, 0)), pc.equal(moj, 0)),
+            pa.int64())
+        return (batch.append_column("n_replacement", rep)
+                     .append_column("n_control", ctl)
+                     .append_column("n_mojibake", moj)
+                     .append_column("enc_ok", ok))
+
+    return ds.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

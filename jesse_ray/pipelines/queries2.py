@@ -579,6 +579,89 @@ ORACLES2["media_png_real"] = SQL_MEDIA_PNG_REAL
 
 
 # ---------------------------------------------------------------------------
+# doc_encoding_audit — encoding-quality / mojibake hygiene gate
+
+_ENC_ART = " Ã©â€œ�x \x07junk"  # 2 mojibake hits, 1 U+FFFD, 1 C0 control
+
+
+def q_doc_encoding_audit(sf_dir: str) -> pd.DataFrame:
+    """Encoding-quality audit (replacement chars, C0/C1 controls,
+    UTF-8-as-Latin-1 mojibake) per source.  Artifacts are injected
+    deterministically (doc_id % 37 == 5) on BOTH sides so the counting
+    kernels are genuinely under test — the engine counts with Arrow RE2
+    kernels, the twin independently with DuckDB regexp_extract_all."""
+    from jesse_ray.functions.text import add_encoding_audit
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "source"])
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array((ids % 37) == 5)
+        suffix = pc.if_else(mask, pa.scalar(_ENC_ART), pa.scalar(""))
+        tx = pc.binary_join_element_wise(
+            pc.fill_null(b["text"], ""), suffix, "")
+        return pa.table({"source": b["source"], "text": tx})
+
+    audited = add_encoding_audit(
+        ds.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True))
+
+    def to_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "bad_docs": pc.subtract(pa.scalar(1, type=pa.int64()), b["enc_ok"]),
+            "sum_replacement": b["n_replacement"],
+            "sum_control": b["n_control"],
+            "sum_mojibake": b["n_mojibake"],
+        })
+
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    out = grouped_agg(
+        audited.map_batches(to_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        sums=["n_docs", "bad_docs", "sum_replacement", "sum_control",
+              "sum_mojibake"],
+        count_alias=None,
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    out = out.rename(columns={f"sum_{c}": c for c in (
+        "n_docs", "bad_docs", "sum_replacement", "sum_control", "sum_mojibake")})
+    return out[["source", "n_docs", "bad_docs", "sum_replacement",
+                "sum_control", "sum_mojibake"]].astype(
+        {c: "int64" for c in out.columns if c != "source"})
+
+
+SQL_DOC_ENCODING_AUDIT = """
+WITH t AS (
+  SELECT source,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 37 = 5
+              THEN ' Ã©â€œ' || chr(65533) || 'x ' || chr(7) || 'junk'
+              ELSE '' END AS tx
+  FROM documents
+),
+c AS (
+  SELECT source,
+         len(regexp_extract_all(tx, chr(65533))) AS nr,
+         len(regexp_extract_all(tx, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]|[\\x80-\\x9f]')) AS nc,
+         len(regexp_extract_all(tx, 'Ã[ -¿]|â€')) AS nm
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nr = 0 AND nc = 0 AND nm = 0 THEN 0 ELSE 1 END) AS BIGINT) AS bad_docs,
+       CAST(sum(nr) AS BIGINT) AS sum_replacement,
+       CAST(sum(nc) AS BIGINT) AS sum_control,
+       CAST(sum(nm) AS BIGINT) AS sum_mojibake
+FROM c GROUP BY source ORDER BY source
+"""
+
+QUERIES2["doc_encoding_audit"] = q_doc_encoding_audit
+ORACLES2["doc_encoding_audit"] = SQL_DOC_ENCODING_AUDIT
+
+
+# ---------------------------------------------------------------------------
 # media_audio_real / media_frames_real — REAL audio + frame sampling
 
 N_WAV, N_VID, VID_STRIDE = 32, 24, 2

@@ -3241,3 +3241,20 @@ def test_decode_image_real_png_features(ray_session):
     f0 = out.sort_values("media_id")["features"].iloc[0]
     # [mean_r, mean_g, mean_b, w, h, ...]; image 0 is 9x7
     assert len(f0) == 8 and 0.0 <= f0[0] <= 1.0 and f0[3] == 9.0 and f0[4] == 7.0
+
+
+def test_encoding_audit(ray_session):
+    from jesse_ray.functions.text import add_encoding_audit
+
+    t = pa.table({"text": pa.array([
+        "clean text with tab\tand newline\n",
+        "bell \x07 and esc \x1b chars",
+        "moji Ã© plus â€œquotesâ€\x9d",
+        "lost bytes \ufffd\ufffd",
+        None,
+    ])})
+    out = add_encoding_audit(ray.data.from_arrow(t)).to_pandas()
+    assert out["n_control"].tolist() == [0, 2, 1, 0, 0]  # \x9d is C1
+    assert out["n_mojibake"].tolist() == [0, 0, 3, 0, 0]
+    assert out["n_replacement"].tolist() == [0, 0, 0, 2, 0]
+    assert out["enc_ok"].tolist() == [1, 0, 0, 0, 1]
