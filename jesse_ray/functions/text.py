@@ -1493,3 +1493,51 @@ def add_encoding_audit(
 
     return ds.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+#: major Unicode script blocks, in the fixed dominance-priority order
+#: (argmax tie-break = first listed); RE2 ``\x{...}`` class syntax is
+#: shared verbatim with the DuckDB twins
+SCRIPT_BLOCKS = [
+    ("latin", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\x{0370}-\\x{03FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("hebrew", "[\\x{0590}-\\x{05FF}]"),
+    ("devanagari", "[\\x{0900}-\\x{097F}]"),
+    ("hangul", "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"),
+]
+
+
+def add_script_profile(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-document Unicode-SCRIPT profile: codepoint counts for the
+    major script blocks plus the dominant script (``none`` when no
+    script codepoint occurs).  Complements the stopword lang-ID — script
+    mixing inside one document is the cheap signal for embedded foreign
+    quotes, spam keyword stuffing, and wrong-language contamination that
+    word-level lang-ID misses.  One Arrow RE2 count kernel per block per
+    batch; dominance = first-listed argmax, replicated exactly by the
+    SQL twin's CASE chain."""
+
+    def profile(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(_combine_col(batch[text_col]), "")
+        counts = [pc.count_substring_regex(text, pat).cast(pa.int64())
+                  for _, pat in SCRIPT_BLOCKS]
+        mat = np.stack([c.to_numpy(zero_copy_only=False) for c in counts])
+        best = np.argmax(mat, axis=0)  # first max wins — the priority order
+        names = np.array([n for n, _ in SCRIPT_BLOCKS] + ["none"], dtype=object)
+        best = np.where(mat.max(axis=0) > 0, best, len(SCRIPT_BLOCKS))
+        out = batch
+        for (name, _), c in zip(SCRIPT_BLOCKS, counts):
+            out = out.append_column(f"n_{name}", c)
+        return out.append_column(
+            "dominant_script", pa.array(names[best], type=pa.string()))
+
+    return ds.map_batches(profile, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

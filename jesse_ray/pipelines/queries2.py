@@ -662,6 +662,101 @@ ORACLES2["doc_encoding_audit"] = SQL_DOC_ENCODING_AUDIT
 
 
 # ---------------------------------------------------------------------------
+# doc_script_profile — Unicode-script mixing / contamination signal
+
+_SCRIPT_INJECT = [
+    (3, " Привет мир"),     # cyrillic
+    (7, " 你好世界"),         # cjk
+    (11, " مرحبا بالعالم"),  # arabic
+]
+
+
+def q_doc_script_profile(sf_dir: str) -> pd.DataFrame:
+    """Unicode-script profile per source: script codepoint sums + docs
+    per dominant script.  Foreign-script spans are injected
+    deterministically (doc_id % 23 buckets) on both sides; the twin
+    re-counts with the same RE2 block classes and re-derives dominance
+    with a priority CASE chain."""
+    from jesse_ray.functions.text import SCRIPT_BLOCKS, add_script_profile
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "source"])
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        tx = pc.fill_null(b["text"], "")
+        for mod, art in _SCRIPT_INJECT:
+            suffix = pc.if_else(pa.array((ids % 23) == mod),
+                                pa.scalar(art), pa.scalar(""))
+            tx = pc.binary_join_element_wise(tx, suffix, "")
+        return pa.table({"source": b["source"], "text": tx})
+
+    prof = add_script_profile(
+        ds.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True))
+
+    count_cols = [f"n_{n}" for n, _ in SCRIPT_BLOCKS]
+
+    def to_part(b: pa.Table) -> pa.Table:
+        cols = {"source": b["source"],
+                "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+        for c in count_cols:
+            cols[c] = b[c]
+        dom = b["dominant_script"]
+        for n in ("latin", "cyrillic", "cjk", "arabic"):
+            cols[f"dom_{n}"] = pc.cast(pc.equal(dom, n), pa.int64())
+        return pa.table(cols)
+
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    sums = ["n_docs"] + count_cols + ["dom_latin", "dom_cyrillic", "dom_cjk",
+                                      "dom_arabic"]
+    out = grouped_agg(
+        prof.map_batches(to_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], sums=sums, count_alias=None,
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    out = out.rename(columns={f"sum_{c}": c for c in sums})
+    return out[["source"] + sums].astype(
+        {c: "int64" for c in sums})
+
+
+def _script_profile_sql() -> str:
+    from jesse_ray.functions.text import SCRIPT_BLOCKS
+
+    cnt = ",\n         ".join(
+        f"len(regexp_extract_all(tx, '{pat}')) AS n_{name}"
+        for name, pat in SCRIPT_BLOCKS)
+    names = [n for n, _ in SCRIPT_BLOCKS]
+    ge_all = {n: " AND ".join(f"n_{n} >= n_{m}" for m in names if m != n)
+              for n in names}
+    dom = "CASE WHEN " + " + ".join(f"n_{n}" for n in names) + " = 0 THEN 'none' "
+    dom += " ".join(f"WHEN {ge_all[n]} THEN '{n}'" for n in names) + " END"
+    inj = " || ".join(
+        f"CASE WHEN doc_id % 23 = {mod} THEN '{art}' ELSE '' END"
+        for mod, art in _SCRIPT_INJECT)
+    sums = ", ".join(
+        [f"CAST(sum(n_{n}) AS BIGINT) AS n_{n}" for n in names]
+        + [f"CAST(sum(CASE WHEN dom = '{n}' THEN 1 ELSE 0 END) AS BIGINT) AS dom_{n}"
+           for n in ("latin", "cyrillic", "cjk", "arabic")])
+    return f"""
+WITH t AS (
+  SELECT source, coalesce(text, '') || {inj} AS tx FROM documents
+),
+c AS (
+  SELECT source,
+         {cnt}
+  FROM t
+),
+d AS (SELECT *, {dom} AS dom FROM c)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs, {sums}
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+QUERIES2["doc_script_profile"] = q_doc_script_profile
+ORACLES2["doc_script_profile"] = _script_profile_sql()
+
+
+# ---------------------------------------------------------------------------
 # media_audio_real / media_frames_real — REAL audio + frame sampling
 
 N_WAV, N_VID, VID_STRIDE = 32, 24, 2

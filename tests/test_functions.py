@@ -3258,3 +3258,21 @@ def test_encoding_audit(ray_session):
     assert out["n_mojibake"].tolist() == [0, 0, 3, 0, 0]
     assert out["n_replacement"].tolist() == [0, 0, 0, 2, 0]
     assert out["enc_ok"].tolist() == [1, 0, 0, 0, 1]
+
+
+def test_script_profile(ray_session):
+    from jesse_ray.functions.text import add_script_profile
+
+    t = pa.table({"text": pa.array([
+        "hello world",
+        "\u041f\u0440\u0438\u0432\u0435\u0442 hi",
+        "\u4f60\u597d\u4e16\u754c",
+        "12345 !!!",
+        None,
+    ])})
+    out = add_script_profile(ray.data.from_arrow(t)).to_pandas()
+    assert out["dominant_script"].tolist() == [
+        "latin", "cyrillic", "cjk", "none", "none"]
+    assert out["n_latin"].tolist()[0] == 10
+    assert out["n_cyrillic"].tolist()[1] == 6
+    assert out["n_cjk"].tolist()[2] == 4
