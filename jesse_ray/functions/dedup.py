@@ -826,13 +826,23 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dups(ds: Dataset, *, max_hamming: int = 3, key_col: str = "doc_id",
-                      blocks: int = 4, **kw) -> Dataset:
+                      blocks: int = 4, bucket_cap: int | None = None,
+                      drop_counter=None, **kw) -> Dataset:
     """Near-dup pairs by simhash hamming distance, candidates by the
     standard block-permutation trick: split the 64-bit signature into
     ``blocks`` chunks; pairs within ``max_hamming`` (< blocks) bits MUST
     agree on ≥1 chunk (pigeonhole — recall is exactly 1, not
     probabilistic) → groupby chunk value, verify hamming inside groups,
     distributed pair dedup.  Returns a Dataset of (left, right, hamming).
+
+    DENSITY BOUND: each block has 2^(64/blocks) bucket values, so the
+    expected within-bucket candidate load grows ~n²·blocks/2^(64/blocks)
+    — negligible until the corpus-per-shard approaches 2^16 SIMILAR
+    signatures (clustered, low-diversity text reaches it much sooner
+    than random text; measured sf1: 50k word-salad docs → 21× the
+    per-doc cost of 5k).  ``bucket_cap`` is the same skew guard as the
+    MinHash path: runs above the cap emit nothing and increment
+    ``drop_counter`` so the loss is visible, not silent.
     """
     assert max_hamming < blocks, "pigeonhole completeness needs max_hamming < blocks"
     sigs = simhash_signatures(ds.select_columns([key_col, "text"]), **kw)
@@ -861,7 +871,10 @@ def simhash_near_dups(ds: Dataset, *, max_hamming: int = 3, key_col: str = "doc_
         keys = g[key_col].to_numpy()
         bk = g["bucket"].to_numpy(dtype=np.uint64)
         s = g["sig"].to_numpy(dtype=np.uint64)
-        l, r, sl, sr = _pairs_within_runs(bk, keys, None, payload=s)
+        stats = DropStats()
+        l, r, sl, sr = _pairs_within_runs(bk, keys, bucket_cap, payload=s,
+                                          stats=stats)
+        _report_drops("simhash_near_dups", stats, drop_counter)
         if len(l) == 0:
             return pd.DataFrame({"left": pd.Series(l), "right": pd.Series(r),
                                  "hamming": pd.Series([], dtype=np.int64)})

@@ -3276,3 +3276,20 @@ def test_script_profile(ray_session):
     assert out["n_latin"].tolist()[0] == 10
     assert out["n_cyrillic"].tolist()[1] == 6
     assert out["n_cjk"].tolist()[2] == 4
+
+
+def test_simhash_bucket_cap_reports_drops(ray_session):
+    # a degenerate constant-text corpus collapses every block bucket;
+    # with bucket_cap the run is skipped AND the drop is surfaced
+    from jesse_ray.functions.dedup import DropCounter, simhash_near_dups
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), type=pa.int64()),
+        "text": pa.array(["identical words here"] * 40),
+    })
+    ctr = DropCounter.remote()
+    out = simhash_near_dups(ray.data.from_arrow(t), max_hamming=3,
+                            bucket_cap=8, drop_counter=ctr).to_pandas()
+    assert out.empty  # every bucket over the cap
+    drops = ray.get(ctr.get.remote())
+    assert drops["dropped_buckets"] >= 1 and drops["dropped_rows"] >= 40
