@@ -1655,3 +1655,120 @@ def semantic_near_dups(
 
     pairs = sel.groupby("cluster").map_groups(pairs_in, batch_format="pyarrow")
     return cents, assigned, pairs
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme)
+
+
+def winnow_fingerprints(ds: Dataset, *, k: int = 4, w: int = 4,
+                        key_col: str = "doc_id", text_col: str = "text",
+                        batch_size: int = 8192) -> Dataset:
+    """Winnowing document fingerprints: k-word grams, one fingerprint
+    per window of ``w`` consecutive gram positions = the window MINIMUM,
+    deduplicated per document.  Guarantees any shared run of
+    ``w + k - 1`` words between two documents yields a shared
+    fingerprint, with ~2/(w+1) of grams selected — the bounded-size
+    overlap/plagiarism-detection sketch between exact substring dedup
+    (all grams) and MinHash (global sample).
+
+    Deliberate delta from the paper: window minima use LEXICOGRAPHIC
+    gram order, not a hash order, so the DuckDB twin's
+    ``MIN(gram) OVER (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)``
+    replicates selection exactly (windows shrink at document end, so
+    every trailing gram run keeps a fingerprint and short documents
+    with ≥1 gram are never empty).  Lexicographic selection biases
+    toward alphabetically-small grams but preserves the winnowing
+    guarantee, which only needs a consistent total order.
+
+    Fully vectorized per batch: one split, object-array gram join,
+    np.unique ranks, and w-1 shifted-minimum passes; no per-document
+    Python.  Returns a Dataset of (key_col, fingerprint)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        empty = pa.table({key_col: keys.slice(0, 0),
+                          "fingerprint": pa.array([], type=pa.string())})
+        m = len(flat) - (k - 1)
+        if m <= 0:
+            return empty
+        # gram strings via vectorized object concat (k-1 passes)
+        g = flat[:m].copy()
+        for j in range(1, k):
+            g = g + " "
+            g = g + flat[j:m + j]
+        gvalid = parent[:m] == parent[k - 1:]
+        grams, gparent = g[gvalid], parent[:m][gvalid]
+        if len(grams) == 0:
+            return empty
+        uniq, inv = np.unique(grams, return_inverse=True)
+        # shrinking-window minimum: wmin[j] = min(rank[j : j+w] ∩ same doc)
+        wmin = inv.copy()
+        n = len(inv)
+        for d in range(1, w):
+            ok = np.zeros(n, dtype=bool)
+            ok[: n - d] = gparent[d:] == gparent[: n - d]
+            np.minimum(wmin[: n - d], np.where(ok[: n - d], inv[d:], np.iinfo(inv.dtype).max),
+                       out=wmin[: n - d])
+        sel = np.unique(np.stack([gparent, wmin]), axis=1)
+        docs, ranks = sel[0], sel[1]
+        return pa.table({
+            key_col: keys.take(pa.array(docs, type=pa.int64())),
+            "fingerprint": pa.array(uniq[ranks], type=pa.string()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+
+
+def winnow_overlap_pairs(ds: Dataset, *, k: int = 4, w: int = 4,
+                         min_shared: int = 2, key_col: str = "doc_id",
+                         text_col: str = "text", n_parts: int = 64,
+                         bucket_cap: int | None = None,
+                         drop_counter=None) -> Dataset:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS overlap report.  Distributed shape: fingerprint rows →
+    coarse fingerprint-hash shuffle → within-run pairs (one pair row
+    per SHARED fingerprint) → coarse pair-hash shuffle counting
+    multiplicity exactly.  Returns (left, right, n_shared)."""
+    from jesse_ray.hashutil import hash64_strings, hash_partition_pandas
+
+    fps = winnow_fingerprints(ds, k=k, w=w, key_col=key_col, text_col=text_col)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        col = batch["fingerprint"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.append_column(
+            "bucket", pa.array(hash64_strings(col), type=pa.uint64()))
+
+    def pairs_many(g: pd.DataFrame) -> pd.DataFrame:
+        ks = g[key_col].to_numpy()
+        bk = g["bucket"].to_numpy(dtype=np.uint64)
+        stats = DropStats()
+        out_l, out_r = _pairs_within_runs(bk, ks, bucket_cap, stats=stats)
+        _report_drops("winnow_overlap_pairs", stats, drop_counter)
+        return pd.DataFrame({"left": out_l, "right": out_r})
+
+    cand = _by_coarse_part(
+        fps.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True),
+        "bucket", n_parts).map_groups(pairs_many, batch_format="pandas")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df[["left", "right"]], ["left", "right"], n_parts)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["left", "right"], sort=False).size()
+              .reset_index(name="n_shared"))
+        return c[c["n_shared"] >= min_shared]
+
+    return cand.map_batches(part, batch_format="pandas").groupby("__part").map_groups(
+        count, batch_format="pandas")

@@ -757,6 +757,51 @@ ORACLES2["doc_script_profile"] = _script_profile_sql()
 
 
 # ---------------------------------------------------------------------------
+# doc_winnow_overlap — MOSS winnowing fingerprint overlap report
+
+WINNOW_K, WINNOW_W, WINNOW_MIN = 4, 4, 2
+
+
+def q_doc_winnow_overlap(sf_dir: str) -> pd.DataFrame:
+    """Winnowing (MOSS) overlap pairs: k-word grams, lexicographic
+    window-of-w minima as per-doc fingerprints, pairs sharing ≥2.  The
+    twin re-derives selection with MIN() OVER a shrinking window and
+    re-joins on the fingerprint STRING — selection, dedup, pairing and
+    multiplicity are all independently recomputed."""
+    from jesse_ray.functions.dedup import winnow_overlap_pairs
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = _collect(winnow_overlap_pairs(
+        ds, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN)).to_pandas()
+    out = out.sort_values(["left", "right"]).reset_index(drop=True)
+    return out.astype({"left": "int64", "right": "int64", "n_shared": "int64"})
+
+
+SQL_DOC_WINNOW_OVERLAP = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i, array_to_string(ws[i:i+{WINNOW_K - 1}], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {WINNOW_K - 1})) AS i FROM w)
+),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+    FROM g)
+)
+SELECT a.doc_id AS "left", b.doc_id AS "right",
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN}
+ORDER BY 1, 2
+"""
+
+QUERIES2["doc_winnow_overlap"] = q_doc_winnow_overlap
+ORACLES2["doc_winnow_overlap"] = SQL_DOC_WINNOW_OVERLAP
+
+
+# ---------------------------------------------------------------------------
 # media_audio_real / media_frames_real — REAL audio + frame sampling
 
 N_WAV, N_VID, VID_STRIDE = 32, 24, 2

@@ -3293,3 +3293,38 @@ def test_simhash_bucket_cap_reports_drops(ray_session):
     assert out.empty  # every bucket over the cap
     drops = ray.get(ctr.get.remote())
     assert drops["dropped_buckets"] >= 1 and drops["dropped_rows"] >= 40
+
+
+def test_winnow_fingerprints_guarantee(ray_session):
+    # shared runs of w+k-1 words MUST yield a shared fingerprint
+    from jesse_ray.functions.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w+k-1 words
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "one two " + shared + " three four five six",
+            "nine ten eleven " + shared + " twelve",
+            "completely different words with no overlap at all here",
+        ]),
+    })
+    fps = winnow_fingerprints(ray.data.from_arrow(t), k=4, w=4).to_pandas()
+    s1 = set(fps[fps["doc_id"] == 1]["fingerprint"])
+    s2 = set(fps[fps["doc_id"] == 2]["fingerprint"])
+    s3 = set(fps[fps["doc_id"] == 3]["fingerprint"])
+    assert s1 & s2, "winnowing guarantee: shared 7-word run must share a fingerprint"
+    assert not (s1 & s3) and not (s2 & s3)
+    # density: ~2/(w+1) of grams selected, never empty for >= 1 gram
+    assert 0 < len(s3) <= 8
+    pairs = winnow_overlap_pairs(ray.data.from_arrow(t), k=4, w=4,
+                                 min_shared=1).to_pandas()
+    assert [(r["left"], r["right"]) for _, r in pairs.iterrows()] == [(1, 2)]
+
+
+def test_winnow_short_doc_not_empty(ray_session):
+    from jesse_ray.functions.dedup import winnow_fingerprints
+
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                  "text": pa.array(["just four words here"])})
+    fps = winnow_fingerprints(ray.data.from_arrow(t), k=4, w=4).to_pandas()
+    assert fps["fingerprint"].tolist() == ["just four words here"]
