@@ -802,6 +802,71 @@ ORACLES2["doc_winnow_overlap"] = SQL_DOC_WINNOW_OVERLAP
 
 
 # ---------------------------------------------------------------------------
+# doc_bow_dedup — word-multiset (order-insensitive) duplicate clusters
+
+
+def q_doc_bow_dedup(sf_dir: str) -> pd.DataFrame:
+    """Bag-of-words dedup: clusters of documents whose word MULTISETS
+    are identical (catches reordered boilerplate byte-exact dedup
+    misses).  Keeper = min doc_id per cluster; twin groups by
+    list_sort(string_split(...)) independently."""
+    from jesse_ray.functions.dedup import bow_duplicate_clusters
+    from jesse_ray.pipelines.relational import hash_join
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # inject order-scrambled dups on BOTH sides: docs with id % 41 == 2
+    # become the WORD-REVERSED text of doc id-1 (byte-unequal, multiset-
+    # equal) so the order-insensitive path is genuinely exercised
+    nxt = ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.add(b["doc_id"], pa.scalar(1, type=pa.int64())),
+            "prev_text": pc.fill_null(b["text"], "")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(ds, nxt, on="doc_id", how="left")
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        text = pc.fill_null(b["text"], "").to_numpy(zero_copy_only=False)
+        prev = b["prev_text"].to_numpy(zero_copy_only=False)
+        hit = np.flatnonzero(((ids % 41) == 2) & (prev != None))  # noqa: E711
+        out = text.copy()
+        for i in hit:
+            out[i] = " ".join(reversed(prev[i].split(" ")))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(out, type=pa.string())})
+
+    inj = joined.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    t = _collect(bow_duplicate_clusters(inj))
+    if t is None:
+        return pd.DataFrame({"keeper": pd.Series([], dtype="int64"),
+                             "size": pd.Series([], dtype="int64")})
+    out = t.to_pandas().sort_values("keeper").reset_index(drop=True)
+    return out.astype({"keeper": "int64", "size": "int64"})
+
+
+SQL_DOC_BOW_DEDUP = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+inj AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 41 = 2 AND p.text IS NOT NULL
+              THEN array_to_string(list_reverse(string_split(p.text, ' ')), ' ')
+              ELSE b.text END AS text
+  FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1
+),
+c AS (
+  SELECT doc_id,
+         array_to_string(list_sort(string_split(text, ' ')), ' ') AS canon
+  FROM inj
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS size
+FROM c GROUP BY canon HAVING count(*) > 1 ORDER BY keeper
+"""
+
+QUERIES2["doc_bow_dedup"] = q_doc_bow_dedup
+ORACLES2["doc_bow_dedup"] = SQL_DOC_BOW_DEDUP
+
+
+# ---------------------------------------------------------------------------
 # media_audio_real / media_frames_real — REAL audio + frame sampling
 
 N_WAV, N_VID, VID_STRIDE = 32, 24, 2

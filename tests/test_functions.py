@@ -3328,3 +3328,22 @@ def test_winnow_short_doc_not_empty(ray_session):
                   "text": pa.array(["just four words here"])})
     fps = winnow_fingerprints(ray.data.from_arrow(t), k=4, w=4).to_pandas()
     assert fps["fingerprint"].tolist() == ["just four words here"]
+
+
+def test_bow_dedup_order_insensitive(ray_session):
+    from jesse_ray.functions.dedup import add_bow_canonical, bow_duplicate_clusters
+
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": pa.array([
+            "the quick brown fox",
+            "fox brown quick the",       # same multiset, different order
+            "the quick brown fox fox",   # different multiset (extra fox)
+            "unrelated words entirely",
+        ]),
+    })
+    canon = add_bow_canonical(ray.data.from_arrow(t)).to_pandas()
+    assert canon["bow_canon"].iloc[0] == canon["bow_canon"].iloc[1]
+    assert canon["bow_canon"].iloc[0] != canon["bow_canon"].iloc[2]
+    out = bow_duplicate_clusters(ray.data.from_arrow(t)).to_pandas()
+    assert out[["keeper", "size"]].values.tolist() == [[10, 2]]
