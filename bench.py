@@ -104,17 +104,46 @@ def run_bench() -> dict:
 
     # headline: full validation (fused row+referential pass ∪ uniqueness);
     # with BENCH_REPS>1, the MIN over reps estimates steady-state wall
-    # time on this shared, noisy box
+    # time on this shared, noisy box.
+    # GRAFT_SCALING_WORKLOAD=sketch swaps in the FULL north-star pass —
+    # validation with the drift sketch fused in-band (t-digest +
+    # count-min per batch + tree merge) — for scaling runs: the plain
+    # validate leg is so lean per byte that even 4 concurrent streams
+    # saturate this box's single memory bus (343k rows/s at 4 CPUs ==
+    # the 32-CPU plateau), at which point the ratio measures the bus,
+    # not the engine; the sketch-fused pass has ~3× the arithmetic
+    # intensity and stays CPU-bound at the hi level.
+    workload = os.environ.get("GRAFT_SCALING_WORKLOAD", "validate")
     times = []
     for _ in range(reps):
         t0 = time.time()
-        res = validate_dataset(
-            read_sequences(path),
-            _seq_spec(),
-            key_ds=read_sequences(path, columns=["doc_id"]),
-            referential_concurrency=(1, max(4, NUM_CPUS // 2)),
-        )
-        n_viol = res.all_violations_table().num_rows
+        if workload == "sketch":
+            from jesse_ray.compiler import compile_spec as _cs
+            from jesse_ray.engine import fused_sketch_violations, prepare_compiled
+            from jesse_ray.stages.drift import merge_sketch_rows
+
+            dsx = read_sequences(path)
+            combined = fused_sketch_violations(
+                dsx, prepare_compiled(_cs(_seq_spec()), dsx))
+            import pyarrow.compute as _pc2
+
+            def _sk(t):
+                keep = t.filter(_pc2.is_valid(t["__sketch"]))
+                import pyarrow as _pa2
+
+                return _pa2.table(
+                    {"sketch": keep["__sketch"].cast(_pa2.large_binary())})
+
+            _ = merge_sketch_rows(combined.map_batches(_sk, batch_format="pyarrow"))
+            n_viol = -1
+        else:
+            res = validate_dataset(
+                read_sequences(path),
+                _seq_spec(),
+                key_ds=read_sequences(path, columns=["doc_id"]),
+                referential_concurrency=(1, max(4, NUM_CPUS // 2)),
+            )
+            n_viol = res.all_violations_table().num_rows
         times.append(round(time.time() - t0, 3))
     queries["validate_full"] = min(times)
     if reps > 1:

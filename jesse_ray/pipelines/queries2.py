@@ -867,6 +867,78 @@ ORACLES2["doc_bow_dedup"] = SQL_DOC_BOW_DEDUP
 
 
 # ---------------------------------------------------------------------------
+# events_watermark_late — streaming watermark / allowed-lateness semantics
+
+WM_LATENESS_S = 300
+WM_JITTER_MOD, WM_JITTER_STEP_S = 17, 90
+
+
+def q_events_watermark_late(sf_dir: str) -> pd.DataFrame:
+    """Watermark late-event marking over a replayed log (arrival order =
+    event_id, watermark = running max event time, allowed lateness
+    300 s).  The driver events are perfectly ordered, so deterministic
+    jitter (ts − (event_id % 17)·90 s) is applied on BOTH sides to
+    create genuine out-of-order arrivals; the twin re-derives the
+    watermark with MAX() OVER (ORDER BY event_id) and the same drop
+    rule.  Output: per event_type kept/late counts."""
+    from jesse_ray.pipelines.relational import grouped_agg, watermark_late_filter
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "ts", "event_type"])
+
+    def jitter(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        shifted = ts - (ids % WM_JITTER_MOD) * (WM_JITTER_STEP_S * 1_000_000)
+        return pa.table({
+            "event_id": b["event_id"],
+            "ts": pa.array(shifted).cast(pa.timestamp("us")),
+            "event_type": b["event_type"],
+        })
+
+    marked = watermark_late_filter(
+        ds.map_batches(jitter, batch_format="pyarrow", zero_copy_batch=True),
+        order_col="event_id", ts_col="ts", lateness_s=WM_LATENESS_S)
+
+    def to_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_late": b["late"],
+        })
+
+    out = grouped_agg(
+        marked.map_batches(to_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], sums=["n_events", "n_late"], count_alias=None,
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    out = out.rename(columns={"sum_n_events": "n_events", "sum_n_late": "n_late"})
+    return out[["event_type", "n_events", "n_late"]].astype(
+        {"n_events": "int64", "n_late": "int64"})
+
+
+SQL_EVENTS_WATERMARK_LATE = f"""
+WITH j AS (
+  SELECT event_id, event_type,
+         ts - (event_id % {WM_JITTER_MOD}) * INTERVAL {WM_JITTER_STEP_S} SECOND AS ts
+  FROM events
+),
+w AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id) AS wm
+  FROM j
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ts < wm - INTERVAL {WM_LATENESS_S} SECOND
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES2["events_watermark_late"] = q_events_watermark_late
+ORACLES2["events_watermark_late"] = SQL_EVENTS_WATERMARK_LATE
+
+
+# ---------------------------------------------------------------------------
 # media_audio_real / media_frames_real — REAL audio + frame sampling
 
 N_WAV, N_VID, VID_STRIDE = 32, 24, 2

@@ -2319,3 +2319,61 @@ def rolling_distinct_entities(
     counts = np.cumsum(total[:-1])
     return pd.DataFrame({"day": np.arange(lo_day, hi_day + 1, dtype=np.int64),
                          "rolling_distinct": counts.astype(np.int64)})
+
+
+def watermark_late_filter(
+    ds: "Dataset",
+    *,
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    lateness_s: float = 300.0,
+) -> "Dataset":
+    """Streaming-ingest watermark semantics over a replayed log: events
+    arrive in ``order_col`` order; the watermark is the running maximum
+    event time seen so far; an event whose timestamp lags the watermark
+    by more than ``lateness_s`` is marked late (the allowed-lateness
+    drop rule of stream processors).  Appends ``late`` (int64 0/1).
+
+    Distributed as the pack_offsets prefix-scan shape: one
+    range-partitioned sort by arrival order, a per-block max-ts summary
+    (rows never leave their block), a driver-side exclusive prefix max
+    over the tiny block summaries, then a second per-block pass
+    combining the broadcast block prefix with the block-local running
+    max — the classic two-pass distributed scan, O(blocks) driver state."""
+    import numpy as np
+
+    sorted_ds = ds.sort(order_col).materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_key": pa.array([], type=pa.int64()),
+                             "max_ts": pa.array([], type=pa.int64())})
+        ts = batch[ts_col].cast(pa.int64())
+        first = batch[order_col][0].as_py()
+        return pa.table({"first_key": pa.array([first], type=pa.int64()),
+                         "max_ts": pa.array([pc.max(ts).as_py()], type=pa.int64())})
+
+    summaries = pa.concat_tables(
+        sorted_ds.map_batches(block_summary, batch_format="pyarrow",
+                              batch_size=None).iter_batches(batch_format="pyarrow")
+    ).sort_by("first_key")
+    firsts = summaries["first_key"].to_numpy(zero_copy_only=False)
+    maxes = summaries["max_ts"].to_numpy(zero_copy_only=False)
+    # exclusive prefix max per block: watermark carried INTO the block
+    prefix = np.full(len(maxes), np.iinfo(np.int64).min, dtype=np.int64)
+    if len(maxes) > 1:
+        prefix[1:] = np.maximum.accumulate(maxes)[:-1]
+    late_us = np.int64(round(lateness_s * 1_000_000))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("late", pa.array([], type=pa.int64()))
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        first = batch[order_col][0].as_py()
+        bi = int(np.searchsorted(firsts, first, side="right") - 1)
+        run = np.maximum.accumulate(ts)
+        wm = np.maximum(run, prefix[bi])
+        late = (ts < wm - late_us).astype(np.int64)
+        return batch.append_column("late", pa.array(late))
+
+    return sorted_ds.map_batches(mark, batch_format="pyarrow", batch_size=None)

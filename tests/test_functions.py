@@ -3347,3 +3347,20 @@ def test_bow_dedup_order_insensitive(ray_session):
     assert canon["bow_canon"].iloc[0] != canon["bow_canon"].iloc[2]
     out = bow_duplicate_clusters(ray.data.from_arrow(t)).to_pandas()
     assert out[["keeper", "size"]].values.tolist() == [[10, 2]]
+
+
+def test_watermark_late_filter(ray_session):
+    from jesse_ray.pipelines.relational import watermark_late_filter
+
+    # arrival order 0..5; event times (s): 0, 1000, 200, 950, 2000, 100
+    # watermark after each arrival: 0, 1000, 1000, 1000, 2000, 2000
+    # lateness 500 s → late = ts < wm - 500: events at 200 (wm 1000),
+    # 100 (wm 2000); 950 is within 500 of 1000 → kept
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": pa.array([0, 1000, 200, 950, 2000, 100],
+                       type=pa.int64()).cast(pa.timestamp("s")).cast(pa.timestamp("us")),
+    })
+    out = (watermark_late_filter(ray.data.from_arrow(t), lateness_s=500)
+           .to_pandas().sort_values("event_id"))
+    assert out["late"].tolist() == [0, 0, 1, 0, 0, 1]
