@@ -1,0 +1,105 @@
+"""Wave-3 catalog operators: skyline sweep, CUBE grouping sets, KMV
+sketch, interpolated percentiles (the catalog-level DuckDB parity is
+covered by tools/check_oracles.py; these pin the kernels)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jesse_ray.hashutil import fmix64
+from jesse_ray.pipelines.queries3 import _skyline_mask
+
+
+def test_skyline_mask_basic():
+    # minimize price, maximize size
+    price = np.array([1.0, 2.0, 3.0, 2.5, 1.0])
+    size = np.array([5, 7, 9, 9, 4], dtype=np.int64)
+    # (1,5): nothing cheaper -> frontier. (2,7): only (1,5) cheaper, 7>5 ✓
+    # (3,9): dominated by (2.5,9) (cheaper, same size) ✗
+    # (2.5,9): frontier ✓. (1,4): dominated by (1,5) ✗
+    mask = _skyline_mask(price, size)
+    assert mask.tolist() == [True, True, False, True, False]
+
+
+def test_skyline_mask_single_and_monotone():
+    assert _skyline_mask(np.array([3.0]), np.array([1], dtype=np.int64)).tolist() == [True]
+    # strictly better in both dims: only the best survives
+    price = np.array([1.0, 2.0, 3.0])
+    size = np.array([9, 8, 7], dtype=np.int64)
+    assert _skyline_mask(price, size).tolist() == [True, False, False]
+
+
+def test_skyline_local_superset_property():
+    # union of per-block skylines contains the global skyline
+    rng = np.random.default_rng(7)
+    price = rng.uniform(0, 100, size=400)
+    size = rng.integers(1, 50, size=400).astype(np.int64)
+    glob = _skyline_mask(price, size)
+    half = 200
+    m1 = _skyline_mask(price[:half], size[:half])
+    m2 = _skyline_mask(price[half:], size[half:])
+    union = np.concatenate([m1, m2])
+    assert np.all(union[glob])
+
+
+def test_kmv_estimate_accuracy():
+    # KMV over D known-distinct values: estimate within ~3/sqrt(K) rel err
+    k = 512
+    d = 50_000
+    vals = np.arange(d, dtype=np.int64).astype(np.uint64)
+    h = np.sort(fmix64(vals))[:k]
+    est = (k - 1) * float(1 << 64) / float(h[-1])
+    assert abs(est - d) / d < 3 / np.sqrt(k)
+
+
+def test_kmv_merge_equals_global():
+    # bottom-k of merged per-block bottom-k == global bottom-k
+    k = 64
+    vals = np.arange(10_000, dtype=np.uint64)
+    h = fmix64(vals)
+    parts = [np.sort(h[i::7])[:k] for i in range(7)]
+    merged = np.unique(np.concatenate(parts))[:k]
+    assert np.array_equal(merged, np.sort(h)[:k])
+
+
+def test_quantile_cont_formula_matches_numpy_linear():
+    x = np.sort(np.random.default_rng(3).uniform(0, 10, size=101))
+    for q in (0.25, 0.5, 0.75, 0.9):
+        pos = q * (len(x) - 1)
+        i = int(np.floor(pos))
+        g = pos - i
+        hi = x[i + 1] if i + 1 < len(x) else x[i]
+        val = x[i] + g * (hi - x[i])
+        assert val == pytest.approx(float(np.quantile(x, q)), abs=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_grouping_sets_consistency():
+    from jesse_ray.pipelines.queries3 import q_lineitem_cube
+
+    out = q_lineitem_cube("/root/testdata/sf0.001")
+    leaf = out[out["l_returnflag"].notna() & out["l_linestatus"].notna()]
+    total = out[out["l_returnflag"].isna() & out["l_linestatus"].isna()]
+    by_flag = out[out["l_returnflag"].notna() & out["l_linestatus"].isna()]
+    by_status = out[out["l_returnflag"].isna() & out["l_linestatus"].notna()]
+    assert len(total) == 1
+    assert leaf["n"].sum() == total["n"].iloc[0]
+    assert by_flag["n"].sum() == total["n"].iloc[0]
+    assert by_status["n"].sum() == total["n"].iloc[0]
+    assert leaf["sum_qty"].sum() == total["sum_qty"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_part_skyline_no_dominated_rows():
+    from jesse_ray.pipelines.queries3 import q_part_skyline
+
+    out = q_part_skyline("/root/testdata/sf0.001")
+    pr = out["price"].to_numpy()
+    sz = out["p_size"].to_numpy()
+    # pairwise: no row dominates another (frontier rows are mutually
+    # non-dominated), checked exactly on the small result
+    for i in range(len(out)):
+        dom = (pr <= pr[i]) & (sz >= sz[i]) & ((pr < pr[i]) | (sz > sz[i]))
+        assert not dom.any()
