@@ -314,3 +314,259 @@ ORDER BY lo.event_type, lo.q
 
 QUERIES3["events_quantile_cont"] = q_events_quantile_cont
 ORACLES3["events_quantile_cont"] = SQL_EVENTS_QUANTILE_CONT
+
+
+# ---------------------------------------------------------------------------
+# doc_sorted_neighborhood — SNM blocking + windowed exact edit-distance verify
+
+SNM_KEYLEN, SNM_BLKLEN, SNM_WINDOW, SNM_MAXDIST = 24, 6, 2, 2
+
+
+def q_doc_sorted_neighborhood(sf_dir: str) -> pd.DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995):
+    normalize each document to a sort key (lower-alnum-squeezed 24-char
+    prefix), range-block on the key's 6-char prefix, sort within each
+    block and compare every row against its next ``SNM_WINDOW``
+    neighbors with EXACT Levenshtein (vectorized over the pair axis —
+    `functions/editdist.py`, no per-pair Python DP).  Scale shape: the
+    block groupby is the only shuffle; window comparisons are linear in
+    rows (W·n pairs, never all-pairs), and the edit-distance DP is
+    O(L²) numpy passes over the whole pair batch at once."""
+    from jesse_ray.functions.editdist import levenshtein_pairs
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(b["text"], ""))
+        key = pc.utf8_slice_codeunits(
+            pc.replace_substring_regex(low, "[^a-z0-9]", ""), 0, SNM_KEYLEN)
+        blk = pc.utf8_slice_codeunits(key, 0, SNM_BLKLEN)
+        return pa.table({"doc_id": b["doc_id"], "key": key, "blk": blk})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    def window_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort").reset_index(drop=True)
+        a_id, b_id, a_key, b_key = [], [], [], []
+        ids = g["doc_id"].to_numpy()
+        keys = g["key"].to_numpy()
+        for off in range(1, SNM_WINDOW + 1):
+            if len(g) > off:
+                a_id.append(ids[:-off]); b_id.append(ids[off:])
+                a_key.append(keys[:-off]); b_key.append(keys[off:])
+        if not a_id:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "dist": pd.array([], dtype="int64")})
+        aid = np.concatenate(a_id); bid = np.concatenate(b_id)
+        ak = np.concatenate(a_key); bk = np.concatenate(b_key)
+        d = levenshtein_pairs(list(ak), list(bk))
+        m = d <= SNM_MAXDIST
+        return pd.DataFrame({"doc_a": aid[m].astype("int64"),
+                             "doc_b": bid[m].astype("int64"),
+                             "dist": d[m].astype("int64")})
+
+    out = keyed_ds.groupby("blk").map_groups(window_pairs, batch_format="pandas")
+    df = out.to_pandas()
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_DOC_SORTED_NEIGHBORHOOD = f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9]', '', 'g'),
+                1, {SNM_KEYLEN}) AS key
+  FROM documents
+),
+b AS (SELECT doc_id, key, substr(key, 1, {SNM_BLKLEN}) AS blk FROM k),
+w AS (
+  SELECT doc_id, key,
+         lead(doc_id, 1) OVER win AS d1, lead(key, 1) OVER win AS k1,
+         lead(doc_id, 2) OVER win AS d2, lead(key, 2) OVER win AS k2
+  FROM b WINDOW win AS (PARTITION BY blk ORDER BY key, doc_id)
+),
+p AS (
+  SELECT doc_id AS doc_a, d1 AS doc_b, levenshtein(key, k1) AS dist
+  FROM w WHERE d1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, d2, levenshtein(key, k2) FROM w WHERE d2 IS NOT NULL
+)
+SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+FROM p WHERE dist <= {SNM_MAXDIST}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES3["doc_sorted_neighborhood"] = q_doc_sorted_neighborhood
+ORACLES3["doc_sorted_neighborhood"] = SQL_DOC_SORTED_NEIGHBORHOOD
+
+
+# ---------------------------------------------------------------------------
+# seq_zonemap_plan — zone-map (min/max) pruning planner for a sorted layout
+
+ZM_ZONE, ZM_LO, ZM_HI = 2048, 100, 140
+
+
+def q_seq_zonemap_plan(sf_dir: str) -> pd.DataFrame:
+    """Zone-map pruning planner: if the corpus were laid out sorted by
+    ``n_tok`` in fixed {ZM_ZONE}-row zones (parquet row groups), how
+    many zones does the predicate ``n_tok BETWEEN {ZM_LO} AND {ZM_HI}``
+    prune?  Zone min/max are order statistics of the sorted layout, so
+    they are derived WITHOUT sorting: one streaming pass builds a
+    per-value count histogram (n_tok domain is bounded), partials sum
+    on the driver, and every zone boundary is a cumsum lookup — the
+    same zone stats an actual rewrite+scan would produce, at histogram
+    cost.  rows_matched / sum come from the same histogram."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["n_tok"])
+    dom = 4096  # > max n_tok (2500); corruption keeps n_tok within int16-ish
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(np.clip(v, 0, dom - 1), minlength=dom)
+        return pa.table({"v": pa.array(np.arange(dom, dtype=np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)).to_pandas()
+    hist = parts.groupby("v", sort=True)["c"].sum().to_numpy()
+    n = int(hist.sum())
+    cum = np.cumsum(hist)  # cum[v] = #rows with n_tok <= v
+    zones = int(np.ceil(n / ZM_ZONE))
+    starts = np.arange(zones, dtype=np.int64) * ZM_ZONE        # first rank in zone
+    ends = np.minimum(starts + ZM_ZONE, n) - 1                 # last rank
+    # value at sorted rank r = smallest v with cum[v] > r
+    zmin = np.searchsorted(cum, starts, side="right")
+    zmax = np.searchsorted(cum, ends, side="right")
+    pruned = int(((zmax < ZM_LO) | (zmin > ZM_HI)).sum())
+    vals = np.arange(dom)
+    sel = (vals >= ZM_LO) & (vals <= ZM_HI)
+    rows_matched = int(hist[sel].sum())
+    sum_matched = int((hist[sel] * vals[sel]).sum())
+    return pd.DataFrame({
+        "zones_total": pd.array([zones], dtype="int64"),
+        "zones_pruned": pd.array([pruned], dtype="int64"),
+        "rows_matched": pd.array([rows_matched], dtype="int64"),
+        "sum_ntok_matched": pd.array([sum_matched], dtype="int64"),
+    })
+
+
+SQL_SEQ_ZONEMAP_PLAN = f"""
+WITH r AS (
+  SELECT n_tok,
+         CAST(floor((row_number() OVER (ORDER BY n_tok) - 1) / {ZM_ZONE})
+              AS BIGINT) AS z
+  FROM {SEQ_SQL}
+),
+zs AS (SELECT z, min(n_tok) AS mn, max(n_tok) AS mx FROM r GROUP BY z),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS zones_total,
+         CAST(sum(CASE WHEN mx < {ZM_LO} OR mn > {ZM_HI} THEN 1 ELSE 0 END)
+              AS BIGINT) AS zones_pruned
+  FROM zs
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_matched,
+         CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS sum_ntok_matched
+  FROM {SEQ_SQL} WHERE n_tok BETWEEN {ZM_LO} AND {ZM_HI}
+)
+SELECT * FROM agg, m
+"""
+
+QUERIES3["seq_zonemap_plan"] = q_seq_zonemap_plan
+ORACLES3["seq_zonemap_plan"] = SQL_SEQ_ZONEMAP_PLAN
+
+
+# ---------------------------------------------------------------------------
+# events_theta_intersect — theta-sketch set intersection across event types
+
+THETA_K = 64
+
+
+def q_events_theta_intersect(sf_dir: str) -> pd.DataFrame:
+    """Theta-sketch set intersection (Dasgupta et al., KMV/theta
+    framework): per event type keep the bottom-{THETA_K} fmix64 hashes
+    of its distinct user set; for every type pair the intersection
+    estimate is ``|A_k ∩ B_k ∩ [0, θ)| · 2^64 / θ`` with
+    ``θ = min(max A_k, max B_k)``.  Scale shape: partials are per-batch
+    per-type bottom-K (constant size), merged once on the driver;
+    distinct users never shuffle.  The SQL twin replays the identical
+    fmix64 chain so common counts and estimates match bit-for-bit."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate([])
+        types, hashes = [], []
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = fmix64(uid.astype(np.uint64))
+        for t in np.unique(et):
+            ht = np.sort(h[et == t])[:THETA_K]
+            types.extend([t] * len(ht))
+            hashes.append(ht)
+        return pa.table({"event_type": pa.array(types, type=pa.string()),
+                         "h": pa.array(np.concatenate(hashes) if hashes
+                                       else np.zeros(0, np.uint64), type=pa.uint64())})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)).to_pandas()
+    sketches: dict[str, np.ndarray] = {}
+    for t, grp in parts.groupby("event_type"):
+        sketches[t] = np.unique(grp["h"].to_numpy())[:THETA_K]
+    ts = sorted(sketches)
+    rows = []
+    for i, ta in enumerate(ts):
+        for tb in ts[i + 1:]:
+            a, b = sketches[ta], sketches[tb]
+            theta = min(float(a[-1]), float(b[-1]))
+            common = np.intersect1d(a, b)
+            common = common[common.astype(np.float64) <= theta]
+            est = len(common) * float(_M64) / theta
+            rows.append((ta, tb, len(common), round(est, 2)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "common", "est_inter"]) \
+        .astype({"common": "int64"}) \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def _theta_sql() -> str:
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h0 AS (
+  SELECT event_type,
+         CAST(((CAST(user_id AS HUGEINT) % {_M64}) + {_M64}) % {_M64}
+              AS UBIGINT) AS h
+  FROM du
+),
+h1 AS (SELECT event_type, {_sql_mul(_sql_xsh('h'), _C1)} AS h FROM h0),
+h2 AS (SELECT event_type, {_sql_mul(_sql_xsh('h'), _C2)} AS h FROM h1),
+h3 AS (SELECT event_type, {_sql_xsh('h')} AS h FROM h2),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h3
+),
+sk AS (SELECT event_type, h FROM rk WHERE rn <= {THETA_K}),
+th AS (SELECT event_type, max(h) AS theta FROM sk GROUP BY event_type),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.event_type < b.event_type
+),
+cm AS (
+  SELECT pr.type_a, pr.type_b, pr.theta,
+         CAST(count(*) AS BIGINT) AS common
+  FROM pr
+  LEFT JOIN sk sa ON sa.event_type = pr.type_a
+  JOIN sk sb ON sb.event_type = pr.type_b AND sb.h = sa.h
+  WHERE CAST(sa.h AS DOUBLE) <= CAST(pr.theta AS DOUBLE)
+  GROUP BY 1, 2, 3
+)
+SELECT pr.type_a, pr.type_b,
+       COALESCE(cm.common, 0) AS common,
+       round(COALESCE(cm.common, 0) * 18446744073709551616.0
+             / CAST(pr.theta AS DOUBLE), 2) AS est_inter
+FROM pr LEFT JOIN cm ON cm.type_a = pr.type_a AND cm.type_b = pr.type_b
+ORDER BY pr.type_a, pr.type_b
+"""
+
+
+QUERIES3["events_theta_intersect"] = q_events_theta_intersect
+ORACLES3["events_theta_intersect"] = _theta_sql()

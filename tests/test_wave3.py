@@ -103,3 +103,66 @@ def test_part_skyline_no_dominated_rows():
     for i in range(len(out)):
         dom = (pr <= pr[i]) & (sz >= sz[i]) & ((pr < pr[i]) | (sz > sz[i]))
         assert not dom.any()
+
+
+def test_levenshtein_pairs_known_cases():
+    from jesse_ray.functions.editdist import levenshtein_pairs
+
+    a = ["kitten", "flaw", "", "abc", "same", "ab"]
+    b = ["sitting", "lawn", "xyz", "", "same", "ba"]
+    assert levenshtein_pairs(a, b).tolist() == [3, 2, 3, 3, 0, 2]
+
+
+def test_levenshtein_pairs_matches_reference_dp():
+    from jesse_ray.functions.editdist import levenshtein_pairs
+
+    def ref(s, t):
+        m, n = len(s), len(t)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (s[i - 1] != t[j - 1]))
+                prev = cur
+        return dp[n]
+
+    rng = np.random.default_rng(11)
+    alpha = "abcde"
+    pairs = [("".join(rng.choice(list(alpha), rng.integers(0, 12))),
+              "".join(rng.choice(list(alpha), rng.integers(0, 12))))
+             for _ in range(60)]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = levenshtein_pairs(a, b)
+    want = [ref(x, y) for x, y in pairs]
+    assert got.tolist() == want
+
+
+def test_theta_intersect_estimate_property():
+    # planted overlap: |A|=3000, |B|=3000, |A∩B|=1000 -> estimate within 35%
+    from jesse_ray.hashutil import fmix64 as fm
+
+    a_ids = np.arange(0, 3000, dtype=np.uint64)
+    b_ids = np.arange(2000, 5000, dtype=np.uint64)
+    k = 64
+    ha = np.sort(fm(a_ids))[:k]
+    hb = np.sort(fm(b_ids))[:k]
+    theta = min(float(ha[-1]), float(hb[-1]))
+    common = np.intersect1d(ha, hb)
+    common = common[common.astype(np.float64) <= theta]
+    est = len(common) * float(1 << 64) / theta
+    assert abs(est - 1000) / 1000 < 0.35
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonemap_plan_counts():
+    from jesse_ray.pipelines.queries3 import q_seq_zonemap_plan, ZM_ZONE
+
+    out = q_seq_zonemap_plan("/root/testdata/sf0.001")
+    assert out["zones_total"].iloc[0] >= 1
+    assert 0 <= out["zones_pruned"].iloc[0] <= out["zones_total"].iloc[0]
+    # matched rows live in non-pruned zones only, so at least one zone
+    # must survive whenever any row matches
+    if out["rows_matched"].iloc[0] > 0:
+        assert out["zones_pruned"].iloc[0] < out["zones_total"].iloc[0]
