@@ -1843,3 +1843,159 @@ def bow_duplicate_clusters(ds: Dataset, *, text_col: str = "text",
                                 zero_copy_batch=True, batch_size=batch_size)
                    .groupby("__part")
                    .map_groups(reduce_part, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# duplicated-n-gram token coverage (Lee et al. 2022 dedup diagnostic)
+
+
+def token_dup_gram_coverage(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    n_parts: int = 64,
+) -> tuple[int, int]:
+    """Fraction-of-corpus diagnostic from "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al., ACL 2022): how many
+    corpus TOKENS sit inside at least one k-token gram that occurs >= 2
+    times corpus-wide?  Returns ``(total_tokens, covered_tokens)``.
+
+    Fully distributed, no driver-side dup sets:
+    1. rows collapse to DISTINCT token-content rowkeys with a
+       multiplicity count (identical rows have identical coverage, so
+       one union computation serves all copies);
+    2. every k-gram window ships once to a coarse gram-hash part; dup
+       windows (corpus count >= 2) come back as (rowkey, start) rows —
+       bounded by the duplicated volume;
+    3. a second coarse shuffle keyed on the rowkey cogroups dup starts
+       with the multiplicity table and computes interval-union lengths
+       per rowkey (sorted starts, gap-clip at k), emitting per-part
+       integer partials only.
+    """
+    mask = np.uint64(n_parts - 1)
+
+    hashed = add_token_hash(ds, tokens_col=tokens_col, out_col="__rk")
+
+    def _rk_split(col) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        raw = np.frombuffer(col.buffers()[1], dtype=np.uint64,
+                            count=2 * (len(col) + col.offset))
+        raw = raw[2 * col.offset:]
+        return raw[0::2].copy(), raw[1::2].copy()
+
+    def windows(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g, starts = _batch_token_gram_hashes(col, k)
+        rk1, rk2 = _rk_split(batch["__rk"])
+        counts = np.diff(starts)
+        # drop the zero-padded slot _batch_token_gram_hashes emits for
+        # sequences shorter than k — they have no true k-gram
+        valid = lens >= k
+        n_win = np.where(valid, counts, 0)
+        parent = np.repeat(np.arange(len(lens)), n_win)
+        keep = np.repeat(valid, counts)
+        gk = g[keep]
+        rel = np.arange(len(gk), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_win)])[:-1], n_win)
+        return pa.table({
+            "__part": pa.array((gk & mask).astype(np.int32)),
+            "g": pa.array(gk),
+            "rk1": pa.array(rk1[parent]),
+            "rk2": pa.array(rk2[parent]),
+            "p": pa.array(rel.astype(np.int32)),
+        })
+
+    def find_dups(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp["g"].to_numpy(dtype=np.uint64)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        newrun = np.concatenate([[True], gs[1:] != gs[:-1]])
+        run_id = np.cumsum(newrun) - 1
+        sizes = np.bincount(run_id)
+        dup_row = (sizes >= 2)[run_id]
+        idx = order[dup_row]
+        return pd.DataFrame({
+            "rk1": grp["rk1"].to_numpy(dtype=np.uint64)[idx],
+            "rk2": grp["rk2"].to_numpy(dtype=np.uint64)[idx],
+            "p": grp["p"].to_numpy(dtype=np.int32)[idx],
+        })
+
+    dup_starts = (hashed.map_batches(windows, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                  .groupby("__part").map_groups(find_dups, batch_format="pandas"))
+
+    def tag_starts(b: pa.Table) -> pa.Table:
+        rk1 = b["rk1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "__part": pa.array((rk1 & mask).astype(np.int32)),
+            "rk1": b["rk1"], "rk2": b["rk2"], "p": b["p"].cast(pa.int64()),
+            "m": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "L": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+        })
+
+    def rowstats(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rk1, rk2 = _rk_split(batch["__rk"])
+        return pa.table({
+            "__part": pa.array((rk1 & mask).astype(np.int32)),
+            "rk1": pa.array(rk1), "rk2": pa.array(rk2),
+            "p": pa.array(np.full(len(lens), -1, dtype=np.int64)),
+            "m": pa.array(np.ones(len(lens), dtype=np.int64)),
+            "L": pa.array(lens),
+        })
+
+    def union_len(grp: pd.DataFrame) -> pd.DataFrame:
+        rk1 = grp["rk1"].to_numpy(dtype=np.uint64)
+        rk2 = grp["rk2"].to_numpy(dtype=np.uint64)
+        p = grp["p"].to_numpy(dtype=np.int64)
+        m = grp["m"].to_numpy(dtype=np.int64)
+        L = grp["L"].to_numpy(dtype=np.int64)
+        total = int((m * L).sum())  # multiplicity rows only (p == -1)
+        is_start = p >= 0
+        covered = 0
+        if is_start.any():
+            # interval union per rowkey: sort (rk, p), clip gaps at k
+            s1, s2, sp = rk1[is_start], rk2[is_start], p[is_start]
+            order = np.lexsort((sp, s2, s1))
+            s1, s2, sp = s1[order], s2[order], sp[order]
+            newrun = np.concatenate([[True], (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])])
+            # de-dup repeated starts within a rowkey (same window emitted
+            # by two dup grams cannot happen — one gram per start — but
+            # identical rows merged upstream can repeat a start)
+            uniq = newrun | np.concatenate([[True], sp[1:] != sp[:-1]])
+            s1, s2, sp, newrun = s1[uniq], s2[uniq], sp[uniq], newrun[uniq]
+            gap = np.empty(len(sp), dtype=np.int64)
+            gap[0] = k
+            if len(sp) > 1:
+                step = sp[1:] - sp[:-1]
+                gap[1:] = np.where(newrun[1:], k, np.minimum(step, k))
+            cov_per_row = np.add.reduceat(gap, np.flatnonzero(newrun))
+            # multiplicity of each rowkey present in this part
+            mult = pd.Series(m[~is_start],
+                             index=pd.MultiIndex.from_arrays(
+                                 [rk1[~is_start], rk2[~is_start]])) \
+                .groupby(level=[0, 1]).sum()
+            run_keys = pd.MultiIndex.from_arrays(
+                [s1[np.flatnonzero(newrun)], s2[np.flatnonzero(newrun)]])
+            mvals = mult.reindex(run_keys).fillna(0).to_numpy(dtype=np.int64)
+            covered = int((cov_per_row * mvals).sum())
+        return pd.DataFrame({"total": pd.array([total], dtype="int64"),
+                             "covered": pd.array([covered], dtype="int64")})
+
+    tagged = dup_starts.map_batches(tag_starts, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    stats = hashed.map_batches(rowstats, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    parts = tagged.union(stats).groupby("__part") \
+        .map_groups(union_len, batch_format="pandas").to_pandas()
+    return int(parts["total"].sum()), int(parts["covered"].sum())

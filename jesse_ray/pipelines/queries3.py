@@ -570,3 +570,66 @@ ORDER BY pr.type_a, pr.type_b
 
 QUERIES3["events_theta_intersect"] = q_events_theta_intersect
 ORACLES3["events_theta_intersect"] = _theta_sql()
+
+
+# ---------------------------------------------------------------------------
+# seq_dup_gram_coverage — duplicated-n-gram token coverage (Lee et al. 2022)
+
+DGC_K = 8
+
+
+def q_seq_dup_gram_coverage(sf_dir: str) -> pd.DataFrame:
+    """What fraction of corpus tokens sit inside a duplicated
+    {DGC_K}-token gram (>= 2 occurrences corpus-wide)?  The headline
+    diagnostic from Lee et al. (ACL 2022) that motivates ExactSubstr
+    dedup.  Distributed shape in
+    `functions/dedup.py token_dup_gram_coverage`: rows collapse to
+    distinct-content rowkeys with multiplicities, windows shuffle once
+    by gram hash, dup starts shuffle once by rowkey, interval unions
+    are computed per part — integer partials only, nothing corpus-sized
+    on the driver."""
+    from jesse_ray.functions.dedup import token_dup_gram_coverage
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
+    total, covered = token_dup_gram_coverage(ds, k=DGC_K)
+    return pd.DataFrame({
+        "total_tokens": pd.array([total], dtype="int64"),
+        "covered_tokens": pd.array([covered], dtype="int64"),
+        "frac": [round(covered / total, 6) if total else 0.0],
+    })
+
+
+SQL_SEQ_DUP_GRAM_COVERAGE = f"""
+WITH d AS (
+  SELECT row_number() OVER () AS rid, tokens, len(tokens) AS L
+  FROM {SEQ_SQL}
+),
+g AS (
+  SELECT rid, CAST(t.p AS BIGINT) AS p,
+         list_slice(tokens, CAST(t.p AS BIGINT),
+                    CAST(t.p AS BIGINT) + {DGC_K - 1}) AS gram
+  FROM d, unnest(range(1, L - {DGC_K} + 2)) AS t(p)
+  WHERE L >= {DGC_K}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dstart AS (SELECT g.rid, g.p FROM g JOIN dup USING (gram)),
+pos AS (
+  SELECT rid, CAST(t.j AS BIGINT) AS j
+  FROM d, unnest(range(1, L + 1)) AS t(j)
+  WHERE L >= {DGC_K}
+),
+cov AS (
+  SELECT DISTINCT pos.rid, pos.j
+  FROM pos JOIN dstart
+    ON dstart.rid = pos.rid
+   AND pos.j BETWEEN dstart.p AND dstart.p + {DGC_K - 1}
+),
+tot AS (SELECT CAST(COALESCE(sum(L), 0) AS BIGINT) AS total_tokens FROM d),
+cv AS (SELECT CAST(count(*) AS BIGINT) AS covered_tokens FROM cov)
+SELECT tot.total_tokens, cv.covered_tokens,
+       round(CAST(cv.covered_tokens AS DOUBLE) / tot.total_tokens, 6) AS frac
+FROM tot, cv
+"""
+
+QUERIES3["seq_dup_gram_coverage"] = q_seq_dup_gram_coverage
+ORACLES3["seq_dup_gram_coverage"] = SQL_SEQ_DUP_GRAM_COVERAGE

@@ -166,3 +166,43 @@ def test_zonemap_plan_counts():
     # must survive whenever any row matches
     if out["rows_matched"].iloc[0] > 0:
         assert out["zones_pruned"].iloc[0] < out["zones_total"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_gram_coverage_planted():
+    import ray.data
+    from jesse_ray.functions.dedup import token_dup_gram_coverage
+
+    # doc A and B share one 8-gram (tokens 100..107); doc C is unique;
+    # doc D duplicates doc A exactly (multiplicity path)
+    shared = list(range(100, 108))
+    a = shared + [1, 2, 3, 4]          # 12 tokens, 8 covered
+    b = [9, 9] + shared + [7]          # 11 tokens, 8 covered
+    c = list(range(200, 220))          # 20 tokens, 0 covered
+    d = list(a)                        # 12 tokens, 8 covered (same content as A)
+    import pyarrow as pa
+    tbl = pa.table({"tokens": pa.array([a, b, c, d], type=pa.list_(pa.int32()))})
+    ds = ray.data.from_arrow(tbl)
+    total, covered = token_dup_gram_coverage(ds, k=8)
+    assert total == 12 + 11 + 20 + 12
+    # A==D duplicates make EVERY 8-gram of A duplicated (all 12 tokens
+    # covered in both), and B shares the planted gram only
+    assert covered == 12 + 8 + 0 + 12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_gram_coverage_overlapping_spans():
+    import ray.data
+    import pyarrow as pa
+    from jesse_ray.functions.dedup import token_dup_gram_coverage
+
+    # two docs share a 10-token run -> two overlapping dup 8-grams in
+    # each; interval union must count 10 tokens, not 16
+    run = list(range(50, 60))
+    a = run + [1, 2]
+    b = [3] + run
+    tbl = pa.table({"tokens": pa.array([a, b], type=pa.list_(pa.int32()))})
+    ds = ray.data.from_arrow(tbl)
+    total, covered = token_dup_gram_coverage(ds, k=8)
+    assert total == 12 + 11
+    assert covered == 10 + 10
