@@ -633,3 +633,184 @@ FROM tot, cv
 
 QUERIES3["seq_dup_gram_coverage"] = q_seq_dup_gram_coverage
 ORACLES3["seq_dup_gram_coverage"] = SQL_SEQ_DUP_GRAM_COVERAGE
+
+
+# ---------------------------------------------------------------------------
+# seq_cross_source_dup_matrix — which sources duplicate into which
+
+
+def q_seq_cross_source_dup_matrix(sf_dir: str) -> pd.DataFrame:
+    """Curation diagnostic: the (source x source) matrix of exact
+    duplicate PAIRS over token content — how much of each source is a
+    copy of another (mirrors the per-source contamination tables in
+    dedup papers).  Pair counts are derived per content-hash group from
+    per-source counts (``c_a*c_b`` cross, ``c*(c-1)/2`` within), so no
+    pair set is ever materialized; rows pre-aggregate per batch to
+    (content-hash, source, count) partials, ship once to a coarse
+    hash part, and only the tiny (source_a, source_b, n) partials
+    leave the parts."""
+    from jesse_ray.functions.dedup import add_token_hash
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens", "source"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b["tokens"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hashed = add_token_hash(ds, out_col="__rk")
+
+    def keyed(b: pa.Table) -> pa.Table:
+        g = b.select(["__rk", "source"]).group_by(["__rk", "source"]) \
+            .aggregate([([], "count_all")])
+        col = g["__rk"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        raw = np.frombuffer(col.buffers()[1], dtype=np.uint64,
+                            count=2 * (len(col) + col.offset))[2 * col.offset:]
+        rk1 = raw[0::2].copy()
+        return pa.table({
+            "__part": pa.array((rk1 & np.uint64(63)).astype(np.int32)),
+            "rk": g["__rk"],
+            "source": g["source"],
+            "cnt": g["count_all"].cast(pa.int64()),
+        })
+
+    def pair_counts(grp: pd.DataFrame) -> pd.DataFrame:
+        c = grp.groupby(["rk", "source"], sort=False)["cnt"].sum().reset_index()
+        out: dict[tuple[str, str], int] = {}
+        for _, sub in c.groupby("rk", sort=False):
+            if sub["cnt"].sum() < 2:
+                continue
+            srcs = sub["source"].to_numpy()
+            cnts = sub["cnt"].to_numpy(dtype=np.int64)
+            order = np.argsort(srcs, kind="stable")
+            srcs, cnts = srcs[order], cnts[order]
+            for i in range(len(srcs)):
+                same = int(cnts[i] * (cnts[i] - 1) // 2)
+                if same:
+                    key = (srcs[i], srcs[i])
+                    out[key] = out.get(key, 0) + same
+                for j in range(i + 1, len(srcs)):
+                    key = (srcs[i], srcs[j])
+                    out[key] = out.get(key, 0) + int(cnts[i] * cnts[j])
+        if not out:
+            return pd.DataFrame({"source_a": pd.Series([], dtype="object"),
+                                 "source_b": pd.Series([], dtype="object"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        ks = sorted(out)
+        return pd.DataFrame({"source_a": [k[0] for k in ks],
+                             "source_b": [k[1] for k in ks],
+                             "n_pairs": pd.array([out[k] for k in ks], dtype="int64")})
+
+    parts = (hashed.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("__part").map_groups(pair_counts, batch_format="pandas")
+             .to_pandas())
+    if parts.empty or "source_a" not in parts.columns:
+        return pd.DataFrame({"source_a": pd.Series([], dtype="object"),
+                             "source_b": pd.Series([], dtype="object"),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    out = parts.groupby(["source_a", "source_b"], sort=True)["n_pairs"] \
+        .sum().reset_index()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
+
+
+SQL_SEQ_CROSS_SOURCE_DUP_MATRIX = f"""
+WITH c AS (
+  SELECT tokens, source, CAST(count(*) AS BIGINT) AS cnt
+  FROM {SEQ_SQL} WHERE tokens IS NOT NULL GROUP BY 1, 2
+),
+x AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_pairs
+  FROM c a JOIN c b ON a.tokens = b.tokens AND a.source < b.source
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT source, source, CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT)
+  FROM c GROUP BY source
+  HAVING sum(cnt * (cnt - 1) // 2) > 0
+)
+SELECT source_a, source_b, n_pairs FROM x ORDER BY source_a, source_b
+"""
+
+QUERIES3["seq_cross_source_dup_matrix"] = q_seq_cross_source_dup_matrix
+ORACLES3["seq_cross_source_dup_matrix"] = SQL_SEQ_CROSS_SOURCE_DUP_MATRIX
+
+
+# ---------------------------------------------------------------------------
+# doc_dict_encoding_plan — storage-layout planner for string columns
+
+DICT_COLS = ("lang", "source")
+
+
+def q_doc_dict_encoding_plan(sf_dir: str) -> pd.DataFrame:
+    """Storage-optimizer planner: per string column, would dictionary
+    encoding shrink it?  Exact byte accounting — plain = Σ octet
+    lengths, dict = Σ distinct-value octet lengths + rows x index width
+    (1/2/4 bytes by cardinality) — from ONE streaming pass per column
+    (per-batch Arrow value counts partials, merged on the driver;
+    distinct sets here are column vocabularies, bounded like the BPE
+    vocab stages)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=list(DICT_COLS))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols, vals, cnts, blens = [], [], [], []
+        for c in DICT_COLS:
+            g = b.select([c]).group_by(c).aggregate([([], "count_all")])
+            v = g[c]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            keep = pc.is_valid(v)
+            v2 = v.filter(keep)
+            n = g["count_all"].filter(keep).cast(pa.int64())
+            cols.extend([c] * len(v2))
+            vals.extend(v2.to_pylist())
+            cnts.extend(n.to_pylist())
+            blens.extend(pc.binary_length(v2).to_pylist())
+        return pa.table({"col": pa.array(cols, type=pa.string()),
+                         "val": pa.array(vals, type=pa.string()),
+                         "cnt": pa.array(cnts, type=pa.int64()),
+                         "blen": pa.array(blens, type=pa.int64())})
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    rows = []
+    for c in DICT_COLS:
+        sub = t[t["col"] == c].groupby(["val", "blen"], sort=False)["cnt"] \
+            .sum().reset_index()
+        n_rows = int(sub["cnt"].sum())
+        n_distinct = len(sub)
+        plain = int((sub["cnt"] * sub["blen"]).sum())
+        width = 1 if n_distinct <= 256 else 2 if n_distinct <= 65536 else 4
+        dictb = int(sub["blen"].sum()) + n_rows * width
+        rows.append((c, n_rows, n_distinct, plain, dictb, dictb < plain))
+    out = pd.DataFrame(rows, columns=["col", "n_rows", "n_distinct",
+                                      "plain_bytes", "dict_bytes", "use_dict"])
+    for c in ("n_rows", "n_distinct", "plain_bytes", "dict_bytes"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
+def _dict_plan_sql() -> str:
+    selects = []
+    for c in DICT_COLS:
+        selects.append(f"""
+SELECT '{c}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(sum(strlen({c})) AS BIGINT) AS plain_bytes,
+       CAST((SELECT sum(strlen(v)) FROM
+               (SELECT DISTINCT {c} AS v FROM documents WHERE {c} IS NOT NULL))
+            + count(*) * (CASE WHEN count(DISTINCT {c}) <= 256 THEN 1
+                               WHEN count(DISTINCT {c}) <= 65536 THEN 2
+                               ELSE 4 END) AS BIGINT) AS dict_bytes,
+       (SELECT sum(strlen(v)) FROM
+          (SELECT DISTINCT {c} AS v FROM documents WHERE {c} IS NOT NULL))
+         + count(*) * (CASE WHEN count(DISTINCT {c}) <= 256 THEN 1
+                            WHEN count(DISTINCT {c}) <= 65536 THEN 2
+                            ELSE 4 END)
+         < sum(strlen({c})) AS use_dict
+FROM documents WHERE {c} IS NOT NULL""")
+    return " UNION ALL ".join(selects) + " ORDER BY col"
+
+
+QUERIES3["doc_dict_encoding_plan"] = q_doc_dict_encoding_plan
+ORACLES3["doc_dict_encoding_plan"] = _dict_plan_sql()
