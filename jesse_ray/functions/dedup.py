@@ -595,9 +595,12 @@ def _shingle_blobs(ds: Dataset, key_col: str, shingle_k: int,
     )
 
 
-def _pair_jaccard_from_blobs(left_blob, right_blob, threshold: float):
-    """(keep mask, jaccard) for one batch of blob pairs — C-level
-    intersect1d on precomputed unique-sorted arrays."""
+def _pair_jaccard_from_blobs(left_blob, right_blob, threshold: float,
+                             metric: str = "jaccard"):
+    """(keep mask, score) for one batch of blob pairs — C-level
+    intersect1d on precomputed unique-sorted arrays.  ``metric`` is
+    "jaccard" (|∩|/|∪|) or "overlap" (the overlap coefficient
+    |∩|/min(|A|,|B|) — the asymmetric-containment detector)."""
     n = len(left_blob)
     jac = np.zeros(n, dtype=np.float64)
     for i in range(n):
@@ -607,7 +610,10 @@ def _pair_jaccard_from_blobs(left_blob, right_blob, threshold: float):
         s1 = np.frombuffer(lb, dtype=np.uint64)
         s2 = np.frombuffer(rb, dtype=np.uint64)
         inter = len(np.intersect1d(s1, s2, assume_unique=True))
-        jac[i] = inter / max(len(s1) + len(s2) - inter, 1)
+        if metric == "overlap":
+            jac[i] = inter / max(min(len(s1), len(s2)), 1)
+        else:
+            jac[i] = inter / max(len(s1) + len(s2) - inter, 1)
     return jac >= threshold, jac
 
 
@@ -617,9 +623,10 @@ class _BlobVerifier:
     is one C-level sorted intersect on PREcomputed blobs (shingling cost
     was paid once, distributed, in _shingle_blobs)."""
 
-    def __init__(self, blobs_ref, threshold: float):
+    def __init__(self, blobs_ref, threshold: float, metric: str = "jaccard"):
         self._blobs_ref = blobs_ref
         self.threshold = threshold
+        self.metric = metric
         self._blobs = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -629,14 +636,15 @@ class _BlobVerifier:
         rk = batch["right"].to_pylist()
         lb = [self._blobs.get(k) for k in lk]
         rb = [self._blobs.get(k) for k in rk]
-        keep, jac = _pair_jaccard_from_blobs(lb, rb, self.threshold)
+        keep, jac = _pair_jaccard_from_blobs(lb, rb, self.threshold, self.metric)
         out = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
         return out.filter(pa.array(keep))
 
 
 def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
                          shingle_k: int = 5, key_col: str = "doc_id",
-                         mode: str = "broadcast", n_parts: int = 64) -> Dataset:
+                         mode: str = "broadcast", n_parts: int = 64,
+                         metric: str = "jaccard") -> Dataset:
     """Exact shingle-Jaccard verification of LSH candidate pairs.
 
     ``mode="broadcast"`` (default): the driver collects only the
@@ -647,6 +655,8 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
     hash-partition cogroups (scale path for adversarial corpora where
     even the candidate set is huge)."""
     if mode == "shuffle":
+        if metric != "jaccard":
+            raise NotImplementedError("shuffle-mode verify supports metric='jaccard' only")
         return _verify_jaccard_shuffle(ds, pairs, threshold=threshold,
                                        shingle_k=shingle_k, key_col=key_col, n_parts=n_parts)
     pairs = pairs.materialize()
@@ -665,7 +675,7 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
         for k, blob in zip(b["key"].to_pylist(), b["blob"].to_pylist()):
             blobs[k] = blob
     blobs_ref = ray.put(blobs) if ray.is_initialized() else blobs
-    verifier = _BlobVerifier(blobs_ref, threshold)
+    verifier = _BlobVerifier(blobs_ref, threshold, metric)
     return pairs.map_batches(verifier.__call__, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -1999,3 +2009,119 @@ def token_dup_gram_coverage(
     parts = tagged.union(stats).groupby("__part") \
         .map_groups(union_len, batch_format="pandas").to_pandas()
     return int(parts["total"].sum()), int(parts["covered"].sum())
+
+
+# ---------------------------------------------------------------------------
+# all-pairs overlap-coefficient dedup with prefix filtering
+
+
+def overlap_coeff_dups(
+    ds: Dataset,
+    *,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_k: int = 5,
+    key_col: str = "doc_id",
+    n_parts: int = 64,
+    bucket_cap: int = 4096,
+    drop_counter=None,
+) -> Dataset:
+    """Exact all-pairs search on the OVERLAP COEFFICIENT
+    ``|A∩B| / min(|A|,|B|)`` — the asymmetric-containment detector that
+    catches a small document quoted inside a big one, which Jaccard
+    LSH structurally misses (low Jaccard, high containment).
+
+    Candidate generation is Bayardo et al. (WWW 2007) prefix filtering
+    instead of LSH: with t = threshold_num/threshold_den, any pair at
+    overlap >= t must share one of the smaller doc's
+    ``n - ceil(t*n) + 1`` smallest shingle hashes (by the global hash
+    order).  Only those prefix entries are INDEXED; every shingle
+    PROBES.  The guarantee is exact (integer prefix arithmetic, no
+    float ceil), so recall is 1.0 by construction — the SQL twin
+    enumerates all pairs from the raw shingle sets.  Probe volume is
+    one corpus pass; index volume is the (1-t) fraction of it; hot
+    shingles hit the ``bucket_cap`` skew guard and are REPORTED via
+    ``drop_counter`` (never silently swallowed).
+
+    Returns (left, right, overlap) with left < right, overlap >= t,
+    verified EXACTLY from per-doc shingle blobs."""
+    mask = np.uint64(n_parts - 1)
+    threshold = threshold_num / threshold_den
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        h, starts = _batch_shingle_hashes(txt, shingle_k)
+        n = batch.num_rows
+        counts = np.diff(starts)
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((h, seg))
+        hs, ss = h[order], seg[order]
+        keep = (np.concatenate([[True], (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])])
+                if len(hs) else np.empty(0, bool))
+        hs, ss = hs[keep], ss[keep]
+        ucounts = np.bincount(ss, minlength=n)
+        ustarts = np.concatenate([[0], np.cumsum(ucounts)])
+        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(ustarts[:-1], ucounts)
+        # exact integer prefix size: n - ceil(t*n) + 1, ceil via int div
+        pi = ucounts - (threshold_num * ucounts + threshold_den - 1) // threshold_den + 1
+        pi = np.maximum(pi, 1)
+        pfx = pos < np.repeat(pi, ucounts)
+        keys = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)[ss]
+        return pa.table({
+            "__part": pa.array((hs & mask).astype(np.int32)),
+            "sh": pa.array(hs),
+            "key": pa.array(keys),
+            "pfx": pa.array(pfx),
+        })
+
+    def cand_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        sh = grp["sh"].to_numpy(dtype=np.uint64)
+        key = grp["key"].to_numpy(dtype=np.int64)
+        pfx = grp["pfx"].to_numpy(dtype=bool)
+        order = np.lexsort((key, sh))
+        sh, key, pfx = sh[order], key[order], pfx[order]
+        starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+        ends = np.concatenate([starts[1:], [len(sh)]])
+        stats = DropStats()
+        out_l, out_r = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                stats.buckets += 1
+                stats.rows += m
+                continue
+            kk = key[s:e]
+            ip = np.flatnonzero(pfx[s:e])
+            if len(ip) == 0:
+                continue
+            l = np.repeat(kk[ip], m)
+            r = np.tile(kk, len(ip))
+            neq = l != r
+            l, r = l[neq], r[neq]
+            out_l.append(np.minimum(l, r))
+            out_r.append(np.maximum(l, r))
+        _report_drops("overlap_coeff_dups", stats, drop_counter)
+        if not out_l:
+            return pd.DataFrame({"left": pd.Series([], dtype="int64"),
+                                 "right": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"left": np.concatenate(out_l),
+                             "right": np.concatenate(out_r)}).drop_duplicates()
+
+    rows = ds.select_columns([key_col, "text"]).map_batches(
+        prefix_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cand = rows.groupby("__part").map_groups(cand_pairs, batch_format="pandas")
+    pairs = _dedup_pairs(cand)
+    verified = verify_jaccard_pairs(ds, pairs, threshold=threshold,
+                                    shingle_k=shingle_k, key_col=key_col,
+                                    metric="overlap")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"left": b["left"], "right": b["right"],
+                         "overlap": b["jaccard"]})
+
+    return verified.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -814,3 +814,67 @@ FROM documents WHERE {c} IS NOT NULL""")
 
 QUERIES3["doc_dict_encoding_plan"] = q_doc_dict_encoding_plan
 ORACLES3["doc_dict_encoding_plan"] = _dict_plan_sql()
+
+
+# ---------------------------------------------------------------------------
+# doc_overlap_dups — overlap-coefficient (containment) all-pairs dedup
+
+
+def q_doc_overlap_dups(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric-containment near-dup pairs: overlap coefficient
+    ``|A∩B|/min(|A|,|B|) >= 0.8`` over 5-byte shingles — the
+    quote/subset detector Jaccard-LSH structurally misses.  Candidate
+    generation is exact Bayardo prefix filtering (recall 1.0 by
+    construction, integer prefix arithmetic), so the engine must
+    reproduce the oracle's brute-force all-pairs enumeration exactly
+    (`functions/dedup.py overlap_coeff_dups`)."""
+    from jesse_ray.functions.dedup import _shingle_hashes, overlap_coeff_dups
+    from jesse_ray.pipelines.queries import _sig_parquet_path
+
+    import pyarrow.parquet as _pq
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sets = [np.unique(_shingle_hashes(t or "", 5)) for t in texts]
+        offs = np.concatenate([[0], np.cumsum([len(s) for s in sets])]).astype(np.int64)
+        flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        lists = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, type=pa.uint64()))
+        return pa.table({"doc_id": batch["doc_id"], "shingles": lists})
+
+    _pq.write_table(
+        _collect(ds.map_batches(shingle_sets, batch_format="pyarrow")).sort_by("doc_id"),
+        _sig_parquet_path(sf_dir, "shinglesov"),
+    )
+    pdf = overlap_coeff_dups(ds, threshold_num=4, threshold_den=5).to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"left": pd.Series([], dtype="int64"),
+                             "right": pd.Series([], dtype="int64"),
+                             "overlap": pd.Series([], dtype="float64")})
+    pdf["overlap"] = pdf["overlap"].round(4)
+    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+
+
+SQL_DOC_OVERLAP_DUPS = """
+WITH s AS (
+  SELECT doc_id, shingles
+  FROM read_parquet('/tmp/jesse_ray_data/shinglesov_sigs_sf0.01.parquet')
+), sz AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), e AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), p AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS inter
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT l AS "left", r AS "right",
+       round(inter * 1.0 / least(sa.n, sb.n), 4) AS overlap
+FROM p JOIN sz sa ON sa.doc_id = p.l JOIN sz sb ON sb.doc_id = p.r
+WHERE inter * 1.0 / least(sa.n, sb.n) >= 0.8
+ORDER BY 1, 2
+"""
+
+QUERIES3["doc_overlap_dups"] = q_doc_overlap_dups
+ORACLES3["doc_overlap_dups"] = SQL_DOC_OVERLAP_DUPS

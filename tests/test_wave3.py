@@ -206,3 +206,54 @@ def test_dup_gram_coverage_overlapping_spans():
     total, covered = token_dup_gram_coverage(ds, k=8)
     assert total == 12 + 11
     assert covered == 10 + 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overlap_dups_catches_containment_jaccard_misses():
+    import ray.data
+    import pyarrow as pa
+    from jesse_ray.functions.dedup import overlap_coeff_dups
+
+    small = "the quick brown fox jumps over the lazy dog"
+    big = ("completely different opening material here and more of it "
+           + small +
+           " and a very long unrelated tail that keeps going with noise "
+           "tokens and filler phrases repeated again and again until the "
+           "jaccard similarity of the pair is far below any lsh threshold")
+    other = "nothing in common with either document at all whatsoever xyz"
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array([small, big, other])})
+    ds = ray.data.from_arrow(tbl)
+    out = overlap_coeff_dups(ds, threshold_num=4, threshold_den=5).to_pandas()
+    pairs = set(zip(out["left"], out["right"]))
+    assert (1, 2) in pairs  # containment found
+    assert all(p in {(1, 2)} for p in pairs)
+    row = out[(out["left"] == 1) & (out["right"] == 2)].iloc[0]
+    assert row["overlap"] >= 0.8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overlap_dups_prefix_guarantee_fuzz():
+    # brute-force oracle over random word-salad docs
+    import ray.data
+    import pyarrow as pa
+    from jesse_ray.functions.dedup import _shingle_hashes, overlap_coeff_dups
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [" ".join(rng.choice(words, rng.integers(6, 30))) for _ in range(40)]
+    # plant one containment pair
+    docs[7] = docs[3] + " " + " ".join(rng.choice(words, 40))
+    tbl = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                    "text": pa.array(docs)})
+    out = overlap_coeff_dups(ray.data.from_arrow(tbl),
+                             threshold_num=4, threshold_den=5).to_pandas()
+    got = set(zip(out["left"], out["right"]))
+    want = set()
+    sets = [np.unique(_shingle_hashes(t, 5)) for t in docs]
+    for i in range(40):
+        for j in range(i + 1, 40):
+            inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+            if inter / max(min(len(sets[i]), len(sets[j])), 1) >= 0.8:
+                want.add((i, j))
+    assert got == want
