@@ -878,3 +878,90 @@ ORDER BY 1, 2
 
 QUERIES3["doc_overlap_dups"] = q_doc_overlap_dups
 ORACLES3["doc_overlap_dups"] = SQL_DOC_OVERLAP_DUPS
+
+
+# ---------------------------------------------------------------------------
+# seq_boilerplate_prefixes — templated-prefix (boilerplate header) report
+
+BP_K, BP_TOP = 8, 10
+
+
+def q_seq_boilerplate_prefixes(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate detector: the top-{BP_TOP} most repeated first-
+    {BP_K}-token prefixes (templated headers a cleaning pass should
+    strip), with how many sources each spans.  Scale shape: the prefix
+    string is built fully vectorized in Arrow (list_slice → cast →
+    binary_join), per-batch (prefix, source) count partials shuffle on
+    a coarse prefix-hash part, each part resolves its own exact counts
+    and local top-{BP_TOP}, and the driver merges ≤ 64x{BP_TOP} rows —
+    exact because a prefix's whole count lives in one part."""
+    from jesse_ray.hashutil import fmix64, hash64_strings
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["tokens", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = pc.fill_null(pc.list_value_length(toks), 0)
+        t = b.filter(pc.greater_equal(ln, BP_K))
+        if t.num_rows == 0:
+            return pa.table({"__part": pa.array([], type=pa.int32()),
+                             "prefix": pa.array([], type=pa.string()),
+                             "source": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sl = pc.list_slice(col, 0, BP_K)
+        strs = sl.cast(pa.list_(pa.string()))
+        prefix = pc.binary_join(strs, "-")
+        g = pa.table({"prefix": prefix, "source": t["source"]}) \
+            .group_by(["prefix", "source"]).aggregate([([], "count_all")])
+        pcol = g["prefix"]
+        if isinstance(pcol, pa.ChunkedArray):
+            pcol = pcol.combine_chunks()
+        h = fmix64(hash64_strings(pcol))
+        return pa.table({"__part": pa.array((h & np.uint64(63)).astype(np.int32)),
+                         "prefix": g["prefix"], "source": g["source"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    def local_top(grp: pd.DataFrame) -> pd.DataFrame:
+        agg = grp.groupby("prefix", sort=False)["cnt"].sum() \
+            .rename("n_docs").reset_index()
+        d = grp.dropna(subset=["source"]).drop_duplicates(subset=["prefix", "source"])
+        ns = d.groupby("prefix", sort=False).size().rename("n_sources")
+        agg = agg.merge(ns, left_on="prefix", right_index=True, how="left")
+        agg["n_sources"] = agg["n_sources"].fillna(0).astype("int64")
+        return agg.sort_values(["n_docs", "prefix"], ascending=[False, True],
+                               kind="mergesort").head(BP_TOP)
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("__part").map_groups(local_top, batch_format="pandas")
+             .to_pandas())
+    out = parts.sort_values(["n_docs", "prefix"], ascending=[False, True],
+                            kind="mergesort").head(BP_TOP).reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_sources"] = out["n_sources"].astype("int64")
+    return out[["prefix", "n_docs", "n_sources"]]
+
+
+SQL_SEQ_BOILERPLATE_PREFIXES = f"""
+WITH d AS (
+  SELECT array_to_string(
+           list_transform(list_slice(tokens, 1, {BP_K}),
+                          x -> CAST(x AS VARCHAR)), '-') AS prefix,
+         source
+  FROM {SEQ_SQL} WHERE len(tokens) >= {BP_K}
+),
+g AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM d GROUP BY prefix
+)
+SELECT prefix, n_docs, n_sources FROM g
+ORDER BY n_docs DESC, prefix LIMIT {BP_TOP}
+"""
+
+QUERIES3["seq_boilerplate_prefixes"] = q_seq_boilerplate_prefixes
+ORACLES3["seq_boilerplate_prefixes"] = SQL_SEQ_BOILERPLATE_PREFIXES
