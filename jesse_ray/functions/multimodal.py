@@ -716,3 +716,118 @@ def png_channel_sums(ds: Dataset, *, concurrency=(1, 2), batch_size: int = 16) -
     return ds.map_batches(PngChannelSums, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
                           concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: BMP (Windows DIB, 24-bit BI_RGB) in pure numpy + struct
+#
+# A genuinely different container from PPM/PNG: little-endian binary
+# headers, BOTTOM-UP row order, BGR channel order and 4-byte row-stride
+# padding — the classic decode traps, all really exercised.
+
+BMP_MIME = "image/bmp"
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP from an (H, W, 3) RGB uint8
+    array: BITMAPFILEHEADER + BITMAPINFOHEADER, rows bottom-up, BGR,
+    each row padded to a 4-byte boundary."""
+    import struct
+
+    h, w, _ = pixels.shape
+    stride = (3 * w + 3) & ~3
+    img_size = stride * h
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    file_size = 14 + 40 + img_size
+    head = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    return head + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit BI_RGB BMP back to (H, W, 3) RGB uint8 — header
+    walk + stride-aware numpy gather, no codec library."""
+    import struct
+
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (hsize, w, h, _planes, bpp, comp, _isz, _xr, _yr, _nc, _ic) = struct.unpack_from(
+        "<IiiHHIIiiII", payload, 14)
+    if hsize < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def make_synthetic_bmp_table(n: int = 36) -> pa.Table:
+    """Deterministic BMP corpus: image ``i`` is
+    ``pixel(x, y, c) = (a*x + b*y + 3*i + 17*c) mod 256`` —
+    closed-form for the SQL oracle, REAL container round-trip for the
+    engine.  Widths are chosen so roughly 3 of every 4 images need
+    row padding (w % 4 != 0), keeping the stride path honest."""
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = 10 + (i % 15)
+        h = 8 + ((i * 3) % 9)
+        a = 1 + (i % 6)
+        b = 2 + (i % 5)
+        x = np.arange(w, dtype=np.int64)[None, :, None]
+        y = np.arange(h, dtype=np.int64)[:, None, None]
+        c = np.arange(3, dtype=np.int64)[None, None, :]
+        px = ((a * x + b * y + 3 * i + 17 * c) % 256).astype(np.uint8)
+        ids.append(f"bmp-{i:06d}")
+        payloads.append(encode_bmp(px))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array([BMP_MIME] * n),
+            "width": pa.array(np.array(ws, dtype=np.int32)),
+            "height": pa.array(np.array(hs, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class BmpChannelSums:
+    """Actor-pool REAL BMP decode stage — same contract as
+    PpmChannelSums: small batches, exact int64 channel sums."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pays = batch["payload"].to_pylist()
+        sums = np.zeros((len(pays), 3), dtype=np.int64)
+        dims = np.zeros((len(pays), 2), dtype=np.int32)
+        for i, p in enumerate(pays):
+            px = decode_bmp(p)
+            sums[i] = px.astype(np.int64).sum(axis=(0, 1))
+            dims[i] = px.shape[1], px.shape[0]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(dims[:, 0]),
+                "height": pa.array(dims[:, 1]),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def bmp_channel_sums(ds: Dataset, *, concurrency=(1, 2), batch_size: int = 16) -> Dataset:
+    return ds.map_batches(
+        BmpChannelSums,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -965,3 +965,61 @@ ORDER BY n_docs DESC, prefix LIMIT {BP_TOP}
 
 QUERIES3["seq_boilerplate_prefixes"] = q_seq_boilerplate_prefixes
 ORACLES3["seq_boilerplate_prefixes"] = SQL_SEQ_BOILERPLATE_PREFIXES
+
+
+# ---------------------------------------------------------------------------
+# media_bmp_real — REAL BMP container decode (bottom-up, BGR, stride pad)
+
+N_BMP = 36
+
+
+def q_media_bmp_real(sf_dir: str) -> pd.DataFrame:
+    """REAL BMP decode with no codec library: formula pixels → real
+    24-bit BI_RGB container bytes (little-endian headers, BOTTOM-UP
+    rows, BGR order, 4-byte stride padding — every classic BMP decode
+    trap) → header-walk + numpy gather in an actor pool → exact int64
+    channel sums.  The twin regenerates each pixel from the closed
+    form, so a wrong flip/swap/stride shows up as a value mismatch."""
+    import ray.data
+
+    from jesse_ray.functions.multimodal import (
+        bmp_channel_sums,
+        make_synthetic_bmp_table,
+    )
+
+    ds = ray.data.from_arrow(make_synthetic_bmp_table(N_BMP))
+    out = _collect(bmp_channel_sums(ds)).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    return out.astype({"width": "int64", "height": "int64"})
+
+
+SQL_MEDIA_BMP_REAL = f"""
+WITH img AS (
+  SELECT i,
+         10 + (i % 15)       AS w,
+         8 + ((i * 3) % 9)   AS h,
+         1 + (i % 6)         AS a,
+         2 + (i % 5)         AS b
+  FROM (SELECT unnest(range(0, {N_BMP})) AS i)
+),
+xs AS (SELECT i, unnest(range(0, w)) AS x FROM img),
+ys AS (SELECT i, unnest(range(0, h)) AS y FROM img),
+cs AS (SELECT i, unnest(range(0, 3)) AS c FROM img),
+px AS (
+  SELECT img.i, img.w, img.h, cs.c,
+         (img.a * xs.x + img.b * ys.y + 3 * img.i + 17 * cs.c) % 256 AS v
+  FROM img
+  JOIN xs ON xs.i = img.i
+  JOIN ys ON ys.i = img.i
+  JOIN cs ON cs.i = img.i
+)
+SELECT printf('bmp-%06d', i) AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY i, w, h ORDER BY media_id
+"""
+
+QUERIES3["media_bmp_real"] = q_media_bmp_real
+ORACLES3["media_bmp_real"] = SQL_MEDIA_BMP_REAL

@@ -257,3 +257,23 @@ def test_overlap_dups_prefix_guarantee_fuzz():
             if inter / max(min(len(sets[i]), len(sets[j])), 1) >= 0.8:
                 want.add((i, j))
     assert got == want
+
+
+def test_bmp_codec_roundtrip_and_traps():
+    from jesse_ray.functions.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(9)
+    # widths straddling the 4-byte stride boundary
+    for w, h in [(4, 4), (5, 2), (6, 3), (7, 5), (1, 7)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    # corrupt magic rejected
+    blob = bytearray(encode_bmp(rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)))
+    blob[0] = ord("X")
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(blob))
+    # channel order really is BGR on disk: a pure-red image stores B=0 first
+    red = np.zeros((2, 4, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    raw = encode_bmp(red)
+    assert raw[54] == 0 and raw[55] == 0 and raw[56] == 255
