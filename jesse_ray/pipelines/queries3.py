@@ -1023,3 +1023,86 @@ FROM px GROUP BY i, w, h ORDER BY media_id
 
 QUERIES3["media_bmp_real"] = q_media_bmp_real
 ORACLES3["media_bmp_real"] = SQL_MEDIA_BMP_REAL
+
+
+# ---------------------------------------------------------------------------
+# tpch_q22ish — global-anti-join customer prospecting (TPC-H Q22 shape)
+
+
+def q_tpch_q22ish(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22-shaped composite: per nation, count + balance sum of
+    customers whose account balance exceeds the GLOBAL average positive
+    balance and who placed NO urgent order since 1997-06 (this corpus
+    gives every customer SOME order, so the anti-join side is the
+    filtered fact — same plan shape, non-degenerate result).  Scale
+    shape: the scalar
+    average is one combiner pass (sum/count partials); the no-orders
+    predicate is a distributed ANTI hash-join of customers against the
+    distinct order custkeys (the r2-verdict-mandated replacement for
+    driver-collected id sets); the final per-nation aggregate is a tiny
+    combiner groupby.  The avg is carried as exact integer partials
+    (sum as float, count int) so both engines divide once."""
+    from jesse_ray.pipelines.relational import grouped_agg, hash_join
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    # scalar subquery: avg positive balance (one combiner pass)
+    def bal_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["c_acctbal"], pa.scalar(0.0)))
+        s = pc.sum(t["c_acctbal"]).as_py() or 0.0
+        return pa.table({"s": pa.array([s], type=pa.float64()),
+                         "n": pa.array([t.num_rows], type=pa.int64())})
+
+    parts = _collect(cust.map_batches(bal_partial, batch_format="pyarrow",
+                                      zero_copy_batch=True)).to_pandas()
+    avg_bal = float(parts["s"].sum()) / int(parts["n"].sum())
+
+    rich = cust.map_batches(
+        lambda b, t=avg_bal: b.filter(pc.greater(b["c_acctbal"], pa.scalar(t))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority", "o_orderdate"])
+
+    def okeys(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT")),
+                    pc.greater_equal(b["o_orderdate"],
+                                     pa.scalar(pd.Timestamp("1997-06-01"))))
+        g = b.filter(m).select(["o_custkey"]).group_by("o_custkey").aggregate([])
+        return g.rename_columns(["c_custkey"])
+
+    okey_ds = orders.map_batches(okeys, batch_format="pyarrow", zero_copy_batch=True)
+    no_orders = hash_join(rich, okey_ds, on="c_custkey", how="anti")
+    agg = grouped_agg(no_orders, ["c_nationkey"], sums=["c_acctbal"]).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "n_cust": pd.Series([], dtype="int64"),
+                             "total_bal": pd.Series([], dtype="float64")})
+    out = pd.DataFrame({
+        "c_nationkey": agg["c_nationkey"].astype("int64"),
+        "n_cust": agg["cnt"].astype("int64"),
+        "total_bal": agg["sum_c_acctbal"].round(2),
+    })
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+SQL_TPCH_Q22ISH = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1997-06-01')
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey
+"""
+
+QUERIES3["tpch_q22ish"] = q_tpch_q22ish
+ORACLES3["tpch_q22ish"] = SQL_TPCH_Q22ISH
