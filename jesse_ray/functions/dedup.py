@@ -1871,17 +1871,20 @@ def token_dup_gram_coverage(
     corpus TOKENS sit inside at least one k-token gram that occurs >= 2
     times corpus-wide?  Returns ``(total_tokens, covered_tokens)``.
 
-    Fully distributed, no driver-side dup sets:
-    1. rows collapse to DISTINCT token-content rowkeys with a
-       multiplicity count (identical rows have identical coverage, so
-       one union computation serves all copies);
-    2. every k-gram window ships once to a coarse gram-hash part; dup
-       windows (corpus count >= 2) come back as (rowkey, start) rows —
-       bounded by the duplicated volume;
-    3. a second coarse shuffle keyed on the rowkey cogroups dup starts
-       with the multiplicity table and computes interval-union lengths
-       per rowkey (sorted starts, gap-clip at k), emitting per-part
-       integer partials only.
+    Fully distributed, no driver-side dup sets, ONE corpus read:
+    1. rows collapse to DISTINCT token-content rowkeys (128-bit
+       positional-poly hash) with a multiplicity count — identical rows
+       have identical coverage, so one union computation serves all
+       copies;
+    2. a single pass emits every k-gram window (partitioned by gram
+       hash) PLUS one per-row stats record (multiplicity + length) into
+       the same stream; the first coarse shuffle finds dup grams
+       (corpus count >= 2) and passes the stats records through
+       untouched;
+    3. the second coarse shuffle keys everything on the rowkey and
+       computes interval-union lengths per rowkey (sorted starts,
+       gap-clip at k) against the co-located multiplicities — integer
+       partials only ever reach the driver.
     """
     mask = np.uint64(n_parts - 1)
 
@@ -1895,7 +1898,7 @@ def token_dup_gram_coverage(
         raw = raw[2 * col.offset:]
         return raw[0::2].copy(), raw[1::2].copy()
 
-    def windows(batch: pa.Table) -> pa.Table:
+    def windows_and_stats(batch: pa.Table) -> pa.Table:
         col = batch[tokens_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -1913,55 +1916,47 @@ def token_dup_gram_coverage(
         gk = g[keep]
         rel = np.arange(len(gk), dtype=np.int64) - np.repeat(
             np.concatenate([[0], np.cumsum(n_win)])[:-1], n_win)
+        nw, nr = len(gk), len(lens)
         return pa.table({
-            "__part": pa.array((gk & mask).astype(np.int32)),
-            "g": pa.array(gk),
-            "rk1": pa.array(rk1[parent]),
-            "rk2": pa.array(rk2[parent]),
-            "p": pa.array(rel.astype(np.int32)),
+            # window rows (p >= 0, m == 0) part by gram; stats rows
+            # (p == -1, m == 1) part by rowkey — find_dups forwards them
+            "__part": pa.array(np.concatenate([
+                (gk & mask).astype(np.int32),
+                (rk1 & mask).astype(np.int32)])),
+            "g": pa.array(np.concatenate([gk, np.zeros(nr, np.uint64)])),
+            "rk1": pa.array(np.concatenate([rk1[parent], rk1])),
+            "rk2": pa.array(np.concatenate([rk2[parent], rk2])),
+            "p": pa.array(np.concatenate([
+                rel, np.full(nr, -1, dtype=np.int64)])),
+            "m": pa.array(np.concatenate([
+                np.zeros(nw, np.int64), np.ones(nr, np.int64)])),
+            "L": pa.array(np.concatenate([np.zeros(nw, np.int64), lens])),
         })
 
     def find_dups(grp: pd.DataFrame) -> pd.DataFrame:
-        g = grp["g"].to_numpy(dtype=np.uint64)
-        order = np.argsort(g, kind="stable")
-        gs = g[order]
-        newrun = np.concatenate([[True], gs[1:] != gs[:-1]])
-        run_id = np.cumsum(newrun) - 1
-        sizes = np.bincount(run_id)
-        dup_row = (sizes >= 2)[run_id]
-        idx = order[dup_row]
+        p = grp["p"].to_numpy(dtype=np.int64)
+        is_win = p >= 0
+        g = grp["g"].to_numpy(dtype=np.uint64)[is_win]
+        if len(g):
+            order = np.argsort(g, kind="stable")
+            gs = g[order]
+            newrun = np.concatenate([[True], gs[1:] != gs[:-1]])
+            run_id = np.cumsum(newrun) - 1
+            sizes = np.bincount(run_id)
+            dup_row = (sizes >= 2)[run_id]
+            widx = np.flatnonzero(is_win)[order[dup_row]]
+        else:
+            widx = np.empty(0, dtype=np.int64)
+        sidx = np.flatnonzero(~is_win)
+        take = np.concatenate([widx, sidx])
+        rk1 = grp["rk1"].to_numpy(dtype=np.uint64)[take]
         return pd.DataFrame({
-            "rk1": grp["rk1"].to_numpy(dtype=np.uint64)[idx],
-            "rk2": grp["rk2"].to_numpy(dtype=np.uint64)[idx],
-            "p": grp["p"].to_numpy(dtype=np.int32)[idx],
-        })
-
-    dup_starts = (hashed.map_batches(windows, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-                  .groupby("__part").map_groups(find_dups, batch_format="pandas"))
-
-    def tag_starts(b: pa.Table) -> pa.Table:
-        rk1 = b["rk1"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.table({
-            "__part": pa.array((rk1 & mask).astype(np.int32)),
-            "rk1": b["rk1"], "rk2": b["rk2"], "p": b["p"].cast(pa.int64()),
-            "m": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-            "L": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-        })
-
-    def rowstats(batch: pa.Table) -> pa.Table:
-        col = batch[tokens_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lens = pc.fill_null(pc.list_value_length(col), 0) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        rk1, rk2 = _rk_split(batch["__rk"])
-        return pa.table({
-            "__part": pa.array((rk1 & mask).astype(np.int32)),
-            "rk1": pa.array(rk1), "rk2": pa.array(rk2),
-            "p": pa.array(np.full(len(lens), -1, dtype=np.int64)),
-            "m": pa.array(np.ones(len(lens), dtype=np.int64)),
-            "L": pa.array(lens),
+            "__p2": (rk1 & np.uint64(int(mask))).astype(np.int32),
+            "rk1": rk1,
+            "rk2": grp["rk2"].to_numpy(dtype=np.uint64)[take],
+            "p": p[take],
+            "m": grp["m"].to_numpy(dtype=np.int64)[take],
+            "L": grp["L"].to_numpy(dtype=np.int64)[take],
         })
 
     def union_len(grp: pd.DataFrame) -> pd.DataFrame:
@@ -1979,9 +1974,7 @@ def token_dup_gram_coverage(
             order = np.lexsort((sp, s2, s1))
             s1, s2, sp = s1[order], s2[order], sp[order]
             newrun = np.concatenate([[True], (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])])
-            # de-dup repeated starts within a rowkey (same window emitted
-            # by two dup grams cannot happen — one gram per start — but
-            # identical rows merged upstream can repeat a start)
+            # identical rows merged upstream can repeat a start; dedup
             uniq = newrun | np.concatenate([[True], sp[1:] != sp[:-1]])
             s1, s2, sp, newrun = s1[uniq], s2[uniq], sp[uniq], newrun[uniq]
             gap = np.empty(len(sp), dtype=np.int64)
@@ -1990,7 +1983,6 @@ def token_dup_gram_coverage(
                 step = sp[1:] - sp[:-1]
                 gap[1:] = np.where(newrun[1:], k, np.minimum(step, k))
             cov_per_row = np.add.reduceat(gap, np.flatnonzero(newrun))
-            # multiplicity of each rowkey present in this part
             mult = pd.Series(m[~is_start],
                              index=pd.MultiIndex.from_arrays(
                                  [rk1[~is_start], rk2[~is_start]])) \
@@ -2002,12 +1994,11 @@ def token_dup_gram_coverage(
         return pd.DataFrame({"total": pd.array([total], dtype="int64"),
                              "covered": pd.array([covered], dtype="int64")})
 
-    tagged = dup_starts.map_batches(tag_starts, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    stats = hashed.map_batches(rowstats, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    parts = tagged.union(stats).groupby("__part") \
-        .map_groups(union_len, batch_format="pandas").to_pandas()
+    stream = hashed.map_batches(windows_and_stats, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    parts = (stream.groupby("__part").map_groups(find_dups, batch_format="pandas")
+             .groupby("__p2").map_groups(union_len, batch_format="pandas")
+             .to_pandas())
     return int(parts["total"].sum()), int(parts["covered"].sum())
 
 
