@@ -1926,11 +1926,15 @@ def token_dup_gram_coverage(
             "g": pa.array(np.concatenate([gk, np.zeros(nr, np.uint64)])),
             "rk1": pa.array(np.concatenate([rk1[parent], rk1])),
             "rk2": pa.array(np.concatenate([rk2[parent], rk2])),
+            # int32 throughout: p < 2^31 tokens/doc, m and L are
+            # per-batch partials; union_len widens to int64 before any
+            # product/sum.  25% less shuffle volume on 100M+ window rows.
             "p": pa.array(np.concatenate([
-                rel, np.full(nr, -1, dtype=np.int64)])),
+                rel, np.full(nr, -1, dtype=np.int64)]).astype(np.int32)),
             "m": pa.array(np.concatenate([
-                np.zeros(nw, np.int64), np.ones(nr, np.int64)])),
-            "L": pa.array(np.concatenate([np.zeros(nw, np.int64), lens])),
+                np.zeros(nw, np.int32), np.ones(nr, np.int32)])),
+            "L": pa.array(np.concatenate(
+                [np.zeros(nw, np.int64), lens]).astype(np.int32)),
         })
 
     def find_dups(grp: pd.DataFrame) -> pd.DataFrame:
@@ -1954,9 +1958,9 @@ def token_dup_gram_coverage(
             "__p2": (rk1 & np.uint64(int(mask))).astype(np.int32),
             "rk1": rk1,
             "rk2": grp["rk2"].to_numpy(dtype=np.uint64)[take],
-            "p": p[take],
-            "m": grp["m"].to_numpy(dtype=np.int64)[take],
-            "L": grp["L"].to_numpy(dtype=np.int64)[take],
+            "p": p[take].astype(np.int32),
+            "m": grp["m"].to_numpy(dtype=np.int32)[take],
+            "L": grp["L"].to_numpy(dtype=np.int32)[take],
         })
 
     def union_len(grp: pd.DataFrame) -> pd.DataFrame:
