@@ -1106,3 +1106,121 @@ ORDER BY c_nationkey
 
 QUERIES3["tpch_q22ish"] = q_tpch_q22ish
 ORACLES3["tpch_q22ish"] = SQL_TPCH_Q22ISH
+
+
+# ---------------------------------------------------------------------------
+# emb_truncation_audit — Matryoshka-style dimension-truncation quality
+
+
+def q_emb_truncation_audit(sf_dir: str) -> pd.DataFrame:
+    """Embedding-compression audit: if vectors were truncated to their
+    first 16 / 32 of 64 dims (the Matryoshka-representation deployment
+    trick), how much cosine similarity to the full vector survives,
+    per label?  cos(full, zero-padded truncation) reduces to
+    ``sqrt(partial_energy / total_energy)`` — one vectorized numpy
+    pass per batch, (sum, count) partials per label, driver divides
+    once.  Scale: no shuffle at all (label cardinality is tiny)."""
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        n = len(col)
+        mat = flat.astype(np.float64).reshape(n, -1)
+        sq = mat * mat
+        tot = sq.sum(axis=1)
+        p16 = sq[:, :16].sum(axis=1)
+        p32 = sq[:, :32].sum(axis=1)
+        c16 = np.sqrt(p16 / tot)
+        c32 = np.sqrt(p32 / tot)
+        lab = b["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({"label": lab, "c16": c16, "c32": c32})
+        g = out.groupby("label", sort=False).agg(
+            s16=("c16", "sum"), s32=("c32", "sum"), n=("c16", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("label", sort=True).sum().reset_index()
+    return pd.DataFrame({
+        "label": g["label"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "mean_cos16": (g["s16"] / g["n"]).round(6),
+        "mean_cos32": (g["s32"] / g["n"]).round(6),
+    })
+
+
+SQL_EMB_TRUNCATION_AUDIT = """
+WITH v AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding[1:16],
+              x -> CAST(x AS DOUBLE) * x)) AS DOUBLE) AS p16,
+         CAST(list_sum(list_transform(embedding[1:32],
+              x -> CAST(x AS DOUBLE) * x)) AS DOUBLE) AS p32,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * x)) AS DOUBLE) AS tot
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(sqrt(p16 / tot)), 6) AS mean_cos16,
+       round(avg(sqrt(p32 / tot)), 6) AS mean_cos32
+FROM v GROUP BY label ORDER BY label
+"""
+
+QUERIES3["emb_truncation_audit"] = q_emb_truncation_audit
+ORACLES3["emb_truncation_audit"] = SQL_EMB_TRUNCATION_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# orders_monthly_growth — month-over-month revenue growth report
+
+
+def q_orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    """Monthly revenue series with month-over-month growth: map-side
+    Arrow month-sums (one combiner pass over the fact table), the tiny
+    month series finishes on the driver with one LAG division — the
+    standard reporting shape where ALL heavy work is the partial
+    aggregation."""
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        month = pc.floor_temporal(ts, unit="month")
+        g = pa.table({"month": month, "rev": b["o_totalprice"]}) \
+            .group_by("month").aggregate([("rev", "sum"), ([], "count_all")])
+        return g.rename_columns(["month", "rev", "n"])
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("month", sort=True).agg(rev=("rev", "sum"),
+                                          n=("n", "sum")).reset_index()
+    prev = g["rev"].shift(1)
+    growth = (g["rev"] / prev - 1.0).round(6)
+    return pd.DataFrame({
+        "month": g["month"],
+        "n_orders": g["n"].astype("int64"),
+        "revenue": g["rev"].round(2),
+        "growth": growth,
+    })
+
+
+SQL_ORDERS_MONTHLY_GROWTH = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, round(rev, 2) AS revenue,
+       round(rev / lag(rev) OVER (ORDER BY month) - 1.0, 6) AS growth
+FROM m ORDER BY month
+"""
+
+QUERIES3["orders_monthly_growth"] = q_orders_monthly_growth
+ORACLES3["orders_monthly_growth"] = SQL_ORDERS_MONTHLY_GROWTH
