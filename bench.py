@@ -324,6 +324,22 @@ def run_bench() -> dict:
             bpe_times.append(round(time.time() - t0, 3))
         queries["bpe_apply_merge"] = min(bpe_times)
 
+    # duplicated-n-gram token coverage (Lee et al. 2022): two coarse
+    # window-volume shuffles over every k-gram of the corpus — the
+    # heaviest dedup diagnostic; primed + min-of-2 like curate (the
+    # first full-size run pays the box's cold-page tax ~3x)
+    from jesse_ray.functions.dedup import token_dup_gram_coverage
+
+    _ = token_dup_gram_coverage(
+        read_sequences(path, columns=["tokens"]).limit(20_000), k=8)
+    dgc_times = []
+    for _ in range(2):
+        t0 = time.time()
+        _tot, _cov = token_dup_gram_coverage(
+            read_sequences(path, columns=["tokens"]), k=8)
+        dgc_times.append(round(time.time() - t0, 3))
+    queries["dup_gram_coverage"] = min(dgc_times)
+
     # k-means over the embeddings table at this sf
     emb_path = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), sf, "embeddings.parquet")
     if os.path.exists(emb_path):
