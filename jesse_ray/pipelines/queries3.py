@@ -1224,3 +1224,65 @@ FROM m ORDER BY month
 
 QUERIES3["orders_monthly_growth"] = q_orders_monthly_growth
 ORACLES3["orders_monthly_growth"] = SQL_ORDERS_MONTHLY_GROWTH
+
+
+# ---------------------------------------------------------------------------
+# events_transition_conformance — protocol / state-machine validation
+
+# the allowed user-journey protocol; anything else is a conformance
+# violation (the streaming analogue of the engine's enum checks)
+ALLOWED_TRANSITIONS = (
+    ("signup", "view"), ("view", "view"), ("view", "click"),
+    ("click", "view"), ("click", "cart_unused"), ("click", "purchase"),
+    ("purchase", "view"), ("error", "view"), ("view", "error"),
+)
+
+
+def q_events_transition_conformance(sf_dir: str) -> pd.DataFrame:
+    """State-machine conformance validation over per-user event
+    streams: every adjacent (prev_type, event_type) transition outside
+    the ALLOWED_TRANSITIONS protocol is a violation, reported as the
+    (from, to, n) violation matrix.  Rides the deterministic
+    `relational.transition_counts` pass (one coarse entity-hash
+    shuffle, per-part lexsort, (ts, event_id) tiebreak so equal
+    timestamps order identically in both engines); the conformance
+    filter touches only the tiny type x type matrix."""
+    from jesse_ray.pipelines.relational import transition_counts
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    t = transition_counts(ds, entity_col="user_id", type_col="event_type",
+                          ts_col="ts", order_col="event_id").to_pandas()
+    # vectorized membership test over the tiny transition matrix
+    key = t["from_type"].astype(str) + "\x1f" + t["to_type"].astype(str)
+    allowed_keys = {a + "\x1f" + b for a, b in ALLOWED_TRANSITIONS}
+    bad = t[~key.isin(allowed_keys)].copy()
+    out = pd.DataFrame({
+        "from_type": bad["from_type"],
+        "to_type": bad["to_type"],
+        "n": bad["cnt"].astype("int64"),
+    })
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def _transition_conformance_sql() -> str:
+    allowed = ", ".join(f"('{a}', '{b}')" for a, b in ALLOWED_TRANSITIONS)
+    return f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o
+WHERE prev_type IS NOT NULL
+  AND (prev_type, event_type) NOT IN ({allowed})
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES3["events_transition_conformance"] = q_events_transition_conformance
+ORACLES3["events_transition_conformance"] = _transition_conformance_sql()
