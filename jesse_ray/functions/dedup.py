@@ -655,10 +655,9 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
     hash-partition cogroups (scale path for adversarial corpora where
     even the candidate set is huge)."""
     if mode == "shuffle":
-        if metric != "jaccard":
-            raise NotImplementedError("shuffle-mode verify supports metric='jaccard' only")
         return _verify_jaccard_shuffle(ds, pairs, threshold=threshold,
-                                       shingle_k=shingle_k, key_col=key_col, n_parts=n_parts)
+                                       shingle_k=shingle_k, key_col=key_col,
+                                       n_parts=n_parts, metric=metric)
     pairs = pairs.materialize()
     key_set: set = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
@@ -680,7 +679,8 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
 
 
 def _verify_jaccard_shuffle(ds: Dataset, pairs: Dataset, *, threshold: float,
-                            shingle_k: int, key_col: str, n_parts: int = 64) -> Dataset:
+                            shingle_k: int, key_col: str, n_parts: int = 64,
+                            metric: str = "jaccard") -> Dataset:
     """Shuffle-mode verify: cogroup-via-union.  Round 1 partitions pair
     rows by hash(left) together with shingle rows by hash(key) and
     attaches the LEFT blob per part; round 2 repeats on right.  Driver
@@ -756,7 +756,7 @@ def _verify_jaccard_shuffle(ds: Dataset, pairs: Dataset, *, threshold: float,
     def finish(batch: pa.Table) -> pa.Table:
         lb = batch["blob_left"].to_pylist()
         rb = batch["blob_right"].to_pylist()
-        keep, jac = _pair_jaccard_from_blobs(lb, rb, threshold)
+        keep, jac = _pair_jaccard_from_blobs(lb, rb, threshold, metric)
         out = pa.table(
             {
                 "left": batch["left"],

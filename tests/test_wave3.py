@@ -277,3 +277,57 @@ def test_bmp_codec_roundtrip_and_traps():
     red[:, :, 0] = 255
     raw = encode_bmp(red)
     assert raw[54] == 0 and raw[55] == 0 and raw[56] == 255
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overlap_verify_shuffle_matches_broadcast():
+    import ray.data
+    import pyarrow as pa
+    from jesse_ray.functions.dedup import verify_jaccard_pairs
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog",
+            "prefix words then the quick brown fox jumps over the lazy dog plus a long tail of extra noise words",
+            "entirely unrelated content here",
+        ]),
+    })
+    pairs = ray.data.from_arrow(pa.table({
+        "left": pa.array([1, 1], type=pa.int64()),
+        "right": pa.array([2, 3], type=pa.int64()),
+    }))
+    ds = ray.data.from_arrow(docs)
+    b = verify_jaccard_pairs(ds, pairs, threshold=0.8, metric="overlap",
+                             mode="broadcast").to_pandas()
+    s = verify_jaccard_pairs(ds, ray.data.from_arrow(pa.table({
+        "left": pa.array([1, 1], type=pa.int64()),
+        "right": pa.array([2, 3], type=pa.int64()),
+    })), threshold=0.8, metric="overlap", mode="shuffle").to_pandas()
+    bset = sorted(zip(b["left"], b["right"], b["jaccard"].round(6)))
+    sset = sorted(zip(s["left"], s["right"], s["jaccard"].round(6)))
+    assert bset == sset
+    assert len(bset) == 1 and bset[0][:2] == (1, 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transition_conformance_protocol():
+    from jesse_ray.pipelines.queries3 import (
+        ALLOWED_TRANSITIONS,
+        q_events_transition_conformance,
+    )
+
+    out = q_events_transition_conformance("/root/testdata/sf0.001")
+    allowed = set(ALLOWED_TRANSITIONS)
+    for _, r in out.iterrows():
+        assert (r["from_type"], r["to_type"]) not in allowed
+        assert r["n"] > 0
+
+
+def test_truncation_cos_formula():
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=64)
+    t16 = np.concatenate([v[:16], np.zeros(48)])
+    want = float(np.dot(v, t16) / (np.linalg.norm(v) * np.linalg.norm(t16)))
+    got = float(np.sqrt((v[:16] ** 2).sum() / (v ** 2).sum()))
+    assert got == pytest.approx(want, abs=1e-12)
