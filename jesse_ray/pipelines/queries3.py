@@ -1286,3 +1286,102 @@ ORDER BY 1, 2
 
 QUERIES3["events_transition_conformance"] = q_events_transition_conformance
 ORACLES3["events_transition_conformance"] = _transition_conformance_sql()
+
+
+# ---------------------------------------------------------------------------
+# doc_lr_calibration — reliability report for the distributed classifier
+
+
+def q_doc_lr_calibration(sf_dir: str) -> pd.DataFrame:
+    """Calibration / reliability report for the distributed linear
+    quality classifier (`functions/linear.logreg_fit`): docs bucketed
+    by 0.005-wide logit bin, each bin reporting volume, mean logit and the
+    empirical positive rate — the ML-ops diagnostic that decides
+    whether classifier scores can gate a curation pass.  One gradient-
+    descent fit (streaming partials, driver holds 4 weights) + one
+    scoring pass emitting per-bin integer partials; no shuffle.  The
+    SQL twin rescores from the exported weight sidecar and must land
+    every doc in the same bin (logits rounded to 6 dp on both sides
+    BEFORE binning, so bin edges cannot flip)."""
+    from jesse_ray.functions.linear import logreg_fit
+    from jesse_ray.pipelines.queries import (
+        _lr_features,
+        _sig_parquet_path,
+    )
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "lang"])
+
+    def label(batch: pa.Table) -> np.ndarray:
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        return pc.equal(lang, "en").to_numpy(zero_copy_only=False).astype(np.float64)
+
+    w = logreg_fit(ds, _lr_features, label, n_features=4, lr=0.5, n_steps=25)
+    _pq.write_table(
+        pa.table({"k": pa.array(np.arange(4), type=pa.int64()),
+                  "w": pa.array(w, type=pa.float64())}),
+        _sig_parquet_path(sf_dir, "lr_weights_cal"),
+    )
+    ref = ray.put(w) if ray.is_initialized() else w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wk = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        x = _lr_features(batch)
+        z = wk[0] + wk[1] * x[:, 1]
+        z = z + wk[2] * x[:, 2]
+        z = z + wk[3] * x[:, 3]
+        z = np.round(z, 6)
+        y = label(batch)
+        bin_ = np.floor(z * 200.0).astype(np.int64)  # 0.005-logit bins
+        df = pd.DataFrame({"bin": bin_, "z": z, "y": y})
+        g = df.groupby("bin", sort=False).agg(
+            n=("z", "size"), sz=("z", "sum"), pos=("y", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("bin", sort=True).sum().reset_index()
+    return pd.DataFrame({
+        "bin": g["bin"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "mean_logit": (g["sz"] / g["n"]).round(6),
+        "pos_rate": (g["pos"] / g["n"]).round(6),
+    })
+
+
+SQL_DOC_LR_CALIBRATION = """
+WITH w AS (
+  SELECT max(CASE WHEN k = 0 THEN w END) AS w0,
+         max(CASE WHEN k = 1 THEN w END) AS w1,
+         max(CASE WHEN k = 2 THEN w END) AS w2,
+         max(CASE WHEN k = 3 THEN w END) AS w3
+  FROM read_parquet('/tmp/jesse_ray_data/lr_weights_cal_sigs_sf0.01.parquet')
+),
+f AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS q_len,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         round(((w.w0 + w.w1 * (CAST(q_len AS DOUBLE) / 1000.0))
+                + w.w2 * (CAST(n_alpha AS DOUBLE) / CAST(greatest(q_len, 1) AS DOUBLE)))
+                + w.w3 * (CAST(n_space AS DOUBLE) / CAST(greatest(q_len, 1) AS DOUBLE)), 6) AS z
+  FROM f, w
+)
+SELECT CAST(floor(z * 200.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(z) / count(*), 6) AS mean_logit,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES3["doc_lr_calibration"] = q_doc_lr_calibration
+ORACLES3["doc_lr_calibration"] = SQL_DOC_LR_CALIBRATION
