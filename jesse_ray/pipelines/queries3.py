@@ -1385,3 +1385,364 @@ FROM s GROUP BY 1 ORDER BY 1
 
 QUERIES3["doc_lr_calibration"] = q_doc_lr_calibration
 ORACLES3["doc_lr_calibration"] = SQL_DOC_LR_CALIBRATION
+
+
+# ---------------------------------------------------------------------------
+# seq_expectations — declarative table-level expectation suite in ONE pass
+
+
+# (name, kind) — kinds wired below; thresholds are part of the suite and
+# replicated verbatim in the SQL twin.  This is the table-level analogue of
+# the row-level schema compiler (reference: jesse validates one document
+# against one schema; an expectation suite validates one TABLE against a
+# declarative contract a la Great Expectations) — every expectation reduces
+# to integer/mergeable partials so the whole suite is one streaming pass.
+EXPECTATION_SUITE = [
+    ("row_count_at_least_1", "rows >= 1"),
+    ("doc_id_null_count_is_0", "null doc_id == 0"),
+    ("n_tok_null_count_is_0", "null n_tok == 0"),
+    ("n_tok_min_at_least_1", "min(n_tok) >= 1"),
+    ("n_tok_max_at_most_8192", "max(n_tok) <= 8192"),
+    ("n_tok_mean_between_1_4096", "1 <= mean(n_tok) <= 4096"),
+    ("source_all_in_allowed", "rows with source not in allowed == 0"),
+]
+
+
+def q_seq_expectations(sf_dir: str) -> pd.DataFrame:
+    """Declarative expectation-suite runner (the table-level twin of the
+    row-level schema engine; cf. reference `src/jesse.erl:117-175` where
+    a schema is a declarative contract evaluated against one instance —
+    here the contract is evaluated against the WHOLE table).  Every
+    expectation in ``EXPECTATION_SUITE`` compiles to integer mergeable
+    partials (count / null-count / min / max / sum / bad-source count),
+    so the full suite costs ONE ``map_batches`` pass over the corpus plus
+    a driver merge of 7 numbers per block — no shuffle, no second read,
+    constant driver state.  At 10^12 rows this is the cheapest possible
+    audit: the same single-pass partial-aggregation shape as
+    ``seq_ntok_stats``, amortized across every expectation at once."""
+    from jesse_ray.pipelines.queries import ALLOWED
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok", "source"])
+    I64MAX = np.iinfo(np.int64).max
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        null_doc = n - pc.count(b["doc_id"], mode="only_valid").as_py()
+        nt = b["n_tok"]
+        n_valid = pc.count(nt, mode="only_valid").as_py()
+        null_nt = n - n_valid
+        mn = pc.min(nt).as_py() if n_valid else I64MAX
+        mx = pc.max(nt).as_py() if n_valid else -I64MAX
+        s = pc.sum(nt).as_py() if n_valid else 0
+        bad_src = n - pc.sum(
+            pc.is_in(b["source"], value_set=pa.array(ALLOWED)).cast(pa.int64())
+        ).as_py()
+        return pa.table({
+            "n": pa.array([n], type=pa.int64()),
+            "null_doc": pa.array([null_doc], type=pa.int64()),
+            "null_nt": pa.array([null_nt], type=pa.int64()),
+            "n_valid": pa.array([n_valid], type=pa.int64()),
+            "mn": pa.array([mn], type=pa.int64()),
+            "mx": pa.array([mx], type=pa.int64()),
+            "s": pa.array([int(s)], type=pa.int64()),
+            "bad_src": pa.array([int(bad_src)], type=pa.int64()),
+        })
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    n = int(t["n"].sum()); null_doc = int(t["null_doc"].sum())
+    null_nt = int(t["null_nt"].sum()); n_valid = int(t["n_valid"].sum())
+    mn = int(t["mn"].min()); mx = int(t["mx"].max()); s = int(t["s"].sum())
+    bad_src = int(t["bad_src"].sum())
+    mean = round(float(s) / n_valid, 6) if n_valid else 0.0
+    rows = [
+        ("row_count_at_least_1", float(n), n >= 1),
+        ("doc_id_null_count_is_0", float(null_doc), null_doc == 0),
+        ("n_tok_null_count_is_0", float(null_nt), null_nt == 0),
+        ("n_tok_min_at_least_1", float(mn), mn >= 1),
+        ("n_tok_max_at_most_8192", float(mx), mx <= 8192),
+        ("n_tok_mean_between_1_4096", mean, 1.0 <= mean <= 4096.0),
+        ("source_all_in_allowed", float(bad_src), bad_src == 0),
+    ]
+    return pd.DataFrame({
+        "expectation": [r[0] for r in rows],
+        "observed": [r[1] for r in rows],
+        "passed": [int(r[2]) for r in rows],
+    }).sort_values("expectation").reset_index(drop=True)
+
+
+SQL_SEQ_EXPECTATIONS_T = """
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc,
+         CAST(sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_nt,
+         CAST(count(n_tok) AS BIGINT) AS n_valid,
+         CAST(min(n_tok) AS BIGINT) AS mn,
+         CAST(max(n_tok) AS BIGINT) AS mx,
+         CAST(sum(n_tok) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN source NOT IN ({allowed}) THEN 1 ELSE 0 END) AS BIGINT) AS bad_src
+  FROM {seq}
+)
+SELECT * FROM (
+  SELECT 'row_count_at_least_1' AS expectation, CAST(n AS DOUBLE) AS observed,
+         CAST(CASE WHEN n >= 1 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM a
+  UNION ALL SELECT 'doc_id_null_count_is_0', CAST(null_doc AS DOUBLE),
+         CASE WHEN null_doc = 0 THEN 1 ELSE 0 END FROM a
+  UNION ALL SELECT 'n_tok_null_count_is_0', CAST(null_nt AS DOUBLE),
+         CASE WHEN null_nt = 0 THEN 1 ELSE 0 END FROM a
+  UNION ALL SELECT 'n_tok_min_at_least_1', CAST(mn AS DOUBLE),
+         CASE WHEN mn >= 1 THEN 1 ELSE 0 END FROM a
+  UNION ALL SELECT 'n_tok_max_at_most_8192', CAST(mx AS DOUBLE),
+         CASE WHEN mx <= 8192 THEN 1 ELSE 0 END FROM a
+  UNION ALL SELECT 'n_tok_mean_between_1_4096',
+         round(CAST(s AS DOUBLE) / n_valid, 6),
+         CASE WHEN round(CAST(s AS DOUBLE) / n_valid, 6) BETWEEN 1.0 AND 4096.0
+              THEN 1 ELSE 0 END FROM a
+  UNION ALL SELECT 'source_all_in_allowed', CAST(bad_src AS DOUBLE),
+         CASE WHEN bad_src = 0 THEN 1 ELSE 0 END FROM a
+) ORDER BY expectation
+"""
+
+
+def _sql_seq_expectations() -> str:
+    from jesse_ray.pipelines.queries import ALLOWED_SQL
+
+    return SQL_SEQ_EXPECTATIONS_T.format(seq=SEQ_SQL, allowed=ALLOWED_SQL)
+
+
+QUERIES3["seq_expectations"] = q_seq_expectations
+ORACLES3["seq_expectations"] = _sql_seq_expectations()
+
+
+# ---------------------------------------------------------------------------
+# orders_benford — Benford first-significant-digit audit
+
+
+# P(d) = log10(1 + 1/d) pre-rounded to 6 decimals as DECIMAL LITERALS so both
+# engines parse the identical correctly-rounded double (strtod) instead of
+# each computing its own libm log10 (last-ulp hazard).
+_BENFORD_P = {1: "0.30103", 2: "0.176091", 3: "0.124939", 4: "0.09691",
+              5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+              9: "0.045757"}
+
+
+def q_orders_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-significant-digit audit over ``o_totalprice`` — the
+    classic forensic data-quality check (Benford 1938; Nigrini 1996):
+    naturally-arising multiplicative amounts follow P(d)=log10(1+1/d),
+    and a synthetic / tampered / truncated column does not.  Digit
+    extraction avoids every rounding hazard: ``floor(x*100 + 0.5)`` is
+    the identical IEEE mul/add/floor chain in numpy and DuckDB (no
+    round-half-even vs half-away divergence), the first digit comes off
+    the integer's decimal string, and the Benford reference shares are
+    parsed from the same 6-decimal literals on both sides.  One
+    map_batches pass of 9-bucket integer partials, driver merges
+    blocks x 9 rows — no shuffle."""
+    ds = read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        first = pc.utf8_slice_codeunits(
+            pc.cast(pa.array(np.abs(cents)), pa.string()), 0, 1)
+        d = pc.cast(first, pa.int64()).to_numpy(zero_copy_only=False)
+        cnt = np.bincount(d, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), type=pa.int64()),
+                         "n": pa.array(cnt, type=pa.int64())})
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("digit", sort=True)["n"].sum().reset_index()
+    total = int(g["n"].sum())
+    return pd.DataFrame({
+        "digit": g["digit"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "share": (g["n"] / total).round(6),
+        "benford_p": [float(_BENFORD_P[d]) for d in g["digit"]],
+    })
+
+
+def _sql_orders_benford() -> str:
+    case = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    return f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(abs(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM d), 6) AS share,
+       CASE digit {case} END AS benford_p
+FROM d GROUP BY digit ORDER BY digit
+"""
+
+
+QUERIES3["orders_benford"] = q_orders_benford
+ORACLES3["orders_benford"] = _sql_orders_benford()
+
+
+# ---------------------------------------------------------------------------
+# events_freshness — per-partition staleness / freshness SLA audit
+
+
+FRESHNESS_SLA_S = 7 * 24 * 3600  # stale if > 7 days behind the corpus max
+
+
+def q_events_freshness(sf_dir: str) -> pd.DataFrame:
+    """Freshness / staleness audit per event_type: the ingestion-SLA
+    check a validation engine runs before admitting a partition (is any
+    stream lagging the corpus high-water mark by more than the SLA?).
+    Per-group max(ts) is a mergeable partial — one map_batches pass
+    emits per-block (type, max_us) pairs, the driver folds blocks x
+    |types| rows, and the global high-water mark falls out of the same
+    fold.  Lag is integer microseconds floor-divided to whole seconds:
+    bit-identical in both engines."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64())
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "us": us.to_pandas()})
+        g = df.groupby("event_type", sort=False)["us"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("event_type", sort=True)["us"].max().reset_index()
+    hwm = int(g["us"].max())
+    lag_s = (hwm - g["us"].astype("int64")) // 1_000_000
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "max_ts_us": g["us"].astype("int64"),
+        "lag_s": lag_s.astype("int64"),
+        "stale": (lag_s > FRESHNESS_SLA_S).astype("int64"),
+    })
+
+
+SQL_EVENTS_FRESHNESS = f"""
+WITH g AS (
+  SELECT event_type, CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
+  FROM events GROUP BY 1
+)
+SELECT event_type, max_ts_us,
+       ((SELECT max(max_ts_us) FROM g) - max_ts_us) // 1000000 AS lag_s,
+       CAST(CASE WHEN ((SELECT max(max_ts_us) FROM g) - max_ts_us) // 1000000
+                      > {FRESHNESS_SLA_S} THEN 1 ELSE 0 END AS BIGINT) AS stale
+FROM g ORDER BY event_type
+"""
+
+QUERIES3["events_freshness"] = q_events_freshness
+ORACLES3["events_freshness"] = SQL_EVENTS_FRESHNESS
+
+
+# ---------------------------------------------------------------------------
+# doc_token_fertility — tokenizer fertility (subword tokens per word) by lang
+
+
+FERTILITY_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def q_doc_token_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility per language: subword-ish tokens per
+    whitespace word (the standard multilingual-tokenizer diagnostic —
+    a fertility spike on one language means the vocab under-serves it
+    and its effective context shrinks).  Both engines count matches of
+    the SAME RE2 pattern (pyarrow count_substring_regex / DuckDB
+    regexp_extract_all are both RE2), sums are exact integers, and the
+    single fertility division is one identical IEEE op per group.  One
+    pass, per-block (lang, words, subtoks, docs) integer partials."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.list_value_length(pc.split_pattern(b["text"], " ")).cast(pa.int64())
+        subs = pc.count_substring_regex(b["text"], FERTILITY_PAT).cast(pa.int64())
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "n_words": words.to_pandas(),
+            "n_subtok": subs.to_pandas(),
+        })
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_words", "size"), n_words=("n_words", "sum"),
+            n_subtok=("n_subtok", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("lang", sort=True).sum().reset_index()
+    return pd.DataFrame({
+        "lang": g["lang"],
+        "n_docs": g["n_docs"].astype("int64"),
+        "n_words": g["n_words"].astype("int64"),
+        "n_subtok": g["n_subtok"].astype("int64"),
+        "fertility": (g["n_subtok"] / g["n_words"]).round(6),
+    })
+
+
+SQL_DOC_TOKEN_FERTILITY = f"""
+WITH f AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '{FERTILITY_PAT}')) AS BIGINT) AS n_subtok
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_subtok) AS BIGINT) AS n_subtok,
+       round(CAST(sum(n_subtok) AS DOUBLE) / sum(n_words), 6) AS fertility
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+QUERIES3["doc_token_fertility"] = q_doc_token_fertility
+ORACLES3["doc_token_fertility"] = SQL_DOC_TOKEN_FERTILITY
+
+
+# ---------------------------------------------------------------------------
+# events_unpivot — UNPIVOT / melt of a wide per-type aggregate to long form
+
+
+def q_events_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (melt) relational shape: a wide per-event-type aggregate
+    (n_events, sum_cents, max_cents) melted to long (event_type, metric,
+    value) — the standard hand-off shape for metric stores / time-series
+    sinks.  The wide aggregate is the distributed part (per-block
+    integer partials, driver folds blocks x |types|); the melt itself is
+    O(|types| x metrics) driver rows.  Cents via the same floor(x*100
+    + 0.5) IEEE chain as the Benford audit — no rounding divergence."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(), "c": cents})
+        g = df.groupby("event_type", sort=False).agg(
+            n_events=("c", "size"), sum_cents=("c", "sum"),
+            max_cents=("c", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("event_type", sort=True).agg(
+        n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum"),
+        max_cents=("max_cents", "max")).reset_index()
+    long = g.melt(id_vars=["event_type"], var_name="metric", value_name="value")
+    long["value"] = long["value"].astype("int64")
+    return long.sort_values(["event_type", "metric"]).reset_index(drop=True)
+
+
+SQL_EVENTS_UNPIVOT = """
+WITH w AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+  FROM events GROUP BY 1
+)
+SELECT event_type, metric, value FROM (
+  SELECT event_type, 'n_events' AS metric, n_events AS value FROM w
+  UNION ALL SELECT event_type, 'sum_cents', sum_cents FROM w
+  UNION ALL SELECT event_type, 'max_cents', max_cents FROM w
+) ORDER BY event_type, metric
+"""
+
+QUERIES3["events_unpivot"] = q_events_unpivot
+ORACLES3["events_unpivot"] = SQL_EVENTS_UNPIVOT

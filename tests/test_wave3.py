@@ -331,3 +331,73 @@ def test_truncation_cos_formula():
     want = float(np.dot(v, t16) / (np.linalg.norm(v) * np.linalg.norm(t16)))
     got = float(np.sqrt((v[:16] ** 2).sum() / (v ** 2).sum()))
     assert got == pytest.approx(want, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# wave-4 audits: expectation suite, Benford, freshness, fertility, unpivot
+
+
+def test_expectation_suite_flags_planted_violations(ray_session):
+    from jesse_ray.pipelines.queries3 import q_seq_expectations
+
+    out = q_seq_expectations("/root/testdata/sf0.001")
+    assert list(out.columns) == ["expectation", "observed", "passed"]
+    by = dict(zip(out["expectation"], out["passed"]))
+    obs = dict(zip(out["expectation"], out["observed"]))
+    # the generator plants null doc_ids and a disallowed 'crawl-x' source
+    assert by["doc_id_null_count_is_0"] == 0 and obs["doc_id_null_count_is_0"] > 0
+    assert by["source_all_in_allowed"] == 0 and obs["source_all_in_allowed"] > 0
+    assert by["row_count_at_least_1"] == 1
+    assert by["n_tok_mean_between_1_4096"] == 1
+
+
+def test_benford_digit_extraction_exact(ray_session):
+    from jesse_ray.pipelines.queries3 import q_orders_benford
+
+    out = q_orders_benford("/root/testdata/sf0.001")
+    assert out["digit"].tolist() == list(range(1, 10))
+    assert out["n"].sum() > 0
+    # shares sum to 1 within fp tolerance, every Benford p matches its literal
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    assert abs(out["benford_p"].sum() - 1.0) < 1e-3
+
+
+def test_first_digit_formula_matches_string_path():
+    # floor(x*100+0.5) first-digit == first significant digit of the amount
+    vals = np.array([1234.56, 9.99, 100.0, 55.01, 7000.49, 0.07])
+    cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+    first = [int(str(abs(c))[0]) for c in cents]
+    assert first == [1, 9, 1, 5, 7, 7]
+
+
+def test_freshness_audit_lag_zero_for_hwm_type(ray_session):
+    from jesse_ray.pipelines.queries3 import q_events_freshness
+
+    out = q_events_freshness("/root/testdata/sf0.001")
+    # exactly the high-water-mark type(s) have zero lag; lags non-negative
+    assert (out["lag_s"] >= 0).all()
+    assert (out["lag_s"] == 0).sum() >= 1
+    assert ((out["lag_s"] > 7 * 24 * 3600) == (out["stale"] == 1)).all()
+
+
+def test_fertility_counts_are_consistent(ray_session):
+    from jesse_ray.pipelines.queries3 import q_doc_token_fertility
+
+    out = q_doc_token_fertility("/root/testdata/sf0.001")
+    assert (out["n_subtok"] >= 0).all() and (out["n_words"] > 0).all()
+    got = dict(zip(out["lang"], out["fertility"]))
+    for v in got.values():
+        assert 0.1 < v < 20.0
+
+
+def test_unpivot_round_trips_wide_aggregate(ray_session):
+    from jesse_ray.pipelines.queries3 import q_events_unpivot
+
+    out = q_events_unpivot("/root/testdata/sf0.001")
+    # every event_type has exactly the 3 metrics; pivoting back loses nothing
+    per = out.groupby("event_type")["metric"].apply(lambda s: sorted(s))
+    for metrics in per:
+        assert metrics == ["max_cents", "n_events", "sum_cents"]
+    wide = out.pivot(index="event_type", columns="metric", values="value")
+    assert (wide["n_events"] > 0).all()
+    assert (wide["max_cents"] * wide["n_events"] >= wide["sum_cents"]).all()
