@@ -1746,3 +1746,163 @@ SELECT event_type, metric, value FROM (
 
 QUERIES3["events_unpivot"] = q_events_unpivot
 ORACLES3["events_unpivot"] = SQL_EVENTS_UNPIVOT
+
+
+# ---------------------------------------------------------------------------
+# seq_val_exemplars — k distinct exemplar docs per error type
+
+
+EXEMPLARS_K = 3
+
+
+def q_seq_val_exemplars(sf_dir: str) -> pd.DataFrame:
+    """Stratified violation exemplars: the first K distinct offending
+    doc keys per error type, drawn from the REAL engine run (row +
+    referential violations Dataset ∪ uniqueness pass).  This is the
+    triage view an operator reads when a 10^12-row run reports millions
+    of violations — counts alone don't debug anything; K concrete
+    examples per error class do.  Scale shape: per-block distinct
+    (error, doc_key) + per-block top-K ascending (the K smallest
+    distinct values of a union are each locally among the K smallest
+    distinct of any block containing them, so local top-K is a superset)
+    — the driver folds blocks × errors × K rows.  doc_key coalesces the
+    NULL doc_id of missing_required_property rows to '' so ordering is
+    total in both engines."""
+    from jesse_ray.engine import validate_dataset
+    from jesse_ray.pipelines.queries import _seq_spec
+
+    ds = read_sequences(_seq_path(sf_dir))
+    res = validate_dataset(ds, _seq_spec(), referential_concurrency=(1, 2))
+
+    def local(b: pa.Table) -> pa.Table:
+        key = pc.coalesce(b["doc_id"], pa.scalar("", type=pa.string()))
+        df = pd.DataFrame({"error": b["error"].to_pandas(), "doc_key": key.to_pandas()})
+        df = df.drop_duplicates().sort_values(["error", "doc_key"])
+        return pa.Table.from_pandas(df.groupby("error", sort=False)
+                                    .head(EXEMPLARS_K), preserve_index=False)
+
+    parts = [
+        _collect(res.violations.map_batches(local, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+    ]
+    uniq = res.unique_violations
+    if uniq.num_rows:
+        parts.append(local(uniq))
+    t = pa.concat_tables([p for p in parts if p is not None and p.num_rows])
+    df = t.to_pandas().drop_duplicates().sort_values(["error", "doc_key"])
+    out = df.groupby("error", sort=True).head(EXEMPLARS_K).reset_index(drop=True)
+    out["rnk"] = out.groupby("error").cumcount() + 1
+    return out[["error", "rnk", "doc_key"]]
+
+
+def _sql_seq_val_exemplars() -> str:
+    from jesse_ray import testgen
+    from jesse_ray.pipelines.queries import ALLOWED_SQL
+
+    return f"""
+WITH offenders AS (
+  SELECT 'wrong_size' AS error, coalesce(doc_id, '') AS doc_key
+  FROM {SEQ_SQL} WHERE len(tokens) != n_tok
+  UNION
+  SELECT 'not_in_range', coalesce(doc_id, '')
+  FROM {SEQ_SQL} WHERE n_tok < 1 OR n_tok > 2048
+  UNION
+  SELECT 'not_in_range', coalesce(doc_id, '')
+  FROM {SEQ_SQL} WHERE EXISTS (
+    SELECT 1 FROM unnest(tokens) AS u(t) WHERE t < 0 OR t >= {testgen.VOCAB})
+  UNION
+  SELECT 'missing_required_property', coalesce(doc_id, '')
+  FROM {SEQ_SQL} WHERE doc_id IS NULL
+  UNION
+  SELECT 'no_match', doc_id FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+  UNION
+  SELECT 'not_in_enum', coalesce(doc_id, '') FROM {SEQ_SQL}
+  WHERE source NOT IN ({ALLOWED_SQL})
+  UNION
+  SELECT 'not_unique', doc_id FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1
+)
+SELECT error, rnk, doc_key FROM (
+  SELECT error, doc_key,
+         row_number() OVER (PARTITION BY error ORDER BY doc_key) AS rnk
+  FROM offenders
+) WHERE rnk <= {EXEMPLARS_K} ORDER BY error, rnk
+"""
+
+
+QUERIES3["seq_val_exemplars"] = q_seq_val_exemplars
+ORACLES3["seq_val_exemplars"] = _sql_seq_val_exemplars()
+
+
+# ---------------------------------------------------------------------------
+# seq_expectations_by_source — the expectation suite scoped per group
+
+
+def q_seq_expectations_by_source(sf_dir: str) -> pd.DataFrame:
+    """Group-scoped expectation suite: the same declarative-contract
+    machinery as ``seq_expectations`` but evaluated PER SOURCE (per
+    tenant / per stream — how a multi-source ingest actually gates
+    partitions: web may pass while forums fails).  Still one streaming
+    pass: per-block pandas-groupby integer partials keyed by source,
+    driver folds blocks × |sources| rows, thresholds replicated
+    verbatim in the twin."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "null_doc": b["doc_id"].is_null().to_pandas().astype(np.int64),
+            "nt": b["n_tok"].to_pandas(),
+        })
+        g = df.groupby("source", sort=False).agg(
+            n=("null_doc", "size"), null_doc=("null_doc", "sum"),
+            n_valid=("nt", "count"), s=("nt", "sum")).reset_index()
+        g["s"] = g["s"].fillna(0).astype(np.int64)
+        g["n_valid"] = g["n_valid"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("source", sort=True).agg(
+        n=("n", "sum"), null_doc=("null_doc", "sum"),
+        n_valid=("n_valid", "sum"), s=("s", "sum")).reset_index()
+    rows = []
+    for _, r in g.iterrows():
+        mean = round(float(r["s"]) / r["n_valid"], 6) if r["n_valid"] else 0.0
+        rows.append((r["source"], "doc_id_null_count_is_0",
+                     float(r["null_doc"]), int(r["null_doc"] == 0)))
+        rows.append((r["source"], "n_tok_mean_between_1_4096",
+                     mean, int(1.0 <= mean <= 4096.0)))
+        rows.append((r["source"], "row_count_at_least_1",
+                     float(r["n"]), int(r["n"] >= 1)))
+    out = pd.DataFrame(rows, columns=["source", "expectation", "observed", "passed"])
+    return out.sort_values(["source", "expectation"]).reset_index(drop=True)
+
+
+SQL_SEQ_EXPECTATIONS_BY_SOURCE = f"""
+WITH a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc,
+         CAST(count(n_tok) AS BIGINT) AS n_valid,
+         CAST(sum(n_tok) AS BIGINT) AS s
+  FROM {SEQ_SQL} GROUP BY source
+)
+SELECT source, expectation, observed, passed FROM (
+  SELECT source, 'doc_id_null_count_is_0' AS expectation,
+         CAST(null_doc AS DOUBLE) AS observed,
+         CAST(CASE WHEN null_doc = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM a
+  UNION ALL
+  SELECT source, 'n_tok_mean_between_1_4096',
+         round(CAST(s AS DOUBLE) / n_valid, 6),
+         CASE WHEN round(CAST(s AS DOUBLE) / n_valid, 6) BETWEEN 1.0 AND 4096.0
+              THEN 1 ELSE 0 END FROM a
+  UNION ALL
+  SELECT source, 'row_count_at_least_1', CAST(n AS DOUBLE),
+         CASE WHEN n >= 1 THEN 1 ELSE 0 END FROM a
+) ORDER BY source, expectation
+"""
+
+QUERIES3["seq_expectations_by_source"] = q_seq_expectations_by_source
+ORACLES3["seq_expectations_by_source"] = SQL_SEQ_EXPECTATIONS_BY_SOURCE

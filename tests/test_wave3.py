@@ -401,3 +401,35 @@ def test_unpivot_round_trips_wide_aggregate(ray_session):
     wide = out.pivot(index="event_type", columns="metric", values="value")
     assert (wide["n_events"] > 0).all()
     assert (wide["max_cents"] * wide["n_events"] >= wide["sum_cents"]).all()
+
+
+def test_val_exemplars_bounded_and_ranked(ray_session):
+    from jesse_ray.pipelines.queries3 import EXEMPLARS_K, q_seq_val_exemplars
+
+    out = q_seq_val_exemplars("/root/testdata/sf0.001")
+    assert set(out.columns) == {"error", "rnk", "doc_key"}
+    per = out.groupby("error")
+    for err, grp in per:
+        assert list(grp["rnk"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= EXEMPLARS_K
+        assert grp["doc_key"].is_monotonic_increasing
+    # planted violation classes surface with concrete exemplars
+    assert "not_in_enum" in set(out["error"])
+    assert "missing_required_property" in set(out["error"])
+    # null doc_id exemplars coalesce to '' (total order in both engines)
+    mrp = out[out["error"] == "missing_required_property"]
+    assert (mrp["doc_key"] == "").all()
+
+
+def test_expectations_by_source_scoping(ray_session):
+    from jesse_ray.pipelines.queries3 import q_seq_expectations_by_source
+
+    out = q_seq_expectations_by_source("/root/testdata/sf0.001")
+    # every source gets the full 3-expectation contract
+    per = out.groupby("source")["expectation"].apply(sorted)
+    for exps in per:
+        assert exps == ["doc_id_null_count_is_0", "n_tok_mean_between_1_4096",
+                        "row_count_at_least_1"]
+    # the disallowed planted source appears too — scoping is by observed
+    # group, and each group's verdict is independent
+    assert (out[out["expectation"] == "row_count_at_least_1"]["passed"] == 1).all()
