@@ -1906,3 +1906,72 @@ SELECT source, expectation, observed, passed FROM (
 
 QUERIES3["seq_expectations_by_source"] = q_seq_expectations_by_source
 ORACLES3["seq_expectations_by_source"] = SQL_SEQ_EXPECTATIONS_BY_SOURCE
+
+
+# ---------------------------------------------------------------------------
+# ref_integrity_audit — FK orphan audit across every edge of the star schema
+
+
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_ref_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit of EVERY foreign-key edge in the
+    star schema — the whole-warehouse generalization of the engine's
+    single-column referential check (reference analogue: `$ref` /
+    enum membership gate one value against one schema; this gates every
+    child row against its parent key set).  Per edge: child row count
+    (one column pruned at the read) and orphan count via the
+    distributed anti-join (`relational.hash_join(how="anti")` — cogroup
+    by coarse key hash, neither side broadcast, so a 100-TB fact table
+    never ships its parent as a value set).  Output is one verdict row
+    per edge, the shape a warehouse conformance dashboard ingests."""
+    from jesse_ray.pipelines.relational import hash_join
+
+    rows = []
+    for edge, child, fk, parent, pk in FK_EDGES:
+        c = read_table(f"{sf_dir}/{child}.parquet", columns=[fk])
+        p = read_table(f"{sf_dir}/{parent}.parquet", columns=[pk])
+        n_child = c.count()
+        if fk != pk:
+            p = p.map_batches(
+                lambda b, _pk=pk, _fk=fk: b.rename_columns([_fk]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        orphans = hash_join(c, p, on=fk, how="anti").count()
+        rows.append((edge, int(n_child), int(orphans), int(orphans == 0)))
+    return pd.DataFrame(rows, columns=["edge", "child_rows", "orphan_rows", "ok"])\
+        .sort_values("edge").reset_index(drop=True)
+
+
+def _sql_ref_integrity_audit() -> str:
+    parts = []
+    for edge, child, fk, parent, pk in FK_EDGES:
+        parts.append(f"""
+  SELECT '{edge}' AS edge,
+         CAST((SELECT count(*) FROM {child}) AS BIGINT) AS child_rows,
+         CAST((SELECT count(*) FROM {child} c
+               WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                 WHERE p.{pk} = c.{fk})) AS BIGINT) AS orphan_rows""")
+    inner = "\n  UNION ALL".join(parts)
+    return (f"SELECT edge, child_rows, orphan_rows,\n"
+            f"       CAST(CASE WHEN orphan_rows = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok\n"
+            f"FROM ({inner}\n) ORDER BY edge")
+
+
+QUERIES3["ref_integrity_audit"] = q_ref_integrity_audit
+ORACLES3["ref_integrity_audit"] = _sql_ref_integrity_audit()

@@ -433,3 +433,36 @@ def test_expectations_by_source_scoping(ray_session):
     # the disallowed planted source appears too — scoping is by observed
     # group, and each group's verdict is independent
     assert (out[out["expectation"] == "row_count_at_least_1"]["passed"] == 1).all()
+
+
+def test_ref_integrity_audit_edges_and_planted_orphan(ray_session, tmp_path):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jesse_ray.pipelines.queries3 import FK_EDGES, q_ref_integrity_audit
+
+    out = q_ref_integrity_audit("/root/testdata/sf0.001")
+    assert len(out) == len(FK_EDGES)
+    assert (out["orphan_rows"] >= 0).all()
+    assert ((out["orphan_rows"] == 0) == (out["ok"] == 1)).all()
+
+    # plant an orphan: copy the sf dir, drop one nation row
+    src = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    nat = pq.read_table(tmp_path / "nation.parquet")
+    pq.write_table(nat.slice(1), tmp_path / "nation.parquet")
+    dropped_key = nat["n_nationkey"][0].as_py()
+    out2 = q_ref_integrity_audit(str(tmp_path))
+    bad = out2[out2["edge"].str.contains("nationkey->nation")]
+    # customers/suppliers of the dropped nation are now orphans
+    assert (bad["ok"] == 0).any()
+    cust = pq.read_table(f"{src}/customer.parquet")
+    import pyarrow.compute as pc2
+    expect = pc2.sum(pc2.equal(cust["c_nationkey"], dropped_key)).as_py()
+    got = int(out2[out2["edge"] == "customer.c_nationkey->nation.n_nationkey"]
+              ["orphan_rows"].iloc[0])
+    assert got == expect
