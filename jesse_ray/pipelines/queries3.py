@@ -1975,3 +1975,184 @@ def _sql_ref_integrity_audit() -> str:
 
 QUERIES3["ref_integrity_audit"] = q_ref_integrity_audit
 ORACLES3["ref_integrity_audit"] = _sql_ref_integrity_audit()
+
+
+# ---------------------------------------------------------------------------
+# emb_quality_audit — embedding-column QA (NaN / zero / dim conformance)
+
+
+EMB_EXPECT_DIM = 64
+
+
+def q_emb_quality_audit(sf_dir: str) -> pd.DataFrame:
+    """Embedding-column quality audit per label: vector count, vectors
+    containing any NaN, exact all-zero vectors, and wrong-dimension
+    vectors — the ingest gate an embedding store runs before an index
+    build (a single NaN poisons a matmul top-k; a zero vector breaks
+    cosine).  All four metrics are ORDER-INDEPENDENT integer predicates
+    (no float reductions cross engines — a norm sum would hit pairwise-
+    vs-sequential summation divergence), emitted as per-block grouped
+    partials and folded on the driver."""
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        nan_flat = np.isnan(flat)
+        zero_flat = flat == 0.0
+        # per-vector any-NaN / all-zero via segment sums over the flat buffer
+        nan_per = np.add.reduceat(nan_flat.astype(np.int64), offs[:-1]) \
+            if len(lens) else np.zeros(0, np.int64)
+        zero_per = np.add.reduceat(zero_flat.astype(np.int64), offs[:-1]) \
+            if len(lens) else np.zeros(0, np.int64)
+        nan_per[lens == 0] = 0
+        zero_per[lens == 0] = 0
+        df = pd.DataFrame({
+            "label": b["label"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "is_nan": (nan_per > 0).astype(np.int64),
+            "is_zero": ((zero_per == lens) & (lens > 0)).astype(np.int64),
+            "wrong_dim": (lens != EMB_EXPECT_DIM).astype(np.int64),
+        })
+        g = df.groupby("label", sort=False).agg(
+            n_vecs=("is_nan", "size"), n_nan=("is_nan", "sum"),
+            n_zero=("is_zero", "sum"), n_wrong_dim=("wrong_dim", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("label", sort=True).sum().reset_index()
+    out = g.astype({"label": "int64", "n_vecs": "int64", "n_nan": "int64",
+                    "n_zero": "int64", "n_wrong_dim": "int64"})
+    out["ok"] = ((out["n_nan"] == 0) & (out["n_zero"] == 0)
+                 & (out["n_wrong_dim"] == 0)).astype("int64")
+    return out
+
+
+SQL_EMB_QUALITY_AUDIT = f"""
+WITH v AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+              THEN 1 ELSE 0 END AS is_nan,
+         CASE WHEN len(embedding) > 0
+                   AND len(list_filter(embedding, x -> x = 0.0)) = len(embedding)
+              THEN 1 ELSE 0 END AS is_zero,
+         CASE WHEN len(embedding) != {EMB_EXPECT_DIM} THEN 1 ELSE 0 END AS wrong_dim
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(is_nan) AS BIGINT) AS n_nan,
+       CAST(sum(is_zero) AS BIGINT) AS n_zero,
+       CAST(sum(wrong_dim) AS BIGINT) AS n_wrong_dim,
+       CAST(CASE WHEN sum(is_nan) = 0 AND sum(is_zero) = 0
+                      AND sum(wrong_dim) = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM v GROUP BY label ORDER BY label
+"""
+
+QUERIES3["emb_quality_audit"] = q_emb_quality_audit
+ORACLES3["emb_quality_audit"] = SQL_EMB_QUALITY_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# seq_token_budget_sample — cap every source at a fixed token budget
+
+
+TOKEN_BUDGET = 20_000
+
+
+def q_seq_token_budget_sample(sf_dir: str) -> pd.DataFrame:
+    """Token-budget-capped mixing: every source keeps rows in
+    fmix64(doc-key) order until its running token total exceeds the
+    budget — the "cap source X at N tokens" primitive of corpus mixing
+    (the deterministic, engine-reproducible cousin of temperature
+    sampling).  Distributed as `relational.budget_prefix_sample`: one
+    sort by (source, hash) + a two-pass prefix scan with O(blocks)
+    driver state and EXACT RANGE tie semantics, so the SQL twin's
+    windowed SUM reproduces every verdict bit-for-bit (the twin
+    re-derives the same fmix64 chain)."""
+    from jesse_ray.hashutil import fmix64
+    from jesse_ray.pipelines.relational import budget_prefix_sample
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok", "source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(b["doc_id"]),
+                     pc.match_substring_regex(b["doc_id"], r"^doc-[0-9]{8}$"))
+        ok = pc.and_(ok, pc.is_valid(b["n_tok"]))
+        b = b.filter(pc.fill_null(ok, False))
+        key = pc.cast(pc.utf8_slice_codeunits(b["doc_id"], 4, 12), pa.uint64())
+        h = fmix64(key.to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table({
+            "source": b["source"],
+            "n_tok": b["n_tok"].cast(pa.int64()),
+            "h": pa.array(h, type=pa.uint64()),
+        })
+
+    clean = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    kept = budget_prefix_sample(clean, group_col="source", hash_col="h",
+                                weight_col="n_tok", budget=TOKEN_BUDGET)
+
+    def agg(b: pa.Table, col: str) -> pa.Table:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "nt": b["n_tok"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("source", sort=False).agg(
+            **{f"{col}_rows": ("nt", "size"), f"{col}_tokens": ("nt", "sum")}
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tot = _collect(clean.map_batches(lambda b: agg(b, "total"),
+                                     batch_format="pyarrow")).to_pandas()
+    kpt = _collect(kept.map_batches(lambda b: agg(b, "kept"),
+                                    batch_format="pyarrow")).to_pandas()
+    tot = tot.groupby("source", sort=True).sum().reset_index()
+    kpt = kpt.groupby("source", sort=True).sum().reset_index()
+    out = tot.merge(kpt, on="source", how="left").fillna(0)
+    for c in ["total_rows", "total_tokens", "kept_rows", "kept_tokens"]:
+        out[c] = out[c].astype("int64")
+    return out[["source", "total_rows", "total_tokens", "kept_rows", "kept_tokens"]]
+
+
+def _sql_token_budget() -> str:
+    M = 1 << 64
+    c1, c2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(e, c):
+        c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+        return (f"CAST(((CAST({e} AS HUGEINT) * {c_lo})"
+                f" + ((CAST({e} AS HUGEINT) * {c_hi}) % 4294967296) * 4294967296)"
+                f" % {M} AS UBIGINT)")
+
+    def xsh(e):
+        return f"xor({e}, {e} >> 33)"
+
+    return f"""
+WITH rows0 AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(substr(doc_id, 5) AS UBIGINT) AS h
+  FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+    AND n_tok IS NOT NULL
+),
+h1 AS (SELECT source, n_tok, {mul(xsh('h'), c1)} AS h FROM rows0),
+h2 AS (SELECT source, n_tok, {mul(xsh('h'), c2)} AS h FROM h1),
+h3 AS (SELECT source, n_tok, {xsh('h')} AS h FROM h2),
+s AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY h) AS running
+  FROM h3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN running <= {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows,
+       CAST(sum(CASE WHEN running <= {TOKEN_BUDGET} THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+QUERIES3["seq_token_budget_sample"] = q_seq_token_budget_sample
+ORACLES3["seq_token_budget_sample"] = _sql_token_budget()

@@ -2377,3 +2377,157 @@ def watermark_late_filter(
         return batch.append_column("late", pa.array(late))
 
     return sorted_ds.map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# token-budget-capped sampling (grouped RANGE-cumsum prefix scan)
+
+
+def _budget_block_summary(g: np.ndarray, h: np.ndarray, w: np.ndarray):
+    """Per-block summary for the budget scan: per-group weight sums plus
+    the (group, hash, weight) of the block's first and last tie runs
+    (the only runs that can span block boundaries in a sorted stream)."""
+    import pandas as pd
+
+    sums = pd.Series(w).groupby(pd.Series(g), sort=False).sum()
+    first_run = (g == g[0]) & (h == h[0])
+    # the first run is a prefix of the block; bound it to the prefix
+    fr_end = int(np.argmin(first_run)) if not first_run.all() else len(g)
+    w_first = int(w[:fr_end].sum())
+    last_run = (g == g[-1]) & (h == h[-1])
+    lr_start = len(g) - (int(np.argmin(last_run[::-1])) if not last_run.all() else len(g))
+    w_last = int(w[lr_start:].sum())
+    return {
+        "gfirst": g[0], "hfirst": int(h[0]), "wfirst": w_first,
+        "glast": g[-1], "hlast": int(h[-1]), "wlast": w_last,
+        "nrows": len(g), "sums": dict(sums.items()),
+    }
+
+
+def _budget_plan(summaries: list[dict]) -> dict:
+    """Driver fold over ordered block summaries: per-block group offsets
+    and boundary-run adjustments so every row's RANGE-inclusive cumsum
+    (ties count fully, across blocks) is computable block-locally.
+    Returns {block_key: (P_first, P_last, S_first, lt_last_plus_R)}."""
+    order = sorted(range(len(summaries)),
+                   key=lambda i: (summaries[i]["gfirst"], summaries[i]["hfirst"]))
+    # global tie-run totals for boundary runs
+    R: dict = {}
+    for s in summaries:
+        R[(s["gfirst"], s["hfirst"])] = R.get((s["gfirst"], s["hfirst"]), 0) + s["wfirst"]
+        if (s["glast"], s["hlast"]) != (s["gfirst"], s["hfirst"]):
+            R[(s["glast"], s["hlast"])] = R.get((s["glast"], s["hlast"]), 0) + s["wlast"]
+    P: dict = {}
+    seen: dict = {}
+    plan: dict = {}
+    for i in order:
+        s = summaries[i]
+        key = (s["gfirst"], s["hfirst"], s["glast"], s["hlast"], s["nrows"])
+        p_first = P.get(s["gfirst"], 0)
+        p_last = P.get(s["glast"], 0)
+        kf = (s["gfirst"], s["hfirst"])
+        kl = (s["glast"], s["hlast"])
+        s_first = (p_first - seen.get(kf, 0)) + R[kf]
+        lt_last_plus_r = (p_last - seen.get(kl, 0)) + R[kl]
+        if key not in plan:  # duplicate keys: all-tie twins, interchangeable
+            plan[key] = (p_first, p_last, s_first, lt_last_plus_r)
+        for grp, ws in s["sums"].items():
+            P[grp] = P.get(grp, 0) + int(ws)
+        seen[kf] = seen.get(kf, 0) + s["wfirst"]
+        if kl != kf:
+            seen[kl] = seen.get(kl, 0) + s["wlast"]
+    return plan
+
+
+def _budget_block_keep(g: np.ndarray, h: np.ndarray, w: np.ndarray,
+                       plan_row: tuple, gfirst, hfirst, glast, hlast,
+                       budget: int) -> np.ndarray:
+    """Keep mask for one sorted block given its plan row: block-local
+    grouped RANGE cumsum (tie runs propagate their final value) plus the
+    driver-computed cross-block offsets/run totals."""
+    p_first, p_last, s_first, lt_last_plus_r = plan_row
+    n = len(g)
+    new_g = np.empty(n, dtype=bool)
+    new_g[0] = True
+    new_g[1:] = g[1:] != g[:-1]
+    run_start = new_g.copy()
+    run_start[1:] |= h[1:] != h[:-1]
+    cw = np.cumsum(w, dtype=np.int64)
+    gs_idx = np.maximum.accumulate(np.where(new_g, np.arange(n), 0))
+    grp_cum = cw - cw[gs_idx] + w[gs_idx]  # inclusive per-group ROWS cumsum
+    run_id = np.cumsum(run_start) - 1
+    run_end = np.empty(n, dtype=bool)
+    run_end[:-1] = run_start[1:]
+    run_end[-1] = True
+    L = grp_cum[np.flatnonzero(run_end)][run_id]  # RANGE: full tie run counts
+    p_sel = np.zeros(n, dtype=np.int64)
+    p_sel[g == glast] = p_last
+    p_sel[g == gfirst] = p_first
+    S = p_sel + L
+    m_first = (g == gfirst) & (h == hfirst)
+    S[m_first] = s_first
+    m_last = (g == glast) & (h == hlast) & ~m_first
+    if m_last.any():
+        i0 = int(np.flatnonzero(m_last)[0])
+        S[m_last] = lt_last_plus_r + (grp_cum[i0] - w[i0])
+    return S <= budget
+
+
+def budget_prefix_sample(
+    ds: "Dataset",
+    *,
+    group_col: str,
+    hash_col: str,
+    weight_col: str,
+    budget: int,
+) -> "Dataset":
+    """Token-budget-capped sampling: within each group, rows are taken
+    in ``hash_col`` order (a deterministic pseudo-random order — hash of
+    the row key) until the running ``weight_col`` total exceeds
+    ``budget``.  The mixing primitive behind "cap every source at N
+    tokens": unbiased (hash order), deterministic, and reproducible
+    across runs and engines.
+
+    Tie semantics are RANGE (SQL ``SUM() OVER (PARTITION BY g ORDER BY
+    h)``): rows sharing a hash share one verdict, so duplicate keys
+    cannot make the result depend on physical row order.  Scale shape:
+    one distributed sort by (group, hash), a per-block summary pass
+    (per-group sums + the two boundary tie runs — rows never leave
+    their block), a driver fold of O(blocks) summaries, then a second
+    block-local pass applying the broadcast offsets.  The classic
+    two-pass distributed prefix scan, O(blocks) driver state."""
+    sorted_ds = ds.sort([group_col, hash_col]).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"summary": pa.array([], type=pa.string())})
+        import json as _json
+
+        g = np.asarray(b[group_col].to_pandas(), dtype=object)
+        h = b[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = _budget_block_summary(g, h, w)
+        return pa.table({"summary": pa.array([_json.dumps(s)], type=pa.string())})
+
+    import json as _json
+
+    summaries = [
+        _json.loads(x)
+        for t in sorted_ds.map_batches(summarize, batch_format="pyarrow",
+                                       batch_size=None).iter_batches(batch_format="pyarrow")
+        for x in t["summary"].to_pylist()
+    ]
+    plan = _budget_plan(summaries)
+
+    def mark(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        g = np.asarray(b[group_col].to_pandas(), dtype=object)
+        h = b[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (g[0], int(h[0]), g[-1], int(h[-1]), len(g))
+        keep = _budget_block_keep(g, h, w, plan[key], g[0], int(h[0]),
+                                  g[-1], int(h[-1]), budget)
+        return b.filter(pa.array(keep))
+
+    return sorted_ds.map_batches(mark, batch_format="pyarrow", batch_size=None)

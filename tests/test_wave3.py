@@ -466,3 +466,59 @@ def test_ref_integrity_audit_edges_and_planted_orphan(ray_session, tmp_path):
     got = int(out2[out2["edge"] == "customer.c_nationkey->nation.n_nationkey"]
               ["orphan_rows"].iloc[0])
     assert got == expect
+
+
+def test_budget_scan_core_matches_bruteforce_under_ties():
+    from jesse_ray.pipelines.relational import (
+        _budget_block_keep,
+        _budget_block_summary,
+        _budget_plan,
+    )
+
+    def brute(g, h, w, budget):
+        out = np.zeros(len(g), dtype=bool)
+        for i in range(len(g)):
+            s = w[(g == g[i]) & (h <= h[i])].sum()
+            out[i] = s <= budget
+        return out
+
+    rng = np.random.default_rng(42)
+    for _ in range(120):
+        n = int(rng.integers(1, 60))
+        g = np.array(rng.choice(["a", "b", "c"], size=n), dtype=object)
+        h = rng.integers(0, 6, size=n).astype(np.uint64)  # heavy tie pressure
+        w = rng.integers(1, 5, size=n).astype(np.int64)
+        order = np.lexsort((h, g))
+        g, h, w = g[order], h[order], w[order]
+        budget = int(rng.integers(1, int(w.sum()) + 2))
+        k = int(rng.integers(1, 6))
+        cuts = (np.sort(rng.choice(np.arange(1, n), size=min(k, n - 1),
+                                   replace=False)) if n > 1 else np.array([], int))
+        blocks = np.split(np.arange(n), cuts)
+        sums = [_budget_block_summary(g[ix], h[ix], w[ix]) for ix in blocks if len(ix)]
+        plan = _budget_plan(sums)
+        keep = np.zeros(n, dtype=bool)
+        for ix in blocks:
+            if not len(ix):
+                continue
+            gg, hh, ww = g[ix], h[ix], w[ix]
+            key = (gg[0], int(hh[0]), gg[-1], int(hh[-1]), len(gg))
+            keep[ix] = _budget_block_keep(gg, hh, ww, plan[key], gg[0],
+                                          int(hh[0]), gg[-1], int(hh[-1]), budget)
+        assert np.array_equal(keep, brute(g, h, w, budget))
+
+
+def test_token_budget_sample_caps_every_source(ray_session):
+    from jesse_ray.pipelines.queries3 import TOKEN_BUDGET, q_seq_token_budget_sample
+
+    out = q_seq_token_budget_sample("/root/testdata/sf0.001")
+    # kept tokens never exceed the budget (RANGE ties can only stop early,
+    # never overshoot, because the verdict uses the tie-inclusive total)
+    assert (out["kept_tokens"] <= TOKEN_BUDGET).all()
+    assert (out["kept_rows"] <= out["total_rows"]).all()
+    # sources with more tokens than the budget are actually capped
+    binding = out[out["total_tokens"] > TOKEN_BUDGET]
+    assert len(binding) >= 1
+    assert (binding["kept_rows"] < binding["total_rows"]).all()
+    # and at least one row is kept everywhere (budget >> max single seq)
+    assert (out["kept_rows"] >= 1).all()
