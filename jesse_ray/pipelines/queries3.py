@@ -2156,3 +2156,88 @@ FROM s GROUP BY source ORDER BY source
 
 QUERIES3["seq_token_budget_sample"] = q_seq_token_budget_sample
 ORACLES3["seq_token_budget_sample"] = _sql_token_budget()
+
+
+# ---------------------------------------------------------------------------
+# seq_val_regression — validation regression diff between two snapshots
+
+
+def q_seq_val_regression(sf_dir: str) -> pd.DataFrame:
+    """Validation regression report between two corpus snapshots (the
+    nightly-vs-baseline gate: which error classes appeared, grew, or
+    were fixed after an ingest/transform change).  Runs the REAL engine
+    on both snapshots (dirty vs cleaned corpus), outer-merges the two
+    per-error count tables, and emits per-class deltas — the engine-run
+    cost is two validation passes; the diff is |error classes| rows."""
+    from jesse_ray import testgen
+    from jesse_ray.engine import validate_dataset
+    from jesse_ray.pipelines.queries import _seq_spec
+
+    sf = testgen.sf_name_of(sf_dir)
+    testgen.generate(sf)
+    base = read_sequences(str(testgen.corpus_dir(sf) / "sequences_clean.parquet"))
+    cur = read_sequences(_seq_path(sf_dir))
+    c_base = validate_dataset(base, _seq_spec(),
+                              referential_concurrency=(1, 2)).counts_by_error()
+    c_cur = validate_dataset(cur, _seq_spec(),
+                             referential_concurrency=(1, 2)).counts_by_error()
+    errs = sorted(set(c_base) | set(c_cur))
+    rows = []
+    for e in errs:
+        b, c = int(c_base.get(e, 0)), int(c_cur.get(e, 0))
+        status = ("new" if b == 0 and c > 0 else
+                  "fixed" if b > 0 and c == 0 else
+                  "grew" if c > b else "shrank" if c < b else "same")
+        rows.append((e, b, c, c - b, status))
+    return pd.DataFrame(rows, columns=["error", "baseline_cnt", "current_cnt",
+                                       "delta", "status"])
+
+
+def _sql_seq_val_regression() -> str:
+    from jesse_ray import testgen
+    from jesse_ray.pipelines.queries import ALLOWED_SQL
+
+    clean = "read_parquet('/tmp/jesse_ray_data/sf0.01/sequences_clean.parquet')"
+
+    def counts(src: str) -> str:
+        return f"""
+  SELECT 'wrong_size' AS error, count(*)::BIGINT AS cnt FROM {src} WHERE len(tokens) != n_tok
+  UNION ALL
+  SELECT 'not_in_range', (
+      (SELECT count(*) FROM {src} WHERE n_tok < 1 OR n_tok > 2048)
+    + (SELECT count(*) FROM (SELECT unnest(tokens) AS t FROM {src}) WHERE t < 0 OR t >= {testgen.VOCAB})
+  )::BIGINT
+  UNION ALL
+  SELECT 'missing_required_property', count(*)::BIGINT FROM {src} WHERE doc_id IS NULL
+  UNION ALL
+  SELECT 'no_match', count(*)::BIGINT FROM {src}
+    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+  UNION ALL
+  SELECT 'not_in_enum', count(*)::BIGINT FROM {src} WHERE source NOT IN ({ALLOWED_SQL})
+  UNION ALL
+  SELECT 'not_unique', count(*)::BIGINT FROM (
+      SELECT doc_id FROM {src} WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1
+  )"""
+
+    return f"""
+WITH b AS ({counts(clean)}),
+     c AS ({counts(SEQ_SQL)}),
+     m AS (
+  SELECT coalesce(b.error, c.error) AS error,
+         coalesce(b.cnt, 0) AS baseline_cnt,
+         coalesce(c.cnt, 0) AS current_cnt
+  FROM b FULL OUTER JOIN c ON b.error = c.error
+)
+SELECT error, baseline_cnt, current_cnt,
+       current_cnt - baseline_cnt AS delta,
+       CASE WHEN baseline_cnt = 0 AND current_cnt > 0 THEN 'new'
+            WHEN baseline_cnt > 0 AND current_cnt = 0 THEN 'fixed'
+            WHEN current_cnt > baseline_cnt THEN 'grew'
+            WHEN current_cnt < baseline_cnt THEN 'shrank'
+            ELSE 'same' END AS status
+FROM m WHERE baseline_cnt > 0 OR current_cnt > 0 ORDER BY error
+"""
+
+
+QUERIES3["seq_val_regression"] = q_seq_val_regression
+ORACLES3["seq_val_regression"] = _sql_seq_val_regression()

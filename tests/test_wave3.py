@@ -522,3 +522,14 @@ def test_token_budget_sample_caps_every_source(ray_session):
     assert (binding["kept_rows"] < binding["total_rows"]).all()
     # and at least one row is kept everywhere (budget >> max single seq)
     assert (out["kept_rows"] >= 1).all()
+
+
+def test_val_regression_dirty_vs_clean(ray_session):
+    from jesse_ray.pipelines.queries3 import q_seq_val_regression
+
+    out = q_seq_val_regression("/root/testdata/sf0.001")
+    # the clean snapshot has zero violations, so every planted class is 'new'
+    assert (out["baseline_cnt"] == 0).all()
+    assert (out["status"] == "new").all()
+    assert (out["delta"] == out["current_cnt"]).all()
+    assert "not_in_enum" in set(out["error"])
