@@ -2241,3 +2241,156 @@ FROM m WHERE baseline_cnt > 0 OR current_cnt > 0 ORDER BY error
 
 QUERIES3["seq_val_regression"] = q_seq_val_regression
 ORACLES3["seq_val_regression"] = _sql_seq_val_regression()
+
+
+# ---------------------------------------------------------------------------
+# seq_band_filter — quantile-band curation gate (keep p10..p90 per source)
+
+
+BAND_LO, BAND_HI = 0.1, 0.9
+
+
+def q_seq_band_filter(sf_dir: str) -> pd.DataFrame:
+    """Quantile-band curation gate: keep sequences whose n_tok lies
+    within [p10, p90] of their OWN source (per-stream length trimming —
+    the robust alternative to global min/max bounds when sources have
+    wildly different length regimes).  Two passes: exact per-group
+    discrete quantiles (bounded (group, value) partials — no row
+    shuffle), bands broadcast as a tiny dict, then one vectorized
+    filter pass emitting per-source keep counts."""
+    from jesse_ray.pipelines.relational import grouped_discrete_quantiles
+
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+    bands = grouped_discrete_quantiles(ds, "source", "n_tok",
+                                       [BAND_LO, BAND_HI]).to_pandas()
+    lo = dict(zip(bands["source"], bands[f"p{int(BAND_LO * 100)}"]))
+    hi = dict(zip(bands["source"], bands[f"p{int(BAND_HI * 100)}"]))
+
+    def part(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pandas()
+        nt = b["n_tok"].to_numpy(zero_copy_only=False)
+        lo_v = src.map(lo).to_numpy()
+        hi_v = src.map(hi).to_numpy()
+        keep = (nt >= lo_v) & (nt <= hi_v)
+        df = pd.DataFrame({"source": src, "k": keep.astype(np.int64)})
+        g = df.groupby("source", sort=False).agg(
+            n=("k", "size"), kept=("k", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("source", sort=True).sum().reset_index()
+    out = pd.DataFrame({
+        "source": g["source"],
+        "n": g["n"].astype("int64"),
+        "kept": g["kept"].astype("int64"),
+        "lo": [int(lo[s]) for s in g["source"]],
+        "hi": [int(hi[s]) for s in g["source"]],
+    })
+    return out
+
+
+SQL_SEQ_BAND_FILTER = f"""
+WITH b AS (
+  SELECT source,
+         CAST(quantile_disc(n_tok, {BAND_LO}) AS BIGINT) AS lo,
+         CAST(quantile_disc(n_tok, {BAND_HI}) AS BIGINT) AS hi
+  FROM {SEQ_SQL} GROUP BY source
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN s.n_tok BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       any_value(b.lo) AS lo, any_value(b.hi) AS hi
+FROM {SEQ_SQL} s JOIN b ON s.source = b.source
+GROUP BY s.source ORDER BY s.source
+"""
+
+QUERIES3["seq_band_filter"] = q_seq_band_filter
+ORACLES3["seq_band_filter"] = SQL_SEQ_BAND_FILTER
+
+
+# ---------------------------------------------------------------------------
+# seq_val_errors_by_source — per-tenant attribution of engine violations
+
+
+def q_seq_val_errors_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source attribution of the engine's violation rows: which
+    tenant/stream produces which error class (the ownership view an
+    ingest dashboard pages teams with).  Violations whose doc_id is
+    NULL (missing_required_property) are unattributable and excluded on
+    BOTH engines.  Scale shape: violations (small) hash-join back to a
+    key→source projection of the corpus — a distributed cogroup join,
+    no driver value sets — then per-(source, error) integer counts.
+    Duplicate doc_ids attribute once per matching corpus row, exactly
+    like the SQL join."""
+    from jesse_ray.engine import validate_dataset
+    from jesse_ray.pipelines.queries import _seq_spec
+    from jesse_ray.pipelines.relational import hash_join
+
+    ds = read_sequences(_seq_path(sf_dir))
+    res = validate_dataset(ds, _seq_spec(), referential_concurrency=(1, 2))
+
+    def viol_rows(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": b["doc_id"], "error": b["error"]})
+        return t.filter(pc.is_valid(t["doc_id"]))
+
+    import ray.data as rd
+
+    v = res.violations.map_batches(viol_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    uniq = res.unique_violations
+    if uniq.num_rows:
+        parts = [viol_rows(uniq)]
+        v = v.union(rd.from_arrow(pa.concat_tables(parts)))
+    src = read_sequences(_seq_path(sf_dir), columns=["doc_id", "source"]) \
+        .map_batches(lambda b: b.filter(pc.is_valid(b["doc_id"])),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(v, src, on="doc_id", how="inner")
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "error": b["error"].to_pandas()})
+        g = df.groupby(["source", "error"], sort=False).size().rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(joined.map_batches(cnt, batch_format="pyarrow")).to_pandas()
+    g = t.groupby(["source", "error"], sort=True)["cnt"].sum().reset_index()
+    g["cnt"] = g["cnt"].astype("int64")
+    return g
+
+
+def _sql_val_errors_by_source() -> str:
+    from jesse_ray import testgen
+    from jesse_ray.pipelines.queries import ALLOWED_SQL
+
+    return f"""
+WITH offenders AS (
+  SELECT 'wrong_size' AS error, doc_id FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND len(tokens) != n_tok
+  UNION ALL
+  SELECT 'not_in_range', doc_id FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND (n_tok < 1 OR n_tok > 2048)
+  UNION ALL
+  SELECT 'not_in_range', doc_id FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND EXISTS (
+    SELECT 1 FROM unnest(tokens) AS u(t) WHERE t < 0 OR t >= {testgen.VOCAB})
+  UNION ALL
+  SELECT 'no_match', doc_id FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+  UNION ALL
+  SELECT 'not_in_enum', doc_id FROM {SEQ_SQL}
+  WHERE doc_id IS NOT NULL AND source NOT IN ({ALLOWED_SQL})
+  UNION ALL
+  SELECT 'not_unique', doc_id FROM (
+      SELECT doc_id FROM {SEQ_SQL} WHERE doc_id IS NOT NULL
+      GROUP BY doc_id HAVING count(*) > 1
+  )
+)
+SELECT s.source, o.error, CAST(count(*) AS BIGINT) AS cnt
+FROM offenders o JOIN {SEQ_SQL} s ON o.doc_id = s.doc_id
+GROUP BY s.source, o.error ORDER BY s.source, o.error
+"""
+
+
+QUERIES3["seq_val_errors_by_source"] = q_seq_val_errors_by_source
+ORACLES3["seq_val_errors_by_source"] = _sql_val_errors_by_source()

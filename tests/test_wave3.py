@@ -533,3 +533,29 @@ def test_val_regression_dirty_vs_clean(ray_session):
     assert (out["status"] == "new").all()
     assert (out["delta"] == out["current_cnt"]).all()
     assert "not_in_enum" in set(out["error"])
+
+
+def test_band_filter_trims_tails(ray_session):
+    from jesse_ray.pipelines.queries3 import q_seq_band_filter
+
+    out = q_seq_band_filter("/root/testdata/sf0.001")
+    assert (out["kept"] <= out["n"]).all()
+    assert (out["lo"] <= out["hi"]).all()
+    # a p10..p90 band keeps at least ~80% and strictly fewer than all
+    # rows for any source with spread
+    frac = out["kept"] / out["n"]
+    assert (frac >= 0.5).all()
+    assert (out[out["n"] > 20]["kept"] < out[out["n"] > 20]["n"]).all()
+
+
+def test_val_errors_by_source_attribution(ray_session):
+    from jesse_ray.pipelines.queries3 import q_seq_val_errors_by_source
+
+    out = q_seq_val_errors_by_source("/root/testdata/sf0.001")
+    assert set(out.columns) == {"source", "error", "cnt"}
+    assert (out["cnt"] > 0).all()
+    # the planted disallowed source attributes its own enum violations
+    bad = out[out["error"] == "not_in_enum"]
+    assert set(bad["source"]) == {"crawl-x"}
+    # unattributable (NULL doc_id) classes are excluded by contract
+    assert "missing_required_property" not in set(out["error"])
