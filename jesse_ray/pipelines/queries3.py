@@ -2394,3 +2394,56 @@ GROUP BY s.source, o.error ORDER BY s.source, o.error
 
 QUERIES3["seq_val_errors_by_source"] = q_seq_val_errors_by_source
 ORACLES3["seq_val_errors_by_source"] = _sql_val_errors_by_source()
+
+
+# ---------------------------------------------------------------------------
+# emb_label_balance — training-set label-balance audit
+
+
+def q_emb_label_balance(sf_dir: str) -> pd.DataFrame:
+    """Label-balance audit of a classifier training set: per-label
+    counts, share, ratio to the majority class, and a pass flag
+    (share >= 1/(4*k) — no class under a quarter of uniform).  The
+    pre-training sanity gate for the logreg/quality-classifier stages:
+    a silently skewed label column invalidates every downstream
+    calibration.  One grouped-count pass; all comparisons integer
+    cross-multiplications (4*k*n_label >= n_total) so the verdict has
+    no float tolerance."""
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["label"])
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"label": b["label"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64)})
+        g = df.groupby("label", sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _collect(ds.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True)).to_pandas()
+    g = t.groupby("label", sort=True)["n"].sum().reset_index()
+    total = int(g["n"].sum())
+    k = len(g)
+    n_max = int(g["n"].max())
+    return pd.DataFrame({
+        "label": g["label"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "share": (g["n"] / total).round(6),
+        "majority_ratio": (g["n"] / n_max).round(6),
+        "ok": (4 * k * g["n"] >= total).astype("int64"),
+    })
+
+
+SQL_EMB_LABEL_BALANCE = """
+WITH g AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+)
+SELECT label, n,
+       round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM g), 6) AS share,
+       round(CAST(n AS DOUBLE) / (SELECT max(n) FROM g), 6) AS majority_ratio,
+       CAST(CASE WHEN 4 * (SELECT count(*) FROM g) * n >= (SELECT sum(n) FROM g)
+                 THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM g ORDER BY label
+"""
+
+QUERIES3["emb_label_balance"] = q_emb_label_balance
+ORACLES3["emb_label_balance"] = SQL_EMB_LABEL_BALANCE

@@ -559,3 +559,15 @@ def test_val_errors_by_source_attribution(ray_session):
     assert set(bad["source"]) == {"crawl-x"}
     # unattributable (NULL doc_id) classes are excluded by contract
     assert "missing_required_property" not in set(out["error"])
+
+
+def test_label_balance_audit(ray_session):
+    from jesse_ray.pipelines.queries3 import q_emb_label_balance
+
+    out = q_emb_label_balance("/root/testdata/sf0.001")
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    assert (out["majority_ratio"] <= 1.0).all()
+    assert (out["majority_ratio"] == 1.0).sum() >= 1
+    # integer cross-multiplication verdict matches the float share
+    k = len(out)
+    assert ((out["ok"] == 1) == (4 * k * out["n"] >= out["n"].sum())).all()
