@@ -2531,3 +2531,49 @@ def budget_prefix_sample(
         return b.filter(pa.array(keep))
 
     return sorted_ds.map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# schema-drift-tolerant union (UNION ALL BY NAME)
+
+
+def union_by_name(a: "Dataset", b: "Dataset") -> "Dataset":
+    """Union two Datasets whose schemas drifted apart — the analogue of
+    DuckDB's ``UNION ALL BY NAME`` and the parquet-snapshot-evolution
+    problem at corpus scale (a new scrape adds a column, an old one
+    lacks it).  Columns are aligned BY NAME: the unified layout is A's
+    columns in order followed by B-only columns; a side missing a
+    column emits typed nulls for it, so every downstream block carries
+    one stable schema.  Where both sides have a column, A's type wins
+    and B casts to it (Arrow cast — raises on an unsafe drift, which is
+    the correct failure mode for a silently-retyped column).
+
+    Purely streaming: one ``map_batches`` per side (zero-copy column
+    re-assembly, no data movement) + the plan-level ``union`` — no
+    shuffle anywhere.
+    """
+    sa, sb = a.schema(), b.schema()
+    types: dict[str, pa.DataType] = {}
+    for s in (sa, sb):
+        for n, t in zip(s.names, s.types):
+            types.setdefault(n, t)
+    names = list(sa.names) + [n for n in sb.names if n not in set(sa.names)]
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in batch.column_names:
+                c = batch[n]
+                if c.type != types[n]:
+                    c = c.cast(types[n])
+                cols.append(c)
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=types[n]))
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+            names=names,
+        )
+
+    aa = a.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+    bb = b.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+    return aa.union(bb)
