@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from jesse_ray.hashutil import fmix64, hash64_strings, hash_partition_pandas
-from jesse_ray.pipelines.queries import _collect
+from jesse_ray.pipelines.queries import SEQ_SQL, _collect
 from jesse_ray.sources import read_table
 
 QUERIES4: dict = {}
@@ -510,3 +510,63 @@ FROM c GROUP BY 1 ORDER BY 1
 
 QUERIES4["doc_hapax_by_source"] = q_doc_hapax_by_source
 ORACLES4["doc_hapax_by_source"] = SQL_DOC_HAPAX_BY_SOURCE
+
+
+# ---------------------------------------------------------------------------
+# seq_skew_join — the skew-aware join, exercised on the corpus's planted
+# hot doc_ids (testgen appends two 100-copy keys at sf >= 0.01)
+
+
+def q_seq_skew_join(sf_dir: str) -> pd.DataFrame:
+    """Fact-to-dimension enrichment over a skewed key: join every
+    sequence row to its doc_id's first-seen (min) source and aggregate
+    tokens per enriched source.
+
+    Runs through :func:`relational.skew_join` with ``hot_count=50`` so
+    the corpus's planted 101-copy hot doc_ids take the salted path
+    (hot left rows spread over 8 buckets, their dim rows replicated
+    into each) while every other key rides the plain coarse-hash
+    exchange — the result is row-identical to a plain join, proven by
+    the DuckDB twin."""
+    from jesse_ray.pipelines.queries import _seq_path
+    from jesse_ray.pipelines.relational import grouped_agg, skew_join
+    from jesse_ray.sources import read_sequences
+
+    path = _seq_path(sf_dir)
+    seq = read_sequences(path, columns=["doc_id", "n_tok", "source"])
+
+    def nonnull(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["doc_id"]))
+
+    seq = seq.map_batches(nonnull, batch_format="pyarrow", zero_copy_batch=True)
+    fact = seq.select_columns(["doc_id", "n_tok"])
+    dim = grouped_agg(seq.select_columns(["doc_id", "source"]), ["doc_id"],
+                      mins=["source"], count_alias=None)
+    joined = skew_join(fact, dim, on="doc_id", how="inner",
+                       hot_count=50, salt=8)
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({"min_source": b["min_source"],
+                         "n_tok": b["n_tok"].cast(pa.int64())})
+
+    out = grouped_agg(
+        joined.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["min_source"], sums=["n_tok"],
+    ).to_pandas()
+    out["n"] = out["cnt"].astype("int64")
+    out["tok_sum"] = out["sum_n_tok"].astype("int64")
+    return (out[["min_source", "n", "tok_sum"]]
+            .sort_values("min_source").reset_index(drop=True))
+
+
+SQL_SEQ_SKEW_JOIN = f"""
+WITH f AS (SELECT doc_id, n_tok FROM {SEQ_SQL} WHERE doc_id IS NOT NULL),
+d AS (SELECT doc_id, min(source) AS min_source
+      FROM {SEQ_SQL} WHERE doc_id IS NOT NULL GROUP BY 1)
+SELECT min_source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM f JOIN d USING (doc_id) GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES4["seq_skew_join"] = q_seq_skew_join
+ORACLES4["seq_skew_join"] = SQL_SEQ_SKEW_JOIN

@@ -123,3 +123,54 @@ def test_bloom_semijoin_kills_false_positives(ray_session):
         flagged[flagged["maybe_member"]][["ukey"]], preserve_index=False))
     exact = hash_join(pre, small, on="ukey", how="semi").to_pandas()
     assert sorted(exact["ukey"].tolist()) == sorted(members)
+
+
+def test_skew_join_matches_hash_join_all_modes(ray_session):
+    """Salted replication must be row-identical to the plain join on a
+    corpus where half the left rows share ONE hot key."""
+    from jesse_ray.pipelines.relational import hash_join, skew_join
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 200, n)).astype(np.int64)
+    left = _ds(pa.table({"k": keys, "x": np.arange(n, dtype=np.int64)}))
+    rk = np.arange(0, 150, dtype=np.int64)  # keys 150..199 unmatched
+    right = _ds(pa.table({"k": rk, "y": rk * 10}))
+    for how in ("inner", "left", "semi", "anti"):
+        a = hash_join(left, right, on="k", how=how).to_pandas()
+        b = skew_join(left, right, on="k", how=how,
+                      hot_count=500, salt=8).to_pandas()
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b[a.columns].sort_values(list(a.columns)).reset_index(drop=True)
+        assert a.equals(b), how
+
+
+def test_skew_join_defuses_hot_partition(ray_session):
+    """The composite (key, salt) hash must spread a hot key's rows over
+    ~salt distinct buckets instead of one."""
+    import pyarrow.compute as pc
+
+    from jesse_ray.pipelines.relational import _element_parts
+
+    hot = pa.array(["doc-7"] * 8000, type=pa.string())
+    plain_parts = np.unique(_element_parts(hot, 64))
+    assert len(plain_parts) == 1  # the problem: one reducer gets all 8000
+    salts = (np.arange(8000) % 8).astype("U")
+    jk = pc.binary_join_element_wise(hot, pa.array(salts, type=pa.string()), "#")
+    salted_parts = np.unique(_element_parts(jk.combine_chunks()
+                                            if isinstance(jk, pa.ChunkedArray) else jk, 64))
+    assert len(salted_parts) >= 5  # 8 composite keys spread over parts
+
+
+def test_skew_join_no_hot_keys_falls_back(ray_session):
+    from jesse_ray.pipelines.relational import hash_join, skew_join
+
+    left = _ds(pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                         "x": pa.array([10, 20, 30], type=pa.int64())}))
+    right = _ds(pa.table({"k": pa.array([2, 3], type=pa.int64()),
+                          "y": pa.array([5, 6], type=pa.int64())}))
+    got = skew_join(left, right, on="k", hot_count=1000).to_pandas()
+    want = hash_join(left, right, on="k").to_pandas()
+    cols = list(want.columns)
+    assert got[cols].sort_values(cols).values.tolist() == \
+        want.sort_values(cols).values.tolist()
