@@ -570,3 +570,154 @@ FROM f JOIN d USING (doc_id) GROUP BY 1 ORDER BY 1
 
 QUERIES4["seq_skew_join"] = q_seq_skew_join
 ORACLES4["seq_skew_join"] = SQL_SEQ_SKEW_JOIN
+
+
+# ---------------------------------------------------------------------------
+# events_funnel3 — 3-step ordered funnel (chained first occurrences)
+
+
+FUNNEL3_STEPS = ["signup", "click", "purchase"]
+
+
+def q_events_funnel3(sf_dir: str) -> pd.DataFrame:
+    """K-step ordered funnel over the event stream: users reaching
+    signup → first click at-or-after it → first purchase at-or-after
+    that (``relational.funnel_steps`` — one coarse entity shuffle, k
+    vectorized groupby-min passes per part, ≤ parts × k partial rows)."""
+    from jesse_ray.pipelines.relational import funnel_steps
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+    t = funnel_steps(ds, FUNNEL3_STEPS, entity_col="user_id",
+                     ts_col="ts", type_col="event_type")
+    out = t.to_pandas()
+    out["step_name"] = [FUNNEL3_STEPS[i - 1] for i in out["step"]]
+    return out[["step", "step_name", "n"]].sort_values("step").reset_index(drop=True)
+
+
+SQL_EVENTS_FUNNEL3 = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+         CAST(count(*) AS BIGINT) AS n FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+) ORDER BY 1
+"""
+
+QUERIES4["events_funnel3"] = q_events_funnel3
+ORACLES4["events_funnel3"] = SQL_EVENTS_FUNNEL3
+
+
+# ---------------------------------------------------------------------------
+# events_conversion_latency — signup→purchase delay quantiles
+
+
+def q_events_conversion_latency(sf_dir: str) -> pd.DataFrame:
+    """Conversion-latency distribution: for every user whose first
+    purchase follows their first signup within 30 days
+    (``relational.funnel_conversions``), the signup→purchase delay in
+    whole hours, summarized as exact discrete quantiles (p50/p90,
+    ``quantile_disc`` parity) plus the converted-user count."""
+    from jesse_ray.pipelines.relational import (
+        exact_discrete_quantiles,
+        funnel_conversions,
+    )
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+    conv = funnel_conversions(ds, entity_col="user_id", ts_col="ts",
+                              type_col="event_type", step_a="signup",
+                              step_b="purchase",
+                              within=pd.Timedelta(days=30))
+
+    def delay(b: pa.Table) -> pa.Table:
+        a = b["first_a"].cast(pa.timestamp("us")).cast(pa.int64())
+        z = b["first_b"].cast(pa.timestamp("us")).cast(pa.int64())
+        d = pc.divide(pc.subtract(z, a), 3_600_000_000)
+        return pa.table({"h": d.cast(pa.int64())})
+
+    dd = conv.map_batches(delay, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n = dd.count()
+    if n == 0:
+        return pd.DataFrame({"n_converted": pd.array([0], dtype="int64"),
+                             "p50_hours": pd.array([], dtype="int64"),
+                             "p90_hours": pd.array([], dtype="int64")})
+    p50, p90 = exact_discrete_quantiles(dd, "h", [0.5, 0.9])
+    return pd.DataFrame({"n_converted": pd.array([n], dtype="int64"),
+                         "p50_hours": pd.array([int(p50)], dtype="int64"),
+                         "p90_hours": pd.array([int(p90)], dtype="int64")})
+
+
+SQL_EVENTS_CONVERSION_LATENCY = """
+WITH a AS (SELECT user_id, min(ts) AS ta FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+b AS (SELECT e.user_id, min(e.ts) AS tb FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= a.ta GROUP BY 1),
+d AS (SELECT (epoch_us(b.tb) - epoch_us(a.ta)) // 3600000000 AS h
+      FROM a JOIN b USING (user_id)
+      WHERE epoch_us(b.tb) - epoch_us(a.ta) <= 30 * 86400000000)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(h, 0.5) AS BIGINT) AS p50_hours,
+       CAST(quantile_disc(h, 0.9) AS BIGINT) AS p90_hours
+FROM d
+"""
+
+QUERIES4["events_conversion_latency"] = q_events_conversion_latency
+ORACLES4["events_conversion_latency"] = SQL_EVENTS_CONVERSION_LATENCY
+
+
+# ---------------------------------------------------------------------------
+# events_mutual_info — mutual information between event type and
+# hour-of-day (feature-relevance audit over the contingency table)
+
+
+def q_events_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Mutual information I(event_type; hour) in nats from the EXACT
+    contingency table: one vectorized hour-extraction pass feeds the
+    ``grouped_agg`` combiner (≤ types × 24 cells ever shuffle); the MI
+    sum over those few cells runs on the driver with the same
+    integer-ratio ln() expression the SQL twin evaluates, rounded to
+    9 dp on both sides."""
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        hour = pc.hour(b["ts"].cast(pa.timestamp("us"))).cast(pa.int64())
+        return pa.table({"event_type": b["event_type"], "hour": hour})
+
+    cells = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+    ).to_pandas()
+    n = int(cells["cnt"].sum())
+    cx = cells.groupby("event_type")["cnt"].transform("sum").to_numpy(dtype=np.float64)
+    cy = cells.groupby("hour")["cnt"].transform("sum").to_numpy(dtype=np.float64)
+    cxy = cells["cnt"].to_numpy(dtype=np.float64)
+    mi = float(np.sum((cxy / n) * np.log((cxy * n) / (cx * cy))))
+    return pd.DataFrame({"n": pd.array([n], dtype="int64"),
+                         "mi_nats": [round(mi, 9)]})
+
+
+SQL_EVENTS_MUTUAL_INFO = """
+WITH c AS (SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+                  count(*) AS cxy
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(cxy) AS n FROM c),
+mx AS (SELECT event_type, sum(cxy) AS cx FROM c GROUP BY 1),
+my AS (SELECT hour, sum(cxy) AS cy FROM c GROUP BY 1)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       round(sum((c.cxy * 1.0 / tot.n) * ln((c.cxy * 1.0 * tot.n) / (mx.cx * 1.0 * my.cy))), 9) AS mi_nats
+FROM c JOIN mx USING (event_type) JOIN my USING (hour) CROSS JOIN tot
+GROUP BY tot.n
+"""
+
+QUERIES4["events_mutual_info"] = q_events_mutual_info
+ORACLES4["events_mutual_info"] = SQL_EVENTS_MUTUAL_INFO

@@ -2691,3 +2691,64 @@ def skew_join(
         return b.drop_columns(["__jk"])
 
     return joined.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_steps(
+    events: Dataset,
+    steps: Sequence[str],
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    n_parts: int = 64,
+) -> pa.Table:
+    """K-step ordered funnel: per entity the chained first occurrences
+    t1 = min ts(step1), t_i = min ts(step_i | ts >= t_{i-1}) — and per
+    step the number of entities that reached it.  The k-step
+    generalization of :func:`funnel_conversions` (same event-analytics
+    primitive; in a data-pipeline setting ingest→validate→publish).
+
+    Scale shape: the map side keeps only rows whose type is one of the
+    ``steps`` and three slim columns; ONE coarse entity-hash shuffle
+    co-locates each entity's funnel slice; each part runs k vectorized
+    groupby-min passes over its complete entity slice and emits k
+    partial count rows, so the driver merges ≤ n_parts × k rows."""
+    steps = list(steps)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kind = batch[type_col]
+        keep = pc.is_in(kind, value_set=pa.array(steps, type=pa.string()))
+        t = batch.filter(keep)
+        si = pc.index_in(t[type_col], value_set=pa.array(steps, type=pa.string()))
+        return pa.table({
+            "e": t[entity_col],
+            "ts": t[ts_col],
+            "si": si.cast(pa.int8()),
+            "__part": pa.array(_element_parts(t[entity_col], n_parts)),
+        })
+
+    slim = events.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        reached = np.zeros(len(steps), dtype=np.int64)
+        cur = g[g["si"] == 0].groupby("e")["ts"].min()
+        reached[0] = len(cur)
+        for i in range(1, len(steps)):
+            if cur.empty:
+                break
+            rows = g[g["si"] == i]
+            if rows.empty:
+                cur = cur.iloc[0:0]
+                break
+            prev = rows["e"].map(cur)
+            ok = rows[(rows["ts"] >= prev) & prev.notna()]
+            cur = ok.groupby("e")["ts"].min()
+            reached[i] = len(cur)
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                             "n": reached})
+
+    partials = slim.groupby("__part").map_groups(part, batch_format="pandas")
+    merged = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
+    out = merged.group_by("step").aggregate([("n", "sum")])
+    out = out.rename_columns(["step", "n"]).sort_by("step")
+    return out.set_column(1, "n", out["n"].cast(pa.int64()))

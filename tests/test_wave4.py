@@ -174,3 +174,28 @@ def test_skew_join_no_hot_keys_falls_back(ray_session):
     cols = list(want.columns)
     assert got[cols].sort_values(cols).values.tolist() == \
         want.sort_values(cols).values.tolist()
+
+
+def test_funnel_steps_chained_ordering(ray_session):
+    """Step 2 counts only events at-or-after the entity's step-1 time;
+    step 3 chains off step 2 — out-of-order events must not convert."""
+    from jesse_ray.pipelines.relational import funnel_steps
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = lambda m: base + np.timedelta64(m * 60_000_000, "us")
+    # u1: full ordered chain. u2: click BEFORE signup (stops at step 1).
+    # u3: signup+click ordered, purchase before click (stops at step 2).
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3], type=pa.int64()),
+        "ts": pa.array([mins(0), mins(5), mins(9),
+                        mins(5), mins(0),
+                        mins(0), mins(8), mins(4)], type=pa.timestamp("us")),
+        "event_type": pa.array(["signup", "click", "purchase",
+                                "signup", "click",
+                                "signup", "click", "purchase"],
+                               type=pa.string()),
+    })
+    out = funnel_steps(_ds(t), ["signup", "click", "purchase"],
+                       entity_col="user_id", ts_col="ts",
+                       type_col="event_type").to_pandas()
+    assert out["n"].tolist() == [3, 2, 1]
