@@ -836,44 +836,64 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dups(ds: Dataset, *, max_hamming: int = 3, key_col: str = "doc_id",
-                      blocks: int = 4, bucket_cap: int | None = None,
+                      blocks: int = 6, bucket_cap: int | None = None,
                       drop_counter=None, **kw) -> Dataset:
     """Near-dup pairs by simhash hamming distance, candidates by the
-    standard block-permutation trick: split the 64-bit signature into
-    ``blocks`` chunks; pairs within ``max_hamming`` (< blocks) bits MUST
-    agree on ≥1 chunk (pigeonhole — recall is exactly 1, not
-    probabilistic) → groupby chunk value, verify hamming inside groups,
-    distributed pair dedup.  Returns a Dataset of (left, right, hamming).
+    generalized block-combination trick (Manku et al., WWW 2007): split
+    the 64-bit signature into ``blocks`` chunks; a pair within
+    ``max_hamming`` (< blocks) bits differs in at most ``max_hamming``
+    chunks, so it agrees EXACTLY on at least ``blocks - max_hamming``
+    chunks — in particular on one specific (blocks - max_hamming)-sized
+    combination.  Emit one bucket row per combination (key = mix of the
+    selected chunk values + combination id), groupby, verify hamming
+    inside buckets, distributed pair dedup.  Recall is exactly 1
+    (pigeonhole, not probabilistic) for ANY blocks > max_hamming, so the
+    output pair set is invariant to ``blocks`` — only candidate density
+    changes.  Returns a Dataset of (left, right, hamming).
 
-    DENSITY BOUND: each block has 2^(64/blocks) bucket values, so the
-    expected within-bucket candidate load grows ~n²·blocks/2^(64/blocks)
-    — negligible until the corpus-per-shard approaches 2^16 SIMILAR
-    signatures (clustered, low-diversity text reaches it much sooner
-    than random text; measured sf1: 50k word-salad docs → 21× the
-    per-doc cost of 5k).  ``bucket_cap`` is the same skew guard as the
-    MinHash path: runs above the cap emit nothing and increment
-    ``drop_counter`` so the loss is visible, not silent.
+    DENSITY: each table keys on (blocks - max_hamming) chunks ≈
+    64·(1 - max_hamming/blocks) signature bits.  blocks=4/h=3 is the
+    classic 1-chunk scheme (16-bit keys) whose within-bucket load blew
+    up ~quadratic on clustered corpora (measured sf1: 50k word-salad
+    docs → 21× the per-doc cost of 5k); the default blocks=6/h=3 keys
+    on 32 signature bits across C(6,3)=20 tables — 5× the shuffle rows
+    for ~2^16× the key space, which keeps bucket runs tiny even on
+    low-diversity text.  ``bucket_cap`` remains the skew guard: runs
+    above the cap emit nothing and increment ``drop_counter`` so the
+    loss is visible, not silent.
     """
     assert max_hamming < blocks, "pigeonhole completeness needs max_hamming < blocks"
+    from itertools import combinations
+
+    from jesse_ray.hashutil import fmix64
+
     sigs = simhash_signatures(ds.select_columns([key_col, "text"]), **kw)
-    width = 64 // blocks
-    mask = np.uint64((1 << width) - 1)
+    # uneven split when 64 % blocks != 0: first (64 % blocks) chunks get
+    # the extra bit so every signature bit lands in exactly one chunk
+    base_w = 64 // blocks
+    widths = [base_w + (1 if b < 64 % blocks else 0) for b in range(blocks)]
+    offsets = np.cumsum([0] + widths[:-1])
+    combos = list(combinations(range(blocks), blocks - max_hamming))
 
     def explode(batch: pa.Table) -> pa.Table:
         s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         n = len(s)
-        chunks = np.empty((n, blocks), dtype=np.uint64)
+        chunks = np.empty((blocks, n), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for b in range(blocks):
-                chunks[:, b] = (s >> np.uint64(b * width)) & mask
-                # fold the block id into the bucket key
-                chunks[:, b] ^= np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)
+                chunks[b] = (s >> np.uint64(offsets[b])) & np.uint64((1 << widths[b]) - 1)
+            buckets = np.empty((len(combos), n), dtype=np.uint64)
+            for ci, combo in enumerate(combos):
+                acc = np.full(n, np.uint64(ci) * np.uint64(0x9E3779B97F4A7C15))
+                for b in combo:
+                    acc = fmix64(acc ^ chunks[b])
+                buckets[ci] = acc
         return pa.table(
             {
-                key_col: pa.array(np.repeat(keys, blocks)),
-                "bucket": pa.array(chunks.reshape(-1), type=pa.uint64()),
-                "sig": pa.array(np.repeat(s, blocks), type=pa.uint64()),
+                key_col: pa.array(np.tile(keys, len(combos))),
+                "bucket": pa.array(buckets.reshape(-1), type=pa.uint64()),
+                "sig": pa.array(np.tile(s, len(combos)), type=pa.uint64()),
             }
         )
 
