@@ -6413,7 +6413,7 @@ def queries() -> dict[str, Callable]:
         "seq_fixity_manifest": q_seq_fixity_manifest,
         "emb_hard_negatives": q_emb_hard_negatives,
         "media_features": q_media_features,
-    } | _wave2()[0] | _wave3()[0] | _wave4()[0]
+    } | _wave2()[0] | _wave3()[0] | _wave4()[0] | _wave5()[0]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6571,7 +6571,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "seq_fixity_manifest": SQL_SEQ_FIXITY_MANIFEST,
         "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
-    } | _wave2()[1] | _wave3()[1] | _wave4()[1]
+    } | _wave2()[1] | _wave3()[1] | _wave4()[1] | _wave5()[1]
 
 
 def _wave2() -> tuple[dict[str, Callable], dict[str, str]]:
@@ -6594,3 +6594,10 @@ def _wave4() -> tuple[dict[str, Callable], dict[str, str]]:
     from jesse_ray.pipelines import queries4
 
     return queries4.QUERIES4, queries4.ORACLES4
+
+
+def _wave5() -> tuple[dict[str, Callable], dict[str, str]]:
+    """Catalog wave 5 (lazy import, same acyclic-wiring rule as wave 2)."""
+    from jesse_ray.pipelines import queries5
+
+    return queries5.QUERIES5, queries5.ORACLES5

@@ -1,0 +1,440 @@
+"""Catalog wave 5: higher-moment statistics and distribution-shape
+audits — grouped skewness/kurtosis (one-pass power sums, the DuckDB
+aggregate-state shape), grouped simple linear regression
+(slope/intercept/r²), NTILE quartile banding, an embedding-geometry
+pairwise-cosine audit over a deterministic hash sample, geometric +
+harmonic means (no DuckDB built-in — exp/avg/ln parity), and per-type
+event inter-arrival quantiles.
+
+Same driver contract as :mod:`.queries`: column names and rounding match
+the DuckDB twin exactly; every query is scale-shaped (per-batch
+combiners, coarse hash shuffles, broadcast small sides — nothing
+corpus-sized ever reaches the driver).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jesse_ray.hashutil import hash_partition_pandas
+from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
+from jesse_ray.sources import read_sequences, read_table
+
+QUERIES5: dict = {}
+ORACLES5: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# events_skewkurt — grouped sample skewness + excess kurtosis in ONE
+# combiner pass of raw power sums (n, Σx, Σx², Σx³, Σx⁴) — the same
+# aggregate state DuckDB's skewness/kurtosis keep, so the twin sees the
+# identical numerical path.  The usual one-pass caveat applies equally
+# to both sides: Σx⁴ in float64 wants inputs ≪ 1e4 (events.value is
+# O(100)); center/scale first for wilder columns.
+
+
+def q_events_skewkurt(sf_dir: str) -> pd.DataFrame:
+    """Distribution-shape audit: bias-corrected sample skewness and
+    excess kurtosis of ``value`` per event type.  Scale shape: per-batch
+    Arrow group_by power-sum partials (≤ #groups rows leave each block),
+    driver finishes the k-statistics — one corpus read, no shuffle."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["value"]))
+        x = t["value"].cast(pa.float64())
+        x2 = pc.multiply(x, x)
+        tbl = pa.table({
+            "event_type": t["event_type"],
+            "__x": x,
+            "__x2": x2,
+            "__x3": pc.multiply(x2, x),
+            "__x4": pc.multiply(x2, x2),
+        })
+        g = tbl.group_by("event_type").aggregate(
+            [("__x", "sum"), ("__x2", "sum"), ("__x3", "sum"),
+             ("__x4", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "s1", "s2", "s3", "s4", "pn"])
+
+    parts = list(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .iter_batches(batch_format="pyarrow"))
+    m = pa.concat_tables(parts).group_by("event_type").aggregate(
+        [("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum"), ("pn", "sum")])
+    n = m["pn_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s1 = m["s1_sum"].to_numpy(zero_copy_only=False)
+    s2 = m["s2_sum"].to_numpy(zero_copy_only=False)
+    s3 = m["s3_sum"].to_numpy(zero_copy_only=False)
+    s4 = m["s4_sum"].to_numpy(zero_copy_only=False)
+    mu = s1 / n
+    m2 = s2 / n - mu ** 2                                   # central moments
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3             # from power sums
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu ** 2 * s2 / n - 3 * mu ** 4
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g1 = m3 / np.maximum(m2, 0) ** 1.5
+        g2 = m4 / np.maximum(m2, 0) ** 2 - 3.0
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)          # sample corrections
+        kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return (pd.DataFrame({
+        "event_type": m["event_type"].to_pylist(),
+        "n": pd.array(n.astype(np.int64), dtype="int64"),
+        "skew": np.round(skew, 5),
+        "kurt": np.round(kurt, 5),
+    }).sort_values("event_type").reset_index(drop=True))
+
+
+SQL_EVENTS_SKEWKURT = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n,
+       round(skewness(value), 5) AS skew,
+       round(kurtosis(value), 5) AS kurt
+FROM events WHERE value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES5["events_skewkurt"] = q_events_skewkurt
+ORACLES5["events_skewkurt"] = SQL_EVENTS_SKEWKURT
+
+
+# ---------------------------------------------------------------------------
+# events_regr — grouped simple linear regression (the regr_* window of
+# SQL engines): slope/intercept/r² of value vs time-of-corpus per event
+# type, from the same one-pass (n, Σx, Σy, Σxy, Σx², Σy²) partials as
+# grouped_corr.
+
+
+def q_events_regr(sf_dir: str) -> pd.DataFrame:
+    """OLS trend per event type: regress ``value`` on days-since-
+    2024-01-01 (centered to day units for conditioning, the
+    grouped_corr convention).  One combiner pass, ≤ #groups rows
+    shuffled, driver finishes slope = cov/var, intercept = ȳ − b·x̄,
+    r² = corr²."""
+    from jesse_ray.pipelines.relational import grouped_regression
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    t0 = pd.Timestamp("2024-01-01")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        days = pc.divide(
+            pc.cast(pc.subtract(ts, pa.scalar(int(t0.value // 1000))), pa.float64()),
+            pa.scalar(86400.0 * 1e6))
+        return pa.table({"event_type": batch["event_type"], "days": days,
+                         "value": batch["value"]})
+
+    t = grouped_regression(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="event_type", x_col="days", y_col="value")
+    pdf = t.to_pandas()
+    for c in ("slope", "intercept", "r2"):
+        pdf[c] = pdf[c].round(5)
+    return pdf.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_REGR = """
+SELECT event_type,
+       round(regr_slope(value, epoch(ts - TIMESTAMP '2024-01-01') / 86400.0), 5) AS slope,
+       round(regr_intercept(value, epoch(ts - TIMESTAMP '2024-01-01') / 86400.0), 5) AS intercept,
+       round(regr_r2(value, epoch(ts - TIMESTAMP '2024-01-01') / 86400.0), 5) AS r2
+FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES5["events_regr"] = q_events_regr
+ORACLES5["events_regr"] = SQL_EVENTS_REGR
+
+
+# ---------------------------------------------------------------------------
+# orders_ntile — NTILE(4) price-quartile banding per order priority
+# (the classic windowed banding SQL ships natively; re-expressed as a
+# coarse shuffle + per-group vectorized tile assignment).
+
+
+def q_orders_ntile(sf_dir: str) -> pd.DataFrame:
+    """Quartile bands of ``o_totalprice`` within each priority class:
+    NTILE(4) ordered by (price, orderkey), reporting per band the row
+    count and price range.  Scale shape: ONE coarse hash shuffle on
+    priority (≤64 parts, every group complete within its part — the
+    sessionize pattern), then a C-level sort + arange tile assignment
+    per part; only ≤ groups×4 aggregate rows reach the driver.  DuckDB
+    NTILE rule: first (n mod k) tiles get ceil(n/k) rows."""
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, ["o_orderpriority"], 64)
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                          kind="mergesort")
+        pri = g["o_orderpriority"].to_numpy()
+        price = g["o_totalprice"].to_numpy(dtype=np.float64)
+        starts = np.flatnonzero(np.concatenate([[True], pri[1:] != pri[:-1]]))
+        ends = np.concatenate([starts[1:], [len(pri)]])
+        out = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            k = 4
+            base, rem = divmod(n, k)
+            # tile sizes: rem tiles of (base+1), then (k-rem) of base
+            sizes = np.full(k, base, dtype=np.int64)
+            sizes[:rem] += 1
+            tile = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)[:n]
+            p = price[s:e]
+            for t in range(1, k + 1):
+                m = tile == t
+                if not m.any():
+                    continue
+                out.append((pri[s], t, int(m.sum()),
+                            float(p[m].min()), float(p[m].max())))
+        return pd.DataFrame(out, columns=["o_orderpriority", "tile", "n",
+                                          "lo", "hi"])
+
+    grouped = (ds.map_batches(part, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(tiles, batch_format="pandas"))
+    pdf = grouped.to_pandas()
+    pdf["lo"] = pdf["lo"].round(2)
+    pdf["hi"] = pdf["hi"].round(2)
+    return (pdf.sort_values(["o_orderpriority", "tile"])
+            .reset_index(drop=True)[["o_orderpriority", "tile", "n", "lo", "hi"]])
+
+
+SQL_ORDERS_NTILE = """
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders
+)
+SELECT o_orderpriority, CAST(tile AS BIGINT) AS tile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES5["orders_ntile"] = q_orders_ntile
+ORACLES5["orders_ntile"] = SQL_ORDERS_NTILE
+
+
+# ---------------------------------------------------------------------------
+# emb_pairgeom — embedding-space geometry audit: the pairwise-cosine
+# distribution of a deterministic id sample (every 7th vec_id), the
+# quick-look diagnostic for collapsed / anisotropic embedding spaces
+# (Ethayarajh 2019).  The sample is CAPPED by construction (id stride),
+# so the pair matrix is bounded regardless of corpus size; the full-
+# corpus analogue is emb_knn_graph / emb_semdedup.
+
+
+def q_emb_pairgeom(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine similarity over the vec_id % 7 == 0 sample:
+    global n_pairs / mean / min / max.  Scale shape: the stride filter
+    runs distributed at the read; the surviving sample (1/7 of ids,
+    bounded by the documented stride-vs-corpus contract) is normalized
+    per batch, then ONE blocked matmul per batch against the broadcast
+    sample matrix — per-batch partials (n, Σcos, min, max) only; the
+    n² cosine matrix never materializes anywhere."""
+    import ray
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % 7 == 0))
+
+    sample = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = _collect(sample).sort_by("vec_id")
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(tbl["embedding"].combine_chunks()).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    M = flat.reshape(len(ids), -1)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    m_ref = ray.put((ids, M)) if ray.is_initialized() else (ids, M)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sids, sM = ray.get(m_ref) if ray.is_initialized() else m_ref
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bflat = pc.list_flatten(batch["embedding"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        B = bflat.reshape(len(bids), -1)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+        sims = B @ sM.T
+        mask = bids[:, None] < sids[None, :]          # each unordered pair once
+        vals = sims[mask]
+        if len(vals) == 0:
+            return pa.table({"pn": pa.array([0], pa.int64()),
+                             "ps": pa.array([0.0]), "pmin": pa.array([np.inf]),
+                             "pmax": pa.array([-np.inf])})
+        return pa.table({"pn": pa.array([len(vals)], pa.int64()),
+                         "ps": pa.array([float(vals.sum())]),
+                         "pmin": pa.array([float(vals.min())]),
+                         "pmax": pa.array([float(vals.max())])})
+
+    parts = pa.concat_tables(list(
+        sample.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")))
+    n = int(pc.sum(parts["pn"]).as_py() or 0)
+    s = float(pc.sum(parts["ps"]).as_py() or 0.0)
+    lo = float(pc.min(parts["pmin"]).as_py())
+    hi = float(pc.max(parts["pmax"]).as_py())
+    return pd.DataFrame({"n_pairs": pd.array([n], dtype="int64"),
+                         "mean_cos": [round(s / n, 5)],
+                         "min_cos": [round(lo, 5)],
+                         "max_cos": [round(hi, 5)]})
+
+
+SQL_EMB_PAIRGEOM = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM s
+),
+p AS (
+  SELECT list_sum(list_transform(list_zip(a.e, b.e),
+                                 t -> t[1] * t[2])) / (a.nrm * b.nrm) AS cs
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(cs), 5) AS mean_cos,
+       round(min(cs), 5) AS min_cos,
+       round(max(cs), 5) AS max_cos
+FROM p
+"""
+
+QUERIES5["emb_pairgeom"] = q_emb_pairgeom
+ORACLES5["emb_pairgeom"] = SQL_EMB_PAIRGEOM
+
+
+# ---------------------------------------------------------------------------
+# seq_gmean_hmean — geometric + harmonic mean of sequence length per
+# source (DuckDB has no geomean/hmean built-in; the twin is the
+# exp∘avg∘ln / n/Σ(1/x) identity).  The pair of means that actually
+# matters for token-budget planning: gmean tracks the typical document,
+# hmean the small-doc overhead.
+
+
+def q_seq_gmean_hmean(sf_dir: str) -> pd.DataFrame:
+    """Per-source geometric and harmonic mean of ``n_tok`` (> 0 rows
+    only — both means are undefined at 0).  One combiner pass of
+    (n, Σln x, Σ1/x) partials per batch; ≤ #sources rows ever move."""
+    ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(pc.is_valid(batch["n_tok"]),
+                                 pc.greater(batch["n_tok"], 0)))
+        x = t["n_tok"].cast(pa.float64())
+        tbl = pa.table({"source": t["source"],
+                        "__ln": pc.ln(x),
+                        "__inv": pc.divide(pa.scalar(1.0), x)})
+        g = tbl.group_by("source").aggregate(
+            [("__ln", "sum"), ("__inv", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "sln", "sinv", "pn"])
+
+    parts = list(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .iter_batches(batch_format="pyarrow"))
+    m = pa.concat_tables(parts).group_by("source").aggregate(
+        [("sln", "sum"), ("sinv", "sum"), ("pn", "sum")])
+    n = m["pn_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    gm = np.exp(m["sln_sum"].to_numpy(zero_copy_only=False) / n)
+    hm = n / m["sinv_sum"].to_numpy(zero_copy_only=False)
+    return (pd.DataFrame({"source": m["source"].to_pylist(),
+                          "n": pd.array(n.astype(np.int64), dtype="int64"),
+                          "gmean": np.round(gm, 5),
+                          "hmean": np.round(hm, 5)})
+            .sort_values("source").reset_index(drop=True))
+
+
+SQL_SEQ_GMEAN_HMEAN = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       round(exp(avg(ln(n_tok))), 5) AS gmean,
+       round(count(*) / sum(1.0 / n_tok), 5) AS hmean
+FROM {SEQ_SQL}
+WHERE n_tok IS NOT NULL AND n_tok > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES5["seq_gmean_hmean"] = q_seq_gmean_hmean
+ORACLES5["seq_gmean_hmean"] = SQL_SEQ_GMEAN_HMEAN
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival — per-type inter-arrival gap quantiles: the
+# event-stream health metric (burstiness / throughput per type), a LAG
+# diff feeding exact discrete quantiles.
+
+
+def q_events_interarrival(sf_dir: str) -> pd.DataFrame:
+    """Median and p90 inter-arrival gap (seconds) between consecutive
+    events of the same type, ordered by (ts, event_id).  Scale shape:
+    ONE coarse hash shuffle on event_type (each type complete within a
+    part — the sessionize pattern; types are few so parts are fat but
+    bounded by type cardinality, documented), per-part C-level sort +
+    vectorized diff, then exact per-type discrete quantiles via the
+    grouped_discrete_quantiles rule (sorted[max(ceil(q·n)−1, 0)])."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"].cast(pa.int64()),
+            "us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, ["event_type"], 64)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "us", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        us = g["us"].to_numpy(dtype=np.int64)
+        same = np.concatenate([[False], et[1:] == et[:-1]])
+        gap_s = (us - np.concatenate([[0], us[:-1]]))[same] / 1e6
+        et_g = et[same]
+        out = []
+        starts = np.flatnonzero(np.concatenate([[True], et_g[1:] != et_g[:-1]])) \
+            if len(et_g) else np.array([], dtype=np.int64)
+        ends = np.concatenate([starts[1:], [len(et_g)]]) if len(et_g) else starts
+        for s, e in zip(starts, ends):
+            v = np.sort(gap_s[s:e])
+            n = len(v)
+            p50 = v[max(int(np.ceil(0.5 * n)) - 1, 0)]
+            p90 = v[max(int(np.ceil(0.9 * n)) - 1, 0)]
+            out.append((et_g[s], n, round(float(p50), 5), round(float(p90), 5)))
+        return pd.DataFrame(out, columns=["event_type", "n_gaps", "p50_s", "p90_s"])
+
+    grouped = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+               .map_batches(part, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(gaps, batch_format="pandas"))
+    pdf = grouped.to_pandas()
+    return (pdf.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "n_gaps", "p50_s", "p90_s"]])
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type,
+         epoch(ts - lag(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       round(quantile_disc(gap_s, 0.5), 5) AS p50_s,
+       round(quantile_disc(gap_s, 0.9), 5) AS p90_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES5["events_interarrival"] = q_events_interarrival
+ORACLES5["events_interarrival"] = SQL_EVENTS_INTERARRIVAL

@@ -1593,6 +1593,71 @@ def grouped_corr(
     )
 
 
+def grouped_regression(
+    ds: Dataset,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Simple linear regression (OLS of y on x) per group in ONE
+    combiner pass — the distributed twin of SQL's
+    ``regr_slope``/``regr_intercept``/``regr_r2``.  Same partials and
+    conditioning caveat as :func:`grouped_corr` (center/scale x first);
+    rows with a null in either column are excluded.  Returns one row
+    per group with slope, intercept, r2 (NaN where var(x) == 0)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch[x_col]), pc.is_valid(batch[y_col]))
+        t = batch.filter(keep)
+        x = t[x_col].cast(pa.float64())
+        y = t[y_col].cast(pa.float64())
+        tbl = pa.table(
+            {
+                group_col: t[group_col],
+                "__x": x,
+                "__y": y,
+                "__xy": pc.multiply(x, y),
+                "__x2": pc.multiply(x, x),
+                "__y2": pc.multiply(y, y),
+            }
+        )
+        g = tbl.group_by(group_col).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ("__x2", "sum"), ("__y2", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([group_col, "__sx", "__sy", "__sxy", "__sx2", "__sy2", "__pn"])
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=batch_size).iter_batches(batch_format="pyarrow")
+    )
+    m = pa.concat_tables(parts).group_by(group_col).aggregate(
+        [("__sx", "sum"), ("__sy", "sum"), ("__sxy", "sum"),
+         ("__sx2", "sum"), ("__sy2", "sum"), ("__pn", "sum")]
+    )
+    n = m["__pn_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = m["__sx_sum"].to_numpy(zero_copy_only=False)
+    sy = m["__sy_sum"].to_numpy(zero_copy_only=False)
+    sxy = m["__sxy_sum"].to_numpy(zero_copy_only=False)
+    sx2 = m["__sx2_sum"].to_numpy(zero_copy_only=False)
+    sy2 = m["__sy2_sum"].to_numpy(zero_copy_only=False)
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sx2 / n - (sx / n) ** 2
+    vy = sy2 / n - (sy / n) ** 2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = np.where(vx > 0, cov / vx, np.nan)
+        intercept = sy / n - slope * (sx / n)
+        r2 = np.where((vx > 0) & (vy > 0), (cov * cov) / (vx * vy), np.nan)
+    return pa.table({
+        group_col: m[group_col],
+        "slope": pa.array(slope, type=pa.float64(), from_pandas=True),
+        "intercept": pa.array(intercept, type=pa.float64(), from_pandas=True),
+        "r2": pa.array(r2, type=pa.float64(), from_pandas=True),
+    })
+
+
 def grouped_mad(
     ds: Dataset,
     group_col: str,
