@@ -438,3 +438,338 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES5["events_interarrival"] = q_events_interarrival
 ORACLES5["events_interarrival"] = SQL_EVENTS_INTERARRIVAL
+
+
+# ---------------------------------------------------------------------------
+# events_running_peak — per-entity running-total peak: the windowed
+# prefix-scan SQL expresses as SUM() OVER (... ROWS UNBOUNDED
+# PRECEDING).  The scanned quantity is signed (errors subtract), so the
+# peak is a real mid-stream extremum, not just the final total.
+
+
+def q_events_running_peak(sf_dir: str) -> pd.DataFrame:
+    """Per user, scan the signed value stream (error events negate) in
+    (ts, event_id) order and report the final balance, the peak running
+    total, and the event at which the peak was FIRST reached.  Scale
+    shape: ONE coarse hash shuffle on user_id (sessionize pattern —
+    every user complete within a part), per-part C-level mergesort +
+    np.cumsum/np.maximum.accumulate; output is one row per user."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        sgn = pc.if_else(pc.equal(b["event_type"], "error"),
+                         pc.negate(b["value"].cast(pa.float64())),
+                         b["value"].cast(pa.float64()))
+        return pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "event_id": b["event_id"].cast(pa.int64()),
+            "us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "sv": sgn,
+        })
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, ["user_id"], 64)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        sv = g["sv"].to_numpy(dtype=np.float64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [len(u)]])
+        out = []
+        for s, e in zip(starts, ends):
+            run = np.cumsum(sv[s:e])
+            pk = int(np.argmax(run))  # first index attaining the max
+            out.append((u[s], round(float(run[-1]), 5),
+                        round(float(run[pk]), 5), int(eid[s + pk])))
+        return pd.DataFrame(out, columns=["user_id", "final_total",
+                                          "peak_total", "peak_event_id"])
+
+    grouped = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+               .map_batches(part, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(scan, batch_format="pandas"))
+    return (grouped.to_pandas().sort_values("user_id").reset_index(drop=True)
+            [["user_id", "final_total", "peak_total", "peak_event_id"]])
+
+
+SQL_EVENTS_RUNNING_PEAK = """
+WITH s AS (
+  SELECT user_id, event_id,
+         sum(CASE WHEN event_type = 'error' THEN -value ELSE value END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pk AS (
+  SELECT user_id, run, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY run DESC, rn) AS r
+  FROM s
+),
+fin AS (
+  SELECT user_id, run,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS r
+  FROM s
+)
+SELECT s.user_id,
+       round(any_value(fin.run), 5) AS final_total,
+       round(any_value(pk.run), 5) AS peak_total,
+       CAST(any_value(pk.event_id) AS BIGINT) AS peak_event_id
+FROM (SELECT DISTINCT user_id FROM s) s
+JOIN pk ON pk.user_id = s.user_id AND pk.r = 1
+JOIN fin ON fin.user_id = s.user_id AND fin.r = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES5["events_running_peak"] = q_events_running_peak
+ORACLES5["events_running_peak"] = SQL_EVENTS_RUNNING_PEAK
+
+
+# ---------------------------------------------------------------------------
+# lineitem_pareto — ABC / Pareto concentration analysis: how much of
+# revenue the top sellers hold.  The distributed part is the grouped
+# revenue aggregation (per-batch combiners, ≤ #parts rows shuffled);
+# the concentration scan runs over the DIMENSION-BOUNDED parts table.
+
+
+def q_lineitem_pareto(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration across parts: revenue(part) =
+    Σ extendedprice·(1−discount); report the part count, the number of
+    top parts needed to reach 80% of revenue, and the revenue share of
+    the top 20% of parts (ties broken by partkey — the DuckDB ORDER BY
+    twin).  Output is a single row; the per-part table never leaves
+    the combiner stage un-aggregated."""
+    from jesse_ray.pipelines.relational import grouped_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"].cast(pa.float64()),
+                          pc.subtract(pa.scalar(1.0),
+                                      b["l_discount"].cast(pa.float64())))
+        return pa.table({"l_partkey": b["l_partkey"].cast(pa.int64()),
+                         "rev": rev})
+
+    agg = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], sums=["rev"]).to_pandas()
+    agg = agg.sort_values(["sum_rev", "l_partkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    rev = agg["sum_rev"].to_numpy(dtype=np.float64)
+    total = rev.sum()
+    share = np.cumsum(rev) / total
+    n = len(rev)
+    parts_for_80 = int(np.searchsorted(share, 0.8) + 1)
+    k20 = max(int(np.ceil(0.2 * n)), 1)
+    top20_share = float(share[k20 - 1])
+    return pd.DataFrame({
+        "n_parts": pd.array([n], dtype="int64"),
+        "parts_for_80pct": pd.array([parts_for_80], dtype="int64"),
+        "top20_share": [round(top20_share, 5)],
+    })
+
+
+SQL_LINEITEM_PARETO = """
+WITH r AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) / sum(rev) OVER () AS cshare,
+         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn,
+         count(*) OVER () AS n
+  FROM r
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_parts,
+       CAST(min(CASE WHEN cshare >= 0.8 THEN rn END) AS BIGINT) AS parts_for_80pct,
+       round(max(CASE WHEN rn = CAST(greatest(ceil(0.2 * n), 1) AS BIGINT)
+                      THEN cshare END), 5) AS top20_share
+FROM c
+"""
+
+QUERIES5["lineitem_pareto"] = q_lineitem_pareto
+ORACLES5["lineitem_pareto"] = SQL_LINEITEM_PARETO
+
+
+# ---------------------------------------------------------------------------
+# emb_dispersion — per-label centroid cohesion: mean cosine of member
+# vectors to their label centroid, the compactness diagnostic for
+# labeled embedding sets (low cohesion ⇒ label noise or a collapsed
+# head).  Two streaming passes: centroid partials, then broadcast
+# centroids + cosine partials.
+
+
+def q_emb_dispersion(sf_dir: str) -> pd.DataFrame:
+    """Per label: member count and mean cosine(member, label centroid),
+    centroid = unnormalized mean vector.  Scale shape: pass 1 emits a
+    (labels × dim) vector-sum partial per batch (labels are bounded —
+    the grouped_agg assumption); pass 2 broadcasts the 10×64 centroid
+    matrix via ray.put and emits (label, Σcos, n) partials per batch.
+    Nothing corpus-sized anywhere."""
+    import ray
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def _mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        lab = batch["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        return lab, flat.reshape(len(lab), -1)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        lab, M = _mat(batch)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        S = np.zeros((len(ulab), M.shape[1]))
+        np.add.at(S, inv, M)
+        cnt = np.bincount(inv).astype(np.int64)
+        vec = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(ulab) + 1) * M.shape[1], M.shape[1]),
+                     type=pa.int32()),
+            pa.array(S.ravel(), type=pa.float64()))
+        return pa.table({"label": pa.array(ulab), "vsum": vec,
+                         "n": pa.array(cnt)})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(sums, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")))
+    labs = parts["label"].to_numpy(zero_copy_only=False)
+    dim = len(parts["vsum"][0])
+    V = pc.list_flatten(parts["vsum"].combine_chunks()).to_numpy(
+        zero_copy_only=False).reshape(len(labs), dim)
+    cnts = parts["n"].to_numpy(zero_copy_only=False)
+    ulab, inv = np.unique(labs, return_inverse=True)
+    S = np.zeros((len(ulab), dim))
+    np.add.at(S, inv, V)
+    n_tot = np.bincount(inv, weights=cnts).astype(np.int64)
+    C = S / n_tot[:, None]
+    cref = ray.put((ulab, C)) if ray.is_initialized() else (ulab, C)
+
+    def cospart(batch: pa.Table) -> pa.Table:
+        ul, cen = ray.get(cref) if ray.is_initialized() else cref
+        lab, M = _mat(batch)
+        li = np.searchsorted(ul, lab)
+        cm = cen[li]
+        num = np.einsum("ij,ij->i", M, cm)
+        den = np.linalg.norm(M, axis=1) * np.linalg.norm(cm, axis=1)
+        cosv = num / np.maximum(den, 1e-30)
+        ulab2, inv2 = np.unique(lab, return_inverse=True)
+        return pa.table({"label": pa.array(ulab2),
+                         "cs": pa.array(np.bincount(inv2, weights=cosv)),
+                         "n": pa.array(np.bincount(inv2).astype(np.int64))})
+
+    parts2 = pa.concat_tables(list(
+        ds.map_batches(cospart, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")))
+    m = parts2.group_by("label").aggregate([("cs", "sum"), ("n", "sum")])
+    lab = m["label"].to_numpy(zero_copy_only=False)
+    mc = m["cs_sum"].to_numpy(zero_copy_only=False) / m["n_sum"].to_numpy(
+        zero_copy_only=False)
+    return (pd.DataFrame({"label": pd.array(lab, dtype="int64"),
+                          "n": pd.array(m["n_sum"].to_numpy(zero_copy_only=False),
+                                        dtype="int64"),
+                          "mean_cos": np.round(mc, 5)})
+            .sort_values("label").reset_index(drop=True))
+
+
+SQL_EMB_DISPERSION = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+d AS (
+  SELECT label, u.dim, u.val
+  FROM e, LATERAL (SELECT unnest(v) AS val,
+                          generate_subscripts(v, 1) AS dim) u
+),
+cen AS (
+  SELECT label, list(avg_val ORDER BY dim) AS c
+  FROM (SELECT label, dim, avg(val) AS avg_val FROM d GROUP BY 1, 2)
+  GROUP BY 1
+),
+cs AS (
+  SELECT e.label,
+         list_sum(list_transform(list_zip(e.v, cen.c), t -> t[1] * t[2]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(cen.c, x -> x * x)))) AS cosv
+  FROM e JOIN cen USING (label)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(cosv), 5) AS mean_cos
+FROM cs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES5["emb_dispersion"] = q_emb_dispersion
+ORACLES5["emb_dispersion"] = SQL_EMB_DISPERSION
+
+
+# ---------------------------------------------------------------------------
+# events_prior_state — point-in-time attribution: for every purchase,
+# the state (event type) the user was in IMMEDIATELY before it — the
+# LAG-based 1-row SCD lookup.
+
+
+def q_events_prior_state(sf_dir: str) -> pd.DataFrame:
+    """Count purchases by the event type immediately preceding them for
+    the same user in (ts, event_id) order ('none' when the purchase is
+    the user's first event).  Scale shape: one user_id coarse shuffle,
+    per-part sort + shift, vectorized filter, bounded group count."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "event_id": b["event_id"].cast(pa.int64()),
+            "us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": b["event_type"],
+        })
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, ["user_id"], 64)
+
+    def prior(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        prev = np.concatenate([["none"], et[:-1]])
+        prev[~same] = "none"
+        m = et == "purchase"
+        pv = prev[m]
+        ulab, cnt = np.unique(pv, return_counts=True)
+        return pd.DataFrame({"prior_state": ulab,
+                             "n": cnt.astype(np.int64)})
+
+    grouped = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+               .map_batches(part, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(prior, batch_format="pandas"))
+    pdf = grouped.to_pandas().groupby("prior_state", as_index=False)["n"].sum()
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf.sort_values("prior_state").reset_index(drop=True)
+
+
+SQL_EVENTS_PRIOR_STATE = """
+WITH s AS (
+  SELECT event_type,
+         coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  'none') AS prior_state
+  FROM events
+)
+SELECT prior_state, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES5["events_prior_state"] = q_events_prior_state
+ORACLES5["events_prior_state"] = SQL_EVENTS_PRIOR_STATE

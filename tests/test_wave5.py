@@ -148,3 +148,88 @@ def test_gmean_hmean_exact(ray_session):
     assert abs(np.exp(sln / n) - 4.0) < 1e-12
     sln, sinv, n = partials(pa.table({"n_tok": pa.array([2, 2, 4, 4], type=pa.int64())}))
     assert abs(n / sinv - 8.0 / 3.0) < 1e-12
+
+
+def test_running_peak_signed_scan(ray_session, tmp_path):
+    """User 1: values +10, +20, -25(error), +5 → running 10,30,5,10:
+    final 10, peak 30 at the second event.  First-peak tie rule: user 2
+    hits its max twice; the FIRST event wins."""
+    from jesse_ray.pipelines.queries5 import q_events_running_peak
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    secs = lambda s: base + np.timedelta64(s * 1_000_000, "us")
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 10, 11, 12], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "ts": pa.array([secs(0), secs(1), secs(2), secs(3),
+                        secs(0), secs(1), secs(2)], type=pa.timestamp("us")),
+        "event_type": pa.array(["view", "view", "error", "view",
+                                "view", "error", "view"]),
+        "value": pa.array([10.0, 20.0, 25.0, 5.0, 7.0, 7.0, 7.0]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_running_peak(str(tmp_path)).set_index("user_id")
+    assert out.loc[1, "final_total"] == 10.0
+    assert out.loc[1, "peak_total"] == 30.0
+    assert out.loc[1, "peak_event_id"] == 2
+    # user 2: running 7, 0, 7 — peak 7 reached first at event 10
+    assert out.loc[2, "peak_total"] == 7.0
+    assert out.loc[2, "peak_event_id"] == 10
+
+
+def test_pareto_concentration(ray_session, tmp_path):
+    """4 parts with revenue 70, 10, 10, 10 (no discount): top-20% = 1
+    part holds 70%; 80% needs 2 parts."""
+    from jesse_ray.pipelines.queries5 import q_lineitem_pareto
+
+    t = pa.table({
+        "l_partkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "l_extendedprice": pa.array([70.0, 10.0, 10.0, 10.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = q_lineitem_pareto(str(tmp_path))
+    assert out["n_parts"].tolist() == [4]
+    assert out["parts_for_80pct"].tolist() == [2]
+    assert out["top20_share"].tolist() == [0.7]
+
+
+def test_prior_state_lag_semantics(ray_session, tmp_path):
+    """First-event purchase → 'none'; purchase after a click → 'click';
+    other users' events must not leak across the partition."""
+    from jesse_ray.pipelines.queries5 import q_events_prior_state
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    secs = lambda s: base + np.timedelta64(s * 1_000_000, "us")
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([secs(0), secs(1), secs(0), secs(5)],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["click", "purchase", "purchase", "view"]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_prior_state(str(tmp_path)).set_index("prior_state")
+    assert out.loc["click", "n"] == 1
+    assert out.loc["none", "n"] == 1
+    assert len(out) == 2
+
+
+def test_emb_dispersion_known_geometry(ray_session, tmp_path):
+    """Label 0: two unit vectors at ±45° around the x-axis → centroid
+    on the axis, mean cosine = cos(45°).  Label 1: two identical
+    vectors → mean cosine 1."""
+    from jesse_ray.pipelines.queries5 import q_emb_dispersion
+
+    a = [1.0, 1.0, 0.0, 0.0]
+    b = [1.0, -1.0, 0.0, 0.0]
+    c = [0.0, 0.0, 3.0, 4.0]
+    t = pa.table({
+        "label": pa.array([0, 0, 1, 1], type=pa.int32()),
+        "embedding": pa.array([a, b, c, c], type=pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = q_emb_dispersion(str(tmp_path)).set_index("label")
+    assert abs(out.loc[0, "mean_cos"] - round(np.sqrt(0.5), 5)) < 1e-9
+    assert out.loc[1, "mean_cos"] == 1.0
+    assert out["n"].tolist() == [2, 2]
