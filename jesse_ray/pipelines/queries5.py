@@ -773,3 +773,180 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES5["events_prior_state"] = q_events_prior_state
 ORACLES5["events_prior_state"] = SQL_EVENTS_PRIOR_STATE
+
+
+# ---------------------------------------------------------------------------
+# doc_lang_confusion — labeled-lang vs predicted-lang confusion matrix:
+# the quality audit for the lang-ID gate itself (which labels does the
+# heuristic misroute, and where do 'und' fallbacks concentrate).
+
+
+def q_doc_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Confusion counts (lang label × LangId prediction).  Scale shape:
+    the LangId actor pool scores batches in place (regex banks compiled
+    once per actor), then a bounded (langs × langs) Arrow combiner —
+    nothing but the matrix leaves any block."""
+    from jesse_ray.functions.text import LangId
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "lang"])
+    pred = LangId.apply(ds, concurrency=(1, 2))
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "lang_pred"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = pred.map_batches(cells, batch_format="pandas").to_pandas()
+    out = parts.groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def _lang_confusion_sql() -> str:
+    from jesse_ray.pipelines.queries import _langid_sql
+
+    return f"""
+WITH pred AS ({_langid_sql()})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES5["doc_lang_confusion"] = q_doc_lang_confusion
+ORACLES5["doc_lang_confusion"] = _lang_confusion_sql()
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — funnel-path mining: the most common ordered
+# prefix of each user's first 5 event types, ranked by user count
+# (the "what do users actually do first" report).
+
+
+def q_events_top_paths(sf_dir: str) -> pd.DataFrame:
+    """Top 10 first-5-event paths ('a>b>c>d>e') by user count, ties
+    broken by path.  Scale shape: one coarse user shuffle, per-part
+    sort + positional prefix-take + join (vectorized via pandas groupby
+    head/agg inside the part), then a bounded path-count combiner —
+    paths are ≤ |types|^5 distinct values and only (path, count) rows
+    move after the scan."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "event_id": b["event_id"].cast(pa.int64()),
+            "us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": b["event_type"],
+        })
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, ["user_id"], 64)
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        head = g.groupby("user_id", sort=False).head(5)
+        p = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        cnt = p.value_counts()
+        return pd.DataFrame({"path": cnt.index.to_numpy(),
+                             "n_users": cnt.to_numpy(dtype=np.int64)})
+
+    grouped = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+               .map_batches(part, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(paths, batch_format="pandas"))
+    pdf = grouped.to_pandas().groupby("path", as_index=False)["n_users"].sum()
+    pdf["n_users"] = pdf["n_users"].astype("int64")
+    return (pdf.sort_values(["n_users", "path"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+SQL_EVENTS_TOP_PATHS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM s WHERE rn <= 5 GROUP BY 1
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+ORDER BY n_users DESC, path
+LIMIT 10
+"""
+
+QUERIES5["events_top_paths"] = q_events_top_paths
+ORACLES5["events_top_paths"] = SQL_EVENTS_TOP_PATHS
+
+
+# ---------------------------------------------------------------------------
+# orders_leadtime — ship-lag SLA report: order→ship lead time through a
+# distributed fact×fact equi-join feeding exact per-group quantiles
+# (the join + windowed-quantile composition every warehouse runs).
+
+
+def q_orders_leadtime(sf_dir: str) -> pd.DataFrame:
+    """Per order priority: lineitem count and p50/p90 lead time in whole
+    days (l_shipdate − o_orderdate).  Scale shape: relational.hash_join
+    on orderkey (coarse hash shuffle both sides), vectorized day diff,
+    then grouped_discrete_quantiles' bounded (group, value) combiner —
+    lead-time days are small integers, so the count-grid is tiny."""
+    from jesse_ray.pipelines.relational import grouped_discrete_quantiles, hash_join
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["o_orderkey"].cast(pa.int64()),
+            "o_us": b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+            "s_us": b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    joined = hash_join(
+        li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        on="l_orderkey", how="inner")
+
+    def days(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.divide(pc.subtract(b["s_us"], b["o_us"]),
+                              pa.scalar(86400 * 1_000_000, pa.int64())),
+                    pa.int64())
+        return pa.table({"o_orderpriority": b["o_orderpriority"],
+                         "lead_days": d})
+
+    dd = joined.map_batches(days, batch_format="pyarrow", zero_copy_batch=True)
+    qt = grouped_discrete_quantiles(dd, "o_orderpriority", "lead_days",
+                                    [0.5, 0.9]).to_pandas()
+    cnt = (dd.groupby("o_orderpriority").count().to_pandas()
+           .rename(columns={"count()": "n"}))
+    out = qt.merge(cnt, on="o_orderpriority")
+    out["n"] = out["n"].astype("int64")
+    out = out.rename(columns={"p50": "p50_days", "p90": "p90_days"})
+    return (out[["o_orderpriority", "n", "p50_days", "p90_days"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+SQL_ORDERS_LEADTIME = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(CAST(epoch(l_shipdate - o_orderdate) // 86400 AS BIGINT), 0.5) AS p50_days,
+       quantile_disc(CAST(epoch(l_shipdate - o_orderdate) // 86400 AS BIGINT), 0.9) AS p90_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES5["orders_leadtime"] = q_orders_leadtime
+ORACLES5["orders_leadtime"] = SQL_ORDERS_LEADTIME

@@ -233,3 +233,72 @@ def test_emb_dispersion_known_geometry(ray_session, tmp_path):
     assert abs(out.loc[0, "mean_cos"] - round(np.sqrt(0.5), 5)) < 1e-9
     assert out.loc[1, "mean_cos"] == 1.0
     assert out["n"].tolist() == [2, 2]
+
+
+def test_top_paths_prefix_and_ties(ray_session, tmp_path):
+    """Users with >5 events truncate to the first 5; equal-count paths
+    rank by path string ascending."""
+    from jesse_ray.pipelines.queries5 import q_events_top_paths
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    secs = lambda s: base + np.timedelta64(s * 1_000_000, "us")
+    rows = []
+    # user 1: a,b,a,b,a then a 6th event that must be ignored
+    for i, et in enumerate(["a", "b", "a", "b", "a", "zzz"]):
+        rows.append((i + 1, 1, secs(i), et))
+    # users 2, 3: path 'c'; user 4: path 'b'
+    rows += [(10, 2, secs(0), "c"), (11, 3, secs(0), "c"), (12, 4, secs(0), "b")]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_top_paths(str(tmp_path))
+    assert out["path"].tolist() == ["c", "a>b>a>b>a", "b"]
+    assert out["n_users"].tolist() == [2, 1, 1]
+
+
+def test_orders_leadtime_day_quantiles(ray_session, tmp_path):
+    """Lead times {1, 2, 3, 10} days in one priority → p50=2, p90=10
+    (disc rule); an unmatched order contributes nothing."""
+    from jesse_ray.pipelines.queries5 import q_orders_leadtime
+
+    d0 = np.datetime64("2024-01-01", "us")
+    day = lambda d: d0 + np.timedelta64(d * 86400 * 1_000_000, "us")
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([day(0), day(0)], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["P", "P"]),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "l_shipdate": pa.array([day(1), day(2), day(3), day(10)],
+                               type=pa.timestamp("us")),
+    })
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = q_orders_leadtime(str(tmp_path))
+    assert out["n"].tolist() == [4]
+    assert out["p50_days"].tolist() == [2]
+    assert out["p90_days"].tolist() == [10]
+
+
+def test_lang_confusion_diagonal(ray_session, tmp_path):
+    """Marker-bearing docs land on the diagonal; a no-marker doc lands
+    in the 'und' column under its label row."""
+    from jesse_ray.pipelines.queries5 import q_doc_lang_confusion
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the cat and the hat", "der hund und die katze",
+                          "zzz qqq xxx"]),
+        "lang": pa.array(["en", "de", "en"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_doc_lang_confusion(str(tmp_path))
+    got = {(r.lang, r.lang_pred): int(r.n) for r in out.itertuples()}
+    assert got[("en", "en")] == 1
+    assert got[("de", "de")] == 1
+    assert got[("en", "und")] == 1
