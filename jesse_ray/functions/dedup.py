@@ -2140,3 +2140,100 @@ def overlap_coeff_dups(
                          "overlap": b["jaccard"]})
 
     return verified.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def prefix_jaccard_join(
+    ds: Dataset,
+    *,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    shingle_k: int = 5,
+    key_col: str = "doc_id",
+    n_parts: int = 64,
+    bucket_cap: int = 4096,
+    drop_counter=None,
+) -> Dataset:
+    """Exact all-pairs Jaccard SIMILARITY JOIN via AllPairs/PPJoin
+    prefix filtering (Bayardo et al., WWW 2007; Xiao et al., PPJoin) —
+    the deterministic complement to MinHash LSH: no signatures, no
+    probabilistic recall; every pair at shingle-Jaccard >= t is emitted,
+    so the result EQUALS brute force.
+
+    Why it is complete: under ANY global total order on shingles (the
+    64-bit hash order here), a pair with |A∩B|/|A∪B| >= t places its
+    SMALLEST common shingle inside both docs' first
+    ``n - ceil(t*n) + 1`` shingles — were every common shingle outside
+    A's prefix, the common count would be <= ceil(t*|A|) - 1 < t*|A|
+    <= t*|A∪B| <= |A∩B|, a contradiction.  Hence bucketing ONLY prefix
+    entries by shingle finds all qualifying pairs.
+
+    Scale shape: the emitted stream is ~(1-t) of the unique-shingle
+    mass (each entry 20 bytes), one coarse ``n_parts`` hash shuffle,
+    pairs generated per bucket run with the PPJoin LENGTH FILTER in
+    EXACT integer arithmetic (min*den >= max*num  ⟺  min >= t*max, a
+    necessary condition for Jaccard >= t), distributed pair dedup, and
+    exact blob verification (float division + compare identical to the
+    SQL twin's).  Hot shingles above ``bucket_cap`` are dropped but
+    REPORTED via ``drop_counter`` — never silently swallowed.
+
+    Returns (left, right, jaccard) with left < right, jaccard >= t.
+    """
+    mask = np.uint64(n_parts - 1)
+    threshold = threshold_num / threshold_den
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        h, starts = _batch_shingle_hashes(txt, shingle_k)
+        n = batch.num_rows
+        counts = np.diff(starts)
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((h, seg))
+        hs, ss = h[order], seg[order]
+        keep = (np.concatenate([[True], (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])])
+                if len(hs) else np.empty(0, bool))
+        hs, ss = hs[keep], ss[keep]
+        ucounts = np.bincount(ss, minlength=n)
+        ustarts = np.concatenate([[0], np.cumsum(ucounts)])
+        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(ustarts[:-1], ucounts)
+        # exact integer prefix size: n - ceil(t*n) + 1, ceil via int div
+        pi = ucounts - (threshold_num * ucounts + threshold_den - 1) // threshold_den + 1
+        pi = np.maximum(pi, 1)
+        pfx = pos < np.repeat(pi, ucounts)  # Jaccard: ONLY prefixes index AND probe
+        keys = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)[ss]
+        sz = np.repeat(ucounts, ucounts)
+        return pa.table({
+            "__part": pa.array((hs[pfx] & mask).astype(np.int32)),
+            "sh": pa.array(hs[pfx]),
+            "key": pa.array(keys[pfx]),
+            "sz": pa.array(sz[pfx]),
+        })
+
+    def cand_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        sh = grp["sh"].to_numpy(dtype=np.uint64)
+        key = grp["key"].to_numpy(dtype=np.int64)
+        sz = grp["sz"].to_numpy(dtype=np.int64)
+        stats = DropStats()
+        l, r, sl, sr = _pairs_within_runs(sh.view(np.int64), key, bucket_cap,
+                                          payload=sz, stats=stats)
+        _report_drops("prefix_jaccard_join", stats, drop_counter)
+        if len(l):
+            # PPJoin length filter, exact integers (prune-only, never lossy:
+            # Jaccard >= t  ⟹  min(|A|,|B|) >= t * max(|A|,|B|))
+            ok = (np.minimum(sl, sr) * threshold_den
+                  >= np.maximum(sl, sr) * threshold_num)
+            l, r = l[ok], r[ok]
+        if not len(l):
+            return pd.DataFrame({"left": pd.Series([], dtype="int64"),
+                                 "right": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"left": l, "right": r}).drop_duplicates()
+
+    rows = ds.select_columns([key_col, "text"]).map_batches(
+        prefix_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cand = rows.groupby("__part").map_groups(cand_pairs, batch_format="pandas")
+    pairs = _dedup_pairs(cand)
+    return verify_jaccard_pairs(ds, pairs, threshold=threshold,
+                                shingle_k=shingle_k, key_col=key_col,
+                                metric="jaccard")
