@@ -6413,7 +6413,7 @@ def queries() -> dict[str, Callable]:
         "seq_fixity_manifest": q_seq_fixity_manifest,
         "emb_hard_negatives": q_emb_hard_negatives,
         "media_features": q_media_features,
-    } | _wave2()[0] | _wave3()[0] | _wave4()[0] | _wave5()[0] | _wave6()[0] | _wave7()[0]
+    } | _wave2()[0] | _wave3()[0] | _wave4()[0] | _wave5()[0] | _wave6()[0] | _wave7()[0] | _wave8()[0]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6571,7 +6571,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "seq_fixity_manifest": SQL_SEQ_FIXITY_MANIFEST,
         "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
-    } | _wave2()[1] | _wave3()[1] | _wave4()[1] | _wave5()[1] | _wave6()[1] | _wave7()[1]
+    } | _wave2()[1] | _wave3()[1] | _wave4()[1] | _wave5()[1] | _wave6()[1] | _wave7()[1] | _wave8()[1]
 
 
 def _wave2() -> tuple[dict[str, Callable], dict[str, str]]:
@@ -6615,3 +6615,10 @@ def _wave7() -> tuple[dict[str, Callable], dict[str, str]]:
     from jesse_ray.pipelines import queries7
 
     return queries7.QUERIES7, queries7.ORACLES7
+
+
+def _wave8() -> tuple[dict[str, Callable], dict[str, str]]:
+    """Catalog wave 8 (lazy import, same acyclic-wiring rule as wave 2)."""
+    from jesse_ray.pipelines import queries8
+
+    return queries8.QUERIES8, queries8.ORACLES8
