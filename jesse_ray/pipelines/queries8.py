@@ -237,14 +237,17 @@ def q_events_survival_km(sf_dir: str) -> pd.DataFrame:
         first = np.concatenate([[True], u[1:] != u[:-1]])
         fidx = np.flatnonzero(first)
         t1 = us[fidx]
-        # first strictly-later timestamp per user (vectorized run walk)
+        # first strictly-later timestamp per user — fully vectorized:
+        # among indices where ts > run's t1, the first per run is the
+        # searchsorted insertion point of each run start
         ends = np.concatenate([fidx[1:], [len(u)]])
+        later_idx = np.flatnonzero(us > np.repeat(t1, ends - fidx))
         t2 = np.full(len(fidx), -1, dtype=np.int64)
-        later = us > np.repeat(t1, ends - fidx)  # within-run: ts > run's t1
-        for j, (s, e) in enumerate(zip(fidx, ends)):
-            k = np.flatnonzero(later[s:e])
-            if len(k):
-                t2[j] = us[s + k[0]]
+        if len(later_idx):
+            pos = np.searchsorted(later_idx, fidx, side="left")
+            cand = later_idx[np.minimum(pos, len(later_idx) - 1)]
+            hit = (pos < len(later_idx)) & (cand < ends)
+            t2[hit] = us[cand[hit]]
         d1 = t1 // _DAY_US
         ev = t2 >= 0
         tt = np.where(ev, t2 // _DAY_US - d1, 0)
