@@ -257,6 +257,22 @@ def run_bench() -> dict:
         ).count()
         queries["simhash_pairs"] = round(time.time() - t0, 3)
 
+        # exact prefix-filter Jaccard join (AllPairs/PPJoin — recall 1.0,
+        # no LSH) at its design regime t=0.8.  NOTE: this synthetic
+        # corpus is near-worst-case for AllPairs (only ~2k distinct
+        # shingles across 5k docs, so every pair shares prefix
+        # entries); real web text has an open shingle space where the
+        # prefix filter prunes far harder.  LSH remains the fast
+        # probabilistic path; this wall is the exact-baseline cost.
+        from jesse_ray.functions.dedup import prefix_jaccard_join
+
+        t0 = time.time()
+        _ = prefix_jaccard_join(
+            read_table(docs_path, columns=["doc_id", "text"]),
+            threshold_num=4, threshold_den=5,
+        ).count()
+        queries["prefix_jaccard"] = round(time.time() - t0, 3)
+
         # exact substring-match dedup (pairs) + duplicated-span removal
         from jesse_ray.functions.dedup import remove_dup_spans, substring_dup_pairs
 

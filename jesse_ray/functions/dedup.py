@@ -609,7 +609,17 @@ def _pair_jaccard_from_blobs(left_blob, right_blob, threshold: float,
             continue
         s1 = np.frombuffer(lb, dtype=np.uint64)
         s2 = np.frombuffer(rb, dtype=np.uint64)
-        inter = len(np.intersect1d(s1, s2, assume_unique=True))
+        # blobs are sorted-unique by construction: probe the smaller
+        # into the larger with searchsorted — O(m log n), no re-sort
+        # (intersect1d would concat+argsort both arrays per pair)
+        if len(s1) > len(s2):
+            s1, s2 = s2, s1
+        if len(s1) == 0 or len(s2) == 0:
+            inter = 0
+        else:
+            idx = np.searchsorted(s2, s1)
+            np.minimum(idx, len(s2) - 1, out=idx)
+            inter = int(np.count_nonzero(s2[idx] == s1))
         if metric == "overlap":
             jac[i] = inter / max(min(len(s1), len(s2)), 1)
         else:
@@ -659,6 +669,12 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
                                        shingle_k=shingle_k, key_col=key_col,
                                        n_parts=n_parts, metric=metric)
     pairs = pairs.materialize()
+    # pair rows are tiny (16 B) — a large candidate set can land in ONE
+    # block (under target_max_block_size), serializing the verify map
+    # onto a single task; split so every core verifies
+    n_pairs = pairs.count()
+    if n_pairs > 65536 and pairs.num_blocks() < 16:
+        pairs = pairs.repartition(64).materialize()
     key_set: set = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
         key_set.update(b["left"].to_pylist())
@@ -2159,29 +2175,45 @@ def prefix_jaccard_join(
     probabilistic recall; every pair at shingle-Jaccard >= t is emitted,
     so the result EQUALS brute force.
 
-    Why it is complete: under ANY global total order on shingles (the
-    64-bit hash order here), a pair with |A∩B|/|A∪B| >= t places its
-    SMALLEST common shingle inside both docs' first
-    ``n - ceil(t*n) + 1`` shingles — were every common shingle outside
-    A's prefix, the common count would be <= ceil(t*|A|) - 1 < t*|A|
-    <= t*|A∪B| <= |A∩B|, a contradiction.  Hence bucketing ONLY prefix
-    entries by shingle finds all qualifying pairs.
+    Why it is complete: under ANY global total order on shingles, a
+    pair with |A∩B|/|A∪B| >= t places its SMALLEST common shingle
+    inside both docs' first ``n - ceil(t*n) + 1`` shingles — were every
+    common shingle outside A's prefix, the common count would be
+    <= ceil(t*|A|) - 1 < t*|A| <= t*|A∪B| <= |A∩B|, a contradiction.
+    Hence bucketing ONLY prefix entries by shingle finds all
+    qualifying pairs.
 
-    Scale shape: the emitted stream is ~(1-t) of the unique-shingle
-    mass (each entry 20 bytes), one coarse ``n_parts`` hash shuffle,
-    pairs generated per bucket run with the PPJoin LENGTH FILTER in
-    EXACT integer arithmetic (min*den >= max*num  ⟺  min >= t*max, a
-    necessary condition for Jaccard >= t), distributed pair dedup, and
-    exact blob verification (float division + compare identical to the
-    SQL twin's).  Hot shingles above ``bucket_cap`` are dropped but
-    REPORTED via ``drop_counter`` — never silently swallowed.
+    The order used is (document frequency ASC, hash ASC) — the
+    CANONICAL AllPairs ordering, and the part that makes the filter
+    FAST, not just correct: rare shingles fill the prefixes, so pair
+    buckets stay tiny (a first hash-ordered implementation measured
+    124 s at 5k docs because common shingles landed in prefixes and
+    candidate volume went quadratic; df-ordering collapses it).  A
+    df=1 prefix entry can never meet a partner, so it is dropped
+    BEFORE the pair shuffle (it still occupies its prefix slot for the
+    position math — dropping happens after positions are assigned).
+
+    Scale shape: four bounded coarse shuffles of the unique-shingle
+    mass — (1) explode to (shingle, doc, size) rows partitioned by
+    shingle, (2) per part compute each shingle's GLOBAL df (a part
+    holds every row of its shingles) and re-key by doc, (3) per doc
+    sort (df, hash), take the integer-exact prefix
+    ``n - ceil(t*n) + 1`` (ceil via int div), emit df>=2 prefix
+    entries re-keyed by shingle, (4) pairs within shingle runs with
+    the PPJoin LENGTH FILTER in exact integers
+    (min*den >= max*num  ⟺  min >= t*max), distributed pair dedup,
+    exact blob verification (float division + compare identical to
+    the SQL twin's).  Hot shingles above ``bucket_cap`` are dropped
+    but REPORTED via ``drop_counter`` — never silently swallowed.
 
     Returns (left, right, jaccard) with left < right, jaccard >= t.
     """
+    from jesse_ray.hashutil import fmix64
+
     mask = np.uint64(n_parts - 1)
     threshold = threshold_num / threshold_den
 
-    def prefix_rows(batch: pa.Table) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
         txt = batch["text"]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
@@ -2196,43 +2228,84 @@ def prefix_jaccard_join(
                 if len(hs) else np.empty(0, bool))
         hs, ss = hs[keep], ss[keep]
         ucounts = np.bincount(ss, minlength=n)
-        ustarts = np.concatenate([[0], np.cumsum(ucounts)])
-        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(ustarts[:-1], ucounts)
-        # exact integer prefix size: n - ceil(t*n) + 1, ceil via int div
-        pi = ucounts - (threshold_num * ucounts + threshold_den - 1) // threshold_den + 1
-        pi = np.maximum(pi, 1)
-        pfx = pos < np.repeat(pi, ucounts)  # Jaccard: ONLY prefixes index AND probe
         keys = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)[ss]
-        sz = np.repeat(ucounts, ucounts)
         return pa.table({
-            "__part": pa.array((hs[pfx] & mask).astype(np.int32)),
-            "sh": pa.array(hs[pfx]),
-            "key": pa.array(keys[pfx]),
-            "sz": pa.array(sz[pfx]),
+            "__part": pa.array((hs & mask).astype(np.int32)),
+            "sh": pa.array(hs.view(np.int64)),
+            "key": pa.array(keys),
+            "sz": pa.array(np.repeat(ucounts, ucounts)),
+        })
+
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        # a part holds EVERY (shingle, doc) row of its shingles, so the
+        # run length per shingle IS the global document frequency
+        sh = g["sh"].to_numpy(dtype=np.int64)
+        _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+        key = g["key"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "__part": (fmix64(key.astype(np.uint64)) & np.uint64(n_parts - 1)).astype(np.int32),
+            "key": key,
+            "sh": sh,
+            "df": cnt[inv].astype(np.int64),
+            "sz": g["sz"].to_numpy(dtype=np.int64),
+        })
+
+    def prefix_rows(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(dtype=np.int64)
+        sh = g["sh"].to_numpy(dtype=np.int64)
+        df = g["df"].to_numpy(dtype=np.int64)
+        sz = g["sz"].to_numpy(dtype=np.int64)
+        order = np.lexsort((sh, df, key))  # per doc: (df asc, hash asc)
+        key, sh, df, sz = key[order], sh[order], df[order], sz[order]
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))             if len(key) else np.empty(0, dtype=np.int64)
+        runlen = np.diff(np.concatenate([starts, [len(key)]]))
+        pos = np.arange(len(key), dtype=np.int64) - np.repeat(starts, runlen)
+        # exact integer prefix size: n - ceil(t*n) + 1, ceil via int div
+        pi = sz - (threshold_num * sz + threshold_den - 1) // threshold_den + 1
+        keep = (pos < np.maximum(pi, 1)) & (df >= 2)  # df=1 can't pair
+        sh, key = sh[keep], key[keep]
+        # pack (size, position) into one int64 payload for the pair stage
+        # (positions < 2^31: a doc's unique-shingle count is bounded by
+        # its character count)
+        szpos = (sz[keep] << np.int64(31)) | pos[keep]
+        return pd.DataFrame({
+            "__part": (sh.view(np.uint64) & np.uint64(n_parts - 1)).astype(np.int32),
+            "sh": sh, "key": key, "szpos": szpos,
         })
 
     def cand_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        sh = grp["sh"].to_numpy(dtype=np.uint64)
+        sh = grp["sh"].to_numpy(dtype=np.int64)
         key = grp["key"].to_numpy(dtype=np.int64)
-        sz = grp["sz"].to_numpy(dtype=np.int64)
+        szpos = grp["szpos"].to_numpy(dtype=np.int64)
         stats = DropStats()
-        l, r, sl, sr = _pairs_within_runs(sh.view(np.int64), key, bucket_cap,
-                                          payload=sz, stats=stats)
+        l, r, zl, zr = _pairs_within_runs(sh, key, bucket_cap,
+                                          payload=szpos, stats=stats)
         _report_drops("prefix_jaccard_join", stats, drop_counter)
         if len(l):
+            sl, pl = zl >> np.int64(31), zl & np.int64((1 << 31) - 1)
+            sr, pr = zr >> np.int64(31), zr & np.int64((1 << 31) - 1)
             # PPJoin length filter, exact integers (prune-only, never lossy:
             # Jaccard >= t  ⟹  min(|A|,|B|) >= t * max(|A|,|B|))
             ok = (np.minimum(sl, sr) * threshold_den
                   >= np.maximum(sl, sr) * threshold_num)
+            # PPJoin POSITIONAL filter (also exact): a pair meeting at
+            # prefix positions (i, j) can overlap at most
+            # min(|A|−i, |B|−j); Jaccard >= t needs overlap
+            # >= ceil(t/(1+t)·(|A|+|B|)) = ceil(tn·(|A|+|B|)/(tn+td))
+            alpha = ((threshold_num * (sl + sr) + threshold_num + threshold_den - 1)
+                     // (threshold_num + threshold_den))
+            ok &= np.minimum(sl - pl, sr - pr) >= alpha
             l, r = l[ok], r[ok]
         if not len(l):
             return pd.DataFrame({"left": pd.Series([], dtype="int64"),
                                  "right": pd.Series([], dtype="int64")})
         return pd.DataFrame({"left": l, "right": r}).drop_duplicates()
 
-    rows = ds.select_columns([key_col, "text"]).map_batches(
-        prefix_rows, batch_format="pyarrow", zero_copy_batch=True)
-    cand = rows.groupby("__part").map_groups(cand_pairs, batch_format="pandas")
+    ex = ds.select_columns([key_col, "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    by_doc = ex.groupby("__part").map_groups(annotate_df, batch_format="pandas")
+    pfx = by_doc.groupby("__part").map_groups(prefix_rows, batch_format="pandas")
+    cand = pfx.groupby("__part").map_groups(cand_pairs, batch_format="pandas")
     pairs = _dedup_pairs(cand)
     return verify_jaccard_pairs(ds, pairs, threshold=threshold,
                                 shingle_k=shingle_k, key_col=key_col,
