@@ -603,6 +603,8 @@ def _pair_jaccard_from_blobs(left_blob, right_blob, threshold: float,
     |∩|/min(|A|,|B|) — the asymmetric-containment detector)."""
     n = len(left_blob)
     jac = np.zeros(n, dtype=np.float64)
+    inters = np.zeros(n, dtype=np.int64)
+    unions = np.zeros(n, dtype=np.int64)
     for i in range(n):
         lb, rb = left_blob[i], right_blob[i]
         if lb is None or rb is None:
@@ -620,11 +622,13 @@ def _pair_jaccard_from_blobs(left_blob, right_blob, threshold: float,
             idx = np.searchsorted(s2, s1)
             np.minimum(idx, len(s2) - 1, out=idx)
             inter = int(np.count_nonzero(s2[idx] == s1))
+        inters[i] = inter
+        unions[i] = len(s1) + len(s2) - inter
         if metric == "overlap":
             jac[i] = inter / max(min(len(s1), len(s2)), 1)
         else:
             jac[i] = inter / max(len(s1) + len(s2) - inter, 1)
-    return jac >= threshold, jac
+    return jac >= threshold, jac, inters, unions
 
 
 class _BlobVerifier:
@@ -633,10 +637,12 @@ class _BlobVerifier:
     is one C-level sorted intersect on PREcomputed blobs (shingling cost
     was paid once, distributed, in _shingle_blobs)."""
 
-    def __init__(self, blobs_ref, threshold: float, metric: str = "jaccard"):
+    def __init__(self, blobs_ref, threshold: float, metric: str = "jaccard",
+                 emit_counts: bool = False):
         self._blobs_ref = blobs_ref
         self.threshold = threshold
         self.metric = metric
+        self.emit_counts = emit_counts
         self._blobs = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -646,15 +652,24 @@ class _BlobVerifier:
         rk = batch["right"].to_pylist()
         lb = [self._blobs.get(k) for k in lk]
         rb = [self._blobs.get(k) for k in rk]
-        keep, jac = _pair_jaccard_from_blobs(lb, rb, self.threshold, self.metric)
+        keep, jac, inters, unions = _pair_jaccard_from_blobs(
+            lb, rb, self.threshold, self.metric)
         out = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
+        if self.emit_counts:
+            # exact integer (|∩|, |∪|) — the tie-proof truth columns for
+            # oracle comparison (a rounded float jaccard hits cross-engine
+            # half-even-vs-half-away skew on dyadic rationals)
+            out = out.append_column("inter", pa.array(inters)) \
+                     .append_column("union_sz", pa.array(unions))
         return out.filter(pa.array(keep))
 
 
 def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
                          shingle_k: int = 5, key_col: str = "doc_id",
                          mode: str = "broadcast", n_parts: int = 64,
-                         metric: str = "jaccard") -> Dataset:
+                         metric: str = "jaccard",
+                         blob_ds: "Dataset | None" = None,
+                         emit_counts: bool = False) -> Dataset:
     """Exact shingle-Jaccard verification of LSH candidate pairs.
 
     ``mode="broadcast"`` (default): the driver collects only the
@@ -663,7 +678,9 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
     the usual LSH regime).  ``mode="shuffle"``: nothing is materialized
     on the driver; shingle blobs meet their pairs through two coarse
     hash-partition cogroups (scale path for adversarial corpora where
-    even the candidate set is huge)."""
+    even the candidate set is huge).  ``blob_ds`` overrides the default
+    text-shingle blobs with a caller-supplied (key, blob) Dataset —
+    the hook the token-set similarity join uses (broadcast mode only)."""
     if mode == "shuffle":
         return _verify_jaccard_shuffle(ds, pairs, threshold=threshold,
                                        shingle_k=shingle_k, key_col=key_col,
@@ -685,12 +702,18 @@ def verify_jaccard_pairs(ds: Dataset, pairs: Dataset, *, threshold: float = 0.8,
             batch_format="pyarrow",
         )
     need = pa.array(sorted(key_set))
+    if blob_ds is not None:
+        src = blob_ds.map_batches(
+            lambda t, _n=need: t.filter(pc.is_in(t["key"], value_set=_n)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        src = _shingle_blobs(ds, key_col, shingle_k, keys_filter=need)
     blobs: dict = {}
-    for b in _shingle_blobs(ds, key_col, shingle_k, keys_filter=need).iter_batches(batch_format="pyarrow"):
+    for b in src.iter_batches(batch_format="pyarrow"):
         for k, blob in zip(b["key"].to_pylist(), b["blob"].to_pylist()):
             blobs[k] = blob
     blobs_ref = ray.put(blobs) if ray.is_initialized() else blobs
-    verifier = _BlobVerifier(blobs_ref, threshold, metric)
+    verifier = _BlobVerifier(blobs_ref, threshold, metric, emit_counts=emit_counts)
     return pairs.map_batches(verifier.__call__, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -772,7 +795,7 @@ def _verify_jaccard_shuffle(ds: Dataset, pairs: Dataset, *, threshold: float,
     def finish(batch: pa.Table) -> pa.Table:
         lb = batch["blob_left"].to_pylist()
         rb = batch["blob_right"].to_pylist()
-        keep, jac = _pair_jaccard_from_blobs(lb, rb, threshold, metric)
+        keep, jac, _, _ = _pair_jaccard_from_blobs(lb, rb, threshold, metric)
         out = pa.table(
             {
                 "left": batch["left"],
@@ -2236,9 +2259,33 @@ def prefix_jaccard_join(
             "sz": pa.array(np.repeat(ucounts, ucounts)),
         })
 
+    ex = ds.select_columns([key_col, "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _prefix_filter_pairs(ex, threshold_num=threshold_num,
+                                 threshold_den=threshold_den, n_parts=n_parts,
+                                 bucket_cap=bucket_cap, drop_counter=drop_counter)
+    return verify_jaccard_pairs(ds, pairs, threshold=threshold,
+                                shingle_k=shingle_k, key_col=key_col,
+                                metric="jaccard")
+
+
+def _prefix_filter_pairs(ex: Dataset, *, threshold_num: int, threshold_den: int,
+                         n_parts: int, bucket_cap: int | None,
+                         drop_counter=None) -> Dataset:
+    """Shared AllPairs/PPJoin candidate machine over an exploded
+    (``__part``, ``sh``, ``key``, ``sz``) element stream (one row per
+    UNIQUE (doc, element), ``__part`` = element hash & mask): global-df
+    annotation per element part, (df asc, element asc) prefix selection
+    per doc with the exact integer prefix size, within-bucket pair
+    generation under the exact length + positional filters, distributed
+    pair dedup.  Used by both the text-shingle and token-set joins."""
+    from jesse_ray.hashutil import fmix64
+
+    threshold = threshold_num / threshold_den
+
     def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
-        # a part holds EVERY (shingle, doc) row of its shingles, so the
-        # run length per shingle IS the global document frequency
+        # a part holds EVERY (element, doc) row of its elements, so the
+        # run length per element IS the global document frequency
         sh = g["sh"].to_numpy(dtype=np.int64)
         _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
         key = g["key"].to_numpy(dtype=np.int64)
@@ -2255,9 +2302,10 @@ def prefix_jaccard_join(
         sh = g["sh"].to_numpy(dtype=np.int64)
         df = g["df"].to_numpy(dtype=np.int64)
         sz = g["sz"].to_numpy(dtype=np.int64)
-        order = np.lexsort((sh, df, key))  # per doc: (df asc, hash asc)
+        order = np.lexsort((sh, df, key))  # per doc: (df asc, element asc)
         key, sh, df, sz = key[order], sh[order], df[order], sz[order]
-        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))             if len(key) else np.empty(0, dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]])) \
+            if len(key) else np.empty(0, dtype=np.int64)
         runlen = np.diff(np.concatenate([starts, [len(key)]]))
         pos = np.arange(len(key), dtype=np.int64) - np.repeat(starts, runlen)
         # exact integer prefix size: n - ceil(t*n) + 1, ceil via int div
@@ -2265,8 +2313,6 @@ def prefix_jaccard_join(
         keep = (pos < np.maximum(pi, 1)) & (df >= 2)  # df=1 can't pair
         sh, key = sh[keep], key[keep]
         # pack (size, position) into one int64 payload for the pair stage
-        # (positions < 2^31: a doc's unique-shingle count is bounded by
-        # its character count)
         szpos = (sz[keep] << np.int64(31)) | pos[keep]
         return pd.DataFrame({
             "__part": (sh.view(np.uint64) & np.uint64(n_parts - 1)).astype(np.int32),
@@ -2301,12 +2347,94 @@ def prefix_jaccard_join(
                                  "right": pd.Series([], dtype="int64")})
         return pd.DataFrame({"left": l, "right": r}).drop_duplicates()
 
-    ex = ds.select_columns([key_col, "text"]).map_batches(
-        explode, batch_format="pyarrow", zero_copy_batch=True)
     by_doc = ex.groupby("__part").map_groups(annotate_df, batch_format="pandas")
     pfx = by_doc.groupby("__part").map_groups(prefix_rows, batch_format="pandas")
     cand = pfx.groupby("__part").map_groups(cand_pairs, batch_format="pandas")
-    pairs = _dedup_pairs(cand)
-    return verify_jaccard_pairs(ds, pairs, threshold=threshold,
-                                shingle_k=shingle_k, key_col=key_col,
-                                metric="jaccard")
+    return _dedup_pairs(cand)
+
+
+def _token_set_blobs(ds: Dataset, key_col: str, tokens_col: str) -> Dataset:
+    """(key, blob) rows: each row's UNIQUE-sorted token VALUES (uint64)
+    as one binary blob — the token-set analogue of ``_shingle_blobs``
+    (no hashing needed: token ids are already a total order)."""
+
+    def build(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((flat, seg))
+        hs, ss = flat[order], seg[order]
+        keep = (np.concatenate([[True], (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])])
+                if len(hs) else np.empty(0, bool))
+        hs, ss = hs[keep], ss[keep]
+        ucounts = np.bincount(ss, minlength=n)
+        ustarts = np.concatenate([[0], np.cumsum(ucounts)])
+        blobs = [hs[ustarts[i]:ustarts[i + 1]].tobytes() for i in range(n)]
+        return pa.table({
+            "key": batch[key_col].cast(pa.int64()),
+            "blob": pa.array(blobs, type=pa.large_binary()),
+        })
+
+    return ds.select_columns([key_col, tokens_col]).map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_prefix_jaccard_join(
+    ds: Dataset,
+    *,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    n_parts: int = 64,
+    bucket_cap: int = 4096,
+    drop_counter=None,
+    emit_counts: bool = False,
+) -> Dataset:
+    """Exact all-pairs Jaccard similarity join over TOKEN SETS — the
+    prefix-filter join (:func:`prefix_jaccard_join`, same AllPairs/
+    PPJoin machinery and exactness guarantees) applied to pre-tokenized
+    corpora: each row's element set is its distinct token ids, no text
+    or shingling anywhere.  The (df asc, token asc) order, integer
+    prefix/length/positional filters, reported skew drops and exact
+    blob verification are shared via ``_prefix_filter_pairs`` /
+    ``verify_jaccard_pairs(blob_ds=...)``.
+
+    Returns (left, right, jaccard) with left < right, jaccard >= t."""
+    mask = np.uint64(n_parts - 1)
+    threshold = threshold_num / threshold_den
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((flat, seg))
+        hs, ss = flat[order], seg[order]
+        keep = (np.concatenate([[True], (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])])
+                if len(hs) else np.empty(0, bool))
+        hs, ss = hs[keep], ss[keep]
+        ucounts = np.bincount(ss, minlength=n)
+        keys = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)[ss]
+        return pa.table({
+            "__part": pa.array((hs & mask).astype(np.int32)),
+            "sh": pa.array(hs.view(np.int64)),
+            "key": pa.array(keys),
+            "sz": pa.array(np.repeat(ucounts, ucounts)),
+        })
+
+    ex = ds.select_columns([key_col, tokens_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _prefix_filter_pairs(ex, threshold_num=threshold_num,
+                                 threshold_den=threshold_den, n_parts=n_parts,
+                                 bucket_cap=bucket_cap, drop_counter=drop_counter)
+    return verify_jaccard_pairs(ds, pairs, threshold=threshold, key_col=key_col,
+                                metric="jaccard", emit_counts=emit_counts,
+                                blob_ds=_token_set_blobs(ds, key_col, tokens_col))

@@ -922,16 +922,21 @@ def asof_join(
     right_cols: Sequence[str],
     right_suffix: str = "_r",
     n_parts: int = 64,
+    direction: str = "backward",
 ) -> Dataset:
     """AS-OF join: each left row picks the LATEST right row of the same
-    ``by`` entity with ``right_ts <= left_ts`` (backward, inclusive —
-    DuckDB ``ASOF LEFT JOIN ON l.by = r.by AND l.ts >= r.ts`` parity).
+    ``by`` entity with ``right_ts <= left_ts`` (``direction="backward"``,
+    inclusive — DuckDB ``ASOF LEFT JOIN ON l.by = r.by AND l.ts >= r.ts``
+    parity) or, with ``direction="forward"``, the EARLIEST right row
+    with ``right_ts >= left_ts`` (DuckDB ``ON l.ts <= r.ts`` parity).
     Unmatched left rows survive with nulls.
 
     Same cogroup-via-union shuffle as :func:`hash_join` keyed on the
     entity hash; each coarse part runs one C-level ``pd.merge_asof``
     over its complete entity slice (sorted once per part).  No global
     sort: only per-part sorts of bounded slices."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
     ltypes = _arrow_types(left)
     rtypes_src = _arrow_types(right)
     lnames = list(ltypes)
@@ -965,7 +970,7 @@ def asof_join(
             out = g[g["__kind"] == 0][lnames + rnames].sort_values(left_ts, kind="mergesort")
         else:
             out = pd.merge_asof(
-                lt, rt, left_on=left_ts, right_on=rts, by=by, direction="backward"
+                lt, rt, left_on=left_ts, right_on=rts, by=by, direction=direction
             )[lnames + rnames]
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
