@@ -55,16 +55,21 @@ def run_bench() -> dict:
         rows_n = int(base.split("_")[1])
         testgen.generate_scaling(rows_n)
         sf = base
-        path = str(testgen.scaling_corpus_dir(rows_n) / "sequences.parquet")
+        path = str(testgen.scaling_corpus_dir(rows_n) / "sequences")
     else:
         sf = testgen.sf_name_of(SF_DIR)
         testgen.generate(sf)
         path = str(testgen.corpus_path(sf))
 
     # warm the page cache so we measure compute + shuffle, not cold disk
-    with open(path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    _warm_paths = (
+        [os.path.join(path, p) for p in sorted(os.listdir(path))]
+        if os.path.isdir(path) else [path]
+    )
+    for _p in _warm_paths:
+        with open(_p, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     # spin up the Ray worker pool before timing: a 100 TB run amortizes
     # worker/actor startup over hours; a ~30 s sandbox job does not, so

@@ -314,9 +314,20 @@ def scaling_corpus_dir(rows: int) -> Path:
     return DATA_ROOT / f"scale_{rows}"
 
 
+SCALE_SHARDS = 64  # shard count for the scaling corpus (see below)
+
+
 def generate_scaling(rows: int, *, mean_tokens: int = 200, force: bool = False) -> Path:
+    """The scaling corpus is written as a DIRECTORY of 64 parquet
+    shards, not one file: Ray Data plans ONE read task per parquet
+    file (measured on the 6M single-file corpus: `1 tasks executed`,
+    decode pinned at single-thread speed no matter num_cpus — the
+    whole two-parallelism measurement was bottlenecked on it), and a
+    real 10^12-sequence corpus is thousands of shards anyway.  One
+    shard per read task restores read parallelism AND matches the
+    deployment layout."""
     out = scaling_corpus_dir(rows)
-    stamp = out / f".{GEN_VERSION}.done"
+    stamp = out / f".{GEN_VERSION}.shards{SCALE_SHARDS}.done"
     if stamp.exists() and not force:
         return out
     out.mkdir(parents=True, exist_ok=True)
@@ -336,7 +347,15 @@ def generate_scaling(rows: int, *, mean_tokens: int = 200, force: bool = False) 
     for i in bad[n_bad // 2 :]:
         sources[i] = BAD_SOURCE  # not_in_enum
     tbl = _to_table(doc_ids, lengths, flat, n_tok, sources)
-    pq.write_table(tbl, out / "sequences.parquet", row_group_size=ROW_GROUP_SIZE)
+    shard_dir = out / "sequences"
+    shard_dir.mkdir(parents=True, exist_ok=True)
+    per = (rows + SCALE_SHARDS - 1) // SCALE_SHARDS
+    for i in range(SCALE_SHARDS):
+        lo = i * per
+        if lo >= rows:
+            break
+        pq.write_table(tbl.slice(lo, per), shard_dir / f"shard-{i:04d}.parquet",
+                       row_group_size=ROW_GROUP_SIZE)
     dim = pa.table(
         {
             "source": pa.array(SOURCES + ["retired-src"], type=pa.string()),
