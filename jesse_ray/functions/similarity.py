@@ -476,6 +476,7 @@ def knn_graph(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     batch_size: int = 4096,
+    emit_sim: bool = False,
 ) -> Dataset:
     """Exact cosine k-NN graph: for every vector, its k nearest
     neighbors (self excluded), ties broken ascending on neighbor id.
@@ -516,9 +517,12 @@ def knn_graph(
     if kk <= 0:
         import ray.data as rd
 
-        return rd.from_arrow(pa.table({id_col: pa.array([], type=pa.int64()),
-                                       "rank": pa.array([], type=pa.int64()),
-                                       "neighbor_id": pa.array([], type=pa.int64())}))
+        cols = {id_col: pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64())}
+        if emit_sim:
+            cols["sim"] = pa.array([], type=pa.float64())
+        return rd.from_arrow(pa.table(cols))
 
     def _block_np(blk) -> tuple[np.ndarray, np.ndarray]:
         t = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
@@ -557,11 +561,14 @@ def knn_graph(
             real = best_s > -np.inf  # rows with < kk true neighbors pad out
             cnt = real.sum(axis=1)
             ranks = np.tile(np.arange(1, kk + 1, dtype=np.int64), nb)[real.ravel()]
-            return pa.table({
+            cols = {
                 id_col: pa.array(np.repeat(bids, cnt), type=pa.int64()),
                 "rank": pa.array(ranks),
                 "neighbor_id": pa.array(best_i.ravel()[real.ravel()], type=pa.int64()),
-            })
+            }
+            if emit_sim:
+                cols["sim"] = pa.array(best_s.ravel()[real.ravel()], type=pa.float64())
+            return pa.table(cols)
 
     return staged.map_batches(
         _KNN, batch_format="pyarrow", zero_copy_batch=True,
