@@ -50,9 +50,10 @@ def q_orders_interorder_cv(sf_dir: str) -> pd.DataFrame:
         gap = np.diff(d).astype(np.float64)
         same = k[1:] == k[:-1]
         gap, gk = gap[same], k[1:][same]
-        out = pd.DataFrame({"k": gk, "gap": gap}).groupby("k")["gap"] \
-            .agg(["count", "mean", lambda x: x.std(ddof=0)])
-        out.columns = ["n", "mu", "sd"]
+        out = pd.DataFrame({"k": gk, "gap": gap, "gap2": gap * gap}) \
+            .groupby("k").agg(n=("gap", "count"), mu=("gap", "mean"),
+                              s2=("gap2", "mean"))
+        out["sd"] = np.sqrt(np.maximum(out["s2"] - out["mu"] ** 2, 0.0))
         out = out[(out["n"] >= 3) & (out["mu"] > 0)]
         return pd.DataFrame({"cv": (out["sd"] / out["mu"]).to_numpy(),
                              "one": np.ones(len(out), dtype=np.int64)})

@@ -86,12 +86,16 @@ def q_events_user_entropy(sf_dir: str) -> pd.DataFrame:
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
-        ent = []
-        for _, u in g.groupby("user_id"):
-            c = u["n"].to_numpy(dtype=np.float64)
-            p = c / c.sum()
-            ent.append(float(-(p * np.log(p)).sum()))
-        e = np.asarray(ent)
+        # vectorized per-user entropy: H_u = ln(T_u) − Σ n ln n / T_u
+        u = g["user_id"].to_numpy()
+        n = g["n"].to_numpy(dtype=np.float64)
+        order = np.argsort(u, kind="stable")
+        u2, n2 = u[order], n[order]
+        starts = np.flatnonzero(np.concatenate([[True], u2[1:] != u2[:-1]])) \
+            if len(u2) else np.empty(0, dtype=np.int64)
+        tot = np.add.reduceat(n2, starts) if len(starts) else n2[:0]
+        snln = np.add.reduceat(n2 * np.log(n2), starts) if len(starts) else n2[:0]
+        e = np.log(tot) - snln / tot
         if not len(e):
             return pd.DataFrame({"n": pd.Series([], dtype="int64"),
                                  "s": pd.Series([], dtype="float64"),

@@ -55,10 +55,15 @@ def q_events_type_cooc(sf_dir: str) -> pd.DataFrame:
         bits = g["event_type"].map(tix).to_numpy(dtype=np.int64)
         ent = (g["user_id"].to_numpy(dtype=np.int64) << np.int64(20)) \
             + g["day"].to_numpy(dtype=np.int64)  # day < 2^20 epoch-days
-        df = pd.DataFrame({"e": ent, "m": np.left_shift(1, bits)})
-        mask = df.groupby("e")["m"].agg(lambda x: int(np.bitwise_or.reduce(x.to_numpy())))
-        mv, mc = np.unique(mask.to_numpy(dtype=np.int64), return_counts=True)
-        return pd.DataFrame({"mask": mv, "n": mc.astype("int64")})
+        m = np.left_shift(np.int64(1), bits)
+        order = np.argsort(ent, kind="stable")
+        e2, m2 = ent[order], m[order]
+        starts = np.flatnonzero(np.concatenate([[True], e2[1:] != e2[:-1]])) \
+            if len(e2) else np.empty(0, dtype=np.int64)
+        # vectorized per-entity OR-fold (no per-entity Python)
+        folded = np.bitwise_or.reduceat(m2, starts) if len(starts) else m2[:0]
+        mv, mc = np.unique(folded, return_counts=True)
+        return pd.DataFrame({"mask": mv.astype("int64"), "n": mc.astype("int64")})
 
     rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
         .map_batches(lambda df: hash_partition_pandas(df, ["user_id", "day"]),
