@@ -1541,3 +1541,26 @@ def add_script_profile(
 
     return ds.map_batches(profile, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def add_compression_ratio(ds, *, text_col: str = "text",
+                          out_col: str = "zratio", level: int = 6):
+    """Append zlib-compressibility per document: compressed_bytes /
+    raw_bytes (UTF-8).  A classic cheap curation signal — highly
+    repetitive/template text compresses far below natural prose
+    (ratios ≲ 0.3 flag boilerplate; random noise sits near 1).  Pure
+    stdlib zlib, one pass; the per-doc loop is irreducible (DEFLATE is
+    per-payload) but each call is C-level.  Empty/null text gets ratio
+    1.0 (nothing to judge)."""
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        out = np.ones(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            if t:
+                raw = t.encode("utf-8")
+                out[i] = len(zlib.compress(raw, level)) / len(raw)
+        return batch.append_column(out_col, pa.array(out, type=pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
