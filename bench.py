@@ -60,6 +60,29 @@ def run_bench() -> dict:
         sf = testgen.sf_name_of(SF_DIR)
         testgen.generate(sf)
         path = str(testgen.corpus_path(sf))
+        # Ray Data plans ONE read task per parquet file, so a
+        # single-file corpus decodes serially no matter num_cpus
+        # (production corpora are sharded; see BASELINE.md).  Shard
+        # once into a sibling dir and read that.
+        import pyarrow.parquet as _pqx
+
+        shard_dir = os.path.join(os.path.dirname(path), "sequences_sharded")
+        stamp = os.path.join(shard_dir, ".done")
+        if not os.path.exists(stamp):
+            os.makedirs(shard_dir, exist_ok=True)
+            _t = _pqx.read_table(path)
+            nsh = 32
+            per = (_t.num_rows + nsh - 1) // nsh
+            for i in range(nsh):
+                lo = i * per
+                if lo >= _t.num_rows:
+                    break
+                _pqx.write_table(_t.slice(lo, per),
+                                 os.path.join(shard_dir, f"shard-{i:04d}.parquet"),
+                                 row_group_size=65536)
+            with open(stamp, "w") as f:
+                f.write("ok")
+        path = shard_dir
 
     # warm the page cache so we measure compute + shuffle, not cold disk
     _warm_paths = (
