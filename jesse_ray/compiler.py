@@ -107,11 +107,21 @@ def _canon_key(x: Any):
     return ("s", x) if isinstance(x, str) else ("x", repr(x))
 
 
+def _decimal_default(v: Any):
+    # bignum columns surface as decimal.Decimal — print the exact
+    # integer literal (scale-0) or the exact decimal string, the same
+    # unbounded text Erlang prints for bignums
+    if isinstance(v, decimal.Decimal):
+        return int(v) if v == v.to_integral_value() else float(v)
+    raise TypeError(f"not JSON serializable: {type(v)}")
+
+
 def _json_val(v: Any) -> str:
     if isinstance(v, float) and v.is_integer():
         # canonical: 3.0 prints as 3.0 (json default) — keep json default
         return json.dumps(v)
-    return json.dumps(v, ensure_ascii=False, separators=(",", ":"))
+    return json.dumps(v, ensure_ascii=False, separators=(",", ":"),
+                      default=_decimal_default)
 
 
 def _list_layout(col: pa.Array):
@@ -143,7 +153,11 @@ _ARROW_TYPE_OK: dict[str, Callable[[pa.DataType], bool]] = {
     # integer ⊂ number; draft-4 floats are NOT integers even with zero
     # fraction (contrast draft-6, src/jesse_validator_draft6.erl:344-355)
     "string": lambda t: pa.types.is_string(t) or pa.types.is_large_string(t),
-    "integer": lambda t: pa.types.is_integer(t),
+    # scale-0 decimals are Erlang bignums (arbitrary-precision integers
+    # beyond int64, src/jesse_lib.erl:219-261) — they hold ONLY integral
+    # values, so they satisfy "integer"; scale>0 decimals are "number"
+    "integer": lambda t: pa.types.is_integer(t)
+    or (pa.types.is_decimal(t) and t.scale == 0),
     "number": _is_numeric,
     "boolean": pa.types.is_boolean,
     "array": lambda t: pa.types.is_list(t) or pa.types.is_large_list(t)
@@ -164,6 +178,24 @@ def _enum_mask(arr: pa.Array, values: list[Any]) -> np.ndarray:
     1.0 == 1 (src/jesse_lib.erl:177-181, normalize numbers to float)."""
     n = len(arr)
     if _is_numeric(arr.type):
+        if pa.types.is_decimal(arr.type):
+            # bignum column: a float64 cast would collapse adjacent
+            # >2^53 values — compare exactly via Fraction canonical keys
+            # (the reference compares bignums exactly,
+            # src/jesse_lib.erl:219-261; decimals are rare, so the
+            # per-distinct python compare is off the hot path)
+            keyset = {
+                _canon_key(v)
+                for v in values
+                if isinstance(v, (int, float, decimal.Decimal))
+                and not isinstance(v, bool)
+            }
+            if not keyset:
+                return np.zeros(n, dtype=bool)
+            return np.fromiter(
+                (x is not None and _canon_key(x) in keyset for x in arr.to_pylist()),
+                dtype=bool, count=n,
+            )
         nums = [float(v) for v in values if isinstance(v, (int, float)) and not isinstance(v, bool)]
         if not nums:
             return np.zeros(n, dtype=bool)
@@ -192,6 +224,26 @@ def _range_mask(arr: pa.Array, lo, lo_ex, hi, hi_ex) -> np.ndarray:
     # check runs this over EVERY flattened token — a float64 round-trip
     # here would allocate 8 bytes/token across the whole corpus).
     # NaN/null compare false -> out of range; caller masks nulls.
+    if pa.types.is_decimal(arr.type):
+        # bignum column: Arrow can't compare decimals against plain
+        # python-int bounds, and a float64 cast would round >2^53
+        # values at the bound — compare exactly via Fraction
+        # (src/jesse_lib.erl:219-261; decimal columns are off the
+        # token hot path, so the per-value compare is acceptable)
+        flo = Fraction(lo) if lo is not None else None
+        fhi = Fraction(hi) if hi is not None else None
+        out = np.zeros(len(arr), dtype=bool)
+        for i, x in enumerate(arr.to_pylist()):
+            if x is None:
+                continue
+            fx = Fraction(x)
+            ok = True
+            if flo is not None:
+                ok = fx > flo if lo_ex else fx >= flo
+            if ok and fhi is not None:
+                ok = fx < fhi if hi_ex else fx <= fhi
+            out[i] = ok
+        return out
     m = None
     if lo is not None:
         c = pc.greater(arr, lo) if lo_ex else pc.greater_equal(arr, lo)
@@ -222,11 +274,24 @@ def _pattern_mask(arr: pa.Array, pattern: str) -> np.ndarray:
     try:
         return _np_mask(pc.match_substring_regex(arr, pattern), n)
     except pa.ArrowInvalid:
+        # PCRE-only construct (backref/lookaround): run python `re` ONCE
+        # PER DISTINCT VALUE (dictionary-encode first), then scatter the
+        # per-distinct verdicts back with one numpy take — no per-row
+        # python loop over the column; the regex cost is bounded by the
+        # value domain, not the row count.
         rx = re.compile(pattern)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc = arr.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        um = np.fromiter(
+            (s is not None and rx.search(s) is not None for s in uniq),
+            dtype=bool, count=len(uniq),
+        )
+        idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
         out = np.zeros(n, dtype=bool)
-        for i, s in enumerate(arr.to_pylist()):
-            if s is not None and rx.search(s):
-                out[i] = True
+        present = idx >= 0
+        out[present] = um[idx[present]]
         return out
 
 

@@ -2312,7 +2312,15 @@ def _prefix_filter_pairs(ex: Dataset, *, threshold_num: int, threshold_den: int,
         pi = sz - (threshold_num * sz + threshold_den - 1) // threshold_den + 1
         keep = (pos < np.maximum(pi, 1)) & (df >= 2)  # df=1 can't pair
         sh, key = sh[keep], key[keep]
-        # pack (size, position) into one int64 payload for the pair stage
+        # pack (size, position) into one int64 payload for the pair stage.
+        # The packing assumes per-doc distinct element count < 2^31 —
+        # enforce it loudly rather than silently corrupting the exact
+        # length/positional filters (ADVICE r3)
+        if len(sz) and int(sz.max()) >= (1 << 31):
+            raise ValueError(
+                "prefix_jaccard_join: a document has >= 2^31 distinct "
+                f"elements ({int(sz.max())}) — szpos int64 packing would "
+                "overflow; widen the payload before rerunning")
         szpos = (sz[keep] << np.int64(31)) | pos[keep]
         return pd.DataFrame({
             "__part": (sh.view(np.uint64) & np.uint64(n_parts - 1)).astype(np.int32),

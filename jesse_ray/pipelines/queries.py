@@ -2469,14 +2469,43 @@ def q_seq_global_sort(sf_dir: str) -> pd.DataFrame:
     last on both sides."""
     ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "n_tok"])
     srt = ds.sort(["n_tok", "doc_id"])
-    t = _collect(srt)
-    n = t.num_rows
-    nt = t["n_tok"].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
-    pos = np.arange(n, dtype=np.float64)
-    chks = np.nansum(pos * nt)
+
+    # Distributed position checksum — the sorted corpus NEVER lands on
+    # the driver.  Per block: (count, Σ local_pos·n_tok, Σ n_tok) plus
+    # the block's n_tok range; the checksum is invariant under
+    # permutation within equal-n_tok ties (pos·n_tok sums the same), so
+    # folding block partials in (min,max) n_tok order with a prefix
+    # offset reproduces the global Σ pos·n_tok exactly.  Integer-exact:
+    # int64 within a block, unbounded python ints in the O(blocks)
+    # driver fold.  Null n_tok contributes 0 (SQL sum semantics) and
+    # sorts last on both sides.
+    def _summarize(b: pa.Table) -> pa.Table:
+        nt64 = b["n_tok"].cast(pa.int64())
+        if isinstance(nt64, pa.ChunkedArray):
+            nt64 = nt64.combine_chunks()
+        valid = pc.is_valid(nt64).to_numpy(zero_copy_only=False).astype(bool)
+        nt0 = pc.fill_null(nt64, 0).to_numpy(zero_copy_only=False)
+        pos = np.arange(b.num_rows, dtype=np.int64)
+        has = bool(valid.any())
+        return pa.table({
+            "mn": pa.array([int(nt0[valid].min()) if has else (1 << 62)], type=pa.int64()),
+            "mx": pa.array([int(nt0[valid].max()) if has else (1 << 62)], type=pa.int64()),
+            "cnt": pa.array([b.num_rows], type=pa.int64()),
+            "local": pa.array([int((pos * nt0).sum())], type=pa.int64()),
+            "ntsum": pa.array([int(nt0.sum())], type=pa.int64()),
+        })
+
+    parts = _collect(
+        srt.map_batches(_summarize, batch_format="pyarrow", batch_size=None)
+    ).to_pandas().sort_values(["mn", "mx"]).reset_index(drop=True)
+    total, off, n = 0, 0, 0
+    for cnt, local, ntsum in zip(parts["cnt"], parts["local"], parts["ntsum"]):
+        total += int(local) + off * int(ntsum)
+        off += int(cnt)
+        n += int(cnt)
     return pd.DataFrame({
         "n_rows": pd.array([n], dtype="int64"),
-        "pos_checksum": pd.array([int(chks)], dtype="int64"),
+        "pos_checksum": pd.array([total], dtype="int64"),
     })
 
 

@@ -91,9 +91,11 @@ def q_seq_stutter_rate(sf_dir: str) -> pd.DataFrame:
     m = _collect(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
     p = int(pc.sum(m["p"]).as_py())
     r = int(pc.sum(m["r"]).as_py())
+    # exact integer numerator/denominator ONLY — a rounded rate column
+    # would reintroduce the python-half-even vs DuckDB-half-away split
+    # on exact dyadic ties (the hazard dedup.py documents; ADVICE r3)
     return pd.DataFrame({"n_pairs": pd.array([p], dtype="int64"),
-                         "n_rep": pd.array([r], dtype="int64"),
-                         "rate": [round(r / p, 5)]})
+                         "n_rep": pd.array([r], dtype="int64")})
 
 
 SQL_SEQ_STUTTER_RATE = f"""
@@ -103,8 +105,7 @@ e AS (
 ),
 w AS (SELECT tok, lag(tok) OVER (PARTITION BY rid ORDER BY i) AS prev FROM e)
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(count(*) FILTER (WHERE prev = tok) AS BIGINT) AS n_rep,
-       round(count(*) FILTER (WHERE prev = tok) * 1.0 / count(*), 5) AS rate
+       CAST(count(*) FILTER (WHERE prev = tok) AS BIGINT) AS n_rep
 FROM w WHERE prev IS NOT NULL
 """
 

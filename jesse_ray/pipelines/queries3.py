@@ -258,30 +258,20 @@ def q_events_quantile_cont(sf_dir: str) -> pd.DataFrame:
     the SAME formula ``x[i] + g*(x[i+1]-x[i])`` with ``i+g = q*(n-1)``
     (numpy's _lerp branches differ in the last bit, so the lerp is done
     explicitly), making results bit-identical before rounding.  Scale
-    note: exact interpolation needs the two order statistics around the
-    target rank, computed here per group inside map_groups (group fits
-    a worker); the unbounded-group scale path is the t-digest sketch
-    (`sketches.py`) already in the catalog."""
+    shape: the bounded (event_type × distinct-value) count grid
+    (relational.grouped_quantile_grid) — the two order statistics
+    around each target rank come from searchsorted over cumulative
+    counts, so no task ever sorts a whole group; the unbounded-domain
+    scale path is the t-digest sketch (`sketches.py`)."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    ds = ds.map_batches(
-        lambda b: b.filter(pc.is_valid(b["value"])),
-        batch_format="pyarrow", zero_copy_batch=True)
+    from jesse_ray.pipelines.relational import grouped_quantile_grid
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        x = np.sort(g["value"].to_numpy(dtype=np.float64))
-        n = len(x)
-        rows = []
-        for q in QC_QS:
-            pos = q * (n - 1)
-            i = int(np.floor(pos))
-            gfrac = pos - i
-            hi = x[i + 1] if i + 1 < n else x[i]
-            val = x[i] + gfrac * (hi - x[i])
-            rows.append((g["event_type"].iloc[0], q, round(float(val), 6)))
-        return pd.DataFrame(rows, columns=["event_type", "q", "val"])
-
-    out = ds.groupby("event_type").map_groups(per_group, batch_format="pandas")
-    return out.to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+    rows = [
+        (et, q, round(val, 6))
+        for et, q, val in grouped_quantile_grid(ds, "event_type", "value", QC_QS)
+    ]
+    return (pd.DataFrame(rows, columns=["event_type", "q", "val"])
+            .sort_values(["event_type", "q"]).reset_index(drop=True))
 
 
 SQL_EVENTS_QUANTILE_CONT = f"""

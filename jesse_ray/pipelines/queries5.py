@@ -374,12 +374,17 @@ ORACLES5["seq_gmean_hmean"] = SQL_SEQ_GMEAN_HMEAN
 
 def q_events_interarrival(sf_dir: str) -> pd.DataFrame:
     """Median and p90 inter-arrival gap (seconds) between consecutive
-    events of the same type, ordered by (ts, event_id).  Scale shape:
-    ONE coarse hash shuffle on event_type (each type complete within a
-    part — the sessionize pattern; types are few so parts are fat but
-    bounded by type cardinality, documented), per-part C-level sort +
-    vectorized diff, then exact per-type discrete quantiles via the
-    grouped_discrete_quantiles rule (sorted[max(ceil(q·n)−1, 0)])."""
+    events of the same type, ordered by (ts, event_id).  Scale shape
+    (no whole-type in-task sort anywhere): Ray's DISTRIBUTED sort by
+    (event_type, us, event_id), then one block-local pass emitting
+    per-block boundary summaries (first/last key — O(blocks) to the
+    driver) and one emitting the within-block (type, gap) count grid,
+    merged with a distributed groupby; the ≤ blocks−1 cross-block
+    boundary gaps are stitched on the driver from the summaries, and
+    the exact discrete quantiles (sorted[max(ceil(q·n)−1, 0)]) walk the
+    cumulative grid.  The grid is bounded by the observed gap-value
+    domain, not the row count; an unbounded continuous domain takes the
+    t-digest path (sketches.py)."""
     ds = read_table(f"{sf_dir}/events.parquet",
                     columns=["event_id", "event_type", "ts"])
 
@@ -390,35 +395,72 @@ def q_events_interarrival(sf_dir: str) -> pd.DataFrame:
             "us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
         })
 
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        return hash_partition_pandas(df, ["event_type"], 64)
+    srt = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .sort(["event_type", "us", "event_id"])
+           .materialize())
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["event_type", "us", "event_id"], kind="mergesort")
-        et = g["event_type"].to_numpy()
-        us = g["us"].to_numpy(dtype=np.int64)
-        same = np.concatenate([[False], et[1:] == et[:-1]])
-        gap_s = (us - np.concatenate([[0], us[:-1]]))[same] / 1e6
-        et_g = et[same]
-        out = []
-        starts = np.flatnonzero(np.concatenate([[True], et_g[1:] != et_g[:-1]])) \
-            if len(et_g) else np.array([], dtype=np.int64)
-        ends = np.concatenate([starts[1:], [len(et_g)]]) if len(et_g) else starts
-        for s, e in zip(starts, ends):
-            v = np.sort(gap_s[s:e])
-            n = len(v)
-            p50 = v[max(int(np.ceil(0.5 * n)) - 1, 0)]
-            p90 = v[max(int(np.ceil(0.9 * n)) - 1, 0)]
-            out.append((et_g[s], n, round(float(p50), 5), round(float(p90), 5)))
-        return pd.DataFrame(out, columns=["event_type", "n_gaps", "p50_s", "p90_s"])
+    def boundary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"fet": pa.array([], type=pa.string()),
+                             "fus": pa.array([], type=pa.int64()),
+                             "fid": pa.array([], type=pa.int64()),
+                             "let": pa.array([], type=pa.string()),
+                             "lus": pa.array([], type=pa.int64())})
+        return pa.table({
+            "fet": [b["event_type"][0].as_py()],
+            "fus": pa.array([b["us"][0].as_py()], type=pa.int64()),
+            "fid": pa.array([b["event_id"][0].as_py()], type=pa.int64()),
+            "let": [b["event_type"][-1].as_py()],
+            "lus": pa.array([b["us"][-1].as_py()], type=pa.int64()),
+        })
 
-    grouped = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-               .map_batches(part, batch_format="pandas")
-               .groupby("__part")
-               .map_groups(gaps, batch_format="pandas"))
-    pdf = grouped.to_pandas()
-    return (pdf.sort_values("event_type").reset_index(drop=True)
-            [["event_type", "n_gaps", "p50_s", "p90_s"]])
+    def grid_partial(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pandas(), dtype=object)
+        us = b["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(et) < 2:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "gap_us": pa.array([], type=pa.int64()),
+                             "pn": pa.array([], type=pa.int64())})
+        same = et[1:] == et[:-1]
+        t = pa.table({
+            "event_type": pa.array(et[1:][same].tolist(), type=pa.string()),
+            "gap_us": pa.array((us[1:] - us[:-1])[same], type=pa.int64()),
+        })
+        g = t.group_by(["event_type", "gap_us"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "gap_us", "pn"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    grid = pa.concat_tables(list(
+        srt.map_batches(grid_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "gap_us"]).aggregate(_Sum("pn", alias_name="n"))
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+
+    bounds = pa.concat_tables(list(
+        srt.map_batches(boundary, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    bounds = bounds.sort_values(["fet", "fus", "fid"]).reset_index(drop=True)
+    extra = []
+    for i in range(1, len(bounds)):
+        if bounds["let"][i - 1] == bounds["fet"][i]:
+            extra.append((bounds["fet"][i],
+                          int(bounds["fus"][i]) - int(bounds["lus"][i - 1]), 1))
+    if extra:
+        grid = pd.concat([grid, pd.DataFrame(extra, columns=grid.columns)],
+                         ignore_index=True)
+        grid = grid.groupby(["event_type", "gap_us"], as_index=False)["n"].sum()
+
+    out = []
+    for et, g in grid.groupby("event_type", sort=True):
+        g = g.sort_values("gap_us")
+        v = g["gap_us"].to_numpy(dtype=np.int64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        p50 = v[np.searchsorted(cum, max(int(np.ceil(0.5 * n)), 1))]
+        p90 = v[np.searchsorted(cum, max(int(np.ceil(0.9 * n)), 1))]
+        out.append((et, n, round(float(p50) / 1e6, 5), round(float(p90) / 1e6, 5)))
+    return pd.DataFrame(out, columns=["event_type", "n_gaps", "p50_s", "p90_s"])
 
 
 SQL_EVENTS_INTERARRIVAL = """

@@ -14,7 +14,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
 
@@ -180,30 +179,20 @@ _PCTL_QS = [0.5, 0.9, 0.99]
 def q_events_value_pctl_cont(sf_dir: str) -> pd.DataFrame:
     """quantile_cont(value, q) per event type for q ∈ {0.5, 0.9, 0.99}
     — the linear-interpolation rule (x[f] + frac·(x[c]−x[f]) at
-    pos = q·(n−1)), identical to numpy's default.  Scale shape: one
-    coarse type-hash shuffle so each part holds complete types, a
-    per-part sort of that bounded slice (the per-group exact-quantile
-    assumption shared with events_interarrival), ≤ types × qs rows to
-    the driver."""
+    pos = q·(n−1)), identical to numpy's default.  Scale shape: the
+    bounded (event_type × distinct-value) count grid
+    (relational.grouped_quantile_grid) — a per-batch count combiner, a
+    distributed grid merge, and a driver lerp over cumulative counts;
+    no task ever holds or sorts one type's full value set."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    from jesse_ray.pipelines.relational import grouped_quantile_grid
 
-    def clean(b: pa.Table) -> pd.DataFrame:
-        return b.filter(pc.is_valid(b["value"])).to_pandas()
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, grp in g.groupby("event_type", sort=True):
-            x = np.sort(grp["value"].to_numpy(dtype=np.float64))
-            for q in _PCTL_QS:
-                rows.append((et, q, round(float(np.quantile(x, q)), 5)))
-        return pd.DataFrame(rows, columns=["event_type", "q", "pctl"])
-
-    rows = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True) \
-        .map_batches(lambda df: hash_partition_pandas(df, ["event_type"]),
-                     batch_format="pandas")
-    out = _collect(rows.groupby("__part").map_groups(per_part, batch_format="pandas")) \
-        .to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
-    return out
+    rows = [
+        (et, q, round(val, 5))
+        for et, q, val in grouped_quantile_grid(ds, "event_type", "value", _PCTL_QS)
+    ]
+    return (pd.DataFrame(rows, columns=["event_type", "q", "pctl"])
+            .sort_values(["event_type", "q"]).reset_index(drop=True))
 
 
 SQL_EVENTS_VALUE_PCTL_CONT = """

@@ -2822,3 +2822,71 @@ def funnel_steps(
     out = merged.group_by("step").aggregate([("n", "sum")])
     out = out.rename_columns(["step", "n"]).sort_by("step")
     return out.set_column(1, "n", out["n"].cast(pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles over the bounded (group × value) count grid
+
+
+def grouped_quantile_grid(
+    ds: "Dataset",
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    mode: str = "cont",
+) -> list[tuple]:
+    """Exact per-group quantiles WITHOUT a whole-group in-task sort.
+
+    Scale shape (the lineitem_trimmed_mean discipline): a per-batch
+    ``group_by(group, value).count`` combiner, a distributed groupby
+    merge, and a driver walk over the cumulative counts of the merged
+    grid — the grid is bounded by groups × distinct values (the value
+    domain, NOT the row count), so no task ever holds or sorts one
+    group's full value set.  On a 100-TB corpus with a handful of event
+    types this removes the one-task-per-type straggler; for genuinely
+    unbounded continuous domains the t-digest sketch (sketches.py) is
+    the documented scale path.
+
+    ``mode="cont"``: type-7 linear interpolation ``x[i] + g·(x[i+1]−x[i])``
+    at ``i+g = q·(n−1)`` — the explicit lerp, evaluated from the two
+    order statistics located by searchsorted on the cumulative grid
+    (bit-identical to the per-group-sort formulation).
+    ``mode="disc"``: the discrete rule ``sorted[max(ceil(q·n)−1, 0)]``.
+
+    Returns [(group, q, value), ...] ordered by (group, q).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col]).filter(pc.is_valid(b[value_col]))
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "pn"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, value_col])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    grid = pa.concat_tables(
+        list(merged.iter_batches(batch_format="pyarrow"))
+    ).to_pandas()
+
+    out: list[tuple] = []
+    for key, g in grid.groupby(group_col, sort=True):
+        g = g.sort_values(value_col)
+        v = g[value_col].to_numpy(dtype=np.float64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        for q in qs:
+            if mode == "disc":
+                r = max(int(np.ceil(q * n)) - 1, 0)
+                out.append((key, q, float(v[np.searchsorted(cum, r + 1)])))
+                continue
+            pos = q * (n - 1)
+            i = int(np.floor(pos))
+            frac = pos - i
+            xi = float(v[np.searchsorted(cum, i + 1)])
+            xj = float(v[np.searchsorted(cum, i + 2)]) if i + 1 < n else xi
+            out.append((key, q, xi + frac * (xj - xi)))
+    return out

@@ -64,12 +64,17 @@ def _row_group_blocks(path: str | Sequence[str]) -> Optional[int]:
     # tasks → ~95%).  4×CPUs keeps pipelining + skew slack without
     # drowning the scheduler; a real cluster raises the clamp with its
     # CPU count.
+    # pre-init fallback is the HOST's CPU count, not a hardcoded 8 — a
+    # read planned before ray.init on a big node must not be
+    # under-parallelized (ADVICE r3)
+    fallback = os.cpu_count() or 8
     try:
         import ray as _ray
 
-        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        ncpu = (int(_ray.cluster_resources().get("CPU", fallback))
+                if _ray.is_initialized() else fallback)
     except Exception:
-        ncpu = 8
+        ncpu = fallback
     return max(1, min(total, max(4 * ncpu, 16), 1024))
 
 

@@ -36,10 +36,10 @@ EXTRA_DIRS = [
 ]
 
 SKIP_FILES = {"remoteRefExtra.json"}
-# Erlang bignums within 38 digits ride Arrow decimal128 (exact compare
-# via the compiler's _canon_key Fraction canonicalization); the residual
-# documented gap is integers beyond decimal128 range (>38 digits), which
-# no reference case exercises.
+# Erlang bignums ride Arrow decimals (decimal128 to 38 digits,
+# decimal256 to 76 — see _instance_array); equality/enum/uniqueItems on
+# them is exact via the compiler's _canon_key Fraction canonicalization,
+# which is itself unbounded.  No skipped cases.
 SKIP_CASES: set = set()
 
 
@@ -101,19 +101,28 @@ def _run(schema: dict, data, dialect: str = "draft4") -> tuple[bool, list[str]]:
 
 def _instance_array(data) -> pa.Array:
     """One-row Arrow column for the instance; integers beyond int64
-    (Erlang bignums) land in decimal128(38, 0) — exact up to 38 digits,
-    matching the reference's arbitrary-precision compare for every case
-    in its suite."""
+    (Erlang bignums) land in decimal128(38, 0), and beyond that in
+    decimal256(76, 0) — exact through 76 digits (the reference's widest
+    test integer is 30 digits).  The engine's equality layer itself
+    (compiler._canon_key Fraction canonicalization) is unbounded; the
+    76-digit bound is Arrow's widest native decimal, i.e. an input
+    representation limit, not an equality gap."""
     try:
         return pa.array([data])
     except (OverflowError, pa.ArrowInvalid):
         import decimal
 
+        if isinstance(data, int) and not isinstance(data, bool):
+            dec = decimal.Decimal(data)
+            typ = pa.decimal128(38, 0) if len(str(abs(data))) <= 38 else pa.decimal256(76, 0)
+            return pa.array([dec], type=typ)
         if isinstance(data, list) and all(
             isinstance(x, int) and not isinstance(x, bool) for x in data
         ):
+            wide = max(len(str(abs(x))) for x in data)
+            typ = pa.decimal128(38, 0) if wide <= 38 else pa.decimal256(76, 0)
             return pa.array([[decimal.Decimal(x) for x in data]],
-                            type=pa.list_(pa.decimal128(38, 0)))
+                            type=pa.list_(typ))
         raise
 
 
