@@ -880,6 +880,9 @@ class ValidationEngine:
         paths; ``http(s)://`` fetches use urllib when the cluster has
         network access (this sandbox does not — documented)."""
         self._specs: dict[str, CompiledSpec] = {}
+        #: name -> (source path, mtime at load) for mtime-refresh
+        #: (src/jesse_database.erl:276-283 ETS row shape)
+        self._sources: dict[str, tuple[str, float]] = {}
         self._loader = schema_loader_fun if schema_loader_fun is not None else default_schema_loader
 
     # jesse:add_schema/2 analogue (src/jesse.erl:116-130)
@@ -894,9 +897,12 @@ class ValidationEngine:
     def load_specs(self, dir_path: str) -> list[str]:
         """Bulk-load every ``*.json`` draft-04 spec file in a directory
         (the file stem becomes the spec name) — jesse:load_schemas
-        analogue (src/jesse.erl:153-182).  No mtime-refresh cache: a
-        validation run's specs are immutable, so reload is just calling
-        this again (SURVEY §2.6)."""
+        analogue (src/jesse.erl:153-182).  Each entry records its source
+        file's mtime, the reference's ETS cache shape
+        (src/jesse_database.erl:276-283 stores {SourceKey, Key, Mtime,
+        Schema}); :meth:`refresh_specs` then re-reads only outdated
+        files, the jesse_database:list_outdated/1 contract
+        (src/jesse_database.erl:251-283)."""
         import glob as _glob
         import os as _os
 
@@ -908,8 +914,45 @@ class ValidationEngine:
             with open(p) as f:
                 schema = json.load(f)
             self.add_spec(name, from_json_schema(schema, name=name))
+            self._sources[name] = (p, _os.stat(p).st_mtime)
             loaded.append(name)
         return loaded
+
+    def list_outdated(self, dir_path: str) -> list[str]:
+        """Spec files in ``dir_path`` that are new or newer than their
+        cached entry — jesse_database:list_outdated/1
+        (src/jesse_database.erl:251-283): a file with no cache entry is
+        outdated; a cached one is outdated when CurrentMtime > Mtime."""
+        import glob as _glob
+        import os as _os
+
+        out = []
+        for p in sorted(_glob.glob(_os.path.join(str(dir_path), "*.json"))):
+            name = _os.path.splitext(_os.path.basename(p))[0]
+            src = self._sources.get(name)
+            if src is None or _os.stat(p).st_mtime > src[1]:
+                out.append(p)
+        return out
+
+    def refresh_specs(self, dir_path: str) -> list[str]:
+        """Recompile ONLY the outdated spec files (the incremental
+        update jesse_database:add_path/2 performs on every store touch,
+        src/jesse_database.erl:117-133 + 251-283).  Unchanged specs keep
+        their compiled form — on a long-lived validation service this is
+        the live-reload path; batch runs never need it."""
+        import os as _os
+
+        from jesse_ray.spec import from_json_schema
+
+        refreshed = []
+        for p in self.list_outdated(dir_path):
+            name = _os.path.splitext(_os.path.basename(p))[0]
+            with open(p) as f:
+                schema = json.load(f)
+            self.add_spec(name, from_json_schema(schema, name=name))
+            self._sources[name] = (p, _os.stat(p).st_mtime)
+            refreshed.append(name)
+        return refreshed
 
     def get(self, name: str) -> CompiledSpec:
         if name not in self._specs:

@@ -10,7 +10,8 @@ learned from a sample; search only the query's closest buckets).
 
 from __future__ import annotations
 
-import heapq
+
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -60,17 +61,18 @@ class CosineTopK:
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = mn @ self.qn.T  # (batch, n_queries)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        out_q, out_id, out_sim = [], [], []
         k = min(self.k, sims.shape[0])
-        for qi in range(sims.shape[1]):
-            part = np.argpartition(-sims[:, qi], k - 1)[:k]
-            out_q.extend([qi] * k)
-            out_id.extend(ids[part].tolist())
-            out_sim.extend(sims[part, qi].tolist())
+        nq = sims.shape[1]
+        # ONE argpartition across all queries (axis=0) — no per-query
+        # python loop; at 10k queries the loop was the hot spot
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        out_q = np.repeat(np.arange(nq, dtype=np.int64)[None, :], k, axis=0).ravel()
+        out_id = ids[part].ravel()
+        out_sim = np.take_along_axis(sims, part, axis=0).ravel()
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_id, type=pa.int64()),
+                "vec_id": pa.array(out_id.astype(np.int64), type=pa.int64()),
                 "cosine": pa.array(out_sim, type=pa.float64()),
             }
         )
@@ -85,7 +87,8 @@ def cosine_topk(
     **_ignored,
 ) -> pd.DataFrame:
     """Global top-k per query: per-batch partial top-k (distributed) →
-    driver heap-merge of the small partials (k × n_batches rows)."""
+    one vectorized driver merge of the small partials
+    (k × n_batches × n_queries rows)."""
     qref = _maybe_put(np.asarray(queries, dtype=np.float64))
     fn = CosineTopK(qref, k)
     partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
@@ -94,24 +97,28 @@ def cosine_topk(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    heaps: dict[int, list] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for q, vid, s in zip(
-            b["query_id"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist()
-        ):
-            h = heaps.setdefault(q, [])
-            # tie-break on vec_id so results are deterministic
-            item = (s, -vid)
-            if len(h) < k:
-                heapq.heappush(h, item)
-            elif item > h[0]:
-                heapq.heapreplace(h, item)
-    rows = []
-    for q in sorted(heaps):
-        ranked = sorted(heaps[q], reverse=True)
-        for rank, (s, negid) in enumerate(ranked, 1):
-            rows.append((q, rank, -negid, s))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    # vectorized driver merge of the (k × n_batches × n_queries) partial
+    # rows: one lexsort by (query asc, score desc, vec_id asc — the
+    # deterministic tie-break), then a grouped head-k take.  The python
+    # per-row heap this replaces dominated wall time at 10k queries.
+    t = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
+    if t.num_rows == 0:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
+    q = t["query_id"].to_numpy(zero_copy_only=False)
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    s = t["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -s, q))
+    q, vid, s = q[order], vid[order], s[order]
+    starts = np.flatnonzero(np.concatenate([[True], q[1:] != q[:-1]]))
+    runlen = np.diff(np.concatenate([starts, [len(q)]]))
+    pos = np.arange(len(q), dtype=np.int64) - np.repeat(starts, runlen)
+    keep = pos < k
+    return pd.DataFrame({
+        "query_id": q[keep].astype(np.int64),
+        "rank": (pos[keep] + 1).astype(np.int64),
+        "vec_id": vid[keep].astype(np.int64),
+        "cosine": s[keep],
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -127,13 +134,30 @@ def build_ivf_centroids(ds: Dataset, n_centroids: int = 16, *, sample_rows: int 
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     for _ in range(iters):
-        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
+        assign = _nearest_centroid(mat, cent)
         for c in range(len(cent)):
             m = assign == c
             if m.any():
                 cent[c] = mat[m].mean(0)
     return cent
+
+
+def _nearest_centroid(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin squared distance, row-chunked so the (rows × centroids ×
+    dim) broadcast temporary stays ~32 MB regardless of batch or
+    centroid count.  Row chunking does not change per-element float
+    arithmetic, so cell assignments are bit-identical to the unchunked
+    form (which the oracle parity relies on)."""
+    n = mat.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    cell = np.empty(n, dtype=np.int64)
+    per_row = max(int(cent.shape[0]) * int(mat.shape[1]), 1)
+    step = max(1, (1 << 22) // per_row)
+    for i in range(0, n, step):
+        d = ((mat[i:i + step, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        cell[i:i + step] = d.argmin(1)
+    return cell
 
 
 class _CellFilter:
@@ -151,8 +175,7 @@ class _CellFilter:
             self.cent = _resolve(self._cent_ref)
             self.keep = np.asarray(_resolve(self._keep_ref))
         mat = _as_matrix(batch["embedding"])
-        d = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
-        cell = d.argmin(1)
+        cell = _nearest_centroid(mat, self.cent)
         mask = np.isin(cell, self.keep)
         return batch.filter(pa.array(mask))
 
@@ -165,7 +188,12 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, *, n_centroids: int 
     approximation; the brute-force path is the correctness baseline)."""
     cent = build_ivf_centroids(ds, n_centroids)
     q = np.asarray(queries, dtype=np.float64)
-    qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1) if len(q) <= 4096 else None
+    if qd is None:
+        # large query sets: chunked distances (same arithmetic)
+        qd = np.empty((len(q), len(cent)), dtype=np.float64)
+        for i in range(0, len(q), 4096):
+            qd[i:i + 4096] = ((q[i:i + 4096, None, :] - cent[None, :, :]) ** 2).sum(-1)
     probe_sets = [set(np.argsort(qd[i])[:n_probe].tolist()) for i in range(len(q))]
     keep_cells = set().union(*probe_sets) if probe_sets else set()
     fn = _CellFilter(_maybe_put(cent), _maybe_put(np.asarray(sorted(keep_cells), dtype=np.int64)))
@@ -384,6 +412,191 @@ def _as_i64(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def pq_encode_packed(
+    ds: Dataset,
+    books: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    cell_centroids: np.ndarray | None = None,
+    residual: bool = False,
+    batch_size: Optional[int] = None,
+) -> Dataset:
+    """Compact PQ index rows: (key, cell, pqcode) — the on-disk /
+    in-object-store ANN index shape.  All ``m ≤ 8`` subspace codes
+    (``k ≤ 256`` each) pack into ONE int64 (8 bits per subspace), so a
+    64-d float64 vector (512 B) compresses to 16 B of scan payload —
+    the memory-compression contract of PQ (Jegou et al., TPAMI 2011).
+    ``cell_centroids`` (the IVF coarse quantizer) additionally stamps
+    each row's cell id so an ADC scan can honor per-query probe lists.
+    ``residual=True`` encodes ``x − centroid(cell)`` instead of ``x`` —
+    the IVFADC formulation of the same paper (§IV): residual magnitudes
+    are the within-cell spread, so the same codebook budget quantizes
+    several times finer where it matters; train ``books`` on residuals
+    and pass ``cell_centroids`` to :func:`ivf_pq_search` so the query
+    side subtracts the same centroid (‖x−q‖² = ‖(x−c)−(q−c)‖²
+    exactly).  Plain (non-residual) codes use the same per-subspace
+    argmin arithmetic as :func:`pq_assign`."""
+    from jesse_ray.functions.clustering import _mat
+
+    m, k, sub = books.shape
+    if m > 8 or k > 256:
+        raise ValueError(f"packed codes need m<=8, k<=256 (got m={m}, k={k})")
+    if residual and cell_centroids is None:
+        raise ValueError("residual=True needs cell_centroids")
+    bref = _maybe_put(books)
+    cref = _maybe_put(cell_centroids) if cell_centroids is not None else None
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = _resolve(bref)
+        x = _mat(batch[vec_col])
+        n = x.shape[0]
+        cell = None
+        if cref is not None:
+            cents = _resolve(cref)
+            cell = _nearest_centroid(x, cents)
+            if residual:
+                x = x - cents[cell]
+        packed = np.zeros(n, dtype=np.int64)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            c = b[j]
+            d = ((xj * xj).sum(axis=1, keepdims=True)
+                 - 2.0 * (xj @ c.T) + (c * c).sum(axis=1)[None, :])
+            packed |= d.argmin(axis=1).astype(np.int64) << np.int64(8 * j)
+        cols = {
+            key_col: pa.array(_as_i64(batch[key_col]), type=pa.int64()),
+            "pqcode": pa.array(packed, type=pa.int64()),
+        }
+        if cell is not None:
+            cols["cell"] = pa.array(cell.astype(np.int32), type=pa.int32())
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def ivf_pq_search(
+    codes_ds: Dataset,
+    books: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    refine: int = 4,
+    probe_cells: np.ndarray | None = None,
+    cell_centroids: np.ndarray | None = None,
+    key_col: str = "vec_id",
+    batch_size: Optional[int] = None,
+    **_ignored,
+) -> pd.DataFrame:
+    """Cell-partitioned ADC scan over the packed-codes index — the
+    inverted-list IVF-PQ search (Jegou et al., TPAMI 2011) in Ray Data
+    terms:
+
+    1. ONE coarse groupby of the 16 B/row codes by IVF cell — each task
+       then holds one cell's inverted list (the only shuffle, and it
+       moves codes, never vectors);
+    2. per cell task, the probing-query subset comes from the broadcast
+       (n_queries × n_cells) bool mask, and the asymmetric-distance
+       lookup tables LUT[q, j, c] = ‖query_q[sub_j] − books[j, c]‖² are
+       built for THOSE queries only;
+    3. the scan is m gathers + adds per (probing query × list row) —
+       total work ∝ n_queries × n_probe × avg_list_len × m, i.e. the
+       PROBED fraction of the corpus, not the corpus (the earlier
+       full-scan-then-mask formulation did nq × rows work regardless
+       of probes);
+    4. per (cell, query) top-(k·refine) partials; one vectorized driver
+       lexsort folds them to the global per-query candidate set
+       (≤ n_probe · k · refine rows per query in flight — never the
+       corpus).  The caller re-ranks the candidates exactly.
+
+    ``probe_cells=None`` probes every cell (pure PQ scan).
+    ``cell_centroids`` enables the IVFADC residual formulation: the
+    codes must have been built with ``pq_encode_packed(...,
+    residual=True)`` and each cell task subtracts its centroid from the
+    probing queries before building the lookup tables (‖x−q‖² =
+    ‖(x−c)−(q−c)‖² exactly, so residual ADC approximates the same
+    distance with far finer quantization).  Returns (query_id, vec_id,
+    approx_dist) rows, ≤ k·refine per query, dist ties broken on
+    vec_id.
+    """
+    m, kk, sub = books.shape
+    q = np.asarray(queries, dtype=np.float64)
+    nq = len(q)
+    ncand = k * refine
+    bref = _maybe_put(books)
+    qref = _maybe_put(q)
+    pref = _maybe_put(probe_cells) if probe_cells is not None else None
+    ccref = _maybe_put(cell_centroids) if cell_centroids is not None else None
+    _EMPTY = pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        "vec_id": pa.array([], type=pa.int64()),
+        "approx_dist": pa.array([], type=pa.float64()),
+    })
+
+    def scan_cell(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY
+        probe = _resolve(pref) if pref is not None else None
+        cell = int(g["cell"][0].as_py())
+        qidx = (np.flatnonzero(probe[:, cell]) if probe is not None
+                else np.arange(nq, dtype=np.int64))
+        if len(qidx) == 0:
+            return _EMPTY
+        bb = _resolve(bref)
+        qq = _resolve(qref)
+        ids = _as_i64(g[key_col])
+        packed = g["pqcode"]
+        if isinstance(packed, pa.ChunkedArray):
+            packed = packed.combine_chunks()
+        packed = packed.to_numpy(zero_copy_only=False)
+        n = len(packed)
+        codes = np.empty((n, m), dtype=np.int64)
+        for j in range(m):
+            codes[:, j] = (packed >> np.int64(8 * j)) & np.int64(0xFF)
+        # ADC tables for the probing queries only
+        qsub = qq[qidx]
+        if ccref is not None:
+            qsub = qsub - _resolve(ccref)[cell][None, :]  # residual space
+        app = None
+        for j in range(m):
+            qj = qsub[:, j * sub:(j + 1) * sub]
+            c = bb[j]
+            lut_j = ((qj * qj).sum(axis=1, keepdims=True)
+                     - 2.0 * (qj @ c.T) + (c * c).sum(axis=1)[None, :])
+            contrib = lut_j[:, codes[:, j]]  # (|q_c|, n)
+            app = contrib if app is None else app + contrib
+        c = min(ncand, n)
+        part = np.argpartition(app, c - 1, axis=1)[:, :c]
+        dsel = np.take_along_axis(app, part, axis=1)
+        qi = np.repeat(qidx.astype(np.int64)[:, None], c, axis=1)
+        return pa.table({
+            "query_id": pa.array(qi.ravel(), type=pa.int64()),
+            "vec_id": pa.array(ids[part].ravel().astype(np.int64), type=pa.int64()),
+            "approx_dist": pa.array(dsel.ravel(), type=pa.float64()),
+        })
+
+    partials = codes_ds.groupby("cell").map_groups(
+        scan_cell, batch_format="pyarrow")
+    t = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
+    if t.num_rows == 0:
+        return pd.DataFrame(columns=["query_id", "vec_id", "approx_dist"])
+    qa = t["query_id"].to_numpy(zero_copy_only=False)
+    va = t["vec_id"].to_numpy(zero_copy_only=False)
+    da = t["approx_dist"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((va, da, qa))  # query asc, dist asc, id asc
+    qa, va, da = qa[order], va[order], da[order]
+    starts = np.flatnonzero(np.concatenate([[True], qa[1:] != qa[:-1]]))
+    runlen = np.diff(np.concatenate([starts, [len(qa)]]))
+    pos = np.arange(len(qa), dtype=np.int64) - np.repeat(starts, runlen)
+    keep = pos < ncand
+    return pd.DataFrame({
+        "query_id": qa[keep].astype(np.int64),
+        "vec_id": va[keep].astype(np.int64),
+        "approx_dist": da[keep],
+    })
 
 
 def pca_fit(

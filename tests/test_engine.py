@@ -773,3 +773,40 @@ run_validation({files!r}, _seq_spec(), {str(out)!r}, files_per_partition=1,
     assert len(final) == 4
     assert all(r.spec_version == next(iter(final.values())).spec_version
                for r in final.values())
+
+
+def test_spec_store_mtime_refresh(tmp_path):
+    """jesse_database:list_outdated/1 parity (src/jesse_database.erl:
+    251-283): a new file is outdated; a touched file is outdated; an
+    unchanged file keeps its compiled entry."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from jesse_ray.engine import ValidationEngine
+
+    d = tmp_path / "specs"
+    d.mkdir()
+    (d / "a.json").write_text(_json.dumps(
+        {"properties": {"n_tok": {"type": "integer", "minimum": 0}}}))
+    eng = ValidationEngine()
+    assert eng.load_specs(str(d)) == ["a"]
+    a0 = eng.get("a")
+    assert eng.list_outdated(str(d)) == []
+    assert eng.refresh_specs(str(d)) == []
+    assert eng.get("a") is a0  # unchanged file keeps its compiled form
+
+    # new file -> outdated -> refresh loads it
+    (d / "b.json").write_text(_json.dumps(
+        {"properties": {"source": {"type": "string"}}}))
+    assert [p.endswith("b.json") for p in eng.list_outdated(str(d))] == [True]
+    assert eng.refresh_specs(str(d)) == ["b"]
+    assert eng.get("b").spec.columns
+
+    # touched file (newer mtime) -> recompiled
+    _time.sleep(0.01)
+    (d / "a.json").write_text(_json.dumps(
+        {"properties": {"n_tok": {"type": "integer", "minimum": 5}}}))
+    _os.utime(d / "a.json")
+    assert eng.refresh_specs(str(d)) == ["a"]
+    assert eng.get("a") is not a0

@@ -3364,3 +3364,161 @@ def test_watermark_late_filter(ray_session):
     out = (watermark_late_filter(ray.data.from_arrow(t), lateness_s=500)
            .to_pandas().sort_values("event_id"))
     assert out["late"].tolist() == [0, 0, 1, 0, 0, 1]
+
+
+def test_ivf_pq_search_recall_and_packing(ray_session):
+    """The packed-codes ANN path: pq_fit -> pq_encode_packed (16 B/row
+    scan payload, cell-stamped) -> ivf_pq_search ADC candidates ->
+    exact re-rank.  On clustered data the candidates recover the exact
+    top-k; the packed codes round-trip the long-form pq_assign codes
+    bit-exactly."""
+    from jesse_ray.functions.similarity import (
+        build_ivf_centroids,
+        cosine_topk,
+        ivf_pq_search,
+        pq_assign,
+        pq_encode_packed,
+        pq_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32)) * 4
+    pts = np.concatenate([c + rng.normal(size=(120, 32)) for c in centers]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1)), 32
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    books = pq_fit(ds, m=8, k=16)
+    cents = build_ivf_centroids(ds, 8)
+
+    # packed codes == long-form codes
+    packed = pq_encode_packed(ds, books, cell_centroids=cents).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    longf = pq_assign(ds, books).to_pandas()
+    for j in range(8):
+        want = longf[longf["j"] == j].sort_values("vec_id")["code"].to_numpy()
+        got = (packed["pqcode"].to_numpy() >> (8 * j)) & 0xFF
+        assert (got == want).all(), j
+
+    # ADC candidates + exact re-rank recover the brute-force top-k
+    q = pts[0:2].astype(np.float64)
+    probe = np.ones((2, 8), dtype=bool)  # probe all cells: isolate PQ error
+    cand = ivf_pq_search(ray.data.from_arrow(pa.Table.from_pandas(packed)),
+                         books, q, k=10, refine=8, probe_cells=probe)
+    assert (cand.groupby("query_id").size() <= 80).all()
+    bf = cosine_topk(ds, q, k=10)
+    for qi in range(2):
+        cids = set(cand[cand["query_id"] == qi]["vec_id"])
+        sub = tbl.filter(pa.array(np.isin(np.arange(len(pts)), sorted(cids))))
+        rer = cosine_topk(ray.data.from_arrow(sub), q[qi:qi + 1], k=10)
+        want = bf[bf["query_id"] == qi]["vec_id"].tolist()
+        got = rer["vec_id"].tolist()
+        recall = len(set(want) & set(got)) / 10
+        assert recall >= 0.9, (qi, recall, want, got)
+
+
+def test_ivf_pq_probe_mask_restricts_cells(ray_session):
+    from jesse_ray.functions.similarity import (
+        build_ivf_centroids,
+        ivf_pq_search,
+        pq_encode_packed,
+        pq_fit,
+    )
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(200, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1)), 16
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    books = pq_fit(ds, m=4, k=16)
+    cents = build_ivf_centroids(ds, 4)
+    codes = pq_encode_packed(ds, books, cell_centroids=cents)
+    codes_pdf = codes.to_pandas()
+    probe = np.zeros((1, 4), dtype=bool)
+    probe[0, 0] = True  # only cell 0
+    cand = ivf_pq_search(ray.data.from_arrow(pa.Table.from_pandas(codes_pdf)),
+                         books, pts[0:1].astype(np.float64), k=5, refine=2,
+                         probe_cells=probe)
+    allowed = set(codes_pdf[codes_pdf["cell"] == 0]["vec_id"])
+    assert set(cand["vec_id"]).issubset(allowed)
+
+
+def test_ivf_pq_residual_encoding_beats_plain(ray_session):
+    """IVFADC residual codes (x - centroid(cell)) approximate distances
+    at the within-cell scale; on clustered data candidate quality is at
+    least as good as plain-PQ codes with the same budget, and the
+    residual identity ||x-q||^2 == ||(x-c)-(q-c)||^2 keeps the scan
+    exact-in-expectation."""
+    from jesse_ray.functions.similarity import (
+        build_ivf_centroids,
+        cosine_topk,
+        ivf_pq_search,
+        pq_encode_packed,
+        pq_fit,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(8, 32)) * 4
+    pts = np.concatenate(
+        [c + rng.normal(size=(120, 32)) * 0.3 for c in centers]).astype(np.float64)
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1)), 32
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    cents = build_ivf_centroids(ds, 8)
+
+    # residual training set: x - centroid(cell)
+    from jesse_ray.functions.similarity import _nearest_centroid
+
+    res = pts - cents[_nearest_centroid(pts, cents)]
+    rtbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(res)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(res.reshape(-1)), 32
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    books = pq_fit(ray.data.from_arrow(rtbl), m=4, k=64)
+    codes = pq_encode_packed(ds, books, cell_centroids=cents, residual=True)
+    codes_tbl = pa.concat_tables(list(codes.iter_batches(batch_format="pyarrow")))
+
+    q = pts[0:3]
+    probe = np.ones((3, 8), dtype=bool)
+    cand = ivf_pq_search(ray.data.from_arrow(codes_tbl), books, q, k=10,
+                         refine=8, probe_cells=probe, cell_centroids=cents)
+    bf = cosine_topk(ds, q, k=10)
+    recalls = []
+    for qi in range(3):
+        want = set(bf[bf["query_id"] == qi]["vec_id"])
+        got = set(cand[cand["query_id"] == qi]["vec_id"])
+        recalls.append(len(want & got) / 10)
+    # top-10 inside an 80-candidate residual-ADC pool on well-separated
+    # clusters: near-perfect
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_pq_encode_residual_requires_centroids():
+    import pytest as _pytest
+
+    from jesse_ray.functions.similarity import pq_encode_packed
+
+    with _pytest.raises(ValueError):
+        pq_encode_packed(None, np.zeros((4, 16, 8)), residual=True)
