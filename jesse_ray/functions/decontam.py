@@ -120,7 +120,7 @@ def flag_contaminated(
     text_col: str = "text",
     n_words: int = 3,
     out_col: str = "n_probes",
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Append ``out_col`` = number of DISTINCT benchmark n-grams found
     in each document (0 = clean)."""
@@ -140,7 +140,7 @@ def drop_contaminated(
     *,
     text_col: str = "text",
     n_words: int = 3,
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """The curation form: keep only documents sharing NO benchmark
     n-gram (drops the flag column again)."""
@@ -212,7 +212,7 @@ def flag_token_contaminated(
     n: int = 8,
     tokens_col: str = "tokens",
     out_col: str = "contaminated",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Token-level benchmark decontamination: flag every training row
     sharing ANY n-token-gram with the broadcast eval set.  Same contract

@@ -478,7 +478,7 @@ class MinHasher:
 
 
 def minhash_signatures(ds: Dataset, *, num_hashes: int = 64, shingle_k: int = 5,
-                       batch_size: int = 1024, **_ignored) -> Dataset:
+                       batch_size: Optional[int] = None, **_ignored) -> Dataset:
     return ds.map_batches(
         MinHasher(num_hashes=num_hashes, shingle_k=shingle_k).__call__,
         batch_format="pyarrow",
@@ -861,7 +861,7 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(self.signatures(col), type=pa.uint64()))
 
 
-def simhash_signatures(ds: Dataset, *, batch_size: int = 1024, **_ignored) -> Dataset:
+def simhash_signatures(ds: Dataset, *, batch_size: Optional[int] = None, **_ignored) -> Dataset:
     return ds.map_batches(
         SimHasher().__call__, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
@@ -976,7 +976,7 @@ def ngram_jaccard_dups(ds: Dataset, *, threshold: float = 0.5, shingle_k: int = 
 def embedding_near_dups(ds: Dataset, *, threshold: float = 0.95, key_col: str = "vec_id",
                         vec_col: str = "embedding", n_tables: int = 16, n_bits: int = 12,
                         seed: int = 7, bucket_cap: int = 4096,
-                        batch_size: int = 4096, drop_counter=None) -> Dataset:
+                        batch_size: Optional[int] = None, drop_counter=None) -> Dataset:
     """Near-duplicate pairs by embedding cosine via BANDED MULTI-TABLE
     random-hyperplane LSH (Charikar 2002):
 
@@ -1092,7 +1092,7 @@ def repeated_lines(
     min_chars: int = 8,
     min_docs: int = 2,
     n_parts: int = 64,
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
     sep: str = "\n",
 ) -> pa.Table:
     """Lines (``sep``-separated, ``\\n`` by default) of at least
@@ -1149,7 +1149,7 @@ def dedup_lines(
     min_chars: int = 8,
     min_docs: int = 2,
     n_parts: int = 64,
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
     sep: str = "\n",
     repeated: pa.Table | None = None,
 ) -> Dataset:
@@ -1433,7 +1433,7 @@ def remove_dup_spans(
     key_col: str = "doc_id",
     text_col: str = "text",
     n_parts: int = 64,
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
     dup_grams: pa.Table | None = None,
 ) -> Dataset:
     """The removal form of ExactSubstr dedup (Lee et al. 2022 §3):
@@ -1612,7 +1612,7 @@ def token_lsh_candidate_pairs(
     key_col: str = "doc_id",
     tokens_col: str = "tokens",
     bucket_cap: int | None = None,
-    batch_size: int = 1024,
+    batch_size: Optional[int] = None,
     drop_counter=None,
 ) -> Dataset:
     """Near-dup candidate pairs over PRE-TOKENIZED sequences: token-gram
@@ -1652,7 +1652,7 @@ def semantic_near_dups(
     n_iters: int = 5,
     cluster_cap: int = 4096,
     block: int = 1024,
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> tuple[np.ndarray, Dataset, Dataset]:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication" — method only):

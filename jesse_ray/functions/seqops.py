@@ -26,7 +26,7 @@ def truncate_sequences(
     max_len: int,
     tokens_col: str = "tokens",
     n_tok_col: str | None = "n_tok",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Clip every token list to its first ``max_len`` elements and
     recompute ``n_tok`` from the ACTUAL clipped list (not the incoming
@@ -56,7 +56,7 @@ def append_eos(
     eos: int,
     tokens_col: str = "tokens",
     n_tok_col: str | None = "n_tok",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Append an EOS token to every sequence — offset surgery on the
     flat values buffer (one interleaved copy per batch, no Python rows):
@@ -107,7 +107,7 @@ def chunk_sequences(
     tokens_col: str = "tokens",
     n_tok_col: str | None = "n_tok",
     chunk_col: str = "chunk_id",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Context-window chunking: split every token sequence into chunks
     of ``max_len`` starting at 0, stride, 2·stride, … (``stride``
@@ -260,7 +260,7 @@ def token_pair_counts(
     k: int = 20,
     tokens_col: str = "tokens",
     n_parts: int = 64,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Exact top-k ADJACENT token-pair counts — one iteration of the
     BPE merge loop (count every within-sequence bigram of token ids,
@@ -384,7 +384,7 @@ def apply_bpe_merge(
     new_id: int,
     tokens_col: str = "tokens",
     n_tok_col: str | None = "n_tok",
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Apply ONE BPE merge rule corpus-wide: every greedy left-to-right
     non-overlapping adjacent occurrence of ``(a, b)`` becomes the single
@@ -465,7 +465,7 @@ def length_bucket_stats(
     ds: Dataset,
     *,
     n_tok_col: str = "n_tok",
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ):
     """Static length-bucketing plan for training batches: assign every
     sequence to its power-of-two length bucket and report, per bucket,
@@ -518,7 +518,7 @@ def token_pmi_topk(
     min_count: int = 5,
     tokens_col: str = "tokens",
     n_parts: int = 64,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Collocation mining: top-k adjacent token pairs by PMI
     ``ln((c_ab/Np) / ((c_a/Nt)(c_b/Nt)))`` among pairs occurring at
@@ -655,7 +655,7 @@ def vocab_coverage_curve(
     *,
     tokens_col: str = "tokens",
     n_parts: int = 64,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Vocabulary-sizing curve: for each candidate vocab size k, how
     many token OCCURRENCES the k most frequent token ids cover (rank
@@ -758,7 +758,7 @@ def remap_checksums_by_group(
     *,
     tokens_col: str = "tokens",
     group_col: str = "source",
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Apply a token remap corpus-wide and return per-group
     position-weighted checksums — integer-exact evidence that every
@@ -898,7 +898,7 @@ def fim_split(
     key_col: str = "doc_id",
     keep_cols: tuple = ("source",),
     salt: str = "fim",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Fill-in-the-middle (FIM) preprocessing (Bavarian et al. 2022,
     "Efficient Training of Language Models to Fill in the Middle"):
@@ -974,7 +974,7 @@ def loss_mask_split(
     sep: int,
     tokens_col: str = "tokens",
     keep_cols: tuple = ("doc_id", "source"),
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Instruction-tuning loss masking: everything up to and INCLUDING
     the first ``sep`` token is prompt (loss-masked); the rest is the
@@ -1036,7 +1036,7 @@ def add_fixity_checksum(
     tokens_col: str = "tokens",
     out_col: str = "ck",
     mod: int = 2**31 - 1,
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Append a per-document content checksum: Σ_i token_i · (i+1)
     (1-based position weighting, so reorderings change it) reduced
@@ -1081,7 +1081,7 @@ def token_run_stats(
     *,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Per-sequence run-length stats over the token stream: ``n_runs``
     (count of maximal equal-value runs) and ``max_run`` (longest run) —

@@ -40,7 +40,7 @@ def add_hash_split(
     *,
     out_col: str = "split",
     salt: str = "",
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Append a ``split`` column: name drawn from ``fractions`` (which
     must sum to 1) by thresholding hash64(salt + key) / 2^64.  Rows with
@@ -71,7 +71,7 @@ def stratified_hash_sample(
     strata_col: str = "source",
     default_rate: float = 0.0,
     salt: str = "sample",
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Deterministic per-stratum downsampling: keep a row iff
     hash(salt+key)/2^64 < rate(stratum).  The standard corpus-mixing
@@ -112,7 +112,7 @@ def fixed_size_sample(
     strata_col: str = "source",
     salt: str = "fixed",
     hash_col: str | None = None,
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Deterministic FIXED-COUNT per-stratum sample: keep the ``k`` rows
     with the smallest ``fmix64(hash64(salt + key))`` in each stratum —
@@ -181,7 +181,7 @@ def mixture_sample(
     temperature: float = 2.0,
     budget_frac: float = 0.5,
     salt: str = "sample",
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> tuple[Dataset, dict[str, float]]:
     """Temperature-mixed deterministic downsample: one tiny grouped
     count (combiner partials, ≤#strata rows shuffled), driver-side rate
@@ -214,7 +214,7 @@ def epoch_upsample(
     salt: str = "epoch",
     copy_col: str = "copy_idx",
     u01_col: str | None = None,
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Deterministic NON-INTEGER-epoch upsampling — the mixing move for
     high-quality sources trained for >1 epoch (e.g. wiki × 2.5): each
@@ -269,7 +269,7 @@ def weighted_sample_k(
     salt: str = "es",
     u01_col: str | None = None,
     es_col: str | None = None,
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Deterministic weighted sampling WITHOUT replacement (Efraimidis
     & Spirakis 2006, "Weighted random sampling with a reservoir" —

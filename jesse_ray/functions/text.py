@@ -103,7 +103,7 @@ class QualityScorer:
         )
 
     @staticmethod
-    def apply(ds: Dataset, *, batch_size: int = 2048, **_ignored) -> Dataset:
+    def apply(ds: Dataset, *, batch_size: Optional[int] = None, **_ignored) -> Dataset:
         return ds.map_batches(
             QualityScorer(),
             batch_format="pyarrow",
@@ -240,7 +240,7 @@ def add_gopher_stats(
     max_words: int = 100_000,
     min_mean_word_len: int = 3,
     max_mean_word_len: int = 10,
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as
     INTEGER-EXACT per-document stats plus the combined ``gopher_pass``
@@ -310,7 +310,7 @@ def add_dup_line_stats(
     *,
     sep: str = "\n",
     max_dup_char_frac_pct: int = 20,
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """WITHIN-document duplicate-line stats (the Gopher/MassiveText
     "fraction of characters in duplicate lines" repetition rule — Rae et
@@ -418,7 +418,7 @@ def document_frequency_topk(
     text_col: str = "text",
     doc_col: str = "doc_id",
     n_parts: int = 64,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Top-k words by DOCUMENT frequency (number of documents containing
     the word — the IDF denominator of TF-IDF).  Fully vectorized map
@@ -466,7 +466,7 @@ def document_frequencies(
     text_col: str = "text",
     doc_col: str = "doc_id",
     n_parts: int = 64,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """FULL ``(word, df)`` document-frequency table (the IDF model for
     TF-IDF scoring) — :func:`document_frequency_topk` without the top-k
@@ -554,7 +554,7 @@ def add_tfidf_top_term(
     *,
     text_col: str = "text",
     doc_col: str = "doc_id",
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Top TF-IDF term per document: ``score = tf(w, d) * ln(N / df(w))``
     with ``df_table`` from :func:`document_frequencies` broadcast once.
@@ -787,7 +787,7 @@ def normalize_text(
     text_col: str = "text",
     *,
     out_col: str = "text_norm",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Canonical text normalization before hashing/dedup (the standard
     near-dup preprocessing: Lee et al. 2022 "Deduplicating Training
@@ -815,7 +815,7 @@ def add_char_entropy(
     *,
     text_col: str = "text",
     out_col: str = "char_entropy",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Per-document Shannon entropy over CODEPOINTS (bits/char) — the
     classic cheap gibberish/boilerplate filter (low entropy = repeated
@@ -922,7 +922,7 @@ def add_dsir_weight(
     *,
     text_col: str = "text",
     out_col: str = "dsir_lw",
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Score every document with its DSIR importance log-weight under
     ``model`` (from :func:`dsir_log_ratio_model`); the model is
@@ -945,7 +945,7 @@ def add_ngram_repetition_stats(
     text_col: str = "text",
     n_top: int = 2,
     n_dup: int = 5,
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Gopher's n-gram repetition features (Rae et al. 2021 §A1.1) as
     exact INTEGER character counts (the fraction gates become integer
@@ -1015,7 +1015,7 @@ def ngram_novelty_stats(
     text_col: str = "text",
     doc_col: str = "doc_id",
     n_parts: int = 64,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Cross-document verbatim-overlap rate: per document, how many of
     its word ``n``-gram OCCURRENCES are "shared" (the n-gram appears in
@@ -1147,7 +1147,7 @@ def add_backoff_logprob(
     alpha: float = 0.4,
     text_col: str = "text",
     out_col: str = "mean_sb",
-    batch_size: int = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Score documents with the mean Stupid-Backoff conditional under a
     broadcast (bigram, unigram) model pair — the honest small-scale
@@ -1185,7 +1185,7 @@ def conjunctive_search(
     text_col: str = "text",
     key_col: str = "doc_id",
     k: int = 20,
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Ad-hoc conjunctive (AND-of-terms) full-text search ranked by
     summed term frequency — the query-side half of an inverted index,
@@ -1245,7 +1245,7 @@ def bm25_search(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Disjunctive (OR-of-terms) BM25 ranked retrieval (Robertson/
     Walker Okapi BM25, the Lucene ``+1`` idf smoothing so idf > 0 even
@@ -1337,7 +1337,7 @@ def add_readability(
     ds: Dataset,
     *,
     text_col: str = "text",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Flesch-reading-ease-style readability scoring (a standard cheap
     quality signal next to the Gopher rules): per document, whitespace
@@ -1381,7 +1381,7 @@ def rake_word_scores(
     text_col: str = "text",
     stopwords: tuple = GOPHER_STOPWORDS,
     n_parts: int = 64,
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """RAKE word scores (Rose et al. 2010 "Automatic Keyword Extraction
     from Individual Documents"): documents split into candidate PHRASES
@@ -1458,7 +1458,7 @@ def add_encoding_audit(
     ds: Dataset,
     *,
     text_col: str = "text",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Per-document encoding-quality audit — the standard web-crawl
     hygiene gate that runs before any content filter:
@@ -1514,7 +1514,7 @@ def add_script_profile(
     ds: Dataset,
     *,
     text_col: str = "text",
-    batch_size: int = 8192,
+    batch_size: Optional[int] = None,
 ) -> Dataset:
     """Per-document Unicode-SCRIPT profile: codepoint counts for the
     major script blocks plus the dominant script (``none`` when no

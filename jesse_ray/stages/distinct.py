@@ -92,7 +92,7 @@ def hll_distinct(
     p: int = 12,
     fan_in: int = 64,
     levels: int = 3,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> float:
     """Approximate COUNT(DISTINCT column) (or of the flattened list
     elements with ``flatten=True``).  Relative error ~1.04/sqrt(2^p)."""
@@ -115,7 +115,7 @@ def hll_distinct_by_group(
     *,
     p: int = 12,
     flatten: bool = False,
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Approximate distinct count PER GROUP — the scale path for
     grouped count-distinct over a high-cardinality value column (the
@@ -297,7 +297,7 @@ def tdigest_quantiles_by_group(
     qs,
     *,
     compression: int = 200,
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Approximate quantiles PER GROUP via mergeable t-digests — the
     scale path for continuous value columns where the exact grouped

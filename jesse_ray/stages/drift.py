@@ -86,7 +86,7 @@ def sketch_dataset(
     vocab: int = 50_000,
     fan_in: int = 64,
     levels: int = 3,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> SketchBundle:
     """Build one merged SketchBundle for a whole Dataset."""
     sk = ds.select_columns([n_tok_col, tokens_col]).map_batches(
@@ -105,7 +105,7 @@ def exact_psi_by_group(
     *,
     bins: int = 10,
     eps: float = 1e-9,
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> "pa.Table":
     """EXACT population-stability-index drift per group: bin ``col`` at
     the corpus's exact discrete deciles (quantile cuts at 1/bins …
@@ -192,7 +192,7 @@ def exact_ks_by_group(
     group_col: str,
     col: str,
     *,
-    batch_size: int = 65536,
+    batch_size: Optional[int] = None,
 ) -> "pa.Table":
     """EXACT Kolmogorov-Smirnov distance per group against the whole
     corpus: ``ks(g) = max_v |F_g(v) − F_all(v)|`` over the observed
@@ -248,7 +248,7 @@ def exact_jsd_by_group(
     group_col: str,
     tokens_col: str,
     *,
-    batch_size: int = 16384,
+    batch_size: Optional[int] = None,
 ) -> "pa.Table":
     """EXACT Jensen-Shannon divergence of each group's token
     distribution against the whole corpus (natural-log JSD ∈ [0, ln 2])

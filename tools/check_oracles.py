@@ -6,6 +6,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -82,9 +83,32 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    # seq_* twins embed the generated-corpus path for the DEFAULT sf
+    # (queries.SEQ_SQL); when checking another scale, point them at that
+    # scale's corpus so both engines read the same rows
+    from jesse_ray import testgen as _tg
+    from jesse_ray.pipelines.queries import SEQ_SQL as _default_seq_sql
+
+    _sf_here = _tg.sf_name_of(sf_dir)
+    _default_dir = str(_tg.corpus_dir("sf0.01"))
+    _dir_here = str(_tg.corpus_dir(_sf_here))
+    if _dir_here != _default_dir:
+        oracles = {k: v.replace(_default_dir + "/", _dir_here + "/")
+                          .replace("_sigs_sf0.01.parquet", f"_sigs_{_sf_here}.parquet")
+                   for k, v in oracles.items()}
+
     con = duckdb.connect()
+    # big-sf twins (e.g. token pagerank at sf1 unnests ~1B tokens) spill;
+    # keep the spill on /tmp and bounded rather than in the repo cwd
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
+    con.execute("PRAGMA memory_limit='48GB'")
+    con.execute("PRAGMA max_temp_directory_size='40GB'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # partial corpora (e.g. the generated sf1 dir carries only the
+        # sequences/documents/embeddings family) register the views
+        # they have; a query touching a missing table fails loudly
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = 0
     for name, fn in qs.items():
