@@ -962,11 +962,14 @@ def simhash_near_dups(ds: Dataset, *, max_hamming: int = 3, key_col: str = "doc_
 
 def ngram_jaccard_dups(ds: Dataset, *, threshold: float = 0.5, shingle_k: int = 5,
                        key_col: str = "doc_id", num_hashes: int = 64, bands: int = 32,
-                       **kw) -> Dataset:
+                       emit_counts: bool = False, **kw) -> Dataset:
     """Near-dup pairs by exact n-gram Jaccard, LSH-pruned (lower banding
-    threshold so the verify step sees looser candidates)."""
+    threshold so the verify step sees looser candidates).
+    ``emit_counts=True`` adds the exact integer (inter, union_sz) truth
+    columns (see _BlobVerifier)."""
     cand = lsh_candidate_pairs(ds, num_hashes=num_hashes, bands=bands, key_col=key_col, **kw)
-    return verify_jaccard_pairs(ds, cand, threshold=threshold, shingle_k=shingle_k, key_col=key_col)
+    return verify_jaccard_pairs(ds, cand, threshold=threshold, shingle_k=shingle_k,
+                                key_col=key_col, emit_counts=emit_counts)
 
 
 # ---------------------------------------------------------------------------
@@ -1924,6 +1927,133 @@ def token_dup_gram_coverage(
     k: int = 8,
     tokens_col: str = "tokens",
     n_parts: int = 64,
+    broadcast_cap: int = 64_000_000,
+) -> tuple[int, int]:
+    """Fraction-of-corpus diagnostic from "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al., ACL 2022): how many
+    corpus TOKENS sit inside at least one k-token gram that occurs >= 2
+    times corpus-wide?  Returns ``(total_tokens, covered_tokens)``.
+
+    Scale shape (round-4 redesign): the original two window-volume
+    shuffles moved every k-gram window row twice (~34 B x ~1 row/token
+    x 2) and their sort-spill exceeded this sandbox's free disk at sf1
+    (~1 B tokens).  Now:
+
+    1. ONE count shuffle of per-batch DISTINCT (gram, count) partials
+       (16 B/row, roughly half the old volume, once instead of twice)
+       finds the corpus-wide duplicated grams;
+    2. the duplicated-gram set — a small fraction of the gram space by
+       the diagnostic's own premise — is broadcast once (``ray.put`` of
+       a sorted uint64 array) and a second READ pass probes it with one
+       searchsorted per batch, computing each row's interval union
+       (gap-clip at k, the Lee et al. rule) IN-BATCH: integer partials
+       only ever reach the driver, and no window row is ever shuffled;
+    3. a duplicated-gram set larger than ``broadcast_cap`` (512 MB at
+       the 64M default) falls back to the fully-shuffled original
+       (kept as :func:`_dup_gram_coverage_2shuffle`), which never
+       materializes the dup set anywhere.
+
+    Counts are bit-identical to the shuffled path (same gram hash, same
+    union rule; verified by the seq_dup_gram_coverage oracle and the
+    unit suite at both scales).
+    """
+    mask = np.uint64(n_parts - 1)
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g, starts = _batch_token_gram_hashes(col, k)
+        counts = np.diff(starts)
+        valid = lens >= k
+        gk = g[np.repeat(valid, counts)]
+        ug, cnt = np.unique(gk, return_counts=True)
+        return pa.table({
+            "__part": pa.array((ug & mask).astype(np.int32)),
+            "g": pa.array(ug.view(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def part_dups(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp["g"].to_numpy(dtype=np.int64).view(np.uint64)
+        c = grp["cnt"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(g, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        return pd.DataFrame({"g": uniq[tot >= 2].view(np.int64)})
+
+    dup_parts = (ds.select_columns([tokens_col])
+                 .map_batches(gram_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("__part").map_groups(part_dups, batch_format="pandas"))
+    dbatches = list(dup_parts.iter_batches(batch_format="pyarrow"))
+    if dbatches:
+        dup_arr = np.sort(pa.concat_tables(dbatches)["g"]
+                          .to_numpy(zero_copy_only=False).view(np.uint64))
+    else:
+        dup_arr = np.empty(0, dtype=np.uint64)
+    if len(dup_arr) > broadcast_cap:
+        return _dup_gram_coverage_2shuffle(ds, k=k, tokens_col=tokens_col,
+                                           n_parts=n_parts)
+    ref = ray.put(dup_arr) if ray.is_initialized() else dup_arr
+
+    class _Cover:
+        def __init__(self):
+            self.dups = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.dups is None:
+                self.dups = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            col = batch[tokens_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            total = int(lens.sum())
+            covered = 0
+            if len(self.dups):
+                g, starts = _batch_token_gram_hashes(col, k)
+                counts = np.diff(starts)
+                valid = lens >= k
+                n_win = np.where(valid, counts, 0)
+                keepw = np.repeat(valid, counts)
+                gk = g[keepw]
+                if len(gk):
+                    rel = np.arange(len(gk), dtype=np.int64) - np.repeat(
+                        np.concatenate([[0], np.cumsum(n_win)])[:-1], n_win)
+                    parent = np.repeat(np.arange(len(lens), dtype=np.int64), n_win)
+                    idx = np.searchsorted(self.dups, gk)
+                    idx[idx >= len(self.dups)] = len(self.dups) - 1
+                    hit = self.dups[idx] == gk
+                    hp, hpar = rel[hit], parent[hit]
+                    if len(hp):
+                        newrun = np.concatenate([[True], hpar[1:] != hpar[:-1]])
+                        gap = np.empty(len(hp), dtype=np.int64)
+                        gap[0] = k
+                        if len(hp) > 1:
+                            step = hp[1:] - hp[:-1]
+                            gap[1:] = np.where(newrun[1:], k, np.minimum(step, k))
+                        covered = int(gap.sum())
+            return pa.table({"total": pa.array([total], type=pa.int64()),
+                             "covered": pa.array([covered], type=pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.select_columns([tokens_col])
+        .map_batches(_Cover(), batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")))
+    import pyarrow.compute as _pc
+
+    return int(_pc.sum(parts["total"]).as_py() or 0), \
+        int(_pc.sum(parts["covered"]).as_py() or 0)
+
+
+def _dup_gram_coverage_2shuffle(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    n_parts: int = 64,
 ) -> tuple[int, int]:
     """Fraction-of-corpus diagnostic from "Deduplicating Training Data
     Makes Language Models Better" (Lee et al., ACL 2022): how many
@@ -2191,6 +2321,7 @@ def prefix_jaccard_join(
     n_parts: int = 64,
     bucket_cap: int = 4096,
     drop_counter=None,
+    emit_counts: bool = False,
 ) -> Dataset:
     """Exact all-pairs Jaccard SIMILARITY JOIN via AllPairs/PPJoin
     prefix filtering (Bayardo et al., WWW 2007; Xiao et al., PPJoin) —
@@ -2266,7 +2397,7 @@ def prefix_jaccard_join(
                                  bucket_cap=bucket_cap, drop_counter=drop_counter)
     return verify_jaccard_pairs(ds, pairs, threshold=threshold,
                                 shingle_k=shingle_k, key_col=key_col,
-                                metric="jaccard")
+                                metric="jaccard", emit_counts=emit_counts)
 
 
 def _prefix_filter_pairs(ex: Dataset, *, threshold_num: int, threshold_den: int,

@@ -4330,13 +4330,18 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
         _collect(ds.map_batches(shingle_sets, batch_format="pyarrow")).sort_by("doc_id"),
         _sig_parquet_path(sf_dir, "shingles"),
     )
-    pdf = ngram_jaccard_dups(ds, threshold=0.5, num_hashes=64, bands=32).to_pandas()
+    pdf = ngram_jaccard_dups(ds, threshold=0.5, num_hashes=64, bands=32,
+                             emit_counts=True).to_pandas()
     if pdf.empty:
         return pd.DataFrame({"left": pd.array([], dtype="int64"),
                              "right": pd.array([], dtype="int64"),
-                             "jaccard": pd.array([], dtype="float64")})
-    pdf["jaccard"] = pdf["jaccard"].round(4)
-    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+                             "inter": pd.array([], dtype="int64"),
+                             "union_sz": pd.array([], dtype="int64")})
+    # exact integer (inter, union_sz) truth columns ONLY — a rounded
+    # float jaccard split the engines at sf0.1 on the dyadic tie
+    # 157/160 = 0.98125 (python half-even vs DuckDB half-away)
+    return (pdf[["left", "right", "inter", "union_sz"]]
+            .sort_values(["left", "right"]).reset_index(drop=True))
 
 
 SQL_DOC_NGRAM_JACCARD = """
@@ -4351,8 +4356,8 @@ WITH s AS (
   FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT l AS "left", r AS "right",
-       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+SELECT l AS "left", r AS "right", CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS union_sz
 FROM p JOIN sz sa ON sa.doc_id = p.l JOIN sz sb ON sb.doc_id = p.r
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 ORDER BY 1, 2

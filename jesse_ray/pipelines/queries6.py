@@ -303,13 +303,29 @@ def q_doc_prefix_jaccard(sf_dir: str) -> pd.DataFrame:
         _collect(ds.map_batches(shingle_sets, batch_format="pyarrow")).sort_by("doc_id"),
         _sig_parquet_path(sf_dir, "pfxjac"),
     )
-    pdf = prefix_jaccard_join(ds, threshold_num=2, threshold_den=5, shingle_k=5).to_pandas()
+    import ray as _ray
+
+    from jesse_ray.functions.dedup import DropCounter
+
+    counter = DropCounter.remote() if _ray.is_initialized() else None
+    pdf = prefix_jaccard_join(ds, threshold_num=2, threshold_den=5, shingle_k=5,
+                              emit_counts=True, drop_counter=counter).to_pandas()
+    if counter is not None:
+        drops = _ray.get(counter.get.remote())
+        if drops["dropped_buckets"]:
+            raise RuntimeError(
+                f"doc_prefix_jaccard: exactness violated — skew cap dropped "
+                f"candidates ({drops}); raise bucket_cap")
     if pdf.empty:
         return pd.DataFrame({"left": pd.array([], dtype="int64"),
                              "right": pd.array([], dtype="int64"),
-                             "jaccard": pd.array([], dtype="float64")})
-    pdf["jaccard"] = pdf["jaccard"].round(4)
-    return pdf.sort_values(["left", "right"]).reset_index(drop=True)
+                             "inter": pd.array([], dtype="int64"),
+                             "union_sz": pd.array([], dtype="int64")})
+    # exact integer (inter, union_sz) truth columns ONLY — a rounded
+    # float jaccard split the engines at sf0.1 on an exact 5th-decimal
+    # tie (python half-even vs DuckDB half-away)
+    return (pdf[["left", "right", "inter", "union_sz"]]
+            .sort_values(["left", "right"]).reset_index(drop=True))
 
 
 SQL_DOC_PREFIX_JACCARD = """
@@ -324,8 +340,8 @@ WITH s AS (
   FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT l AS "left", r AS "right",
-       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+SELECT l AS "left", r AS "right", CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS union_sz
 FROM p JOIN sz sa ON sa.doc_id = p.l JOIN sz sb ON sb.doc_id = p.r
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
 ORDER BY 1, 2

@@ -35,18 +35,29 @@ def q_seq_prefix_jaccard(sf_dir: str) -> pd.DataFrame:
     element set is its distinct token ids — the pre-tokenized-corpus
     variant of the prefix-filter join.  Output carries EXACT integer
     (inter, union_sz) so the brute-force twin matches bit-for-bit.
-    The slice (numeric id % 11 == 0) bounds the twin's all-pairs cost;
-    rows whose doc id is DUPLICATED are excluded first (the corpus
-    plants duplicate ids for the uniqueness family — a set-similarity
-    join needs one set per key), via one coarse key shuffle."""
-    from jesse_ray.functions.dedup import token_prefix_jaccard_join
+    The slice (numeric id ≡ 0 mod a SCALE-INVARIANT modulus — 11 at the
+    driver's sf0.01, growing with row count so the slice stays ~5-6k
+    docs at every sf) bounds the twin's all-pairs cost AND keeps the
+    exact join's per-token runs under its skew cap; a zero-drop
+    assertion on the DropCounter makes any cap engagement a loud
+    failure rather than silent recall loss (found at sf0.1 round 4:
+    the fixed mod-11 slice grew to 45k docs and the cap silently
+    dropped 60% of the true pairs).  Rows whose doc id is DUPLICATED
+    are excluded first (the corpus plants duplicate ids for the
+    uniqueness family — a set-similarity join needs one set per key),
+    via one coarse key shuffle."""
+    from jesse_ray.functions.dedup import DropCounter, token_prefix_jaccard_join
 
     ds = read_sequences(_seq_path(sf_dir), columns=["doc_id", "tokens"])
+    n_raw = read_sequences(_seq_path(sf_dir), columns=["doc_id"]).count()
+    # integer-exact scale factor (no float round: half-even vs
+    # half-away would split the engines at a .5 boundary)
+    mod = _SPJ_MOD * max(1, (n_raw + 30_000) // 60_000)
 
     def slice_and_key(b: pa.Table) -> pa.Table:
         k = pc.cast(pc.utf8_slice_codeunits(b["doc_id"], 4, 99), pa.int64())
         t = pa.table({"doc_id": k, "tokens": b["tokens"]})
-        return t.filter(pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, _SPJ_MOD), _SPJ_MOD)), 0))
+        return t.filter(pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, mod), mod)), 0))
 
     def tag_part(b: pa.Table) -> pa.Table:
         from jesse_ray.hashutil import fmix64
@@ -66,8 +77,18 @@ def q_seq_prefix_jaccard(sf_dir: str) -> pd.DataFrame:
     sl = ds.map_batches(slice_and_key, batch_format="pyarrow", zero_copy_batch=True) \
         .map_batches(tag_part, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("__part").map_groups(only_unique_ids, batch_format="pyarrow")
+    import ray as _ray
+
+    counter = DropCounter.remote() if _ray.is_initialized() else None
     pdf = token_prefix_jaccard_join(sl, threshold_num=3, threshold_den=10,
-                                    emit_counts=True).to_pandas()
+                                    emit_counts=True, drop_counter=counter).to_pandas()
+    if counter is not None:
+        drops = _ray.get(counter.get.remote())
+        if drops["dropped_buckets"]:
+            raise RuntimeError(
+                f"seq_prefix_jaccard: exactness violated — skew cap dropped "
+                f"{drops['dropped_rows']} candidate rows; shrink the slice "
+                f"or raise bucket_cap ({drops})")
     if pdf.empty:
         return pd.DataFrame({"left": pd.array([], dtype="int64"),
                              "right": pd.array([], dtype="int64"),
@@ -78,10 +99,13 @@ def q_seq_prefix_jaccard(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_SEQ_PREFIX_JACCARD = f"""
-WITH raw AS (
+WITH m AS (
+  SELECT {_SPJ_MOD} * GREATEST(1, ((SELECT count(*) FROM {SEQ_SQL}) + 30000) // 60000) AS mod
+),
+raw AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS k, tokens
   FROM {SEQ_SQL}
-  WHERE CAST(substr(doc_id, 5) AS BIGINT) % {_SPJ_MOD} = 0
+  WHERE CAST(substr(doc_id, 5) AS BIGINT) % (SELECT mod FROM m) = 0
 ),
 uniq AS (SELECT k FROM raw GROUP BY k HAVING count(*) = 1),
 s AS (SELECT raw.k, list_distinct(tokens) AS ts FROM raw JOIN uniq ON uniq.k = raw.k),

@@ -3522,3 +3522,31 @@ def test_pq_encode_residual_requires_centroids():
 
     with _pytest.raises(ValueError):
         pq_encode_packed(None, np.zeros((4, 16, 8)), residual=True)
+
+
+def test_dup_gram_coverage_broadcast_matches_shuffle(ray_session):
+    """The broadcast-probe redesign must be bit-identical to the
+    original two-shuffle path (same gram hash, same gap-clip union)."""
+    from jesse_ray.functions.dedup import (
+        _dup_gram_coverage_2shuffle,
+        token_dup_gram_coverage,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    base = rng.integers(0, 50, size=40).tolist()
+    for i in range(300):
+        if i % 3 == 0:
+            rows.append(base[: 10 + (i % 20)])        # shared prefix runs
+        elif i % 3 == 1:
+            rows.append(rng.integers(0, 500, size=rng.integers(2, 60)).tolist())
+        else:
+            rows.append((base * 2)[: 5 + (i % 30)])
+    tbl = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    ds = ray.data.from_arrow(tbl)
+    a = token_dup_gram_coverage(ds, k=8)
+    b = _dup_gram_coverage_2shuffle(ray.data.from_arrow(tbl), k=8)
+    assert a == b, (a, b)
+    # degenerate: rows shorter than k only
+    short = ray.data.from_arrow(pa.table({"tokens": pa.array([[1, 2], [3]], type=pa.list_(pa.int32()))}))
+    assert token_dup_gram_coverage(short, k=8) == (3, 0)
