@@ -3550,3 +3550,38 @@ def test_dup_gram_coverage_broadcast_matches_shuffle(ray_session):
     # degenerate: rows shorter than k only
     short = ray.data.from_arrow(pa.table({"tokens": pa.array([[1, 2], [3]], type=pa.list_(pa.int32()))}))
     assert token_dup_gram_coverage(short, k=8) == (3, 0)
+
+
+def test_grouped_quantile_grid_cont_matches_numpy(ray_session):
+    from jesse_ray.pipelines.relational import grouped_quantile_grid
+
+    rng = np.random.default_rng(31)
+    vals = np.round(rng.normal(50, 20, size=4000), 2)  # bounded 2-decimal domain
+    grp = rng.choice(["a", "b", "c"], size=4000)
+    tbl = pa.table({"g": pa.array(grp.tolist()), "v": pa.array(vals)})
+    qs = (0.25, 0.5, 0.9)
+    got = grouped_quantile_grid(ray.data.from_arrow(tbl), "g", "v", qs)
+    for key, q, val in got:
+        want = float(np.quantile(vals[grp == key], q))  # type-7 linear
+        assert abs(val - want) < 1e-9, (key, q, val, want)
+
+
+def test_grouped_quantile_grid_disc_rule(ray_session):
+    from jesse_ray.pipelines.relational import grouped_quantile_grid
+
+    vals = [1.0, 2.0, 2.0, 3.0, 10.0]
+    tbl = pa.table({"g": pa.array(["x"] * 5), "v": pa.array(vals)})
+    got = dict(((k, q), v) for k, q, v in grouped_quantile_grid(
+        ray.data.from_arrow(tbl), "g", "v", (0.5, 0.9), mode="disc"))
+    # sorted[max(ceil(q*n)-1,0)]: n=5 -> q=.5 idx 2 -> 2.0; q=.9 idx 4 -> 10.0
+    assert got[("x", 0.5)] == 2.0
+    assert got[("x", 0.9)] == 10.0
+
+
+def test_grouped_quantile_grid_nulls_excluded(ray_session):
+    from jesse_ray.pipelines.relational import grouped_quantile_grid
+
+    tbl = pa.table({"g": pa.array(["a"] * 4),
+                    "v": pa.array([1.0, None, 3.0, None])})
+    got = grouped_quantile_grid(ray.data.from_arrow(tbl), "g", "v", (0.5,))
+    assert got == [("a", 0.5, 2.0)]  # lerp of [1, 3]

@@ -343,3 +343,23 @@ def test_hash_join_outer(ray_session):
     assert out["k"].tolist() == [1, 2, 3, 4]
     assert out["lv"].tolist()[1:3] == [20, 30] and pd.isna(out["lv"][3])
     assert pd.isna(out["rv"][0]) and out["rv"].tolist()[1:] == [200, 300, 400]
+
+
+def test_drop_duplicate_keys_broadcast_and_antijoin_agree(ray_session):
+    """The broadcast fast path and the >cap anti-join fallback must drop
+    exactly the same rows (dup ids gone entirely, nulls survive)."""
+    import pyarrow as pa
+
+    from jesse_ray.pipelines.relational import drop_duplicate_keys
+
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "b", "c", None, "d", "d", "d"]),
+        "n_tok": pa.array([1, 2, 3, 4, 5, 6, 7, 8], type=pa.int32()),
+    })
+    fast = drop_duplicate_keys(ray.data.from_arrow(tbl), "doc_id") \
+        .to_pandas().sort_values("n_tok").reset_index(drop=True)
+    slow = drop_duplicate_keys(ray.data.from_arrow(tbl), "doc_id",
+                               broadcast_cap=0) \
+        .to_pandas().sort_values("n_tok").reset_index(drop=True)
+    assert fast["n_tok"].tolist() == [1, 4, 5]
+    assert slow["n_tok"].tolist() == fast["n_tok"].tolist()
