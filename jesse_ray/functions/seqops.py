@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
+from jesse_ray.rounding import round_half_away
 
 
 def _combine(col):
@@ -644,7 +645,7 @@ def token_pmi_topk(
             "a": pa.array(a[ordkey], type=pa.int64()),
             "b": pa.array(b[ordkey], type=pa.int64()),
             "cnt": pa.array(c_ab[ordkey], type=pa.int64()),
-            "pmi": pa.array(np.round(pmi, 4), type=pa.float64()),
+            "pmi": pa.array(round_half_away(pmi, 4), type=pa.float64()),
         }
     )
 

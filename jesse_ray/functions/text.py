@@ -14,6 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
+from jesse_ray.rounding import round_half_away
 
 # ---------------------------------------------------------------------------
 # token counting
@@ -534,7 +535,7 @@ class TfIdfTopTerm:
             {
                 "doc_id": tf["doc"],
                 "top_word": tf["word"],
-                "score": pa.array(np.round(score, 6), type=pa.float64()),
+                "score": pa.array(round_half_away(score, 6), type=pa.float64()),
                 "__p": tf["p"],
             }
         ).sort_by([("__p", "ascending"), ("score", "descending"), ("top_word", "ascending")])
@@ -1318,7 +1319,7 @@ def bm25_search(
             tf = np.bincount(parents[hit], minlength=n).astype(np.float64)
             score += idf[i] * (tf * (k1 + 1.0)) / (tf + norm)
             any_hit |= tf > 0
-        score = np.round(score, 6)
+        score = round_half_away(score, 6)
         keys = batch[key_col].to_numpy(zero_copy_only=False)[any_hit]
         sc = score[any_hit]
         order = np.lexsort((keys, -sc))[:k]

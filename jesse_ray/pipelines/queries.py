@@ -46,6 +46,7 @@ from jesse_ray.pipelines.relational import (
 )
 from jesse_ray.sources import read_sequences, read_table
 from jesse_ray.spec import ColumnSpec, ConsistencyRule, TableSpec, sequences_spec
+from jesse_ray.rounding import round_half_away
 
 SEQ_SQL = "read_parquet('/tmp/jesse_ray_data/sf0.01/sequences.parquet')"
 ALLOWED = list(testgen.SOURCES)
@@ -574,7 +575,7 @@ def q_seq_hll_tokens(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.stages.distinct import hll_distinct
 
     ds = read_sequences(_seq_path(sf_dir), columns=["tokens"])
-    est = int(round(hll_distinct(ds, "tokens", flatten=True, p=12)))
+    est = int(round_half_away(hll_distinct(ds, "tokens", flatten=True, p=12)))
     t = pa.table({"est": pa.array([est], type=pa.int64())})
     pq.write_table(t, _sig_parquet_path(sf_dir, "hll_tokens"))
     return pd.DataFrame({"hll_distinct_tokens": pd.array([est], dtype="int64")})
@@ -610,7 +611,7 @@ def q_seq_tdigest_ntok(sf_dir: str) -> pd.DataFrame:
         }
     )
     pq.write_table(t, _sig_parquet_path(sf_dir, "tdigest_ntok"))
-    return pd.DataFrame({"q": TDIGEST_QS, "est": [round(e, 4) for e in est]})
+    return pd.DataFrame({"q": TDIGEST_QS, "est": [round_half_away(e, 4) for e in est]})
 
 
 SQL_SEQ_TDIGEST_NTOK = f"""
@@ -751,7 +752,7 @@ def q_emb_semdedup(sf_dir: str) -> pd.DataFrame:
     )
     pq.write_table(cent_t, _sig_parquet_path(sf_dir, "semdedup_cents"))
     pdf = _collect(pairs).to_pandas()
-    pdf["cosine"] = pdf["cosine"].round(4)
+    pdf["cosine"] = round_half_away(pdf["cosine"], 4)
     return pdf.sort_values(["left", "right"]).reset_index(drop=True)
 
 
@@ -1012,7 +1013,7 @@ def q_emb_project(sf_dir: str) -> pd.DataFrame:
             {
                 "vec_id": pa.array(np.repeat(vid, PROJ_DIM), type=pa.int64()),
                 "j": pa.array(np.tile(np.arange(PROJ_DIM, dtype=np.int32), n)),
-                "val": pa.array(np.round(vals, 4), type=pa.float64()),
+                "val": pa.array(round_half_away(vals, 4), type=pa.float64()),
             }
         )
 
@@ -1094,7 +1095,7 @@ def q_seq_ks_by_source(sf_dir: str) -> pd.DataFrame:
     ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
     t = exact_ks_by_group(ds, "source", "n_tok")
     pdf = t.to_pandas()
-    pdf["ks"] = pdf["ks"].round(6)
+    pdf["ks"] = round_half_away(pdf["ks"], 6)
     return pdf.sort_values("source").reset_index(drop=True)
 
 
@@ -1168,8 +1169,8 @@ def q_seq_mad_by_source(sf_dir: str) -> pd.DataFrame:
     ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
     t = grouped_mad(ds, "source", "n_tok")
     pdf = t.to_pandas()
-    pdf["median"] = pdf["median"].round(1)
-    pdf["mad"] = pdf["mad"].round(1)
+    pdf["median"] = round_half_away(pdf["median"], 1)
+    pdf["mad"] = round_half_away(pdf["mad"], 1)
     return pdf.sort_values("source").reset_index(drop=True)
 
 
@@ -1208,7 +1209,7 @@ def q_events_value_tdigest(sf_dir: str) -> pd.DataFrame:
     pdf = t.to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                    _sig_parquet_path(sf_dir, "tdg_events"))
-    pdf["est"] = pdf["est"].round(4)
+    pdf["est"] = round_half_away(pdf["est"], 4)
     return pdf
 
 
@@ -1238,7 +1239,7 @@ def q_seq_jsd_by_source(sf_dir: str) -> pd.DataFrame:
     ds = read_sequences(_seq_path(sf_dir), columns=["source", "tokens"])
     t = exact_jsd_by_group(ds, "source", "tokens")
     pdf = t.to_pandas()
-    pdf["jsd"] = pdf["jsd"].round(6)
+    pdf["jsd"] = round_half_away(pdf["jsd"], 6)
     return pdf.sort_values("source").reset_index(drop=True)
 
 
@@ -1450,7 +1451,7 @@ def q_seq_ntok_stats(sf_dir: str) -> pa.Table:
             "n_null": t["n_null"].cast(pa.int64()),
             "vmin": t["vmin"],
             "vmax": t["vmax"],
-            "vmean": pc.round(t["vmean"], 4),
+            "vmean": pa.array(round_half_away(t["vmean"], 4), type=pa.float64()),
         }
     ).sort_by("source")
 
@@ -1752,7 +1753,7 @@ def q_doc_char_entropy(sf_dir: str) -> pa.Table:
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "char_entropy": pc.round(b["char_entropy"], 6),
+                "char_entropy": pa.array(round_half_away(b["char_entropy"], 6), type=pa.float64()),
             }
         )
 
@@ -1793,7 +1794,7 @@ def q_doc_dsir(sf_dir: str) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "dsir_lw": pc.round(batch["dsir_lw"], 4),
+                "dsir_lw": pa.array(round_half_away(batch["dsir_lw"], 4), type=pa.float64()),
             }
         )
 
@@ -1958,7 +1959,7 @@ def q_doc_pct_rank(sf_dir: str) -> pd.DataFrame:
 
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
     out = grouped_percent_rank(ds, group_col="source", value_col="n_chars").to_pandas()
-    out["pct_rank"] = out["pct_rank"].round(6)
+    out["pct_rank"] = round_half_away(out["pct_rank"], 6)
     return out[["doc_id", "source", "pct_rank"]].sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1996,7 +1997,7 @@ def q_doc_backoff_lp(sf_dir: str) -> pa.Table:
     def out(batch: pa.Table) -> pa.Table:
         nw = pc.list_value_length(pc.split_pattern(pc.fill_null(batch["text"], ""), " "))
         t = batch.filter(pc.greater_equal(nw, 2))
-        return pa.table({"doc_id": t["doc_id"], "mean_sb": pc.round(t["mean_sb"], 2)})
+        return pa.table({"doc_id": t["doc_id"], "mean_sb": pa.array(round_half_away(t["mean_sb"], 2), type=pa.float64())})
 
     return _collect(scored.map_batches(out, batch_format="pyarrow", zero_copy_batch=True))
 
@@ -2036,7 +2037,7 @@ def q_events_window(sf_dir: str) -> pa.Table:
             "event_type": t["event_type"],
             "window": t["window"].cast(pa.int64()),
             "cnt": t["cnt"].cast(pa.int64()),
-            "sum_value": pc.round(t["sum_value"], 2),
+            "sum_value": pa.array(round_half_away(t["sum_value"], 2), type=pa.float64()),
         }
     )
 
@@ -2063,7 +2064,7 @@ def q_events_sliding(sf_dir: str) -> pa.Table:
             "event_type": t["event_type"],
             "window": t["window"].cast(pa.int64()),
             "cnt": t["cnt"].cast(pa.int64()),
-            "sum_value": pc.round(t["sum_value"], 2),
+            "sum_value": pa.array(round_half_away(t["sum_value"], 2), type=pa.float64()),
         }
     )
 
@@ -2117,7 +2118,8 @@ def q_events_rolling(sf_dir: str) -> pa.Table:
     ds = read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
-    out = grouped_rolling(ds, "user_id", "ts", "value", window_us=3_600_000_000)
+    out = grouped_rolling(ds, "user_id", "ts", "value", window_us=3_600_000_000,
+                          exact_decimals=2)
     t = _collect(out)
     return pa.table(
         {
@@ -2131,7 +2133,7 @@ def q_events_rolling(sf_dir: str) -> pa.Table:
 
 SQL_EVENTS_ROLLING = """
 SELECT event_id, user_id,
-       SUM(value) OVER w AS roll_sum,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS roll_sum,
        CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt
 FROM events
 WINDOW w AS (
@@ -2228,7 +2230,7 @@ def q_events_winsorized(sf_dir: str) -> pd.DataFrame:
                       ["event_type"], sums=["value_w"], count_alias="n")
     pdf = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
     pdf["n"] = pdf["n"].astype("int64")
-    pdf["wsum"] = pdf["sum_value_w"].round(2)
+    pdf["wsum"] = round_half_away(pdf["sum_value_w"], 2)
     return pdf[["event_type", "n", "wsum"]]
 
 
@@ -2260,7 +2262,7 @@ def q_events_decayed_sum(sf_dir: str) -> pd.DataFrame:
         ds, group_col="event_type", ts_col="ts", value_col="value",
         half_life_s=DECAY_HALF_LIFE_S,
     ).to_pandas()
-    out["decayed_sum"] = out["decayed_sum"].round(2)
+    out["decayed_sum"] = round_half_away(out["decayed_sum"], 2)
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -2343,7 +2345,7 @@ def q_events_users_hll(sf_dir: str) -> pd.DataFrame:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     t = hll_distinct_by_group(ds, "user_id", "event_type", p=12)
     pdf = t.to_pandas()
-    pdf["est"] = pdf["estimate"].round().astype("int64")
+    pdf["est"] = round_half_away(pdf["estimate"]).astype("int64")
     pdf = pdf[["event_type", "est"]].sort_values("event_type").reset_index(drop=True)
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                    _sig_parquet_path(sf_dir, "hll_users"))
@@ -2449,7 +2451,7 @@ def q_events_corr(sf_dir: str) -> pd.DataFrame:
     d = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
     t = grouped_corr(d, group_col="event_type", x_col="days", y_col="value")
     pdf = t.to_pandas()
-    pdf["corr"] = pdf["corr"].round(5)
+    pdf["corr"] = round_half_away(pdf["corr"], 5)
     return pdf.sort_values("event_type").reset_index(drop=True)
 
 
@@ -2575,7 +2577,7 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     d = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_agg(d, ["hour"], sums=["value"]).to_pandas()
     out["n"] = out["cnt"].astype("int64")
-    out["value_sum"] = out["sum_value"].round(2)
+    out["value_sum"] = round_half_away(out["sum_value"], 2)
     return out[["hour", "n", "value_sum"]].sort_values("hour").reset_index(drop=True)
 
 
@@ -3326,7 +3328,7 @@ def q_orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
     joined = hash_join(line, orders, on="o_orderkey", how="inner")
     g = grouped_agg(joined, ["o_orderpriority"], sums=["revenue"])
     pdf = g.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
-    pdf["revenue"] = pdf["sum_revenue"].round(2)
+    pdf["revenue"] = round_half_away(pdf["sum_revenue"], 2)
     pdf["cnt"] = pdf["cnt"].astype("int64")
     return pdf[["o_orderpriority", "cnt", "revenue"]]
 
@@ -3397,7 +3399,7 @@ def q_doc_unigram_lp(sf_dir: str) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "mean_lp": pc.round(batch["mean_lp"], 2),
+                "mean_lp": pa.array(round_half_away(batch["mean_lp"], 2), type=pa.float64()),
             }
         )
 
@@ -3432,7 +3434,7 @@ def q_doc_bigram_lp(sf_dir: str) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "mean_lp2": pc.round(batch["mean_lp2"], 2),
+                "mean_lp2": pa.array(round_half_away(batch["mean_lp2"], 2), type=pa.float64()),
             }
         )
 
@@ -3469,7 +3471,7 @@ def q_doc_tfidf_top(sf_dir: str) -> pd.DataFrame:
     n_docs = ds.count()
     out = add_tfidf_top_term(ds, df_table, n_docs)
     pdf = _collect(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    pdf["score"] = pdf["score"].round(6)
+    pdf["score"] = round_half_away(pdf["score"], 6)
     return pdf
 
 
@@ -3515,7 +3517,7 @@ def q_doc_ccnet_buckets(sf_dir: str) -> pa.Table:
     scored = add_unigram_logprob(ds, model)
 
     def quantize(batch: pa.Table) -> pa.Table:
-        lp_m = pc.cast(pc.round(pc.multiply(batch["mean_lp"], 1000.0)), pa.int64())
+        lp_m = pc.cast(pa.array(round_half_away(pc.multiply(batch["mean_lp"], 1000.0)), type=pa.float64()), pa.int64())
         return pa.table({"source": batch["source"], "lp_m": lp_m})
 
     q = scored.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
@@ -3586,7 +3588,7 @@ def q_events_value_tiers(sf_dir: str) -> pa.Table:
             "event_type": t["event_type"],
             "tier": t["tier"],
             "cnt": t["cnt"].cast(pa.int64()),
-            "sum_value": pc.round(t["sum_value"], 2),
+            "sum_value": pa.array(round_half_away(t["sum_value"], 2), type=pa.float64()),
         }
     )
 
@@ -3749,7 +3751,7 @@ def q_tpch_q3ish(sf_dir: str) -> pd.DataFrame:
             g.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False)["rev"]
             .sum().reset_index().rename(columns={"rev": "revenue"})
         )
-        agg["revenue"] = agg["revenue"].round(2)
+        agg["revenue"] = round_half_away(agg["revenue"], 2)
         return agg.sort_values(
             ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True],
             kind="mergesort",
@@ -3888,7 +3890,7 @@ def q_orders_by_segment(sf_dir: str) -> pa.Table:
         {
             "c_mktsegment": t["c_mktsegment"],
             "n_orders": t["cnt"].cast(pa.int64()),
-            "total_price": pc.round(t["sum_o_totalprice"], 2),
+            "total_price": pa.array(round_half_away(t["sum_o_totalprice"], 2), type=pa.float64()),
         }
     )
 
@@ -3934,8 +3936,8 @@ def q_lineitem_pricing(sf_dir: str) -> pa.Table:
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
             "sum_qty": t["sum_l_quantity"].cast(pa.int64()),
-            "sum_base_price": pc.round(t["sum_l_extendedprice"], 2),
-            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "sum_base_price": pa.array(round_half_away(t["sum_l_extendedprice"], 2), type=pa.float64()),
+            "sum_disc_price": pa.array(round_half_away(t["sum_disc_price"], 2), type=pa.float64()),
             "cnt": t["cnt"].cast(pa.int64()),
         }
     )
@@ -3964,7 +3966,7 @@ def q_orders_top10(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "o_orderkey": t["o_orderkey"].cast(pa.int64()),
-            "o_totalprice": pc.round(t["o_totalprice"], 2),
+            "o_totalprice": pa.array(round_half_away(t["o_totalprice"], 2), type=pa.float64()),
         }
     )
 
@@ -4396,7 +4398,7 @@ def q_doc_cross_decontam(sf_dir: str) -> pd.DataFrame:
     cross = pdf[(pdf["left"] % 2) != (pdf["right"] % 2)].copy()
     cross["eval_doc"] = np.where(cross["left"] % 2 == 1, cross["left"], cross["right"]).astype("int64")
     cross["train_doc"] = np.where(cross["left"] % 2 == 1, cross["right"], cross["left"]).astype("int64")
-    cross["jaccard"] = cross["jaccard"].round(4)
+    cross["jaccard"] = round_half_away(cross["jaccard"], 4)
     return (cross[["eval_doc", "train_doc", "jaccard"]]
             .sort_values(["eval_doc", "train_doc"]).reset_index(drop=True))
 
@@ -4578,7 +4580,7 @@ def q_emb_near_dups(sf_dir: str) -> pd.DataFrame:
     pdf = embedding_near_dups(ds, threshold=0.5, n_tables=16, n_bits=2).to_pandas()
     if pdf.empty:
         return pd.DataFrame({"left": pd.array([], dtype="int64"), "right": pd.array([], dtype="int64"), "cosine": pd.array([], dtype="float64")})
-    pdf["cosine"] = pdf["cosine"].round(4)
+    pdf["cosine"] = round_half_away(pdf["cosine"], 4)
     return pdf.sort_values(["left", "right"]).reset_index(drop=True)
 
 
@@ -4863,7 +4865,7 @@ def q_seq_psi_by_source(sf_dir: str) -> pd.DataFrame:
     ds = read_sequences(_seq_path(sf_dir), columns=["source", "n_tok"])
     t = exact_psi_by_group(ds, "source", "n_tok", bins=10)
     pdf = t.to_pandas()
-    pdf["psi"] = pdf["psi"].round(4)
+    pdf["psi"] = round_half_away(pdf["psi"], 4)
     return pdf.sort_values("source").reset_index(drop=True)
 
 
@@ -5767,7 +5769,7 @@ def q_tpch_q5ish(sf_dir: str) -> pa.Table:
                          "revenue": pa.array([], type=pa.float64())})
     return pa.table({
         "n_name": out["n_name"],
-        "revenue": pc.round(out["sum_rev"], 2),
+        "revenue": pa.array(round_half_away(out["sum_rev"], 2), type=pa.float64()),
     }).sort_by([("revenue", "descending"), ("n_name", "ascending")])
 
 
@@ -5806,7 +5808,13 @@ def q_tpch_q14ish(sf_dir: str) -> pa.Table:
     )
 
     def l_prep(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        # exact integer revenue units of 1e-4: cents x (100 - disc_cents),
+        # so the grouped sums are order-independent int64 and the emitted
+        # floats are bit-identical to the twin (r5 strict-sweep fix: the
+        # float sum landed one cent off the twin at a .005 boundary)
+        ep_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        dc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(ep_c, pc.subtract(pa.scalar(100, type=pa.int64()), dc_c))
         sd = batch["l_shipdate"]
         if isinstance(sd, pa.ChunkedArray):
             sd = sd.combine_chunks()
@@ -5821,27 +5829,32 @@ def q_tpch_q14ish(sf_dir: str) -> pa.Table:
 
     def promo(batch: pa.Table) -> pa.Table:
         is_promo = pc.equal(batch["p_type"], "PROMO")
-        prev = pc.if_else(is_promo, batch["rev"], pa.scalar(0.0))
+        prev = pc.if_else(is_promo, batch["rev"], pa.scalar(0, type=pa.int64()))
         return pa.table({"ym": batch["ym"], "rev": batch["rev"], "promo_rev": prev})
 
     j = j.map_batches(promo, batch_format="pyarrow", zero_copy_batch=True)
     out = _collect(grouped_agg(j, ["ym"], sums=["rev", "promo_rev"], count_alias=None))
-    rev = out["sum_rev"].to_numpy(zero_copy_only=False)
-    prev = out["sum_promo_rev"].to_numpy(zero_copy_only=False)
+    rev = out["sum_rev"].to_numpy(zero_copy_only=False).astype(np.float64)
+    prev = out["sum_promo_rev"].to_numpy(zero_copy_only=False).astype(np.float64)
     return pa.table({
         "ym": out["ym"].cast(pa.int64()),
-        "promo_share": pa.array(np.round(100.0 * prev / rev, 6)),
-        "revenue": pc.round(out["sum_rev"], 2),
+        "promo_share": pa.array(round_half_away(100.0 * prev / rev, 6)),
+        "revenue": pa.array(round_half_away(rev / 10000.0, 2), type=pa.float64()),
     }).sort_by("ym")
 
 
 SQL_TPCH_Q14ISH = """
 SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
-       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1.0 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                              ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE),
+             6) AS promo_share,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000.0, 2) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY ym
 ORDER BY ym
@@ -6034,7 +6047,7 @@ def q_emb_pca(sf_dir: str) -> pa.Table:
         return pa.table({
             "vec_id": pa.array(np.repeat(vid, PCA_DIM), type=pa.int64()),
             "j": pa.array(np.tile(np.arange(PCA_DIM, dtype=np.int64), n)),
-            "val": pa.array(np.round(vals, 4), type=pa.float64()),
+            "val": pa.array(round_half_away(vals, 4), type=pa.float64()),
         })
 
     return _collect(out.map_batches(longform, batch_format="pyarrow", zero_copy_batch=True))
@@ -6118,7 +6131,7 @@ def q_doc_lr_quality(sf_dir: str) -> pa.Table:
         z = z + wk[3] * x[:, 3]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "logit": pa.array(np.round(z, 6), type=pa.float64()),
+            "logit": pa.array(round_half_away(z, 6), type=pa.float64()),
         })
 
     return _collect(ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True))

@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path, _sig_parquet_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES10: dict = {}
 ORACLES10: dict = {}
@@ -69,7 +70,7 @@ def q_events_twap(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "event_type": m["event_type"].to_numpy(),
         "n_gaps": m["n"].astype("int64").to_numpy(),
-        "twap": np.round(m["sw"] / m["tw"], 5),
+        "twap": round_half_away(m["sw"] / m["tw"], 5),
     }).reset_index(drop=True)
 
 
@@ -113,7 +114,7 @@ def q_seq_hll_by_source(sf_dir: str) -> pd.DataFrame:
     pdf = pdf.sort_values("source").reset_index(drop=True)
     est_col = [c for c in pdf.columns if c != "source"][0]
     out = pd.DataFrame({"source": pdf["source"].to_numpy(),
-                        "est": pdf[est_col].round().astype("int64").to_numpy()})
+                        "est": round_half_away(pdf[est_col]).astype("int64").to_numpy()})
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
                    _sig_parquet_path(sf_dir, "hll_by_source"))
     return out
@@ -174,7 +175,7 @@ def q_lineitem_trimmed_mean(sf_dir: str) -> pd.DataFrame:
         keep = n - lo - hi_rev
         out_f.append(f)
         out_n.append(total - 2 * k)
-        out_m.append(round(float((q * keep).sum() / keep.sum()), 5))
+        out_m.append(round_half_away(float((q * keep).sum() / keep.sum()), 5))
     return pd.DataFrame({"l_returnflag": out_f,
                          "n_kept": pd.array(out_n, dtype="int64"),
                          "trimmed_mean": out_m})
@@ -226,7 +227,7 @@ def q_orders_seasonality_strength(sf_dir: str) -> pd.DataFrame:
     resid = c - mm
     strength = max(0.0, 1.0 - resid.var() / c.var())
     return pd.DataFrame({"n_days": pd.array([len(c)], dtype="int64"),
-                         "strength": [round(float(strength), 5)]})
+                         "strength": [round_half_away(float(strength), 5)]})
 
 
 SQL_ORDERS_SEASONALITY_STRENGTH = f"""

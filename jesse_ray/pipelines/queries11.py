@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.pipelines.queries6 import _ts_day
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES11: dict = {}
 ORACLES11: dict = {}
@@ -47,8 +48,8 @@ def q_events_burstiness(sf_dir: str) -> pd.DataFrame:
         sd = np.sqrt(var)
         out_t.append(et)
         out_n.append(len(c))
-        out_f.append(round(float(var / mu), 5))
-        out_b.append(round(float((sd - mu) / (sd + mu)), 5))
+        out_f.append(round_half_away(float(var / mu), 5))
+        out_b.append(round_half_away(float((sd - mu) / (sd + mu)), 5))
     return pd.DataFrame({"event_type": out_t,
                          "n_days": pd.array(out_n, dtype="int64"),
                          "fano": out_f, "burstiness": out_b})
@@ -106,7 +107,7 @@ def q_seq_position_entropy(sf_dir: str) -> pd.DataFrame:
         c = g["n_sum"].to_numpy(dtype=np.float64)
         sh = c / c.sum()
         out_p.append(int(p))
-        out_e.append(round(float(-(sh * np.log(sh)).sum()), 5))
+        out_e.append(round_half_away(float(-(sh * np.log(sh)).sum()), 5))
     return pd.DataFrame({"pos": pd.array(out_p, dtype="int64"), "entropy": out_e})
 
 
@@ -193,7 +194,7 @@ def q_seq_token_dispersion(sf_dir: str) -> pd.DataFrame:
         "tok": m["tok"].astype("int64").to_numpy(),
         "cf": m["cf"].astype("int64").to_numpy(),
         "df": m["df"].astype("int64").to_numpy(),
-        "cpd": np.round(m["cf"].to_numpy(dtype=np.float64)
+        "cpd": round_half_away(m["cf"].to_numpy(dtype=np.float64)
                         / m["df"].to_numpy(dtype=np.float64), 5),
     }).reset_index(drop=True)
 

@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES12: dict = {}
 ORACLES12: dict = {}
@@ -63,7 +64,7 @@ def q_orders_interorder_cv(sf_dir: str) -> pd.DataFrame:
                      batch_format="pandas")
     m = _collect(rows.groupby("__part").map_groups(per_part, batch_format="pandas")).to_pandas()
     return pd.DataFrame({"n_customers": pd.array([int(m["one"].sum())], dtype="int64"),
-                         "mean_cv": [round(float(m["cv"].mean()), 5)]})
+                         "mean_cv": [round_half_away(float(m["cv"].mean()), 5)]})
 
 
 SQL_ORDERS_INTERORDER_CV = f"""
@@ -171,8 +172,8 @@ def q_events_gumbel_maxima(sf_dir: str) -> pd.DataFrame:
     beta = sd * np.sqrt(6.0) / np.pi
     loc = x.mean() - 0.57721566490153286 * beta
     return pd.DataFrame({"n_days": pd.array([n], dtype="int64"),
-                         "beta": [round(float(beta), 5)],
-                         "loc": [round(float(loc), 5)]})
+                         "beta": [round_half_away(float(beta), 5)],
+                         "loc": [round_half_away(float(loc), 5)]})
 
 
 SQL_EVENTS_GUMBEL_MAXIMA = f"""
@@ -217,7 +218,7 @@ def q_emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
     terms = 0.5 * np.log((1.0 - s2[ok]) / (1.0 - s1[ok]))
     n = int(ok.sum())
     return pd.DataFrame({"n": pd.array([n], dtype="int64"),
-                         "intrinsic_dim": [round(float(n / terms.sum()), 4)]})
+                         "intrinsic_dim": [round_half_away(float(n / terms.sum()), 4)]})
 
 
 SQL_EMB_INTRINSIC_DIM = """

@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES13: dict = {}
 ORACLES13: dict = {}
@@ -111,9 +112,9 @@ def q_events_user_entropy(sf_dir: str) -> pd.DataFrame:
     n = int(m["n"].sum())
     return pd.DataFrame({
         "n_users": pd.array([n], dtype="int64"),
-        "mean_entropy": [round(float(m["s"].sum() / n), 5)],
-        "min_entropy": [round(float(m["mn"].min()), 5)],
-        "max_entropy": [round(float(m["mx"].max()), 5)],
+        "mean_entropy": [round_half_away(float(m["s"].sum() / n), 5)],
+        "min_entropy": [round_half_away(float(m["mn"].min()), 5)],
+        "max_entropy": [round_half_away(float(m["mx"].max()), 5)],
     })
 
 
@@ -163,9 +164,9 @@ def q_events_type_share_wilson(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "event_type": m["event_type"].to_numpy(),
         "k": pd.array(k.astype(np.int64), dtype="int64"),
-        "share": np.round(k / n, 5),
-        "ci_lo": np.round(center - margin, 5),
-        "ci_hi": np.round(center + margin, 5),
+        "share": round_half_away(k / n, 5),
+        "ci_lo": round_half_away(center - margin, 5),
+        "ci_hi": round_half_away(center + margin, 5),
     })
 
 

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES14: dict = {}
 ORACLES14: dict = {}
@@ -81,7 +82,7 @@ def q_events_type_cooc(sf_dir: str) -> pd.DataFrame:
             ni = int(cnts[masks & bi > 0].sum())
             nj = int(cnts[masks & bj > 0].sum())
             out.append((names[i], names[j], both,
-                        round(both / (ni + nj - both), 5)))
+                        round_half_away(both / (ni + nj - both), 5)))
     return pd.DataFrame(out, columns=["ta", "tb", "n_both", "jaccard"])
 
 
@@ -141,7 +142,7 @@ def q_orders_newcust_trend(sf_dir: str) -> pd.DataFrame:
     y = m["nn"].to_numpy(dtype=np.float64) / m["nc"].to_numpy(dtype=np.float64)
     r = float(np.corrcoef(x, y)[0, 1])
     return pd.DataFrame({"n_months": pd.array([len(m)], dtype="int64"),
-                         "trend_corr": [round(r, 5)]})
+                         "trend_corr": [round_half_away(r, 5)]})
 
 
 SQL_ORDERS_NEWCUST_TREND = """
@@ -204,7 +205,7 @@ def q_seq_ntok_bimodality(sf_dir: str) -> pd.DataFrame:
         bc = (skew * skew + 1.0) / (kurt + 3.0 * (n - 1) ** 2 / ((n - 2) * (n - 3)))
     return pd.DataFrame({"source": m["source"].to_pylist(),
                          "n": pd.array(n.astype(np.int64), dtype="int64"),
-                         "bimodality": np.round(bc, 5)})
+                         "bimodality": round_half_away(bc, 5)})
 
 
 SQL_SEQ_NTOK_BIMODALITY = f"""

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES15: dict = {}
 ORACLES15: dict = {}
@@ -72,7 +73,7 @@ def q_seq_length_order_autocorr(sf_dir: str) -> pd.DataFrame:
     vx = m["sx2"] - m["sx"] ** 2 / n
     vy = m["sy2"] - m["sy"] ** 2 / n
     return pd.DataFrame({"n_pairs": pd.array([int(n)], dtype="int64"),
-                         "acf1": [round(float(cov / np.sqrt(vx * vy)), 5)]})
+                         "acf1": [round_half_away(float(cov / np.sqrt(vx * vy)), 5)]})
 
 
 SQL_SEQ_LENGTH_ORDER_AUTOCORR = f"""
@@ -115,7 +116,7 @@ def q_orders_dow_uniformity(sf_dir: str) -> pd.DataFrame:
     e = n.sum() / k
     chi2 = float(((n - e) ** 2 / e).sum())
     return pd.DataFrame({"k": pd.array([k], dtype="int64"),
-                         "chi2": [round(chi2, 4)]})
+                         "chi2": [round_half_away(chi2, 4)]})
 
 
 SQL_ORDERS_DOW_UNIFORMITY = f"""

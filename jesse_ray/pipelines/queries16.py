@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES16: dict = {}
 ORACLES16: dict = {}
@@ -63,7 +64,7 @@ def q_emb_knn_purity(sf_dir: str) -> pd.DataFrame:
         .to_pandas().groupby("label", as_index=False).sum().sort_values("label")
     return pd.DataFrame({"label": m["label"].astype("int64").to_numpy(),
                          "n": m["n"].astype("int64").to_numpy(),
-                         "purity": np.round(m["s"] / m["n"], 5)}).reset_index(drop=True)
+                         "purity": round_half_away(m["s"] / m["n"], 5)}).reset_index(drop=True)
 
 
 SQL_EMB_KNN_PURITY = f"""
@@ -132,7 +133,7 @@ def q_seq_dup_mass_by_source(sf_dir: str) -> pd.DataFrame:
         "source": m["source"].to_numpy(),
         "n_rows": m["n_rows"].astype("int64").to_numpy(),
         "dup_rows": m["dup_rows"].astype("int64").to_numpy(),
-        "dup_share": np.round(m["dup_rows"].to_numpy(dtype=np.float64)
+        "dup_share": round_half_away(m["dup_rows"].to_numpy(dtype=np.float64)
                               / m["n_rows"].to_numpy(dtype=np.float64), 5),
     }).reset_index(drop=True)
 

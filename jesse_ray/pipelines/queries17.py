@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import _collect
 from jesse_ray.sources import read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES17: dict = {}
 ORACLES17: dict = {}
@@ -97,7 +98,7 @@ def q_orders_revenue_lorenz(sf_dir: str) -> pd.DataFrame:
                                              s=("rev_sum", "sum"))
     return pd.DataFrame({"dec": g["dec"].astype("int64").to_numpy(),
                          "n": g["n"].astype("int64").to_numpy(),
-                         "rev_share": np.round(g["s"].to_numpy() / tot, 5)})
+                         "rev_share": round_half_away(g["s"].to_numpy() / tot, 5)})
 
 
 SQL_ORDERS_REVENUE_LORENZ = """

@@ -16,6 +16,7 @@ import pyarrow.parquet as pq
 
 from jesse_ray.pipelines.queries import _collect, _sig_parquet_path
 from jesse_ray.sources import read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES18: dict = {}
 ORACLES18: dict = {}
@@ -47,8 +48,8 @@ def q_doc_compressibility(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "source": m["source"].to_numpy(),
         "n": m["n_sum"].astype("int64").to_numpy(),
-        "mean_zratio": np.round(m["s_sum"] / m["n_sum"], 5),
-        "low_share": np.round(m["lo_sum"] / m["n_sum"], 5),
+        "mean_zratio": round_half_away(m["s_sum"] / m["n_sum"], 5),
+        "low_share": round_half_away(m["lo_sum"] / m["n_sum"], 5),
     })
 
 

@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES19: dict = {}
 ORACLES19: dict = {}
@@ -41,7 +42,7 @@ def q_events_powerlaw_activity(sf_dir: str) -> pd.DataFrame:
     x = x[x >= 1]
     alpha = 1.0 + len(x) / np.log(x).sum()
     return pd.DataFrame({"n": pd.array([len(x)], dtype="int64"),
-                         "alpha": [round(float(alpha), 5)]})
+                         "alpha": [round_half_away(float(alpha), 5)]})
 
 
 SQL_EVENTS_POWERLAW_ACTIVITY = """
@@ -140,7 +141,7 @@ def q_lineitem_factorial_means(sf_dir: str) -> pd.DataFrame:
         "hd": m["hd"].astype("int64").to_numpy(),
         "ht": m["ht"].astype("int64").to_numpy(),
         "n": m["n_sum"].astype("int64").to_numpy(),
-        "mean_price": np.round(m["s_sum"] / m["n_sum"], 4),
+        "mean_price": round_half_away(m["s_sum"] / m["n_sum"], 4),
     })
 
 

@@ -17,6 +17,7 @@ from jesse_ray.sources import read_sequences, read_table
 # shared helpers / constants from wave 1 (no circular import at module
 # load: .queries imports THIS module only lazily inside queries()).
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
+from jesse_ray.rounding import round_half_away
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +85,7 @@ def q_tpch_q10ish(sf_dir: str) -> pd.DataFrame:
                               columns=["n_nationkey", "n_name"])).to_pandas()
     out = top.merge(cust, on="c_custkey").merge(
         nat, left_on="c_nationkey", right_on="n_nationkey")
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = round_half_away(out["revenue"], 2)
     out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
                           kind="mergesort").reset_index(drop=True)
     out["c_custkey"] = out["c_custkey"].astype("int64")
@@ -228,8 +229,8 @@ def q_orders_reconcile(sf_dir: str) -> pd.DataFrame:
 
     def topdiff(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby(["o_orderkey", "o_totalprice"], sort=False)["comp"].sum().reset_index()
-        m["computed"] = m["comp"].round(2)
-        m["absdiff"] = (m["comp"] - m["o_totalprice"]).abs().round(2)
+        m["computed"] = round_half_away(m["comp"], 2)
+        m["absdiff"] = round_half_away((m["comp"] - m["o_totalprice"]).abs(), 2)
         m = m.drop(columns=["comp"])
         return m.sort_values(["absdiff", "o_orderkey"], ascending=[False, True],
                              kind="mergesort").head(20)
@@ -240,7 +241,7 @@ def q_orders_reconcile(sf_dir: str) -> pd.DataFrame:
     out = cand.sort_values(["absdiff", "o_orderkey"], ascending=[False, True],
                            kind="mergesort").head(20).reset_index(drop=True)
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
-    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
     return out[["o_orderkey", "o_totalprice", "computed", "absdiff"]]
 
 
@@ -1182,7 +1183,7 @@ def q_events_abtest(sf_dir: str) -> pd.DataFrame:
         "n_b": pd.array([int(n_b)], dtype="int64"),
         "conv_a": pd.array([int(c_a)], dtype="int64"),
         "conv_b": pd.array([int(c_b)], dtype="int64"),
-        "z": [round(float(z), 4)],
+        "z": [round_half_away(float(z), 4)],
     })
 
 
@@ -1693,7 +1694,7 @@ def q_events_chisq(sf_dir: str) -> pd.DataFrame:
     exp = rt @ ct / n
     chi2 = float(((obs - exp) ** 2 / exp).sum())
     dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
-    return pd.DataFrame({"chi2": [round(chi2, 4)],
+    return pd.DataFrame({"chi2": [round_half_away(chi2, 4)],
                          "dof": pd.array([dof], dtype="int64")})
 
 
@@ -1765,7 +1766,7 @@ def q_seq_mannwhitney(sf_dir: str) -> pd.DataFrame:
         "n_b": pd.array([n_b], dtype="int64"),
         "r2_a": pd.array([r2_a], dtype="int64"),
         "u2_a": pd.array([u2_a], dtype="int64"),
-        "z": [round(float(z), 4)],
+        "z": [round_half_away(float(z), 4)],
     })
 
 
@@ -1834,7 +1835,7 @@ def q_events_forecast_mae(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_eval": pd.array([n_eval], dtype="int64"),
         "abs_err_sum": pd.array([s], dtype="int64"),
-        "mae": [round(s / n_eval, 4)],
+        "mae": [round_half_away(s / n_eval, 4)],
     })
 
 
@@ -2196,7 +2197,7 @@ def q_seq_entropy_rate(sf_dir: str) -> pd.DataFrame:
     n = int(parts["n"].sum())
     h = -float(parts["s"].sum()) / n
     return pd.DataFrame({"n_pairs": pd.array([n], dtype="int64"),
-                         "h_bits": [round(h, 4)]})
+                         "h_bits": [round_half_away(h, 4)]})
 
 
 SQL_SEQ_ENTROPY_RATE = f"""
@@ -2251,7 +2252,7 @@ def q_seq_zipf_slope(sf_dir: str) -> pd.DataFrame:
     sx, sy, sxy, sxx = float(x.sum()), float(y.sum()), float((x * y).sum()), float((x * x).sum())
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return pd.DataFrame({"n_fit": pd.array([int(n)], dtype="int64"),
-                         "slope": [round(slope, 4)]})
+                         "slope": [round_half_away(slope, 4)]})
 
 
 SQL_SEQ_ZIPF_SLOPE = f"""
@@ -2358,7 +2359,7 @@ def q_tpch_q7ish(sf_dir: str) -> pd.DataFrame:
     out = out.groupby(["supp_nation", "cust_nation", "l_year"], sort=True)["rev"].sum().reset_index()
     out["supp_nation"] = out["supp_nation"].map(name_of)
     out["cust_nation"] = out["cust_nation"].map(name_of)
-    out["revenue"] = out["rev"].round(2)
+    out["revenue"] = round_half_away(out["rev"], 2)
     out = out.drop(columns=["rev"]).sort_values(
         ["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
     return out.astype({"l_year": "int64"})
@@ -2433,8 +2434,8 @@ def q_tpch_q2ish(sf_dir: str) -> pd.DataFrame:
     j = j.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True],
                       kind="mergesort").head(20)
     j = j.merge(supp, left_on="l_suppkey", right_on="s_suppkey", suffixes=("", "_s"))
-    j["p_retailprice"] = j["p_retailprice"].round(2)
-    j["s_acctbal"] = j["s_acctbal_s"].round(2)
+    j["p_retailprice"] = round_half_away(j["p_retailprice"], 2)
+    j["s_acctbal"] = round_half_away(j["s_acctbal_s"], 2)
     out = j.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True],
                         kind="mergesort").reset_index(drop=True)
     out["p_partkey"] = out["p_partkey"].astype("int64")
@@ -2901,8 +2902,8 @@ def q_seq_bootstrap_ci(sf_dir: str) -> pd.DataFrame:
     hi = ms[int(np.floor(0.975 * BOOT_B))]
     return pd.DataFrame({
         "n_reps": pd.array([BOOT_B], dtype="int64"),
-        "ci_lo": [round(float(lo), 4)],
-        "ci_hi": [round(float(hi), 4)],
+        "ci_lo": [round_half_away(float(lo), 4)],
+        "ci_hi": [round_half_away(float(hi), 4)],
     })
 
 
@@ -3002,7 +3003,7 @@ def q_events_lift(sf_dir: str) -> pd.DataFrame:
     prs = agg[agg["kind"] == "p"].copy()
     prs["n_ab"] = prs["n"].astype("int64")
     prs["lift"] = [
-        round((int(nab) * n_users) / (singles[a] * singles[b]), 4)
+        round_half_away((int(nab) * n_users) / (singles[a] * singles[b]), 4)
         for a, b, nab in zip(prs["a"], prs["b"], prs["n_ab"])
     ]
     out = prs.rename(columns={"a": "type_a", "b": "type_b"}).sort_values(
@@ -3057,7 +3058,7 @@ def q_seq_source_gini(sf_dir: str) -> pd.DataFrame:
     gini = (2.0 * num) / (n * tot) - (n + 1) / n
     return pd.DataFrame({"n_sources": pd.array([n], dtype="int64"),
                          "total_toks": pd.array([tot], dtype="int64"),
-                         "gini": [round(float(gini), 6)]})
+                         "gini": [round_half_away(float(gini), 6)]})
 
 
 SQL_SEQ_SOURCE_GINI = f"""

@@ -18,6 +18,7 @@ from jesse_ray.sources import read_sequences, read_table
 # shared helpers / constants from wave 1 (lazy wiring in .queries keeps
 # this import acyclic at module-load time, same as queries2)
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
+from jesse_ray.rounding import round_half_away
 
 QUERIES3: dict = {}
 ORACLES3: dict = {}
@@ -74,7 +75,7 @@ def q_part_skyline(sf_dir: str) -> pd.DataFrame:
     final = _skyline_mask(uniq[:, 0], uniq[:, 1].astype(np.int64))[inv]
     out = cand[final].copy()
     out["p_size"] = out["p_size"].astype("int64")
-    out["price"] = out["p_retailprice"].round(2)
+    out["price"] = round_half_away(out["p_retailprice"], 2)
     out = out[["p_partkey", "p_size", "price"]]
     return out.sort_values("p_partkey").reset_index(drop=True)
 
@@ -142,7 +143,7 @@ def q_lineitem_cube(sf_dir: str) -> pd.DataFrame:
     out = pd.concat([leaf, by_flag, by_status, top], ignore_index=True)
     out["n"] = out["cnt"].astype("int64")
     out["sum_qty"] = out["sum_l_quantity"].astype("int64")
-    out["revenue"] = out["sum_rev"].round(2)
+    out["revenue"] = round_half_away(out["sum_rev"], 2)
     out = out[["l_returnflag", "l_linestatus", "n", "sum_qty", "revenue"]]
     return out.sort_values(["l_returnflag", "l_linestatus"],
                            na_position="last").reset_index(drop=True)
@@ -217,7 +218,7 @@ def q_seq_kmv_distinct(sf_dir: str) -> pd.DataFrame:
     hk = float(merged[k - 1])
     est = (k - 1) * float(_M64) / hk
     return pd.DataFrame({"k": pd.array([k], dtype="int64"),
-                         "est_distinct": [round(est, 4)]})
+                         "est_distinct": [round_half_away(est, 4)]})
 
 
 def _kmv_sql() -> str:
@@ -267,7 +268,7 @@ def q_events_quantile_cont(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.pipelines.relational import grouped_quantile_grid
 
     rows = [
-        (et, q, round(val, 6))
+        (et, q, round_half_away(val, 6))
         for et, q, val in grouped_quantile_grid(ds, "event_type", "value", QC_QS)
     ]
     return (pd.DataFrame(rows, columns=["event_type", "q", "val"])
@@ -510,7 +511,7 @@ def q_events_theta_intersect(sf_dir: str) -> pd.DataFrame:
             common = np.intersect1d(a, b)
             common = common[common.astype(np.float64) <= theta]
             est = len(common) * float(_M64) / theta
-            rows.append((ta, tb, len(common), round(est, 2)))
+            rows.append((ta, tb, len(common), round_half_away(est, 2)))
     return pd.DataFrame(rows, columns=["type_a", "type_b", "common", "est_inter"]) \
         .astype({"common": "int64"}) \
         .sort_values(["type_a", "type_b"]).reset_index(drop=True)
@@ -585,7 +586,7 @@ def q_seq_dup_gram_coverage(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "total_tokens": pd.array([total], dtype="int64"),
         "covered_tokens": pd.array([covered], dtype="int64"),
-        "frac": [round(covered / total, 6) if total else 0.0],
+        "frac": [round_half_away(covered / total, 6) if total else 0.0],
     })
 
 
@@ -842,7 +843,7 @@ def q_doc_overlap_dups(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"left": pd.Series([], dtype="int64"),
                              "right": pd.Series([], dtype="int64"),
                              "overlap": pd.Series([], dtype="float64")})
-    pdf["overlap"] = pdf["overlap"].round(4)
+    pdf["overlap"] = round_half_away(pdf["overlap"], 4)
     return pdf.sort_values(["left", "right"]).reset_index(drop=True)
 
 
@@ -1071,7 +1072,7 @@ def q_tpch_q22ish(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({
         "c_nationkey": agg["c_nationkey"].astype("int64"),
         "n_cust": agg["cnt"].astype("int64"),
-        "total_bal": agg["sum_c_acctbal"].round(2),
+        "total_bal": round_half_away(agg["sum_c_acctbal"], 2),
     })
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
@@ -1137,8 +1138,8 @@ def q_emb_truncation_audit(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "label": g["label"].astype("int64"),
         "n": g["n"].astype("int64"),
-        "mean_cos16": (g["s16"] / g["n"]).round(6),
-        "mean_cos32": (g["s32"] / g["n"]).round(6),
+        "mean_cos16": round_half_away((g["s16"] / g["n"]), 6),
+        "mean_cos32": round_half_away((g["s32"] / g["n"]), 6),
     })
 
 
@@ -1191,11 +1192,11 @@ def q_orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
     g = t.groupby("month", sort=True).agg(rev=("rev", "sum"),
                                           n=("n", "sum")).reset_index()
     prev = g["rev"].shift(1)
-    growth = (g["rev"] / prev - 1.0).round(6)
+    growth = round_half_away((g["rev"] / prev - 1.0), 6)
     return pd.DataFrame({
         "month": g["month"],
         "n_orders": g["n"].astype("int64"),
-        "revenue": g["rev"].round(2),
+        "revenue": round_half_away(g["rev"], 2),
         "growth": growth,
     })
 
@@ -1325,7 +1326,7 @@ def q_doc_lr_calibration(sf_dir: str) -> pd.DataFrame:
         z = wk[0] + wk[1] * x[:, 1]
         z = z + wk[2] * x[:, 2]
         z = z + wk[3] * x[:, 3]
-        z = np.round(z, 6)
+        z = round_half_away(z, 6)
         y = label(batch)
         bin_ = np.floor(z * 200.0).astype(np.int64)  # 0.005-logit bins
         df = pd.DataFrame({"bin": bin_, "z": z, "y": y})
@@ -1339,8 +1340,8 @@ def q_doc_lr_calibration(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "bin": g["bin"].astype("int64"),
         "n": g["n"].astype("int64"),
-        "mean_logit": (g["sz"] / g["n"]).round(6),
-        "pos_rate": (g["pos"] / g["n"]).round(6),
+        "mean_logit": round_half_away((g["sz"] / g["n"]), 6),
+        "pos_rate": round_half_away((g["pos"] / g["n"]), 6),
     })
 
 
@@ -1444,7 +1445,7 @@ def q_seq_expectations(sf_dir: str) -> pd.DataFrame:
     null_nt = int(t["null_nt"].sum()); n_valid = int(t["n_valid"].sum())
     mn = int(t["mn"].min()); mx = int(t["mx"].max()); s = int(t["s"].sum())
     bad_src = int(t["bad_src"].sum())
-    mean = round(float(s) / n_valid, 6) if n_valid else 0.0
+    mean = round_half_away(float(s) / n_valid, 6) if n_valid else 0.0
     rows = [
         ("row_count_at_least_1", float(n), n >= 1),
         ("doc_id_null_count_is_0", float(null_doc), null_doc == 0),
@@ -1547,7 +1548,7 @@ def q_orders_benford(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "digit": g["digit"].astype("int64"),
         "n": g["n"].astype("int64"),
-        "share": (g["n"] / total).round(6),
+        "share": round_half_away((g["n"] / total), 6),
         "benford_p": [float(_BENFORD_P[d]) for d in g["digit"]],
     })
 
@@ -1664,7 +1665,7 @@ def q_doc_token_fertility(sf_dir: str) -> pd.DataFrame:
         "n_docs": g["n_docs"].astype("int64"),
         "n_words": g["n_words"].astype("int64"),
         "n_subtok": g["n_subtok"].astype("int64"),
-        "fertility": (g["n_subtok"] / g["n_words"]).round(6),
+        "fertility": round_half_away((g["n_subtok"] / g["n_words"]), 6),
     })
 
 
@@ -1859,7 +1860,7 @@ def q_seq_expectations_by_source(sf_dir: str) -> pd.DataFrame:
         n_valid=("n_valid", "sum"), s=("s", "sum")).reset_index()
     rows = []
     for _, r in g.iterrows():
-        mean = round(float(r["s"]) / r["n_valid"], 6) if r["n_valid"] else 0.0
+        mean = round_half_away(float(r["s"]) / r["n_valid"], 6) if r["n_valid"] else 0.0
         rows.append((r["source"], "doc_id_null_count_is_0",
                      float(r["null_doc"]), int(r["null_doc"] == 0)))
         rows.append((r["source"], "n_tok_mean_between_1_4096",
@@ -2416,8 +2417,8 @@ def q_emb_label_balance(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "label": g["label"].astype("int64"),
         "n": g["n"].astype("int64"),
-        "share": (g["n"] / total).round(6),
-        "majority_ratio": (g["n"] / n_max).round(6),
+        "share": round_half_away((g["n"] / total), 6),
+        "majority_ratio": round_half_away((g["n"] / n_max), 6),
         "ok": (4 * k * g["n"] >= total).astype("int64"),
     })
 

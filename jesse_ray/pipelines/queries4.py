@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 from jesse_ray.hashutil import fmix64, hash64_strings, hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect
 from jesse_ray.sources import read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES4: dict = {}
 ORACLES4: dict = {}
@@ -183,7 +184,7 @@ def q_doc_unit_dedup(sf_dir: str) -> pd.DataFrame:
                 .map_groups(per_part, batch_format="pandas"))
     pdf = _collect(partials).to_pandas()
     agg = pdf.groupby("source", as_index=False)[["n_units", "dup_units"]].sum()
-    agg["dup_frac"] = (agg["dup_units"] / agg["n_units"]).round(4)
+    agg["dup_frac"] = round_half_away((agg["dup_units"] / agg["n_units"]), 4)
     return agg.sort_values("source").reset_index(drop=True)
 
 
@@ -248,7 +249,7 @@ def q_events_rfm(sf_dir: str) -> pd.DataFrame:
 
     def metrics(b: pa.Table) -> pa.Table:
         rec = (gmax - b["max_us"].to_numpy(zero_copy_only=False)) // 86_400_000_000
-        mon = np.round(b["sum_mon"].to_numpy(zero_copy_only=False), 6)
+        mon = round_half_away(b["sum_mon"].to_numpy(zero_copy_only=False), 6)
         return pa.table({
             "user_id": b["user_id"],
             "rec": pa.array(rec.astype(np.int64), type=pa.int64()),
@@ -495,7 +496,7 @@ def q_doc_hapax_by_source(sf_dir: str) -> pd.DataFrame:
                 .map_groups(per_part, batch_format="pandas"))
     pdf = _collect(partials).to_pandas()
     agg = pdf.groupby("source", as_index=False)[["vocab", "hapax"]].sum()
-    agg["hapax_frac"] = (agg["hapax"] / agg["vocab"]).round(4)
+    agg["hapax_frac"] = round_half_away((agg["hapax"] / agg["vocab"]), 4)
     return agg.sort_values("source").reset_index(drop=True)
 
 
@@ -703,7 +704,7 @@ def q_events_mutual_info(sf_dir: str) -> pd.DataFrame:
     cxy = cells["cnt"].to_numpy(dtype=np.float64)
     mi = float(np.sum((cxy / n) * np.log((cxy * n) / (cx * cy))))
     return pd.DataFrame({"n": pd.array([n], dtype="int64"),
-                         "mi_nats": [round(mi, 9)]})
+                         "mi_nats": [round_half_away(mi, 9)]})
 
 
 SQL_EVENTS_MUTUAL_INFO = """

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES5: dict = {}
 ORACLES5: dict = {}
@@ -81,8 +82,8 @@ def q_events_skewkurt(sf_dir: str) -> pd.DataFrame:
     return (pd.DataFrame({
         "event_type": m["event_type"].to_pylist(),
         "n": pd.array(n.astype(np.int64), dtype="int64"),
-        "skew": np.round(skew, 5),
-        "kurt": np.round(kurt, 5),
+        "skew": round_half_away(skew, 5),
+        "kurt": round_half_away(kurt, 5),
     }).sort_values("event_type").reset_index(drop=True))
 
 
@@ -130,7 +131,7 @@ def q_events_regr(sf_dir: str) -> pd.DataFrame:
         group_col="event_type", x_col="days", y_col="value")
     pdf = t.to_pandas()
     for c in ("slope", "intercept", "r2"):
-        pdf[c] = pdf[c].round(5)
+        pdf[c] = round_half_away(pdf[c], 5)
     return pdf.sort_values("event_type").reset_index(drop=True)
 
 
@@ -197,8 +198,8 @@ def q_orders_ntile(sf_dir: str) -> pd.DataFrame:
                .groupby("__part")
                .map_groups(tiles, batch_format="pandas"))
     pdf = grouped.to_pandas()
-    pdf["lo"] = pdf["lo"].round(2)
-    pdf["hi"] = pdf["hi"].round(2)
+    pdf["lo"] = round_half_away(pdf["lo"], 2)
+    pdf["hi"] = round_half_away(pdf["hi"], 2)
     return (pdf.sort_values(["o_orderpriority", "tile"])
             .reset_index(drop=True)[["o_orderpriority", "tile", "n", "lo", "hi"]])
 
@@ -282,9 +283,9 @@ def q_emb_pairgeom(sf_dir: str) -> pd.DataFrame:
     lo = float(pc.min(parts["pmin"]).as_py())
     hi = float(pc.max(parts["pmax"]).as_py())
     return pd.DataFrame({"n_pairs": pd.array([n], dtype="int64"),
-                         "mean_cos": [round(s / n, 5)],
-                         "min_cos": [round(lo, 5)],
-                         "max_cos": [round(hi, 5)]})
+                         "mean_cos": [round_half_away(s / n, 5)],
+                         "min_cos": [round_half_away(lo, 5)],
+                         "max_cos": [round_half_away(hi, 5)]})
 
 
 SQL_EMB_PAIRGEOM = """
@@ -347,8 +348,8 @@ def q_seq_gmean_hmean(sf_dir: str) -> pd.DataFrame:
     hm = n / m["sinv_sum"].to_numpy(zero_copy_only=False)
     return (pd.DataFrame({"source": m["source"].to_pylist(),
                           "n": pd.array(n.astype(np.int64), dtype="int64"),
-                          "gmean": np.round(gm, 5),
-                          "hmean": np.round(hm, 5)})
+                          "gmean": round_half_away(gm, 5),
+                          "hmean": round_half_away(hm, 5)})
             .sort_values("source").reset_index(drop=True))
 
 
@@ -459,7 +460,7 @@ def q_events_interarrival(sf_dir: str) -> pd.DataFrame:
         n = int(cum[-1])
         p50 = v[np.searchsorted(cum, max(int(np.ceil(0.5 * n)), 1))]
         p90 = v[np.searchsorted(cum, max(int(np.ceil(0.9 * n)), 1))]
-        out.append((et, n, round(float(p50) / 1e6, 5), round(float(p90) / 1e6, 5)))
+        out.append((et, n, round_half_away(float(p50) / 1e6, 5), round_half_away(float(p90) / 1e6, 5)))
     return pd.DataFrame(out, columns=["event_type", "n_gaps", "p50_s", "p90_s"])
 
 
@@ -524,8 +525,8 @@ def q_events_running_peak(sf_dir: str) -> pd.DataFrame:
         for s, e in zip(starts, ends):
             run = np.cumsum(sv[s:e])
             pk = int(np.argmax(run))  # first index attaining the max
-            out.append((u[s], round(float(run[-1]), 5),
-                        round(float(run[pk]), 5), int(eid[s + pk])))
+            out.append((u[s], round_half_away(float(run[-1]), 5),
+                        round_half_away(float(run[pk]), 5), int(eid[s + pk])))
         return pd.DataFrame(out, columns=["user_id", "final_total",
                                           "peak_total", "peak_event_id"])
 
@@ -611,7 +612,7 @@ def q_lineitem_pareto(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_parts": pd.array([n], dtype="int64"),
         "parts_for_80pct": pd.array([parts_for_80], dtype="int64"),
-        "top20_share": [round(top20_share, 5)],
+        "top20_share": [round_half_away(top20_share, 5)],
     })
 
 
@@ -717,7 +718,7 @@ def q_emb_dispersion(sf_dir: str) -> pd.DataFrame:
     return (pd.DataFrame({"label": pd.array(lab, dtype="int64"),
                           "n": pd.array(m["n_sum"].to_numpy(zero_copy_only=False),
                                         dtype="int64"),
-                          "mean_cos": np.round(mc, 5)})
+                          "mean_cos": round_half_away(mc, 5)})
             .sort_values("label").reset_index(drop=True))
 
 

@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import _collect, _sig_parquet_path
 from jesse_ray.sources import read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES6: dict = {}
 ORACLES6: dict = {}
@@ -96,7 +97,7 @@ def q_events_anova(sf_dir: str) -> pd.DataFrame:
     f = (ssb / (k - 1)) / (ssw / (nn - k))
     return pd.DataFrame({"k": pd.array([k], dtype="int64"),
                          "n": pd.array([int(nn)], dtype="int64"),
-                         "f_stat": [round(f, 4)]})
+                         "f_stat": [round_half_away(f, 4)]})
 
 
 SQL_EVENTS_ANOVA = """
@@ -160,7 +161,7 @@ def q_emb_roc_auc(sf_dir: str) -> pd.DataFrame:
         "n_pos": pd.array([n_pos], dtype="int64"),
         "n_neg": pd.array([n_neg], dtype="int64"),
         "u2": pd.array([u2], dtype="int64"),
-        "auc": [round(u2 / (2.0 * n_pos * n_neg), 6)],
+        "auc": [round_half_away(u2 / (2.0 * n_pos * n_neg), 6)],
     })
 
 
@@ -203,7 +204,7 @@ def q_events_autocorr(sf_dir: str) -> pd.DataFrame:
     x, y = c[1:], c[:-1]
     r = float(np.corrcoef(x, y)[0, 1]) if len(x) > 1 else float("nan")
     return pd.DataFrame({"n_days": pd.array([len(c)], dtype="int64"),
-                         "acf1": [round(r, 5)]})
+                         "acf1": [round_half_away(r, 5)]})
 
 
 SQL_EVENTS_AUTOCORR = f"""
@@ -246,7 +247,7 @@ def q_events_ewma(sf_dir: str) -> pd.DataFrame:
         w[0] = (1.0 - _EWMA_ALPHA) ** (nd - 1)
         out_t.append(et)
         out_n.append(nd)
-        out_e.append(round(float((w * x).sum()), 5))
+        out_e.append(round_half_away(float((w * x).sum()), 5))
     return pd.DataFrame({"event_type": out_t,
                          "n_days": pd.array(out_n, dtype="int64"),
                          "ewma": out_e})
@@ -370,7 +371,7 @@ def q_events_cusum(sf_dir: str) -> pd.DataFrame:
     k = int(np.argmax(np.abs(cs)))  # first max = earliest tie
     stat = float(np.abs(cs[k]) / (x.std() * np.sqrt(len(x))))
     return pd.DataFrame({"cp_day": pd.array([int(days[k])], dtype="int64"),
-                         "stat": [round(stat, 5)]})
+                         "stat": [round_half_away(stat, 5)]})
 
 
 SQL_EVENTS_CUSUM = f"""
@@ -527,7 +528,7 @@ def q_events_spearman_daily(sf_dir: str) -> pd.DataFrame:
     rv = v.rank(method="average").to_numpy(dtype=np.float64)
     rho = float(np.corrcoef(rc, rv)[0, 1]) if len(rc) > 1 else float("nan")
     return pd.DataFrame({"n_days": pd.array([len(rc)], dtype="int64"),
-                         "rho": [round(rho, 5)]})
+                         "rho": [round_half_away(rho, 5)]})
 
 
 SQL_EVENTS_SPEARMAN_DAILY = f"""

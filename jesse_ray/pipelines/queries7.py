@@ -22,6 +22,7 @@ import pyarrow.parquet as pq
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path, _sig_parquet_path
 from jesse_ray.pipelines.queries6 import _daily_value_partials
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES7: dict = {}
 ORACLES7: dict = {}
@@ -54,8 +55,8 @@ def q_orders_benford(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "digit": pd.array(dig, dtype="int64"),
         "n": pd.array(n, dtype="int64"),
-        "share": np.round(n * 1.0 / total, 5),
-        "benford": np.round(np.log10(1.0 + 1.0 / dig), 5),
+        "share": round_half_away(n * 1.0 / total, 5),
+        "benford": round_half_away(np.log10(1.0 + 1.0 / dig), 5),
     })
 
 
@@ -105,7 +106,7 @@ def q_events_kendall_daily(sf_dir: str) -> pd.DataFrame:
         "n_days": pd.array([n], dtype="int64"),
         "conc": pd.array([conc], dtype="int64"),
         "disc": pd.array([disc], dtype="int64"),
-        "tau_b": [round(float(tau), 5)],
+        "tau_b": [round_half_away(float(tau), 5)],
     })
 
 
@@ -153,7 +154,7 @@ def q_events_theilsen_daily(sf_dir: str) -> pd.DataFrame:
     slopes = (c[iu[1]] - c[iu[0]]) / (days[iu[1]] - days[iu[0]])
     return pd.DataFrame({
         "n_days": pd.array([len(c)], dtype="int64"),
-        "slope": [round(float(np.median(slopes)), 5)],
+        "slope": [round_half_away(float(np.median(slopes)), 5)],
     })
 
 
@@ -219,8 +220,8 @@ def q_seq_welch_ttest(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_a": pd.array([na], dtype="int64"),
         "n_b": pd.array([nb], dtype="int64"),
-        "t_stat": [round(float(t_stat), 4)],
-        "df": [round(float(df), 2)],
+        "t_stat": [round_half_away(float(t_stat), 4)],
+        "df": [round_half_away(float(df), 2)],
     })
 
 
@@ -279,7 +280,7 @@ def q_events_gini(sf_dir: str) -> pd.DataFrame:
     tot = int(x.sum())
     gini = 2.0 * num / (n * tot) - (n + 1.0) / n
     return pd.DataFrame({"n_users": pd.array([n], dtype="int64"),
-                         "gini": [round(float(gini), 5)]})
+                         "gini": [round_half_away(float(gini), 5)]})
 
 
 SQL_EVENTS_GINI = """
@@ -316,8 +317,8 @@ def q_doc_source_hhi(sf_dir: str) -> pd.DataFrame:
     sh = n / n.sum()
     return pd.DataFrame({
         "n_sources": pd.array([len(n)], dtype="int64"),
-        "hhi": [round(float((sh * sh).sum()), 5)],
-        "entropy": [round(float(-(sh * np.log(sh)).sum()), 5)],
+        "hhi": [round_half_away(float((sh * sh).sum()), 5)],
+        "entropy": [round_half_away(float(-(sh * np.log(sh)).sum()), 5)],
     })
 
 
@@ -517,7 +518,7 @@ def q_doc_minhash_est_audit(sf_dir: str) -> pd.DataFrame:
                              "union_sz": pd.array([], dtype="int64")})
     # est is k/64 — dyadic, EXACT at 6 decimals, so round(6) is the
     # identity on both engines (4 decimals would hit tie-rule skew)
-    pdf["est"] = pdf["est"].round(6)
+    pdf["est"] = round_half_away(pdf["est"], 6)
     return (pdf[["left", "right", "est", "inter", "union_sz"]]
             .sort_values(["left", "right"]).reset_index(drop=True))
 
@@ -601,8 +602,8 @@ def q_lineitem_odds_ratio(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "a": pd.array([a], dtype="int64"), "b": pd.array([b_], dtype="int64"),
         "c": pd.array([c], dtype="int64"), "d": pd.array([d], dtype="int64"),
-        "odds_ratio": [round(float(orr), 4)],
-        "ci_lo": [round(lo, 4)], "ci_hi": [round(hi, 4)],
+        "odds_ratio": [round_half_away(float(orr), 4)],
+        "ci_lo": [round_half_away(lo, 4)], "ci_hi": [round_half_away(hi, 4)],
     })
 
 

@@ -23,6 +23,7 @@ from jesse_ray.hashutil import hash_partition_pandas
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.pipelines.queries6 import _daily_value_partials, _ts_day
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES8: dict = {}
 ORACLES8: dict = {}
@@ -136,7 +137,7 @@ def q_events_crosscorr(sf_dir: str) -> pd.DataFrame:
         y = j.iloc[:, 1].to_numpy(dtype=np.float64)
         out_k.append(k)
         out_n.append(len(x))
-        out_r.append(round(float(np.corrcoef(x, y)[0, 1]), 5) if len(x) > 1 else None)
+        out_r.append(round_half_away(float(np.corrcoef(x, y)[0, 1]), 5) if len(x) > 1 else None)
     return pd.DataFrame({"lag": pd.array(out_k, dtype="int64"),
                          "n": pd.array(out_n, dtype="int64"),
                          "xcorr": out_r})
@@ -184,7 +185,7 @@ def q_events_binseg(sf_dir: str) -> pd.DataFrame:
         + ((css[-1] - css[s - 1]) - (cs[-1] - cs[s - 1]) ** 2 / (n - s))
     k = int(np.argmin(sse))
     return pd.DataFrame({"split_day": pd.array([int(days[k])], dtype="int64"),
-                         "sse": [round(float(sse[k]), 4)]})
+                         "sse": [round_half_away(float(sse[k]), 4)]})
 
 
 SQL_EVENTS_BINSEG = f"""
@@ -272,7 +273,7 @@ def q_events_survival_km(sf_dir: str) -> pd.DataFrame:
         out_t.append(int(t))
         out_r.append(r)
         out_d.append(dd)
-        out_s.append(round(surv, 5))
+        out_s.append(round_half_away(surv, 5))
     return pd.DataFrame({"t_day": pd.array(out_t, dtype="int64"),
                          "at_risk": pd.array(out_r, dtype="int64"),
                          "n_events": pd.array(out_d, dtype="int64"),
@@ -336,7 +337,7 @@ def q_seq_token_gini(sf_dir: str) -> pd.DataFrame:
     gini = 2.0 * num / (n * tot) - (n + 1.0) / n
     return pd.DataFrame({"vocab": pd.array([n], dtype="int64"),
                          "total_tokens": pd.array([tot], dtype="int64"),
-                         "gini": [round(float(gini), 5)]})
+                         "gini": [round_half_away(float(gini), 5)]})
 
 
 SQL_SEQ_TOKEN_GINI = f"""
@@ -387,7 +388,7 @@ def q_orders_runs_test(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_above": pd.array([n1], dtype="int64"),
                          "n_below": pd.array([n0], dtype="int64"),
                          "runs": pd.array([runs], dtype="int64"),
-                         "z": [round(float(z), 4)]})
+                         "z": [round_half_away(float(z), 4)]})
 
 
 SQL_ORDERS_RUNS_TEST = f"""
@@ -492,7 +493,7 @@ def q_emb_silhouette(sf_dir: str) -> pd.DataFrame:
         .groupby("label", as_index=False).sum().sort_values("label")
     return pd.DataFrame({"label": m2["label"].astype("int64").to_numpy(),
                          "n": m2["n"].astype("int64").to_numpy(),
-                         "silhouette": np.round(m2["ssum"] / m2["n"], 5)}).reset_index(drop=True)
+                         "silhouette": round_half_away(m2["ssum"] / m2["n"], 5)}).reset_index(drop=True)
 
 
 SQL_EMB_SILHOUETTE = """
@@ -545,8 +546,8 @@ def q_customer_cramers_v(sf_dir: str) -> pd.DataFrame:
     chi2 = float(((piv - e) ** 2 / e).sum())
     v = np.sqrt(chi2 / (n * (min(piv.shape) - 1)))
     return pd.DataFrame({"n": pd.array([int(n)], dtype="int64"),
-                         "chi2": [round(chi2, 4)],
-                         "cramers_v": [round(float(v), 5)]})
+                         "chi2": [round_half_away(chi2, 4)],
+                         "cramers_v": [round_half_away(float(v), 5)]})
 
 
 SQL_CUSTOMER_CRAMERS_V = """
@@ -604,8 +605,8 @@ def q_doc_lognormal_fit(sf_dir: str) -> pd.DataFrame:
     sigma = np.sqrt((s2 - s1 * s1 / n) / (n - 1))
     return pd.DataFrame({"source": m["source"].to_numpy(),
                          "n": pd.array(n.astype(np.int64), dtype="int64"),
-                         "mu": np.round(mu, 5),
-                         "sigma": np.round(sigma, 5)})
+                         "mu": round_half_away(mu, 5),
+                         "sigma": round_half_away(sigma, 5)})
 
 
 SQL_DOC_LOGNORMAL_FIT = """

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 
 from jesse_ray.pipelines.queries import SEQ_SQL, _collect, _seq_path
 from jesse_ray.sources import read_sequences, read_table
+from jesse_ray.rounding import round_half_away
 
 QUERIES9: dict = {}
 ORACLES9: dict = {}
@@ -171,7 +172,7 @@ def q_events_asof_forward(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_clicks": pd.array([n], dtype="int64"),
         "n_matched": pd.array([mm], dtype="int64"),
-        "avg_delay_s": [round(dd / mm / 1e6, 3)],
+        "avg_delay_s": [round_half_away(dd / mm / 1e6, 3)],
     })
 
 
@@ -212,7 +213,7 @@ def q_events_value_pctl_cont(sf_dir: str) -> pd.DataFrame:
     from jesse_ray.pipelines.relational import grouped_quantile_grid
 
     rows = [
-        (et, q, round(val, 5))
+        (et, q, round_half_away(val, 5))
         for et, q, val in grouped_quantile_grid(ds, "event_type", "value", _PCTL_QS)
     ]
     return (pd.DataFrame(rows, columns=["event_type", "q", "pctl"])

@@ -280,6 +280,7 @@ def grouped_rolling(
     cnt_alias: str = "roll_cnt",
     n_parts: int = 64,
     batch_size: int = 65536,
+    exact_decimals: int | None = None,
 ) -> Dataset:
     """Per-key trailing-window aggregate: for every row, the SUM and
     COUNT of ``value_col`` over that key's rows with timestamp in
@@ -292,7 +293,13 @@ def grouped_rolling(
     common int64 axis (ts + run_id * span, so windows can't cross
     runs), both frame edges come from two global ``searchsorted`` calls,
     and the aggregates are prefix-sum differences.  O(rows log rows)
-    per part, no per-key Python."""
+    per part, no per-key Python.
+
+    ``exact_decimals``: when the value column is fixed-decimal (e.g.
+    2-decimal currency), pass its scale to accumulate in exact int64
+    units of 10^-d instead of float64 — the float prefix-sum otherwise
+    carries O(n)-accumulated error (~1e-13 observed at 100k rows) that
+    splits bit-exact comparison against an engine summing per-window."""
 
     from jesse_ray.hashutil import hash_partition_pandas
 
@@ -318,9 +325,15 @@ def grouped_rolling(
             adj = ts
         lo = np.searchsorted(adj, adj - w, side="left")
         hi = np.searchsorted(adj, adj, side="right")  # equal-ts peers included
-        csum = np.concatenate([[0.0], np.cumsum(vals)])
         out = g.drop(columns=["__part"]).copy()
-        out[sum_alias] = csum[hi] - csum[lo]
+        if exact_decimals is not None:
+            p = 10.0 ** exact_decimals
+            iv = np.rint(vals * p).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(iv)])
+            out[sum_alias] = (csum[hi] - csum[lo]) / p
+        else:
+            csum = np.concatenate([[0.0], np.cumsum(vals)])
+            out[sum_alias] = csum[hi] - csum[lo]
         out[cnt_alias] = (hi - lo).astype(np.int64)
         return out
 

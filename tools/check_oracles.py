@@ -43,6 +43,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _float_strs(s: pd.Series) -> np.ndarray:
+    """Canonical exact formatting: shortest round-trip repr of the float64
+    bits (repr('nan') for NaN, '-0.0' kept distinct).  Two columns compare
+    equal iff every value is BIT-identical — the same bar as the driver's
+    value-hash, unlike the old np.allclose(1e-9) (VERDICT r4 task 8)."""
+    v = s.astype(float).to_numpy()
+    # normalize -0.0 -> 0.0: DuckDB prints both as 0.0 and the driver's
+    # hash canonicalizes through formatting, so the sign of zero is not
+    # an observable difference
+    v = np.where(v == 0.0, 0.0, v)
+    return np.array([repr(float(x)) for x in v], dtype=object)
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(got.columns) != sorted(want.columns):
@@ -55,8 +68,10 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         for c in g.columns:
             a, b = g[c], w[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                if not np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
-                    problems.append(f"float col {c} differs")
+                av, bv = _float_strs(a), _float_strs(b)
+                if not (av == bv).all():
+                    bad = np.flatnonzero(av != bv)[:3]
+                    problems.append(f"float col {c} differs at rows {bad.tolist()}: got {av[bad].tolist()} want {bv[bad].tolist()}")
             else:
                 if not (a.astype(str).values == b.astype(str).values).all():
                     bad = np.flatnonzero(a.astype(str).values != b.astype(str).values)[:3]
