@@ -2886,6 +2886,7 @@ def grouped_quantile_grid(
     qs: Sequence[float],
     *,
     mode: str = "cont",
+    max_cells: int = 4_000_000,
 ) -> list[tuple]:
     """Exact per-group quantiles WITHOUT a whole-group in-task sort.
 
@@ -2905,6 +2906,14 @@ def grouped_quantile_grid(
     (bit-identical to the per-group-sort formulation).
     ``mode="disc"``: the discrete rule ``sorted[max(ceil(q·n)−1, 0)]``.
 
+    ``max_cells`` ENFORCES the bounded-domain contract: the driver grid
+    is capped (default 4M cells ≈ 100 MB) and the collect raises loudly
+    the moment the streamed grid exceeds it — a near-continuous value
+    domain (microsecond gaps, raw floats) would otherwise silently grow
+    the driver grid toward row count at 10^12 rows.  On trip, switch the
+    caller to tdigest_quantiles_by_group (approximate, mergeable) or
+    pre-bin the values to a bounded domain first.
+
     Returns [(group, q, value), ...] ordered by (group, q).
     """
 
@@ -2918,9 +2927,19 @@ def grouped_quantile_grid(
         .groupby([group_col, value_col])
         .aggregate(Sum("pn", alias_name="n"))
     )
-    grid = pa.concat_tables(
-        list(merged.iter_batches(batch_format="pyarrow"))
-    ).to_pandas()
+    batches: list[pa.Table] = []
+    cells = 0
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        cells += b.num_rows
+        if cells > max_cells:
+            raise ValueError(
+                f"grouped_quantile_grid: merged (group, value) grid exceeds "
+                f"max_cells={max_cells} — the value domain is not bounded "
+                f"enough for the exact grid path; use "
+                f"tdigest_quantiles_by_group or pre-bin the values"
+            )
+        batches.append(b)
+    grid = pa.concat_tables(batches).to_pandas()
 
     out: list[tuple] = []
     for key, g in grid.groupby(group_col, sort=True):

