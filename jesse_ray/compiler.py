@@ -108,15 +108,36 @@ def _canon_key(x: Any):
 
 
 def _decimal_default(v: Any):
-    # bignum columns surface as decimal.Decimal — print the exact
-    # integer literal (scale-0) or the exact decimal string, the same
-    # unbounded text Erlang prints for bignums
+    # containers can nest Decimals; json's default hook cannot emit a
+    # raw numeric literal, so nested bignums fall back to int (exact,
+    # scale-0 case) — top-level Decimals never reach here (_json_val
+    # formats them exactly below)
     if isinstance(v, decimal.Decimal):
         return int(v) if v == v.to_integral_value() else float(v)
     raise TypeError(f"not JSON serializable: {type(v)}")
 
 
+def _decimal_literal(v: decimal.Decimal) -> str:
+    """Exact decimal literal, unbounded precision — the same exact text
+    Erlang prints for bignums (src/jesse_lib.erl): scale-0 integrals as
+    the integer, scale>0 integrals as N.0 (aligned with the float
+    canonical rule: 2.0 prints as 2.0), non-integrals as the exact
+    fixed-point string with trailing zeros stripped.  Only exact
+    operations are used — int(v), Decimal==int comparison and
+    format(v, 'f') ignore context precision, unlike normalize() /
+    to_integral_value() which silently ROUND past 28 significant
+    digits (the default context) and would corrupt a 41-digit value."""
+    iv = int(v)  # exact truncation, no context
+    if v == iv:
+        txt = str(iv)
+        return txt + ".0" if v.as_tuple().exponent < 0 else txt
+    s = format(v, "f")  # exact fixed-point, never scientific
+    return s.rstrip("0") if "." in s else s
+
+
 def _json_val(v: Any) -> str:
+    if isinstance(v, decimal.Decimal):
+        return _decimal_literal(v)
     if isinstance(v, float) and v.is_integer():
         # canonical: 3.0 prints as 3.0 (json default) — keep json default
         return json.dumps(v)

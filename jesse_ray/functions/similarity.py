@@ -552,6 +552,14 @@ def ivf_pq_search(
         if isinstance(packed, pa.ChunkedArray):
             packed = packed.combine_chunks()
         packed = packed.to_numpy(zero_copy_only=False)
+        # id-sort the cell rows so candidate selection is a pure
+        # function of the data, independent of shuffle arrival order;
+        # with the stable per-row argsort below, per-cell truncation
+        # keeps exactly the first ncand in (approx_dist, vec_id)
+        # lexicographic order (ADVICE r4: argpartition kept/dropped
+        # equal-dist candidates at the cut arbitrarily)
+        o = np.argsort(ids, kind="stable")
+        ids, packed = ids[o], packed[o]
         n = len(packed)
         codes = np.empty((n, m), dtype=np.int64)
         for j in range(m):
@@ -569,7 +577,10 @@ def ivf_pq_search(
             contrib = lut_j[:, codes[:, j]]  # (|q_c|, n)
             app = contrib if app is None else app + contrib
         c = min(ncand, n)
-        part = np.argpartition(app, c - 1, axis=1)[:, :c]
+        # stable argsort over the id-sorted cell = deterministic
+        # (dist, vec_id)-lexicographic selection; argpartition would be
+        # O(n) but resolves boundary ties by memory layout
+        part = np.argsort(app, axis=1, kind="stable")[:, :c]
         dsel = np.take_along_axis(app, part, axis=1)
         qi = np.repeat(qidx.astype(np.int64)[:, None], c, axis=1)
         return pa.table({

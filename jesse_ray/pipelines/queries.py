@@ -2485,21 +2485,38 @@ def q_seq_global_sort(sf_dir: str) -> pd.DataFrame:
         nt64 = b["n_tok"].cast(pa.int64())
         if isinstance(nt64, pa.ChunkedArray):
             nt64 = nt64.combine_chunks()
-        valid = pc.is_valid(nt64).to_numpy(zero_copy_only=False).astype(bool)
         nt0 = pc.fill_null(nt64, 0).to_numpy(zero_copy_only=False)
         pos = np.arange(b.num_rows, dtype=np.int64)
-        has = bool(valid.any())
+        # the block's exact FIRST boundary key under the global
+        # sort([n_tok, doc_id]) order (null n_tok -> +inf sentinel,
+        # nulls sort last): block order on (fn, fid) is the true total
+        # order, with no reliance on stable tie-breaking over a
+        # (min, max) summary or on iter_batches order (ADVICE r4)
+        if b.num_rows:
+            fn_v, ln_v = nt64[0].as_py(), nt64[-1].as_py()
+            fn = int(fn_v) if fn_v is not None else (1 << 62)
+            ln = int(ln_v) if ln_v is not None else (1 << 62)
+            fid = b["doc_id"][0].as_py() or ""
+            lid = b["doc_id"][-1].as_py() or ""
+        else:
+            fn, fid, ln, lid = (1 << 62), "", (1 << 62), ""
         return pa.table({
-            "mn": pa.array([int(nt0[valid].min()) if has else (1 << 62)], type=pa.int64()),
-            "mx": pa.array([int(nt0[valid].max()) if has else (1 << 62)], type=pa.int64()),
+            "fn": pa.array([fn], type=pa.int64()),
+            "fid": pa.array([fid], type=pa.string()),
+            "ln": pa.array([ln], type=pa.int64()),
+            "lid": pa.array([lid], type=pa.string()),
             "cnt": pa.array([b.num_rows], type=pa.int64()),
             "local": pa.array([int((pos * nt0).sum())], type=pa.int64()),
             "ntsum": pa.array([int(nt0.sum())], type=pa.int64()),
         })
 
+    # (fn, fid) is the true total order of block starts; (ln, lid)
+    # breaks the one degenerate tie — an entire block being a single
+    # duplicated (n_tok, doc_id) run — where remaining equal-first-key
+    # permutations are checksum-invariant (same n_tok throughout)
     parts = _collect(
         srt.map_batches(_summarize, batch_format="pyarrow", batch_size=None)
-    ).to_pandas().sort_values(["mn", "mx"]).reset_index(drop=True)
+    ).to_pandas().sort_values(["fn", "fid", "ln", "lid"]).reset_index(drop=True)
     total, off, n = 0, 0, 0
     for cnt, local, ntsum in zip(parts["cnt"], parts["local"], parts["ntsum"]):
         total += int(local) + off * int(ntsum)

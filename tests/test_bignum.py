@@ -127,3 +127,17 @@ def test_pcre_fallback_high_cardinality_matches_loop():
     rx = _re.compile(r"(?<=x)1.*y")
     expect = np.array([v is not None and rx.search(v) is not None for v in vals])
     assert (got == expect).all()
+
+
+def test_decimal_literal_exact_beyond_context_precision():
+    """Violation-message serialization of Decimals is EXACT at any
+    precision (ADVICE r4: float(v) rounded past ~17 significant digits;
+    normalize()/to_integral_value() round past the 28-digit context)."""
+    from jesse_ray.compiler import _json_val
+
+    d41 = decimal.Decimal("12345678901234567890123456789012345678901.5")
+    assert _json_val(d41) == "12345678901234567890123456789012345678901.5"
+    assert _json_val(decimal.Decimal("2.00")) == "2.0"  # float canonical rule
+    assert _json_val(decimal.Decimal("2")) == "2"
+    assert _json_val(decimal.Decimal("-3.14000")) == "-3.14"
+    assert _json_val(decimal.Decimal("1E-9")) == "0.000000001"
