@@ -344,6 +344,66 @@ def grouped_rolling(
     )
 
 
+def grouped_cumsum(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    alias: str = "run_sum",
+    n_parts: int = 64,
+    batch_size: int = 65536,
+    exact_decimals: int | None = None,
+) -> Dataset:
+    """Per-key running total in event order — ``SUM(v) OVER (PARTITION
+    BY key ORDER BY order_cols ROWS UNBOUNDED PRECEDING)`` (the account
+    running-balance / cumulative-exposure window).
+
+    Same coarse key-hash shuffle as :func:`grouped_lag` (≤``n_parts``
+    groups, never one group per entity); inside a part one mergesort +
+    ONE segmented cumsum handles every key: global cumsum minus the
+    per-segment prefix offset, fully vectorized.  No cross-block prefix
+    exchange is needed because the window is key-local and the shuffle
+    co-locates each key.
+
+    ``exact_decimals``: fixed-decimal values (2-decimal currency)
+    accumulate in exact int64 units of 10^-d — a float running sum
+    drifts by O(run length) ulps and splits bit-exact comparison.
+    """
+    order_cols = list(order_cols)
+
+    from jesse_ray.hashutil import hash_partition_pandas
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, [key], n_parts)
+
+    def cum_many(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        new_key = g[key].ne(g[key].shift(1)).to_numpy()
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, len(vals)))
+        if exact_decimals is not None:
+            p = 10.0 ** exact_decimals
+            iv = np.rint(vals * p).astype(np.int64)
+            cs = np.cumsum(iv)
+            seg_base = np.where(starts > 0, cs[starts - 1], 0)
+            run = (cs - np.repeat(seg_base, seg_len)) / p
+        else:
+            cs = np.cumsum(vals)
+            seg_base = np.where(starts > 0, cs[starts - 1], 0.0)
+            run = cs - np.repeat(seg_base, seg_len)
+        out = g.drop(columns=["__part"]).copy()
+        out[alias] = run
+        return out
+
+    return (
+        ds.map_batches(part, batch_format="pandas", batch_size=batch_size)
+        .groupby("__part")
+        .map_groups(cum_many, batch_format="pandas")
+    )
+
+
 def grouped_count_distinct(
     ds: Dataset,
     keys: Sequence[str],
