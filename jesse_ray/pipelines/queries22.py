@@ -318,52 +318,42 @@ def q_tpch_q21ish(sf_dir: str) -> pd.DataFrame:
                     columns=["l_orderkey", "l_suppkey", "l_shipdate"])
     j = hash_join(li, orders_k, on="l_orderkey", how="inner")
 
-    def stamp(b: pa.Table) -> pa.Table:
+    def stamp(b: pa.Table) -> pd.DataFrame:
         cutoff = pc.add(b["o_orderdate"],
                         pa.scalar(Q21_LATE_DAYS * 86_400_000_000, type=pa.duration("us")))
         late = pc.greater(b["l_shipdate"], cutoff)
         t = pa.table({"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
                       "late": pc.cast(late, pa.int64())})
         # batch-local (order, supplier) collapse: max(late) per pair
-        return (t.group_by(["l_orderkey", "l_suppkey"])
-                .aggregate([("late", "max")])
-                .rename_columns(["l_orderkey", "l_suppkey", "late"]))
+        g = (t.group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("late", "max")])
+             .rename_columns(["l_orderkey", "l_suppkey", "late"])).to_pandas()
+        from jesse_ray.hashutil import hash_partition_pandas
 
-    pairs = (j.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["l_orderkey", "l_suppkey"]).max("late"))
+        return hash_partition_pandas(g, ["l_orderkey"], 64)
 
-    def per_order(b: pa.Table) -> pa.Table:
-        late = pc.cast(b["max(late)"], pa.int64())
-        lsup = pc.if_else(pc.equal(late, 1), b["l_suppkey"],
-                          pa.scalar(None, type=pa.int64()))
-        t = pa.table({"l_orderkey": b["l_orderkey"], "one": pa.array(
-            np.ones(b.num_rows, dtype=np.int64)), "late": late, "lsup": lsup})
-        g = t.group_by("l_orderkey").aggregate(
-            [("one", "sum"), ("late", "sum"), ("lsup", "max")])
-        return g.rename_columns(["l_orderkey", "ns", "nl", "lsup"])
-
-    from ray.data.aggregate import Max as _Max
-    from ray.data.aggregate import Sum as _Sum
-
-    # pairs are already globally unique per (order, supplier); the
-    # second groupby is per order — both ride the same key prefix
-    orders_agg = (pairs.map_batches(per_order, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-                  .groupby("l_orderkey")
-                  .aggregate(_Sum("ns", alias_name="ns"),
-                             _Sum("nl", alias_name="nl"),
-                             _Max("lsup", alias_name="lsup")))
-
-    def waiter(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater_equal(b["ns"], 2), pc.equal(b["nl"], 1))
-        t = b.filter(m)
-        return pa.table({"s_suppkey": t["lsup"],
-                         "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+    # ONE coarse order-hash shuffle; inside a part both the global
+    # (order, supplier) max-combine and the per-order (ns, nl, lsup)
+    # aggregate run as vectorized pandas groupbys — Ray's native
+    # sort-based groupby on the raw 2-key pair stream measured 41 s at
+    # sf0.1 vs ~1 s for the coarse-part pattern (the repo discipline)
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = (g.groupby(["l_orderkey", "l_suppkey"], as_index=False)["late"]
+                 .max())
+        lsup = pairs["l_suppkey"].where(pairs["late"] == 1)
+        pairs = pairs.assign(lsup=lsup)
+        o = pairs.groupby("l_orderkey").agg(
+            ns=("l_suppkey", "size"), nl=("late", "sum"), lsup=("lsup", "max"))
+        hit = o[(o["ns"] >= 2) & (o["nl"] == 1)]
+        out = hit.groupby("lsup", as_index=False).size()
+        return out.rename(columns={"lsup": "s_suppkey", "size": "pn"})
 
     per_supp = _collect(
-        orders_agg.map_batches(waiter, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        .groupby("s_suppkey").sum("one")).to_pandas()
+        j.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part").map_groups(per_order, batch_format="pandas")
+    ).to_pandas().groupby("s_suppkey", as_index=False)["pn"].sum()
+    per_supp = per_supp.rename(columns={"pn": "sum(one)"})
+    per_supp["s_suppkey"] = per_supp["s_suppkey"].astype("int64")
     supp = read_table(f"{sf_dir}/supplier.parquet",
                       columns=["s_suppkey", "s_name"]).to_pandas()
     out = per_supp.merge(supp, on="s_suppkey", how="inner")

@@ -83,13 +83,22 @@ def q_seq_token_kcore(sf_dir: str) -> pd.DataFrame:
         g = t.group_by(["u", "v"]).aggregate([([], "count_all")])
         return g.rename_columns(["u", "v", "pn"])
 
-    from ray.data.aggregate import Sum as _Sum
+    from jesse_ray.hashutil import hash_partition_pandas
+
+    # coarse (u,v)-hash merge instead of Ray's native 2-key groupby
+    # (the native sort-based path measured 41 s on a 600k-row 2-key
+    # stream; the coarse-part pattern is the repo discipline)
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return hash_partition_pandas(df, ["u", "v"], 64)
+
+    def merge_edges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["u", "v"], as_index=False)["pn"].sum()
+        return m[m["pn"] >= KCORE_MINCNT].rename(columns={"pn": "n"})
 
     edges = (ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["u", "v"]).aggregate(_Sum("pn", alias_name="n")))
-    edges = edges.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n"], KCORE_MINCNT)),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+             .map_batches(part, batch_format="pandas")
+             .groupby("__part").map_groups(merge_edges, batch_format="pandas")
+             ).materialize()
 
     def deg_partial(b: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays([b["u"].combine_chunks() if isinstance(b["u"], pa.ChunkedArray) else b["u"],
@@ -98,17 +107,24 @@ def q_seq_token_kcore(sf_dir: str) -> pd.DataFrame:
         g = t.group_by("node").aggregate([([], "count_all")])
         return g.rename_columns(["node", "pd"])
 
+    _DEG_CAP = 8_000_000  # vocab-bounded partials; enforce the contract
+
+    def _degrees(eds) -> pd.DataFrame:
+        parts = _collect(eds.map_batches(deg_partial, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+        assert parts.num_rows <= _DEG_CAP, (
+            f"k-core degree partials exceed {_DEG_CAP} rows — node domain "
+            f"is not vocab-bounded; shard the degree merge")
+        return parts.to_pandas().groupby("node", as_index=False)["pd"].sum()
+
     rounds = 0
     n_edges = edges.count()
     while True:
         assert rounds <= KCORE_ROUNDS, (
             f"k-core peel did not converge within {KCORE_ROUNDS} rounds — "
             f"raise KCORE_ROUNDS (and the twin's unroll budget) together")
-        deg = _collect(edges.map_batches(deg_partial, batch_format="pyarrow",
-                                         zero_copy_batch=True)
-                       .groupby("node").aggregate(_Sum("pd", alias_name="deg")))
-        keep_nodes = deg.filter(pc.greater_equal(deg["deg"], KCORE_K))["node"]
-        keep = np.sort(keep_nodes.to_numpy(zero_copy_only=False))
+        deg = _degrees(edges)
+        keep = np.sort(deg.loc[deg["pd"] >= KCORE_K, "node"].to_numpy())
         kref = ray.put(keep) if ray.is_initialized() else keep
 
         def kfilter(b: pa.Table, _kref=kref) -> pa.Table:
@@ -131,12 +147,9 @@ def q_seq_token_kcore(sf_dir: str) -> pd.DataFrame:
             break
         n_edges = n2
 
-    final = _collect(edges.map_batches(deg_partial, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-                     .groupby("node").aggregate(_Sum("pd", alias_name="deg"))).to_pandas()
-    final = final.sort_values("node").reset_index(drop=True)
+    final = _degrees(edges).sort_values("node").reset_index(drop=True)
     return pd.DataFrame({"token": final["node"].astype("int64"),
-                         "core_deg": final["deg"].astype("int64")})
+                         "core_deg": final["pd"].astype("int64")})
 
 
 def _kcore_sql() -> str:
