@@ -968,3 +968,78 @@ def mmr_select(
         "rank": pd.array(range(1, len(selected) + 1), dtype="int64"),
         "vec_id": pd.array([i for i, _ in selected], dtype="int64"),
     })
+
+
+def kcenter_select(
+    ds: Dataset,
+    *,
+    k: int = 5,
+    seed_id: int = 0,
+    batch_size: int = 4096,
+) -> "pd.DataFrame":
+    """Greedy k-center (Gonzalez 1985) coreset selection over cosine
+    distance — the farthest-point-first diversity coreset used for
+    data-selection / dataset distillation.  Starting from ``seed_id``,
+    each step picks argmax_v min_{s in S} (1 - cos(v, s)), ties on the
+    smaller vec_id.  Same distributed shape as :func:`mmr_select`: the
+    <=k selected vectors broadcast once per step, every batch emits a
+    1-row local-argmax partial, the driver reduces n_blocks rows; the
+    scan input is materialized once so the k passes re-read blocks,
+    not the parquet."""
+    import pandas as pd
+
+    ds = ds.select_columns(["vec_id", "embedding"]).materialize()
+
+    # fetch the seed vector (one filtered pass)
+    def find_seed(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["vec_id"], seed_id))
+        return t.select(["vec_id", "embedding"])
+
+    seed_tbl = pa.concat_tables(list(
+        ds.map_batches(find_seed, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")))
+    sv = np.asarray(seed_tbl["embedding"].to_pylist()[0], dtype=np.float64)
+    sv = sv / np.linalg.norm(sv)
+    selected: list[tuple[int, np.ndarray]] = [(int(seed_id), sv)]
+
+    for _ in range(k - 1):
+        sel_mat = np.stack([v for _, v in selected])
+        sel_ref = _maybe_put(sel_mat)
+        excl_arr = pa.array(sorted(i for i, _ in selected), type=pa.int64())
+
+        def far(b: pa.Table, sel_ref=sel_ref, excl_arr=excl_arr) -> pa.Table:
+            sel = _resolve(sel_ref)
+            vid = b["vec_id"]
+            if isinstance(vid, pa.ChunkedArray):
+                vid = vid.combine_chunks()
+            t = b.filter(pc.invert(pc.is_in(vid, value_set=excl_arr)))
+            if t.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                                 "score": pa.array([], type=pa.float64()),
+                                 "emb": pa.array([], type=pa.list_(pa.float64()))})
+            emb = t["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            m = np.asarray(emb.to_pylist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            dmin = (1.0 - m @ sel.T).min(axis=1)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((ids, -dmin))
+            j = order[0]
+            return pa.table({"vec_id": pa.array([ids[j]]),
+                             "score": pa.array([dmin[j]], type=pa.float64()),
+                             "emb": pa.array([m[j].tolist()], type=pa.list_(pa.float64()))})
+
+        parts = []
+        for pb in ds.map_batches(far, batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=batch_size).iter_batches(batch_format="pyarrow"):
+            parts.extend(pb.to_pylist())
+        if not parts:
+            break
+        win = min(parts, key=lambda r: (-r["score"], r["vec_id"]))
+        selected.append((int(win["vec_id"]), np.asarray(win["emb"], dtype=np.float64)))
+
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(selected) + 1), dtype="int64"),
+        "vec_id": pd.array([i for i, _ in selected], dtype="int64"),
+    })
