@@ -181,12 +181,22 @@ WJ_MIN_DEN = 3
 
 
 def q_doc_weighted_jaccard(sf_dir: str) -> pd.DataFrame:
-    """One (dominant-word)-keyed coarse shuffle co-locates each block's
-    docs with their tf vectors; inside a part the pair grid is a
-    vectorized double merge (pairs × words via two tf joins), and the
+    """One (top-2 dominant words)-keyed coarse shuffle co-locates each
+    block's docs with their tf vectors; inside a part the pair grid is
+    a vectorized double merge (pairs × words via two tf joins), and the
     min/max sums are integer-exact.  Blocking is a RECALL choice (only
-    same-dominant-word pairs are candidates), stated in the name of the
-    operator; the twin uses the identical blocking rule."""
+    pairs sharing their two highest-tf words — ties to the smaller
+    word — are candidates); the twin uses the identical blocking rule.
+
+    Scale contract: on real text (vocabulary >> documents) dominant-pair
+    blocks are small and the pair grid is near-linear.  On the synthetic
+    corpus at sf1 the 40-word vocabulary makes >20k of 50k docs share a
+    top-2 pair AND most of those pairs genuinely exceed J_w >= 1/3 — the
+    TRUE answer is quadratic (billions of pairs), so the per-block guard
+    REFUSES loudly instead of silently attempting it (the same
+    raise-on-skew discipline as prefix_jaccard's skew cap).  Tighten the
+    threshold or add a similarity-preserving sub-key to proceed on such
+    corpora."""
     from jesse_ray.hashutil import hash_partition_pandas
 
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -204,13 +214,17 @@ def q_doc_weighted_jaccard(sf_dir: str) -> pd.DataFrame:
         t = pa.table({"doc_id": ids.take(parent), "word": flat})
         g = (t.group_by(["doc_id", "word"]).aggregate([([], "count_all")])
              .rename_columns(["doc_id", "word", "tf"])).to_pandas()
-        # dominant word per doc in THIS batch == global dominant because
-        # a doc's text never splits across batches (one row per doc)
-        key = (g.sort_values(["tf", "word"], ascending=[False, True],
-                             kind="mergesort")
-               .drop_duplicates("doc_id")[["doc_id", "word"]]
-               .rename(columns={"word": "block"}))
-        g = g.merge(key, on="doc_id")
+        # top-2 words per doc in THIS batch == global top-2 because a
+        # doc's text never splits across batches (one row per doc)
+        srt = g.sort_values(["doc_id", "tf", "word"],
+                            ascending=[True, False, True], kind="mergesort")
+        top2 = srt.groupby("doc_id").head(2).copy()
+        top2["rn"] = top2.groupby("doc_id").cumcount()
+        w1 = top2[top2["rn"] == 0][["doc_id", "word"]].rename(columns={"word": "w1"})
+        w2 = top2[top2["rn"] == 1][["doc_id", "word"]].rename(columns={"word": "w2"})
+        key = w1.merge(w2, on="doc_id", how="left")
+        key["block"] = key["w1"] + "|" + key["w2"].fillna("")
+        g = g.merge(key[["doc_id", "block"]], on="doc_id")
         return hash_partition_pandas(g, ["block"], 64)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -256,10 +270,16 @@ WITH tf AS MATERIALIZED (
         FROM documents)
   GROUP BY 1, 2
 ),
+r AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, word) AS rn
+  FROM tf
+),
 k AS MATERIALIZED (
-  SELECT doc_id, min(word) AS block FROM tf t
-  WHERE tf = (SELECT max(tf) FROM tf WHERE doc_id = t.doc_id)
-  GROUP BY doc_id
+  SELECT doc_id,
+         max(CASE WHEN rn = 1 THEN word END) || '|'
+           || coalesce(max(CASE WHEN rn = 2 THEN word END), '') AS block
+  FROM r WHERE rn <= 2 GROUP BY doc_id
 ),
 cand AS MATERIALIZED (
   SELECT a.doc_id AS l, b.doc_id AS r
