@@ -831,3 +831,246 @@ def bmp_channel_sums(ds: Dataset, *, concurrency=(1, 2), batch_size: int = 16) -
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: GIF87a (256-color palette + LZW) in pure python/numpy
+#
+# A genuinely different COMPRESSION algorithm from PNG's DEFLATE: GIF's
+# variable-width LZW with LSB-first bit packing, clear/EOI codes,
+# dictionary growth with code-size widening at 2^size, the KwKwK
+# decoder corner case, and 255-byte data sub-block framing — all really
+# exercised (images are sized so the 9→10-bit widening fires).
+
+GIF_MIME = "image/gif"
+
+
+def _gif_palette() -> np.ndarray:
+    """Deterministic 256-entry palette: entry v = (v, 7v mod 256,
+    13v mod 256) — closed form so a SQL twin can regenerate it."""
+    v = np.arange(256, dtype=np.int64)
+    return np.stack([v, (7 * v) % 256, (13 * v) % 256], axis=1).astype(np.uint8)
+
+
+def encode_gif87a(indices: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 palette-index array as a real GIF87a:
+    logical screen descriptor, 256-entry global color table
+    (_gif_palette), image descriptor, variable-width LZW image data in
+    255-byte sub-blocks, trailer."""
+    import struct
+
+    if indices.ndim != 2 or indices.dtype != np.uint8:
+        raise ValueError("encode_gif87a wants (h, w) uint8 palette indices")
+    h, w = indices.shape
+    out = bytearray(b"GIF87a")
+    # screen descriptor: global color table, 8 bits/pixel, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += _gif_palette().tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    min_code = 8
+    out.append(min_code)
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes: list[tuple[int, int]] = []  # (code, bit width at emission)
+
+    def fresh():
+        return {(c,): c for c in range(1 << min_code)}
+
+    table = fresh()
+    next_code = eoi + 1
+    code_size = min_code + 1
+    codes.append((clear, code_size))
+    wseq: tuple = ()
+    for px in indices.ravel().tolist():
+        wk = wseq + (px,)
+        if wk in table:
+            wseq = wk
+            continue
+        codes.append((table[wseq], code_size))
+        table[wk] = next_code
+        next_code += 1
+        # GIF rule: widen when the NEXT code to assign no longer fits
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code == (1 << 12):
+            # table full: spec-correct reset via an explicit clear code
+            codes.append((clear, code_size))
+            table = fresh()
+            next_code = eoi + 1
+            code_size = min_code + 1
+        wseq = (px,)
+    if wseq:
+        codes.append((table[wseq], code_size))
+    codes.append((eoi, code_size))
+
+    # LSB-first bit packing
+    acc = nbits = 0
+    data = bytearray()
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    # 255-byte sub-blocks + terminator
+    for i in range(0, len(data), 255):
+        blk = data[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif87a(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """REAL GIF87a decode, pure python/numpy: header + screen
+    descriptor parse, global color table, image descriptor, sub-block
+    reassembly, variable-width LZW with clear/EOI, dictionary growth
+    with code widening at 2^size and the KwKwK case.  Returns
+    (indices (h, w) uint8, palette (256, 3) uint8).  Supports the
+    profile our encoder emits; rejects anything else loudly."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if not flags & 0x80:
+        raise ValueError("unsupported GIF: no global color table")
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    palette = np.frombuffer(payload[pos:pos + 3 * gct_n], dtype=np.uint8).reshape(-1, 3)
+    pos += 3 * gct_n
+    if payload[pos] != 0x2C:
+        raise ValueError(f"unsupported GIF block 0x{payload[pos]:02x} (want image descriptor)")
+    _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos + 1:pos + 10])
+    if iflags & 0xC0:
+        raise ValueError("unsupported GIF: local color table / interlace")
+    pos += 10
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        data += payload[pos:pos + ln]
+        pos += ln
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [(c,) for c in range(1 << min_code)]
+    table: list[tuple] = []
+    code_size = min_code + 1
+    next_code = eoi + 1
+    acc = nbits = 0
+    di = 0
+    out: list[int] = []
+    prev: tuple | None = None
+    while True:
+        while nbits < code_size:
+            if di >= len(data):
+                raise ValueError("GIF LZW stream truncated before EOI")
+            acc |= data[di] << nbits
+            di += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = []
+            code_size = min_code + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < clear:
+            entry = base[code]
+        elif code - eoi - 1 < len(table):
+            entry = table[code - eoi - 1]
+        elif prev is not None and code == next_code:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            next_code += 1
+            # the decoder's dictionary lags the encoder's by ONE entry
+            # (it reconstructs add_k only while processing code k+1), so
+            # it must widen one count EARLY — the classic GIF LZW
+            # off-by-one every real decoder implements
+            if next_code == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        prev = entry
+    idx = np.array(out, dtype=np.uint8)
+    if len(idx) != iw * ih:
+        raise ValueError(f"GIF pixel count {len(idx)} != {iw}x{ih}")
+    return idx.reshape(ih, iw), palette
+
+
+def make_synthetic_gif_table(n: int = 40) -> pa.Table:
+    """Deterministic REAL-GIF corpus: image ``i`` is the palette-index
+    field ``v(x, y) = (a*x + b*y + x*y + 2*i) mod 256`` with
+    ``w = 24 + (i % 17)``, ``h = 20 + ((i * 5) % 13)`` — ≥480 px per
+    image so the LZW dictionary passes 512 entries and the 9→10-bit
+    code widening really fires; the SQL twin regenerates every pixel
+    and the palette from the closed forms."""
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = 24 + (i % 17)
+        h = 20 + ((i * 5) % 13)
+        a = 2 + (i % 4)
+        b = 1 + (i % 6)
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        v = ((a * x + b * y + x * y + 2 * i) % 256).astype(np.uint8)
+        ids.append(f"gif-{i:06d}")
+        payloads.append(encode_gif87a(v))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array([GIF_MIME] * n),
+            "width": pa.array(np.array(ws, dtype=np.int32)),
+            "height": pa.array(np.array(hs, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class GifChannelSums:
+    """Actor-pool REAL GIF decode stage: LZW inflate + palette lookup
+    per payload, exact int64 per-channel sums of the palette-mapped
+    RGB image."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pays = batch["payload"].to_pylist()
+        sums = np.zeros((len(pays), 3), dtype=np.int64)
+        dims = np.zeros((len(pays), 2), dtype=np.int32)
+        for i, p in enumerate(pays):
+            idx, pal = decode_gif87a(p)
+            rgb = pal[idx.ravel()].astype(np.int64)
+            sums[i] = rgb.sum(axis=0)
+            dims[i] = idx.shape[1], idx.shape[0]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(dims[:, 0]),
+                "height": pa.array(dims[:, 1]),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def gif_channel_sums(ds: Dataset, *, concurrency=(1, 2), batch_size: int = 16) -> Dataset:
+    return ds.map_batches(GifChannelSums, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size,
+                          concurrency=concurrency)
