@@ -110,8 +110,13 @@ def q_seq_token_kcore(sf_dir: str) -> pd.DataFrame:
     _DEG_CAP = 8_000_000  # vocab-bounded partials; enforce the contract
 
     def _degrees(eds) -> pd.DataFrame:
-        parts = _collect(eds.map_batches(deg_partial, batch_format="pyarrow",
-                                         zero_copy_batch=True))
+        batches = list(eds.map_batches(deg_partial, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                       .iter_batches(batch_format="pyarrow"))
+        if not batches:  # empty core (K above the graph's degeneracy)
+            return pd.DataFrame({"node": pd.array([], dtype="int64"),
+                                 "pd": pd.array([], dtype="int64")})
+        parts = pa.concat_tables(batches)
         assert parts.num_rows <= _DEG_CAP, (
             f"k-core degree partials exceed {_DEG_CAP} rows — node domain "
             f"is not vocab-bounded; shard the degree merge")

@@ -87,3 +87,51 @@ def test_funnel3_stage_monotonicity(ray_session):
     r = out.iloc[0]
     assert r["n_signup"] >= r["n_purchase"] >= r["n_click"] >= r["n_converted"]
     assert r["n_converted"] >= 0
+
+
+def test_kcore_distributed_on_constructed_graph(ray_session, tmp_path, monkeypatch):
+    """End-to-end distributed peel on a constructed corpus: a K66
+    clique (degree 65 >= K=64) plus pendant chains that must peel off.
+    Exercises the real pair-count build, the coarse-part edge merge,
+    the broadcast keep-set rounds and the convergence assert."""
+    import pyarrow.parquet as pq_
+
+    from jesse_ray.pipelines import queries23 as q23
+
+    rows = []
+    tok = []
+    # K66 clique: 8 adjacent occurrences per pair (meets KCORE_MINCNT)
+    for i in range(66):
+        for j in range(i + 1, 66):
+            for _ in range(q23.KCORE_MINCNT):
+                tok.extend([i, j])
+                tok.append(10_000)  # spacer breaks unintended adjacency
+    # pendant chain 200-201-202, high count but low degree
+    for _ in range(50):
+        tok.extend([200, 201, 202, 10_000])
+    # chunk into sequences of 501 tokens (multiple of the 3-token
+    # i,j,spacer motif, so row boundaries never cut a clique pair)
+    for s in range(0, len(tok), 501):
+        rows.append(tok[s:s + 501])
+    tbl = pa.table({
+        "doc_id": pa.array([f"doc-{i:08d}" for i in range(len(rows))]),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["web"] * len(rows)),
+    })
+    p = tmp_path / "sequences.parquet"
+    pq_.write_table(tbl, p)
+
+    import jesse_ray.pipelines.queries as qmod
+
+    monkeypatch.setattr(qmod, "_seq_path", lambda sf_dir: str(p))
+    out = q23.q_seq_token_kcore(str(tmp_path))
+    # spacer 10_000 is adjacent to many distinct nodes but each pair
+    # count is high; its degree is 66+3 >= 64 -> it may survive; the
+    # chain nodes 200-202 (degree <= 2) must NOT
+    got = set(out["token"].tolist())
+    assert set(range(66)) <= got
+    assert {200, 201, 202}.isdisjoint(got)
+    # clique nodes keep degree >= 64 in the final core
+    clique_deg = out[out["token"] < 66]["core_deg"]
+    assert (clique_deg >= 64).all()
