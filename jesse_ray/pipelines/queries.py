@@ -6477,7 +6477,7 @@ def queries() -> dict[str, Callable]:
         "seq_fixity_manifest": q_seq_fixity_manifest,
         "emb_hard_negatives": q_emb_hard_negatives,
         "media_features": q_media_features,
-    } | _wave2()[0] | _wave3()[0] | _wave4()[0] | _wave5()[0] | _wave6()[0] | _wave7()[0] | _wave8()[0] | _wave9()[0] | _wave10()[0] | _wave11()[0] | _wave12()[0] | _wave13()[0] | _wave14()[0] | _wave15()[0] | _wave16()[0] | _wave17()[0] | _wave18()[0] | _wave19()[0] | _wave20()[0] | _wave21()[0] | _wave22()[0] | _wave23()[0] | _wave24()[0] | _wave25()[0] | _wave26()[0] | _wave27()[0] | _wave28()[0] | _wave29()[0] | _wave30()[0] | _wave31()[0] | _wave32()[0] | _wave33()[0] | _wave34()[0] | _wave35()[0] | _wave36()[0] | _wave37()[0] | _wave38()[0] | _wave39()[0] | _wave40()[0]
+    } | _wave2()[0] | _wave3()[0] | _wave4()[0] | _wave5()[0] | _wave6()[0] | _wave7()[0] | _wave8()[0] | _wave9()[0] | _wave10()[0] | _wave11()[0] | _wave12()[0] | _wave13()[0] | _wave14()[0] | _wave15()[0] | _wave16()[0] | _wave17()[0] | _wave18()[0] | _wave19()[0] | _wave20()[0] | _wave21()[0] | _wave22()[0] | _wave23()[0] | _wave24()[0] | _wave25()[0] | _wave26()[0] | _wave27()[0] | _wave28()[0] | _wave29()[0] | _wave30()[0] | _wave31()[0] | _wave32()[0] | _wave33()[0] | _wave34()[0] | _wave35()[0] | _wave36()[0] | _wave37()[0] | _wave38()[0] | _wave39()[0] | _wave40()[0] | _wave41()[0]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6635,7 +6635,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "seq_fixity_manifest": SQL_SEQ_FIXITY_MANIFEST,
         "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
-    } | _wave2()[1] | _wave3()[1] | _wave4()[1] | _wave5()[1] | _wave6()[1] | _wave7()[1] | _wave8()[1] | _wave9()[1] | _wave10()[1] | _wave11()[1] | _wave12()[1] | _wave13()[1] | _wave14()[1] | _wave15()[1] | _wave16()[1] | _wave17()[1] | _wave18()[1] | _wave19()[1] | _wave20()[1] | _wave21()[1] | _wave22()[1] | _wave23()[1] | _wave24()[1] | _wave25()[1] | _wave26()[1] | _wave27()[1] | _wave28()[1] | _wave29()[1] | _wave30()[1] | _wave31()[1] | _wave32()[1] | _wave33()[1] | _wave34()[1] | _wave35()[1] | _wave36()[1] | _wave37()[1] | _wave38()[1] | _wave39()[1] | _wave40()[1]
+    } | _wave2()[1] | _wave3()[1] | _wave4()[1] | _wave5()[1] | _wave6()[1] | _wave7()[1] | _wave8()[1] | _wave9()[1] | _wave10()[1] | _wave11()[1] | _wave12()[1] | _wave13()[1] | _wave14()[1] | _wave15()[1] | _wave16()[1] | _wave17()[1] | _wave18()[1] | _wave19()[1] | _wave20()[1] | _wave21()[1] | _wave22()[1] | _wave23()[1] | _wave24()[1] | _wave25()[1] | _wave26()[1] | _wave27()[1] | _wave28()[1] | _wave29()[1] | _wave30()[1] | _wave31()[1] | _wave32()[1] | _wave33()[1] | _wave34()[1] | _wave35()[1] | _wave36()[1] | _wave37()[1] | _wave38()[1] | _wave39()[1] | _wave40()[1] | _wave41()[1]
 
 
 def _wave2() -> tuple[dict[str, Callable], dict[str, str]]:
@@ -6910,3 +6910,10 @@ def _wave40() -> tuple[dict[str, Callable], dict[str, str]]:
     from jesse_ray.pipelines import queries40
 
     return queries40.QUERIES40, queries40.ORACLES40
+
+
+def _wave41() -> tuple[dict[str, Callable], dict[str, str]]:
+    """Catalog wave 41 (lazy import, same acyclic-wiring rule as wave 2)."""
+    from jesse_ray.pipelines import queries41
+
+    return queries41.QUERIES41, queries41.ORACLES41
