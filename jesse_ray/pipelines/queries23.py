@@ -342,8 +342,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
         WHERE ct - st <= {F3_WINDOW_DAYS * 86_400_000_000}) AS n_converted
 """
 
-QUERIES23["events_funnel3"] = q_events_funnel3
-ORACLES23["events_funnel3"] = SQL_EVENTS_FUNNEL3
+QUERIES23["events_funnel3_windowed"] = q_events_funnel3
+ORACLES23["events_funnel3_windowed"] = SQL_EVENTS_FUNNEL3
 
 
 # ---------------------------------------------------------------------------

@@ -71,8 +71,8 @@ SELECT digit, CAST(count(*) AS BIGINT) AS n,
 FROM x GROUP BY 1 ORDER BY 1
 """
 
-QUERIES7["orders_benford"] = q_orders_benford
-ORACLES7["orders_benford"] = SQL_ORDERS_BENFORD
+QUERIES7["orders_benford_log10"] = q_orders_benford
+ORACLES7["orders_benford_log10"] = SQL_ORDERS_BENFORD
 
 
 # ---------------------------------------------------------------------------
