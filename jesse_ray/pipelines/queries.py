@@ -6317,12 +6317,26 @@ ORDER BY anchor_id, rank
 # registry
 
 
+
+def _merge_waves(base: dict, idx: int) -> dict:
+    """Fold every wave dict into ``base``, REFUSING silent shadowing —
+    the dict-union chain this replaces hid two distinct operators for
+    rounds because a later wave reused their names (round-5 audit)."""
+    out = dict(base)
+    for w in [_wave2, _wave3, _wave4, _wave5, _wave6, _wave7, _wave8, _wave9, _wave10, _wave11, _wave12, _wave13, _wave14, _wave15, _wave16, _wave17, _wave18, _wave19, _wave20, _wave21, _wave22, _wave23, _wave24, _wave25, _wave26, _wave27, _wave28, _wave29, _wave30, _wave31, _wave32, _wave33, _wave34, _wave35, _wave36, _wave37, _wave38, _wave39, _wave40, _wave41]:
+        d = w()[idx]
+        clash = out.keys() & d.keys()
+        assert not clash, f"catalog key collision from {w.__name__}: {sorted(clash)}"
+        out.update(d)
+    return out
+
+
 def queries() -> dict[str, Callable]:
     # ensure the corpora the driver's oracle SQL reads exist before any
     # SQL runs (sf0.1 is generated lazily by bench.py only)
     testgen.generate("sf0.001")
     testgen.generate("sf0.01")
-    return {
+    return _merge_waves({
         "seq_val_consistency": q_seq_val_consistency,
         "seq_val_ntok_range": q_seq_val_ntok_range,
         "seq_val_source_enum": q_seq_val_source_enum,
@@ -6477,11 +6491,11 @@ def queries() -> dict[str, Callable]:
         "seq_fixity_manifest": q_seq_fixity_manifest,
         "emb_hard_negatives": q_emb_hard_negatives,
         "media_features": q_media_features,
-    } | _wave2()[0] | _wave3()[0] | _wave4()[0] | _wave5()[0] | _wave6()[0] | _wave7()[0] | _wave8()[0] | _wave9()[0] | _wave10()[0] | _wave11()[0] | _wave12()[0] | _wave13()[0] | _wave14()[0] | _wave15()[0] | _wave16()[0] | _wave17()[0] | _wave18()[0] | _wave19()[0] | _wave20()[0] | _wave21()[0] | _wave22()[0] | _wave23()[0] | _wave24()[0] | _wave25()[0] | _wave26()[0] | _wave27()[0] | _wave28()[0] | _wave29()[0] | _wave30()[0] | _wave31()[0] | _wave32()[0] | _wave33()[0] | _wave34()[0] | _wave35()[0] | _wave36()[0] | _wave37()[0] | _wave38()[0] | _wave39()[0] | _wave40()[0] | _wave41()[0]
+    }, 0)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _merge_waves({
         "seq_val_consistency": SQL_SEQ_VAL_CONSISTENCY,
         "seq_val_ntok_range": SQL_SEQ_VAL_NTOK_RANGE,
         "seq_val_source_enum": SQL_SEQ_VAL_SOURCE_ENUM,
@@ -6635,7 +6649,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "seq_fixity_manifest": SQL_SEQ_FIXITY_MANIFEST,
         "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
-    } | _wave2()[1] | _wave3()[1] | _wave4()[1] | _wave5()[1] | _wave6()[1] | _wave7()[1] | _wave8()[1] | _wave9()[1] | _wave10()[1] | _wave11()[1] | _wave12()[1] | _wave13()[1] | _wave14()[1] | _wave15()[1] | _wave16()[1] | _wave17()[1] | _wave18()[1] | _wave19()[1] | _wave20()[1] | _wave21()[1] | _wave22()[1] | _wave23()[1] | _wave24()[1] | _wave25()[1] | _wave26()[1] | _wave27()[1] | _wave28()[1] | _wave29()[1] | _wave30()[1] | _wave31()[1] | _wave32()[1] | _wave33()[1] | _wave34()[1] | _wave35()[1] | _wave36()[1] | _wave37()[1] | _wave38()[1] | _wave39()[1] | _wave40()[1] | _wave41()[1]
+    }, 1)
 
 
 def _wave2() -> tuple[dict[str, Callable], dict[str, str]]:
